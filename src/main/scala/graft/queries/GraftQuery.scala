@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named, driver-checkable query.
+  *
+  * `build` produces the Spark result over the parquet tables in `sfDir`;
+  * `oracle` is the equivalent ANSI SQL the driver runs in DuckDB over the
+  * same tables (None => driver records a weaker rows-only check).
+  *
+  * Contract notes (SURVEY.md §5.2):
+  *  - column names must match between the two sides (the driver sorts
+  *    columns by name before hashing);
+  *  - output must be value-deterministic: every aggregate over doubles is
+  *    rounded, every collect_list sorted, every result totally ordered.
+  */
+final case class GraftQuery(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+object Tables {
+  import org.apache.spark.sql.functions._
+
+  /** Load one driver-provided table (TESTDATA.md).
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    * ([PARQUET_TYPE_ILLEGAL]); we read it as raw nanos via the legacy
+    * flag and truncate to micros with exact integer division (ns values
+    * ~1.7e18 exceed double's 2^53 exact range, so no float math here).
+    * DuckDB reads the same column natively as TIMESTAMP_NS; second-level
+    * truncation in query outputs keeps the two engines comparable.
+    */
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+  }
+}

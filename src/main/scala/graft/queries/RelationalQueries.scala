@@ -1,0 +1,452 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The relational operator inventory of SURVEY.md §2 (P*, J*, A*, T*, G1,
+  * F*, set ops), each exposed as an oracle-checkable query over the
+  * TPC-H-ish driver tables.
+  *
+  * The reference (/root/reference/COMP5349_2.py) hand-rolls its joins over
+  * driver-side broadcast dicts (COMP5349_2.py:185,200) and its top-k on the
+  * driver (COMP5349_2.py:188); here every one of those semantics is a
+  * Catalyst-planned DataFrame operator, so predicate pushdown, partial
+  * aggregation and broadcast selection all come from the optimizer.
+  *
+  * Scale notes are inline per query: the stated plan is the one that holds
+  * at 100 TB (broadcast only genuinely small dims, single-shuffle windows,
+  * map-side partial aggs).
+  */
+object RelationalQueries {
+  import Tables.{apply => t}
+
+  val all: Seq[GraftQuery] = Seq(
+    // ---- A2-style multi-aggregate over the fact table (TPC-H Q1 shape).
+    // Partial+final HashAggregateExec; only map-side combine + one shuffle
+    // on (returnflag, linestatus) — holds at any scale (grouping key
+    // cardinality is tiny). Doubles rounded for cross-engine determinism.
+    GraftQuery(
+      "q01_pricing_summary",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .filter(to_date(col("l_shipdate")) <= lit("2001-09-02"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(avg(col("l_quantity")), 6).as("avg_qty"),
+            round(avg(col("l_discount")), 6).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+              round(avg(l_quantity), 6) AS avg_qty,
+              round(avg(l_discount), 6) AS avg_disc,
+              count(*) AS count_order
+              FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02'
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- P1-P3/F1: OR-of-predicates filter + computed column + alias
+    // (the W1 shape at COMP5349_2.py:146). FilterExec+ProjectExec fused in
+    // one codegen stage; both predicates push to the parquet scan.
+    GraftQuery(
+      "q02_filter_project",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R" || col("l_linestatus") === "F")
+          .filter(col("l_quantity") >= 49)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            concat_ws("-", col("l_returnflag"), col("l_linestatus")).as("flag_status"),
+            // no rounding: a single IEEE multiply is bit-identical across
+            // engines, while round() differs (HALF_UP vs HALF_EVEN)
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+              l_returnflag || '-' || l_linestatus AS flag_status,
+              l_extendedprice * (1.0 - l_discount) AS net_price
+              FROM lineitem
+              WHERE (l_returnflag = 'R' OR l_linestatus = 'F') AND l_quantity >= 49
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- A1/F2: groupBy + collect_list + string join (the per-user
+    // "document" builder, COMP5349_2.py:146). collect_list order is
+    // partition-dependent (SURVEY §5.3) so we sort inside the array before
+    // joining — ObjectHashAggregateExec, one shuffle on user_id.
+    GraftQuery(
+      "q03_groupby_collect",
+      (s, d) => {
+        t(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(
+            array_join(array_sort(collect_list(col("event_id").cast("string"))), ", ").as("ids"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+              string_agg(CAST(event_id AS VARCHAR), ', ' ORDER BY CAST(event_id AS VARCHAR)) AS ids,
+              count(*) AS n_events
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- T1: per-key top-k by (score DESC, id DESC) — the reference's
+    // driver-side `sorted(...)[:5]` (COMP5349_2.py:188) as a WindowExec.
+    // Tie semantics (score desc then id desc) match the Python tuple sort
+    // that the golden output depends on (SURVEY §2.5 T1). Single shuffle
+    // on the partition key; executor-side, no driver materialization.
+    GraftQuery(
+      "q04_window_topk",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+                FROM orders) WHERE rn <= 3
+              ORDER BY o_custkey, rn""")),
+
+    // ---- J2 + multi-way join + agg: the hash-reversal join family
+    // (COMP5349_2.py:93-116) re-expressed as real joins. nation/region are
+    // broadcast (genuinely bounded dims — 25/5 rows at any SF); the
+    // orders⋈customer join shuffles on the key and scales linearly.
+    GraftQuery(
+      "q05_join_revenue",
+      (s, d) => {
+        t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // ---- Semi join (EXISTS): customers with at least one finished order.
+    GraftQuery(
+      "q06_semi_join",
+      (s, d) => {
+        val fOrders = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        t(s, d, "customer")
+          .join(fOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+              ORDER BY c_custkey""")),
+
+    // ---- Anti join (NOT EXISTS): parts that never shipped.
+    GraftQuery(
+      "q07_anti_join",
+      (s, d) => {
+        t(s, d, "part")
+          .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"), "left_anti")
+          .select(col("p_partkey"), col("p_name"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_name FROM part
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+              ORDER BY p_partkey""")),
+
+    // ---- Left outer join + null-handling agg (the reference's bare
+    // `except:` → None semantics (COMP5349_2.py:93-99) done properly:
+    // unmatched rows survive as NULL and are coalesced, SURVEY §2.10).
+    GraftQuery(
+      "q08_outer_join",
+      (s, d) => {
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+              round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // ---- J1: theta self-join (the all-pairs shape of get_vector_info,
+    // COMP5349_2.py:29-47, relationally). On a bounded dim this is a
+    // broadcast NLJ; the predicate `a.key < b.key` halves the pair space.
+    GraftQuery(
+      "q09_theta_self_join",
+      (s, d) => {
+        val n = t(s, d, "nation")
+        val a = n.select(col("n_nationkey").as("k1"), col("n_name").as("nation1"), col("n_regionkey").as("rk"))
+        val b = n.select(col("n_nationkey").as("k2"), col("n_name").as("nation2"), col("n_regionkey").as("rk2"))
+        a.join(broadcast(b), col("rk") === col("rk2") && col("k1") < col("k2"))
+          .select(col("rk").as("regionkey"), col("nation1"), col("nation2"))
+          .orderBy(col("regionkey"), col("nation1"), col("nation2"))
+      },
+      Some("""SELECT a.n_regionkey AS regionkey, a.n_name AS nation1, b.n_name AS nation2
+              FROM nation a JOIN nation b
+                ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+              ORDER BY regionkey, nation1, nation2""")),
+
+    // ---- G1: explode/unnest (the user_mentions explode,
+    // COMP5349_2.py:196) — GenerateExec feeding a hash agg.
+    GraftQuery(
+      "q10_explode_wordcount",
+      (s, d) => {
+        t(s, d, "part")
+          .select(explode(split(col("p_name"), " ")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("n"))
+          .orderBy(col("word"))
+      },
+      Some("""SELECT word, count(*) AS n
+              FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+              GROUP BY word ORDER BY word""")),
+
+    // ---- P4/F4: struct build + field access (col("col")["id"],
+    // COMP5349_2.py:196) plus JSON field extraction from the events props.
+    GraftQuery(
+      "q11_struct_json",
+      (s, d) => {
+        t(s, d, "events")
+          .select(
+            col("event_id"),
+            struct(col("event_type").as("et"), col("value").as("v")).as("s"),
+            get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .select(col("event_id"), col("s").getField("et").as("et"),
+            col("s").getField("v").as("v"), col("k"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, event_type AS et, value AS v,
+              CAST(props->>'k' AS INTEGER) AS k
+              FROM events ORDER BY event_id""")),
+
+    // ---- A3: distinct (COMP5349_2.py:207).
+    GraftQuery(
+      "q12_distinct",
+      (s, d) => {
+        t(s, d, "customer")
+          .select(col("c_mktsegment"), col("c_nationkey")).distinct()
+          .orderBy(col("c_mktsegment"), col("c_nationkey"))
+      },
+      Some("""SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+              ORDER BY c_mktsegment, c_nationkey""")),
+
+    // ---- Set ops: intersect / except over nation keys.
+    GraftQuery(
+      "q13_set_ops",
+      (s, d) => {
+        val cn = t(s, d, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+        val sn = t(s, d, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+        cn.intersect(sn).withColumn("op", lit("both"))
+          .union(cn.except(sn).withColumn("op", lit("cust_only")))
+          .orderBy(col("op"), col("nationkey"))
+      },
+      Some("""SELECT nationkey, 'both' AS op FROM
+                (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+                 INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+              UNION ALL
+              SELECT nationkey, 'cust_only' AS op FROM
+                (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+                 EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+              ORDER BY op, nationkey""")),
+
+    // ---- Rollup (grouping sets family). NULLS FIRST pinned on both
+    // sides (DuckDB defaults to NULLS LAST; Spark to NULLS FIRST).
+    GraftQuery(
+      "q14_rollup",
+      (s, d) => {
+        t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .rollup(col("n_name"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
+          .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+      },
+      Some("""SELECT n_name, c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY ROLLUP(n_name, c_mktsegment)
+              ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""")),
+
+    // ---- Global sort + limit with a total tie-break (unique key suffix
+    // keeps it deterministic). TakeOrderedAndProjectExec — no full sort.
+    GraftQuery(
+      "q15_orderby_limit",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(20)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""")),
+
+    // ---- Date functions + agg.
+    GraftQuery(
+      "q16_date_agg",
+      (s, d) => {
+        t(s, d, "orders")
+          .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy(col("yr"), col("mo"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+              CAST(month(o_orderdate) AS INTEGER) AS mo,
+              count(*) AS n, round(sum(o_totalprice), 2) AS total
+              FROM orders GROUP BY 1, 2 ORDER BY yr, mo""")),
+
+    // ---- Tumbling-window batch analog of the streaming hourly rollup
+    // (graft.streaming handles the readStream variant; same semantics).
+    GraftQuery(
+      "q17_events_hourly",
+      (s, d) => {
+        t(s, d, "events")
+          .groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+              event_type, count(*) AS n, round(sum(value), 2) AS total_value
+              FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    // ---- As-of semantics without a join: carry the latest signup ts
+    // forward per user with last(..., ignoreNulls) over an ordered window.
+    // One shuffle on user_id — the scalable as-of plan (a join formulation
+    // would shuffle twice and explode on skewed users).
+    GraftQuery(
+      "q18_asof_last_signup",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .withColumn("last_signup",
+            last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(
+            col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            date_format(col("last_signup"), "yyyy-MM-dd HH:mm:ss").as("last_signup_s"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+              strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+              strftime(last_signup, '%Y-%m-%d %H:%M:%S') AS last_signup_s
+              FROM (SELECT event_id, user_id, ts, event_type,
+                      last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
+                    FROM events)
+              WHERE event_type = 'purchase' ORDER BY event_id""")),
+
+    // ---- Decorrelated aggregate subquery: customers above their
+    // nation's average balance (join against a grouped aggregate).
+    GraftQuery(
+      "q19_above_nation_avg",
+      (s, d) => {
+        val nav = t(s, d, "customer")
+          .groupBy(col("c_nationkey").as("nk"))
+          .agg(avg(col("c_acctbal")).as("nation_avg"))
+        t(s, d, "customer")
+          .join(nav, col("c_nationkey") === col("nk"))
+          .filter(col("c_acctbal") > col("nation_avg"))
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            round(col("nation_avg"), 4).as("nation_avg_r"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, round(nation_avg, 4) AS nation_avg_r
+              FROM customer JOIN
+                (SELECT c_nationkey AS nk, avg(c_acctbal) AS nation_avg
+                 FROM customer GROUP BY 1) ON c_nationkey = nk
+              WHERE c_acctbal > nation_avg ORDER BY c_custkey""")),
+
+    // ---- CASE WHEN bucketing + conditional agg.
+    GraftQuery(
+      "q20_case_buckets",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .select(
+            when(col("l_extendedprice") < 20000, "low")
+              .when(col("l_extendedprice") < 60000, "mid")
+              .otherwise("high").as("bucket"),
+            col("l_quantity"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), round(avg(col("l_quantity")), 6).as("avg_qty"))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT CASE WHEN l_extendedprice < 20000 THEN 'low'
+                          WHEN l_extendedprice < 60000 THEN 'mid'
+                          ELSE 'high' END AS bucket,
+              count(*) AS n, round(avg(l_quantity), 6) AS avg_qty
+              FROM lineitem GROUP BY 1 ORDER BY bucket""")),
+
+    // ---- Equi + range predicate join (interval containment): lineitems
+    // shipped within 30 days of their order date. The equi key carries the
+    // shuffle; the range predicate evaluates post-match (no blowup).
+    GraftQuery(
+      "q21_range_join",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") >= col("o_orderdate") &&
+              col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_fast_ships"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_fast_ships
+              FROM lineitem JOIN orders
+                ON l_orderkey = o_orderkey
+               AND l_shipdate >= o_orderdate
+               AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+              GROUP BY 1 ORDER BY o_orderpriority""")),
+
+    // ---- Pivot (conditional aggregation matrix): events per user x type.
+    GraftQuery(
+      "q22_pivot",
+      (s, d) => {
+        t(s, d, "events")
+          .groupBy(col("user_id"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .count()
+          .na.fill(0L)
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+              count(*) FILTER (event_type = 'click') AS click,
+              count(*) FILTER (event_type = 'error') AS error,
+              count(*) FILTER (event_type = 'purchase') AS purchase,
+              count(*) FILTER (event_type = 'signup') AS signup,
+              count(*) FILTER (event_type = 'view') AS view
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- Exact distinct-count per group (expand-based distinct agg).
+    GraftQuery(
+      "q23_count_distinct",
+      (s, d) => {
+        t(s, d, "events")
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n
+              FROM events GROUP BY event_type ORDER BY event_type"""))
+  )
+}
