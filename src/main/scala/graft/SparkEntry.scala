@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** Every implemented operator from SURVEY.md §2, by name. */
   def registry: Seq[GraftQuery] =
-    RelationalQueries.all
+    RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++ EmbeddingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

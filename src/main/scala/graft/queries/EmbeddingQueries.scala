@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §7.4):
+  * brute-force cosine top-k as the exactness baseline, all-pairs
+  * cosine near-dup, and a random-hyperplane LSH-bucketed ANN as the
+  * scale path.
+  *
+  * Cosines are computed in double with a left-to-right fold on both
+  * engines and rounded to 6 decimals *before* ranking, so top-k cuts are
+  * deterministic across engines (ties broken by neighbor id).
+  */
+object EmbeddingQueries {
+  import Tables.{apply => t}
+
+  /** embeddings with unit-norm precomputation (double precision). */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))"))
+
+  private val dotExpr = "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ---- brute-force cosine top-5 for a fixed query subset. The
+    // all-pairs product is restricted to |Q| x N (not N²); at cluster
+    // scale Q is the batch of query vectors and the scan side stays
+    // partition-parallel.
+    GraftQuery(
+      "q40_embed_topk",
+      (s, d) => {
+        val e = vecs(s, d)
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("qn"))
+        val x = e.select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nn"))
+        val pairs = q.join(x, col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            round(expr(dotExpr) / (col("qn") * col("nn")), 6).as("cos_sim"))
+        pairs
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+              .orderBy(col("cos_sim").desc, col("nid"))))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("nid"), col("cos_sim"), col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+              p AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+                           round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) AS cos_sim
+                    FROM n q JOIN n x ON q.vec_id < 20 AND x.vec_id <> q.vec_id)
+              SELECT qid, nid, cos_sim, rn FROM
+                (SELECT qid, nid, cos_sim,
+                        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rn
+                 FROM p)
+              WHERE rn <= 5 ORDER BY qid, rn""")),
+
+    // ---- embedding-cosine near-dup: all pairs i<j above a cosine
+    // threshold. This is the exactness oracle for the LSH path below; at
+    // 100 TB you run q42's bucketed variant and reserve this for audits.
+    GraftQuery(
+      "q41_embed_neardup",
+      (s, d) => {
+        val e = vecs(s, d)
+        val a = e.select(col("vec_id").as("d1"), col("v").as("va"), col("nrm").as("n1"))
+        val b = e.select(col("vec_id").as("d2"), col("v").as("vb"), col("nrm").as("n2"))
+        a.join(b, col("d1") < col("d2"))
+          .select(col("d1"), col("d2"),
+            round(expr(dotExpr) / (col("n1") * col("n2")), 6).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.35)
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+              SELECT d1, d2, cos_sim FROM
+                (SELECT a.vec_id AS d1, b.vec_id AS d2,
+                        round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+                 FROM n a JOIN n b ON a.vec_id < b.vec_id)
+              WHERE cos_sim >= 0.35 ORDER BY d1, d2""")),
+
+    // ---- LSH-bucketed ANN: 6 deterministic pseudo-random hyperplanes
+    // (integer weights from an LCG formula both engines evaluate exactly)
+    // -> 64 sign buckets; candidates = same bucket; exact cosine rerank
+    // top-3. The bucket join replaces the N² pair space with per-bucket
+    // blocks — the standard sublinear ANN trade.
+    GraftQuery(
+      "q42_ann_lsh",
+      (s, d) => {
+        val planes =
+          """aggregate(transform(sequence(0, 5), p ->
+               CASE WHEN aggregate(sequence(1, 64), 0D, (a, dm) ->
+                 a + element_at(v, dm) * CAST((CAST(1103515245 AS BIGINT) * (p * 64 + dm) + 12345) % 2001 - 1000 AS DOUBLE)) > 0D
+               THEN CAST(pow(2, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+             CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
+        val e = vecs(s, d).withColumn("bucket", expr(planes))
+        val q = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("qn"), col("bucket"))
+        val x = e.select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nn"), col("bucket").as("bucket2"))
+        val pairs = q.join(x, col("bucket") === col("bucket2") && col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            round(expr(dotExpr) / (col("qn") * col("nn")), 6).as("cos_sim"))
+        pairs
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+              .orderBy(col("cos_sim").desc, col("nid"))))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("nid"), col("cos_sim"), col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+              bk AS (SELECT vec_id, v, nrm,
+                       CAST(list_sum([CASE WHEN list_sum([v[dm] * CAST((CAST(1103515245 AS BIGINT) * (p * 64 + dm) + 12345) % 2001 - 1000 AS DOUBLE)
+                                                          FOR dm IN range(1, 65)]) > 0
+                                           THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END
+                                      FOR p IN range(0, 6)]) AS BIGINT) AS bucket
+                     FROM n),
+              p AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+                           round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) AS cos_sim
+                    FROM bk q JOIN bk x ON q.bucket = x.bucket AND q.vec_id < 50 AND x.vec_id <> q.vec_id)
+              SELECT qid, nid, cos_sim, rn FROM
+                (SELECT qid, nid, cos_sim,
+                        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rn
+                 FROM p)
+              WHERE rn <= 3 ORDER BY qid, rn"""))
+  )
+}

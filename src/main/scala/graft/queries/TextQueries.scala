@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.Portable
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §7.4
+  * "text analysis"): token counting (whitespace + a BPE-ish regex
+  * segmenter), quality scoring, n-gram-marker language ID, and document
+  * fingerprinting (full-text + rolling 8-gram winnowing).
+  *
+  * Everything is a per-row projection — embarrassingly parallel, no
+  * shuffle except the final presentation sort, so these scale linearly
+  * with document count at any SF.
+  */
+object TextQueries {
+  import Tables.{apply => t}
+
+  private val stopwords = Seq("the", "a", "or", "and", "of", "to", "in", "on", "is", "it")
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  // language marker tokens for the n-gram-heuristic language ID
+  private val markers = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "la", "los"),
+    "fr" -> Seq("le", "les", "des"))
+
+  private val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ---- token counting: whitespace tokens, distinct tokens, mean token
+    // length, type/token ratio, BPE-ish regex segment count. Sums of
+    // small-integer lengths are exact in doubles, so the divisions are
+    // bit-identical across engines.
+    GraftQuery(
+      "q30_text_stats",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(col("doc_id"), col("text"), Portable.tokens(col("text")).as("w"))
+          .select(
+            col("doc_id"),
+            size(col("w")).as("n_tokens"),
+            size(array_distinct(col("w"))).as("n_distinct"),
+            round(expr("aggregate(transform(w, t -> CAST(length(t) AS DOUBLE)), 0D, (a, x) -> a + x)")
+              / size(col("w")), 6).as("avg_token_len"),
+            round(size(array_distinct(col("w"))).cast("double") / size(col("w")), 6).as("ttr"),
+            size(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).as("n_bpe_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+               round(list_sum(list_transform(w, t -> CAST(length(t) AS DOUBLE))) / len(w), 6) AS avg_token_len,
+               round(len(list_distinct(w)) * 1.0 / len(w), 6) AS ttr,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens
+               FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+               ORDER BY doc_id""")),
+
+    // ---- quality scoring: stopword ratio + length-based bucket (the
+    // kind of heuristic filter an LLM-data pipeline runs before training).
+    GraftQuery(
+      "q31_text_quality",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"), Portable.tokens(col("text")).as("w"))
+          .select(
+            col("doc_id"), col("n_chars"),
+            size(col("w")).as("n_tokens"),
+            expr(s"size(filter(w, t -> t IN ($stopList)))").as("n_stop"),
+            round(expr(s"size(filter(w, t -> t IN ($stopList)))").cast("double")
+              / size(col("w")), 6).as("stop_ratio"))
+          .withColumn("quality",
+            when(col("n_tokens") < 10, "too_short")
+              .when(col("stop_ratio") > 0.5, "low")
+              .otherwise("ok"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, n_chars, n_tokens, n_stop, stop_ratio,
+               CASE WHEN n_tokens < 10 THEN 'too_short'
+                    WHEN stop_ratio > 0.5 THEN 'low'
+                    ELSE 'ok' END AS quality
+               FROM (SELECT doc_id, n_chars, len(w) AS n_tokens,
+                       len(list_filter(w, t -> t IN ($stopList))) AS n_stop,
+                       round(len(list_filter(w, t -> t IN ($stopList))) * 1.0 / len(w), 6) AS stop_ratio
+                     FROM (SELECT doc_id, n_chars, string_split_regex(trim(text), '\\s+') AS w FROM documents))
+               ORDER BY doc_id""")),
+
+    // ---- language ID by marker-token counts (n-gram heuristic): count
+    // occurrences of per-language function words, argmax with a fixed
+    // precedence order so ties are deterministic.
+    GraftQuery(
+      "q32_lang_id",
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+        val scored = markers.foldLeft(base) { case (df, (lang, ms)) =>
+          val list = ms.map(m => s"'$m'").mkString(", ")
+          df.withColumn(s"${lang}_n", expr(s"size(filter(w, t -> t IN ($list)))"))
+        }
+        scored
+          .withColumn("predicted",
+            when(col("en_n") >= greatest(col("de_n"), col("es_n"), col("fr_n")) && col("en_n") > 0, "en")
+              .when(col("de_n") >= greatest(col("es_n"), col("fr_n")) && col("de_n") > 0, "de")
+              .when(col("es_n") >= col("fr_n") && col("es_n") > 0, "es")
+              .when(col("fr_n") > 0, "fr")
+              .otherwise("unknown"))
+          .select(col("doc_id"), col("en_n"), col("de_n"), col("es_n"), col("fr_n"), col("predicted"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val scoreCols = markers.map { case (lang, ms) =>
+          val list = ms.map(m => s"'$m'").mkString(", ")
+          s"len(list_filter(w, t -> t IN ($list))) AS ${lang}_n"
+        }.mkString(",\n                       ")
+        s"""SELECT doc_id, en_n, de_n, es_n, fr_n,
+            CASE WHEN en_n >= greatest(de_n, es_n, fr_n) AND en_n > 0 THEN 'en'
+                 WHEN de_n >= greatest(es_n, fr_n) AND de_n > 0 THEN 'de'
+                 WHEN es_n >= fr_n AND es_n > 0 THEN 'es'
+                 WHEN fr_n > 0 THEN 'fr'
+                 ELSE 'unknown' END AS predicted
+            FROM (SELECT doc_id, $scoreCols
+                  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents))
+            ORDER BY doc_id"""
+      }),
+
+    // ---- document fingerprinting: 60-bit hash of the normalized full
+    // text plus a rolling-hash fingerprint (min over all char-8-gram
+    // hashes — the winnowing idea, Schleimer et al. SIGMOD'03).
+    GraftQuery(
+      "q33_fingerprint",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(col("doc_id"), Portable.normText(col("text")).as("nt"))
+          .select(
+            col("doc_id"),
+            Portable.p60(col("nt")).as("fp_full"),
+            expr(s"""array_min(transform(sequence(1, greatest(length(nt) - 7, 1)),
+                     i -> ${sparkP60("substring(nt, i, 8)")}))""").as("fp_rolling"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+               ${Portable.p60Sql("nt")} AS fp_full,
+               list_min([${Portable.p60Sql("substring(nt, i, 8)")}
+                         FOR i IN range(1, greatest(length(nt) - 7, 1) + 1)]) AS fp_rolling
+               FROM (SELECT doc_id, ${Portable.normTextSql("text")} AS nt FROM documents)
+               ORDER BY doc_id""")),
+
+    // ---- exact deduplication: keep the lowest doc_id per normalized
+    // fingerprint (hash-groupBy dedup — the 100 TB-safe exact-dup plan:
+    // one shuffle on a 60-bit key, no driver state).
+    GraftQuery(
+      "q34_dedup_exact",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"), Portable.p60(Portable.normText(col("text"))).as("fp"))
+        val canon = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        docs.join(canon, "fp")
+          .filter(col("doc_id") === col("keep_id"))
+          .select(col("doc_id"), col("n_chars"), col("n_copies"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, n_chars, n_copies FROM
+                 (SELECT doc_id, n_chars, fp FROM
+                   (SELECT doc_id, n_chars, ${Portable.p60Sql(Portable.normTextSql("text"))} AS fp FROM documents))
+               JOIN (SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
+                     FROM (SELECT doc_id, ${Portable.p60Sql(Portable.normTextSql("text"))} AS fp FROM documents)
+                     GROUP BY fp) USING (fp)
+               WHERE doc_id = keep_id ORDER BY doc_id"""))
+  )
+
+  /** Spark-SQL fragment of [[Portable.p60]] for use inside `expr` lambdas
+    * (higher-order functions can't reference pre-built Columns). */
+  private def sparkP60(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+}
