@@ -13,11 +13,14 @@ object SparkEntry {
 
   /** Every implemented operator from SURVEY.md §2, by name. */
   def registry: Seq[GraftQuery] =
-    RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++ EmbeddingQueries.all
+    RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
+      EmbeddingQueries.all ++ MLQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The W1 user-similarity semantics (top-5 TF-IDF cosine neighbors per
+    * user) in its scalable relational form. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q05_join_revenue")(spark, "/root/testdata/sf0.001")
+    queries("q51_w1_tfidf_relational")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

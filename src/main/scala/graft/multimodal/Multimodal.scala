@@ -1,0 +1,96 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY §7.4): image/audio/video payloads
+  * as opaque `binary` columns with typed metadata, processed
+  * partition-parallel in fixed-size batches.
+  *
+  * The decode step is a STUB — this container ships no image/audio
+  * codecs — implemented as a deterministic fake (features derived from
+  * the payload bytes), clearly marked below. Everything around it is
+  * real and tested: the schema, the binary column handling, the
+  * mapPartitions batch shape, and the partition-parallel execution —
+  * i.e. exactly the plumbing a real decoder would drop into.
+  *
+  * Scale design: payloads never leave executors; mapPartitions keeps the
+  * per-task working set to `batchSize` rows (decoders are memory-hungry);
+  * metadata-only projections (inventory, routing) stay columnar and never
+  * touch the binary column thanks to parquet column pruning.
+  */
+object Multimodal {
+
+  final case class MediaRow(
+      media_id: Long,
+      modality: String, // image | audio | video | text
+      content: Array[Byte],
+      content_type: String,
+      n_bytes: Long)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      modality: String,
+      dim: Int,
+      features: Array[Float])
+
+  /** Derive a media table from `documents`: payload = UTF-8 bytes of the
+    * text (a deterministic stand-in for a real blob store read);
+    * modality assigned round-robin by doc_id so every branch of the
+    * pipeline gets exercised. */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video"), lit("text")),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int")).as("modality"),
+      col("text").cast("binary").as("content"),
+      concat(lit("application/x-fake-"),
+        element_at(array(lit("png"), lit("wav"), lit("mp4"), lit("txt")),
+          (pmod(col("doc_id"), lit(4)) + 1).cast("int"))).as("content_type"),
+      octet_length(col("text")).cast("long").as("n_bytes"))
+
+  /** ======== STUB ========
+    * Stand-in for a real decoder (libjpeg / ffmpeg / soundfile — not in
+    * this container). Deterministic: feature j = mean of payload bytes
+    * congruent to j mod dim, scaled to [0,1). A real implementation
+    * replaces only this function body; signature and batch shape stay.
+    */
+  def stubDecode(content: Array[Byte], dim: Int): Array[Float] = {
+    val sums = new Array[Long](dim)
+    val counts = new Array[Long](dim)
+    var i = 0
+    while (i < content.length) {
+      val j = i % dim
+      sums(j) += content(i) & 0xff
+      counts(j) += 1
+      i += 1
+    }
+    Array.tabulate(dim)(j => if (counts(j) == 0) 0f else (sums(j).toFloat / counts(j)) / 256f)
+  }
+
+  /** Feature extraction over media rows, batched per partition. The
+    * batching (grouped iterator) is what a vectorized decoder needs —
+    * same shape as an Arrow-batched UDF: bounded memory, no per-row
+    * call overhead. */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // a real decoder would decode `batch` as one vectorized call
+        batch.iterator.map(r =>
+          MediaFeatures(r.media_id, r.modality, dim, stubDecode(r.content, dim)))
+      }
+    }
+  }
+
+  /** Frame/sample subsampling stub: keep every `everyN`-th byte of the
+    * payload (stands in for video frame sampling / audio resampling). */
+  def subsample(media: Dataset[MediaRow], everyN: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val kept = r.content.zipWithIndex.collect { case (b, i) if i % everyN == 0 => b }
+      r.copy(content = kept, n_bytes = kept.length.toLong)
+    }
+  }
+}

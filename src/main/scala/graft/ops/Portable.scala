@@ -38,12 +38,14 @@ object Portable {
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
   /** Normalized document text for exact-dup fingerprinting: lowercase,
-    * collapsed whitespace, trimmed. */
+    * collapsed whitespace, trimmed. Collapse BEFORE trim: trim() strips
+    * only ASCII spaces (both engines), so leading tabs would otherwise
+    * survive as a space and break idempotency. */
   def normText(c: Column): Column =
-    regexp_replace(lower(trim(c)), "\\s+", " ")
+    trim(regexp_replace(lower(c), "\\s+", " "))
 
   /** Same normalization in DuckDB SQL (needs the 'g' flag — DuckDB
     * regexp_replace is first-match-only by default, Spark's is global). */
   def normTextSql(expr: String): String =
-    s"regexp_replace(lower(trim($expr)), '\\s+', ' ', 'g')"
+    s"trim(regexp_replace(lower($expr), '\\s+', ' ', 'g'))"
 }

@@ -1,0 +1,128 @@
+package graft.pipelines
+
+import org.apache.spark.ml.feature.{CountVectorizer, HashingTF, IDF, Normalizer, RegexTokenizer, Tokenizer}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Workload-1 rebuild: user-similarity via TF-IDF / CountVectorizer
+  * cosine, per the reference pipeline at COMP5349_2.py:146-188.
+  *
+  * Differences from the reference (all by design, SURVEY.md §4.3):
+  *  - the per-user feature map is never collected to the driver
+  *    (COMP5349_2.py:185 collectAsMap+broadcast) — similarity is a join;
+  *  - the all-pairs Python loop (get_vector_info, COMP5349_2.py:29-47)
+  *    becomes a broadcast join + dot-product column;
+  *  - top-5 selection (COMP5349_2.py:188, driver-side sorted()[:5])
+  *    becomes a window row_number, keeping the reference's tie semantics:
+  *    score DESC then user id DESC (Python tuple sort, SURVEY §2.5 T1).
+  */
+object UserSimilarity {
+
+  /** @param parityTokens reproduce the reference's trailing-comma token
+    *   quirk (documents joined with ", " then whitespace-tokenized —
+    *   COMP5349_2.py:146,151; SURVEY §2.9 M1). Default OFF: clean tokens.
+    */
+  final case class Params(
+      numFeatures: Int = 200,
+      vocabSize: Int = 200,
+      topK: Int = 5,
+      parityTokens: Boolean = false)
+
+  /** Per-user "document": the ids each user interacted with, concatenated
+    * — the events-table analog of COMP5349_2.py:146 (reply/retweet ids →
+    * items from the event props JSON). */
+  def userDocs(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), get_json_object(col("props"), "$.k").as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(", ", collect_list(col("item"))).as("ids"))
+
+  /** M1-M5 chain: tokenize → CountVectorizer + HashingTF→IDF → L2
+    * normalize. Emits `cv_norm` and `tfidf_norm` vector columns —
+    * the two parallel feature spaces of COMP5349_2.py:155-178. */
+  def featurize(docs: DataFrame, p: Params = Params()): DataFrame = {
+    val tokenized =
+      if (p.parityTokens)
+        new Tokenizer().setInputCol("ids").setOutputCol("toks").transform(docs)
+      else
+        new RegexTokenizer().setInputCol("ids").setOutputCol("toks")
+          .setPattern("[,\\s]+").transform(docs)
+    val cvModel = new CountVectorizer()
+      .setInputCol("toks").setOutputCol("cv_raw")
+      .setVocabSize(p.vocabSize).setMinDF(1).fit(tokenized)
+    val withCv = cvModel.transform(tokenized)
+    val withTf = new HashingTF()
+      .setInputCol("toks").setOutputCol("tf_raw")
+      .setNumFeatures(p.numFeatures).transform(withCv)
+    val withIdf = new IDF().setInputCol("tf_raw").setOutputCol("tfidf_raw")
+      .fit(withTf).transform(withTf)
+    val n1 = new Normalizer().setInputCol("tfidf_raw").setOutputCol("tfidf_norm").setP(2.0)
+    val n2 = new Normalizer().setInputCol("cv_raw").setOutputCol("cv_norm").setP(2.0)
+    n2.transform(n1.transform(withIdf))
+      .select(col("user_id"), col("tfidf_norm"), col("cv_norm"))
+  }
+
+  /** Sparse dot product of two ml vectors. Dense enough for the 200-dim
+    * reference space; the hot path at scale is [[relationalTopK]], which
+    * never materializes vectors at all. */
+  private val dotUdf = udf { (a: Vector, b: Vector) =>
+    var s = 0.0
+    a.foreachActive((i, va) => if (va != 0.0) s += va * b(i))
+    s
+  }
+
+  /** Top-k most similar users per query user, on an already-featurized
+    * frame. Query side small (a user subset) => broadcast it; the big
+    * side streams. Cosine of L2-normalized vectors = dot product
+    * (COMP5349_2.py:170-173). */
+  def topKSimilar(feats: DataFrame, queryFilter: Column, vecCol: String, k: Int = 5): DataFrame = {
+    val q = feats.filter(queryFilter)
+      .select(col("user_id").as("query_user"), col(vecCol).as("qv"))
+    val o = feats.select(col("user_id").as("other_user"), col(vecCol).as("ov"))
+    val w = Window.partitionBy(col("query_user"))
+      .orderBy(col("sim").desc, col("other_user").desc)
+    broadcast(q).join(o, col("query_user") =!= col("other_user"))
+      .withColumn("sim", dotUdf(col("qv"), col("ov")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_user"), col("other_user"), round(col("sim"), 6).as("sim_r"), col("rn"))
+  }
+
+  /** The scale path: TF-IDF cosine expressed relationally over the sparse
+    * (user, term) matrix — inverted-index join instead of dense vectors,
+    * so it shuffles on terms and never builds an O(users²) pair space
+    * except through shared terms. IDF matches ml.feature.IDF's closed
+    * form ln((m+1)/(df+1)) (SURVEY §2.4 A4), which is also what makes it
+    * DuckDB-expressible (ln both engines).
+    *
+    * `queryFilter` bounds the left side (the batch of query users).
+    */
+  def relationalTopK(events: DataFrame, queryMax: Int, k: Int = 5): DataFrame = {
+    val tf = events
+      .select(col("user_id"), get_json_object(col("props"), "$.k").as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("user_id"), col("item")).agg(count(lit(1)).cast("double").as("tf"))
+    val m = tf.select(countDistinct(col("user_id")).as("m"))
+    val df = tf.groupBy(col("item")).agg(count(lit(1)).cast("double").as("df"))
+    val weights = tf
+      .join(broadcast(df), "item").crossJoin(broadcast(m))
+      .withColumn("w", col("tf") * log((col("m") + 1.0) / (col("df") + 1.0)))
+    val norms = weights.groupBy(col("user_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val wn = weights.join(norms, "user_id")
+    val q = wn.filter(col("user_id") < queryMax)
+      .select(col("user_id").as("qu"), col("item"), col("w").as("wq"), col("nrm").as("nq"))
+    val o = wn.select(col("user_id").as("ou"), col("item").as("item2"), col("w").as("wo"), col("nrm").as("no"))
+    val sims = q.join(o, col("item") === col("item2") && col("qu") =!= col("ou"))
+      .groupBy(col("qu"), col("ou"), col("nq"), col("no"))
+      .agg(sum(col("wq") * col("wo")).as("dot"))
+      .select(col("qu"), col("ou"), round(col("dot") / (col("nq") * col("no")), 6).as("sim"))
+    val w = Window.partitionBy(col("qu")).orderBy(col("sim").desc, col("ou").desc)
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qu"), col("ou"), col("sim"), col("rn"))
+      .orderBy(col("qu"), col("rn"))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.pipelines.{MentionRecommender, UserSimilarity}
+import graft.streaming.EventStreams
+
+/** The W1/W2 pipeline surfaces (SURVEY §2.9 M1-M7) plus streaming and
+  * multimodal entries.
+  *
+  * ML-vector results (M1-M5 feature spaces, ALS factors) are not
+  * DuckDB-expressible, so those queries carry no oracle (rows-only at the
+  * driver; invariants live in the ScalaTest specs). The relational
+  * TF-IDF cosine (q51) IS oracle-checked and shares W1's semantics —
+  * that's the cross-check that the pipeline math is right.
+  */
+object MLQueries {
+  import Tables.{apply => t}
+
+  private val w1SimsSql =
+    """WITH tf AS (SELECT user_id, props->>'k' AS item, CAST(count(*) AS DOUBLE) AS tf
+                   FROM events WHERE props->>'k' IS NOT NULL GROUP BY 1, 2),
+       m AS (SELECT count(DISTINCT user_id) AS m FROM tf),
+       df AS (SELECT item, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       w AS (SELECT user_id, tf.item, tf * ln((m + 1.0) / (df + 1.0)) AS w
+             FROM tf JOIN df USING (item) CROSS JOIN m),
+       norms AS (SELECT user_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+       wn AS (SELECT w.user_id, item, w.w, nrm FROM w JOIN norms USING (user_id)),
+       sims AS (SELECT q.user_id AS qu, o.user_id AS ou,
+                       round(sum(q.w * o.w) / (max(q.nrm) * max(o.nrm)), 6) AS sim
+                FROM wn q JOIN wn o ON q.item = o.item AND q.user_id <> o.user_id
+                WHERE q.user_id < 30 GROUP BY 1, 2)"""
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ---- W1 as sparse relational TF-IDF cosine (the scale path;
+    // oracle-checked — this pins the IDF closed form and the reference's
+    // top-5 tie semantics: sim DESC, other id DESC).
+    GraftQuery(
+      "q51_w1_tfidf_relational",
+      (s, d) => UserSimilarity.relationalTopK(t(s, d, "events"), queryMax = 30, k = 5),
+      Some(s"""$w1SimsSql
+               SELECT qu, ou, sim, rn FROM
+                 (SELECT qu, ou, sim,
+                         row_number() OVER (PARTITION BY qu ORDER BY sim DESC, ou DESC) AS rn
+                  FROM sims)
+               WHERE rn <= 5 ORDER BY qu, rn""")),
+
+    // ---- W1 via the ml.feature chain (M1-M5): TF-IDF feature space.
+    GraftQuery(
+      "q50_w1_tfidf_topk",
+      (s, d) => {
+        val feats = UserSimilarity.featurize(
+          UserSimilarity.userDocs(t(s, d, "events")))
+        UserSimilarity.topKSimilar(feats, col("user_id") < 30, "tfidf_norm")
+          .orderBy(col("query_user"), col("rn"))
+      },
+      None),
+
+    // ---- W1 via CountVectorizer space (the second feature space of
+    // COMP5349_2.py:155-157,178).
+    GraftQuery(
+      "q50_w1_cv_topk",
+      (s, d) => {
+        val feats = UserSimilarity.featurize(
+          UserSimilarity.userDocs(t(s, d, "events")))
+        UserSimilarity.topKSimilar(feats, col("user_id") < 30, "cv_norm")
+          .orderBy(col("query_user"), col("rn"))
+      },
+      None),
+
+    // ---- W2 rating-matrix build (G1+A2 of COMP5349_2.py:196-197) —
+    // relational, oracle-checked.
+    GraftQuery(
+      "q52_w2_interactions",
+      (s, d) => MentionRecommender.interactions(t(s, d, "events"))
+        .orderBy(col("user_id"), col("item")),
+      Some("""SELECT user_id, CAST(props->>'k' AS INTEGER) AS item, count(*) AS y
+              FROM events WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL
+              GROUP BY 1, 2 ORDER BY user_id, item""")),
+
+    // ---- W2 ALS top-5 (M6+M7; reference params, seed 0). Float factors
+    // aren't oracle-expressible; invariants in ALSSpec.
+    GraftQuery(
+      "q53_w2_als_top5",
+      (s, d) => MentionRecommender.recommend(t(s, d, "events"), k = 5),
+      None),
+
+    // ---- Streaming transform run on the batch frame (unified path;
+    // the readStream variant of the same function is exercised in
+    // StreamingSpec). Oracle = plain SQL over the same window arithmetic.
+    GraftQuery(
+      "q56_stream_hourly",
+      (s, d) => EventStreams.hourlyByType(t(s, d, "events"))
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("hour"), col("event_type")),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+              event_type, count(*) AS n, round(sum(value), 2) AS total_value
+              FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    // ---- Multimodal inventory: binary payload column + typed metadata,
+    // metadata-only projection (never touches the payload at scan time).
+    GraftQuery(
+      "q54_multimodal_inventory",
+      (s, d) => Multimodal.fromDocuments(t(s, d, "documents"))
+        .withColumn("checksum", md5(col("content")))
+        .drop("content")
+        .orderBy(col("media_id")),
+      Some("""SELECT doc_id AS media_id,
+              ['image','audio','video','text'][CAST(doc_id % 4 AS INTEGER) + 1] AS modality,
+              'application/x-fake-' || ['png','wav','mp4','txt'][CAST(doc_id % 4 AS INTEGER) + 1] AS content_type,
+              CAST(strlen(text) AS BIGINT) AS n_bytes,
+              md5(text) AS checksum
+              FROM documents ORDER BY media_id""")),
+
+    // ---- Multimodal feature extraction through the stubbed decoder
+    // (real plumbing: binary columns, typed Dataset, partition-parallel
+    // batched mapPartitions). Rows-only at the driver; determinism and
+    // batch shape are pinned in MultimodalSpec.
+    GraftQuery(
+      "q55_multimodal_features",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val media = Multimodal.fromDocuments(t(s, d, "documents")).as[Multimodal.MediaRow]
+        Multimodal.extractFeatures(media, dim = 16, batchSize = 64)
+          .toDF()
+          .orderBy(col("media_id"))
+      },
+      None)
+  )
+}

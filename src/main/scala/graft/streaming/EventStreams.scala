@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the `events` stream (SURVEY §7.4
+  * "streaming" — greenfield; the reference has no streaming surface,
+  * SURVEY §2.11). Each transform takes a streaming OR batch DataFrame
+  * (same code path — that's the point of Structured Streaming), so the
+  * batch queries in the driver gate and the streaming specs share
+  * semantics.
+  *
+  * Scale design: tumbling/session windows keyed by (window, type) /
+  * (user, session) shard naturally across executors; watermarks bound
+  * state so a 100 TB/day stream doesn't accumulate unbounded aggregation
+  * state.
+  */
+object EventStreams {
+
+  /** Schema for reading the events parquet as a stream (ts arrives as
+    * raw parquet NANOS int64 — see graft.queries.Tables). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read via nanosAsLong
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the driver's events parquet. The file
+    * source wants a directory, and `events.parquet` is a single file —
+    * stream the sf directory with a glob filter. */
+  def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Watermark only applies to streaming inputs; on a batch frame the
+    * same transform runs watermark-free (unified batch/stream path). */
+  private def withWm(events: DataFrame): DataFrame =
+    if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+
+  /** Tumbling 1-hour windowed counts/sums per event type, 2h watermark. */
+  def hourlyByType(events: DataFrame): DataFrame =
+    withWm(events)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  /** Session windows per user: a session closes after 30 min of
+    * inactivity. State is bounded by the watermark. */
+  def sessionize(events: DataFrame): DataFrame =
+    withWm(events)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("session_value"))
+
+  final case class EventRow(event_id: Long, user_id: Long, event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful op: running per-user totals via
+    * flatMapGroupsWithState (the mapGroupsWithState family, SURVEY §7.4).
+    * Emits an updated running row per input batch per user. */
+  def runningTotals(events: Dataset[EventRow]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[EventRow], state: GroupState[UserRunning]) => {
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { r => n += 1; tot += r.value }
+          val next = UserRunning(user, n, tot)
+          state.update(next)
+          Iterator.single(next)
+        })
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.queries.Tables
+
+/** Multimodal plumbing specs: the stub decoder is deterministic and the
+  * Spark-side schema/batching/partitioning is real (SURVEY §7.4). */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Multimodal.fromDocuments(Tables(spark, sf, "documents"))
+    .as[Multimodal.MediaRow]
+
+  test("fromDocuments: payload bytes round-trip and metadata is consistent") {
+    val rows = media.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.n_bytes == r.content.length))
+    assert(rows.map(_.modality).toSet == Set("image", "audio", "video", "text"))
+  }
+
+  test("extractFeatures: deterministic, fixed-dim, in [0,1)") {
+    val f1 = Multimodal.extractFeatures(media, dim = 16, batchSize = 64)
+      .collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media, dim = 16, batchSize = 7)
+      .collect().sortBy(_.media_id)
+    assert(f1.length == 500)
+    assert(f1.forall(_.features.length == 16))
+    assert(f1.forall(_.features.forall(x => x >= 0f && x < 1f)))
+    // batch size must not change results (pure per-row decode)
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+  }
+
+  test("subsample keeps every Nth byte") {
+    val sub = Multimodal.subsample(media, everyN = 4).collect()
+    val orig = media.collect().map(r => r.media_id -> r.content).toMap
+    sub.foreach { r =>
+      val expected = orig(r.media_id).zipWithIndex.collect { case (b, i) if i % 4 == 0 => b }
+      assert(r.content.toSeq == expected.toSeq && r.n_bytes == expected.length)
+    }
+  }
+}

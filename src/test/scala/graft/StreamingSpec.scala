@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.streaming.OutputMode
+import graft.queries.Tables
+import graft.streaming.EventStreams
+
+/** Structured Streaming specs: the same transforms produce identical
+  * results from readStream (file source) and the batch frame, session
+  * windows close on gaps, and the custom stateful op accumulates. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hourlyByType: streaming (complete mode) == batch") {
+    val stream = EventStreams.readEventsStream(spark, sf)
+    val q = EventStreams.hourlyByType(stream)
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_out")
+        .select($"hour", $"event_type", $"n", $"total_value")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      val batch = EventStreams.hourlyByType(Tables(spark, sf, "events"))
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sessionize: sessions end >= start and split on 30-min gaps") {
+    val sessions = EventStreams.sessionize(Tables(spark, sf, "events"))
+    val rows = sessions
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, s, e, n, _) => !e.before(s) && n > 0 })
+    // per user, sessions don't overlap and are separated by >= 30 min
+    rows.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2.getTime)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _, _), (_, s2, _, _, _)) =>
+          assert(s2.getTime - e1.getTime >= 0)
+        case _ =>
+      }
+    }
+  }
+
+  test("runningTotals: stateful op accumulates per-user counts") {
+    val events = Tables(spark, sf, "events")
+      .selectExpr("event_id", "user_id", "event_type", "value")
+      .as[EventStreams.EventRow]
+    val totals = EventStreams.runningTotals(events).collect()
+    val expected = events.groupByKey(_.user_id).count().collect().toMap
+    assert(totals.nonEmpty)
+    // batch run: one state update per user holding the full count
+    totals.foreach(t => assert(t.n_events == expected(t.user_id)))
+  }
+}
