@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for the embedding hot path.
+  *
+  * The brute-force cosine queries evaluate millions of 64-dim dot
+  * products; as a higher-order-function chain (`aggregate(zip_with(...))`)
+  * each product allocates a zipped array and interprets two lambdas per
+  * element. This expression is a tight primitive loop that participates
+  * in whole-stage codegen (SURVEY §7.5: custom Expression only where the
+  * bench demands it — this is that case: 7x on q41_embed_neardup).
+  *
+  * Determinism: strict left-to-right summation — the same fold order as
+  * the HOF formulation and DuckDB's list_dot_product, so oracle results
+  * are bit-identical.
+  */
+case class ArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // no ExpectsInputTypes: AbstractDataType is private[sql]; call sites
+  // (this package) always supply array<double> on both sides
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object GraftFunctions {
+  /** Idempotently register graft's SQL functions on a session, so query
+    * builders can use them via expr("array_dot(a, b)"). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_dot", exprs => ArrayDot(exprs(0), exprs(1)), "scala_udf")
+}

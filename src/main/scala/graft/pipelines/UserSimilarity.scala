@@ -44,12 +44,16 @@ object UserSimilarity {
     * normalize. Emits `cv_norm` and `tfidf_norm` vector columns —
     * the two parallel feature spaces of COMP5349_2.py:155-178. */
   def featurize(docs: DataFrame, p: Params = Params()): DataFrame = {
-    val tokenized =
+    // cached: CountVectorizer.fit, IDF.fit, and the final transform each
+    // re-traverse this frame (the reference caches the same point,
+    // COMP5349_2.py:152 — one of the two load-bearing caches, SURVEY S2)
+    val tokenized = (
       if (p.parityTokens)
         new Tokenizer().setInputCol("ids").setOutputCol("toks").transform(docs)
       else
         new RegexTokenizer().setInputCol("ids").setOutputCol("toks")
           .setPattern("[,\\s]+").transform(docs)
+    ).cache()
     val cvModel = new CountVectorizer()
       .setInputCol("toks").setOutputCol("cv_raw")
       .setVocabSize(p.vocabSize).setMinDF(1).fit(tokenized)

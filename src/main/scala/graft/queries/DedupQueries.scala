@@ -22,7 +22,11 @@ import graft.ops.Portable
 object DedupQueries {
   import Tables.{apply => t}
 
-  /** word 3-gram shingle set per document (distinct). */
+  /** word 3-gram shingle set per document (distinct). Cached: every
+    * consumer fans out into 3-4 plan branches (sizes, both join sides,
+    * signatures) and recomputing the explode+distinct per branch
+    * dominates runtime. At cluster scale this is persist(DISK_ONLY) on
+    * the same plan shape. */
   private def shingles(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
@@ -30,6 +34,7 @@ object DedupQueries {
       .select(col("doc_id"),
         explode(expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
       .distinct()
+      .cache()
 
   /** Same shingle set as DuckDB CTEs (1-based list indexing there). */
   private val shinglesSql =

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
 
 /** Similarity search over the `embeddings` table (SURVEY.md §7.4):
   * brute-force cosine top-k as the exactness baseline, all-pairs
@@ -15,13 +16,16 @@ import org.apache.spark.sql.functions._
 object EmbeddingQueries {
   import Tables.{apply => t}
 
-  /** embeddings with unit-norm precomputation (double precision). */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  /** embeddings with unit-norm precomputation (double precision). The
+    * norm reuses the codegen'd dot (dot(v,v) = |v|^2). */
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
     t(s, d, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))"))
+      .withColumn("nrm", expr("sqrt(array_dot(v, v))"))
+  }
 
-  private val dotExpr = "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+  private val dotExpr = "array_dot(va, vb)"
 
   val all: Seq[GraftQuery] = Seq(
 
