@@ -58,8 +58,11 @@ case class ArrayDot(left: Expression, right: Expression)
 
 object GraftFunctions {
   /** Idempotently register graft's SQL functions on a session, so query
-    * builders can use them via expr("array_dot(a, b)"). */
-  def register(spark: SparkSession): Unit =
+    * builders can use them via expr("array_dot(a, b)") / expr("p60(s)"). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_dot", exprs => ArrayDot(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "p60", exprs => Portable60(exprs.head), "scala_udf")
+  }
 }

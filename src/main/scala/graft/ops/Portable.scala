@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Portable {
 
-  /** 60-bit positive hash of a string column (same value as [[p60Sql]]). */
+  /** 60-bit positive hash of a string column (same value as [[p60Sql]]).
+    * Resolves to the codegen'd [[graft.functions.Portable60]] expression
+    * (registered by Tables/GraftFunctions on every session) — identical
+    * value to the composed conv(substring(md5(s),1,15),16,10) form, ~4x
+    * cheaper on md5-heavy dedup queries. */
   def p60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    call_function("p60", c)
 
   /** DuckDB SQL fragment computing the same 60-bit hash. */
   def p60Sql(expr: String): String =

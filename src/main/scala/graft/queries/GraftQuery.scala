@@ -32,6 +32,7 @@ object Tables {
     * truncation in query outputs keeps the two engines comparable.
     */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")

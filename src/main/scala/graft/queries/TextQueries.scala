@@ -169,6 +169,5 @@ object TextQueries {
 
   /** Spark-SQL fragment of [[Portable.p60]] for use inside `expr` lambdas
     * (higher-order functions can't reference pre-built Columns). */
-  private def sparkP60(e: String): String =
-    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+  private def sparkP60(e: String): String = s"p60($e)"
 }
