@@ -24,6 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object MentionRecommender {
 
+  /** The reference's exact W2 rating-matrix build on the tweet data
+    * model (COMP5349_2.py:196-197): explode user_mentions (null/empty
+    * arrays drop, G1), extract the mention struct's id (P4), drop null
+    * users (P2), count (user, mention) pairs (A2). */
+  def interactionsFromTweets(tweets: DataFrame): DataFrame =
+    tweets
+      .select(col("user_id"), explode(col("user_mentions")).as("mention"))
+      .filter(col("user_id").isNotNull)
+      .withColumn("mention_id", col("mention").getField("id"))
+      .groupBy(col("user_id"), col("mention_id"))
+      .agg(count(lit(1)).as("y"))
+
   /** Interaction counts: (user, item, y) — the rating-matrix build of
     * COMP5349_2.py:196-197 (explode + filter + groupBy().count()). */
   def interactions(events: DataFrame): DataFrame =

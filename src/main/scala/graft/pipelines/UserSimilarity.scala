@@ -30,6 +30,19 @@ object UserSimilarity {
       topK: Int = 5,
       parityTokens: Boolean = false)
 
+  /** The reference's exact W1 document builder (COMP5349_2.py:146) on the
+    * tweet data model: keep replies/retweets, derive the interacted tweet
+    * id via null-skipping concat_ws("-", replyto_id, retweet_id) — a
+    * tweet is never both (comment at COMP5349_2.py:142-143), so this is
+    * coalesce-as-string — then concatenate per user with ", ". */
+  def tweetDocs(tweets: DataFrame): DataFrame =
+    tweets
+      .filter(col("replyto_id").isNotNull || col("retweet_id").isNotNull)
+      .select(col("user_id"),
+        concat_ws("-", col("replyto_id"), col("retweet_id")).as("tweet_id"))
+      .groupBy(col("user_id"))
+      .agg(concat_ws(", ", collect_list(col("tweet_id"))).as("ids"))
+
   /** Per-user "document": the ids each user interacted with, concatenated
     * — the events-table analog of COMP5349_2.py:146 (reply/retweet ids →
     * items from the event props JSON). */

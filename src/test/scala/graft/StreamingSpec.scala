@@ -44,6 +44,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming parquet sink: append-mode windowed agg lands on disk") {
+    val out = java.nio.file.Files.createTempDirectory("stream_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_ckpt").toString
+    val q = EventStreams.hourlyByType(EventStreams.readEventsStream(spark, sf))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append) // emits only watermark-closed windows
+      .start()
+    try {
+      q.processAllAvailable()
+      val written = spark.read.parquet(out)
+      // bounded input: all windows older than max(ts)-2h have closed
+      assert(written.count() > 0)
+      assert(written.columns.toSet ==
+        Set("hour", "event_type", "n", "total_value"))
+    } finally q.stop()
+  }
+
   test("runningTotals: stateful op accumulates per-user counts") {
     val events = Tables(spark, sf, "events")
       .selectExpr("event_id", "user_id", "event_type", "value")
