@@ -142,6 +142,28 @@ object DedupQueries {
                JOIN sizes s1 ON e.d1 = s1.doc_id JOIN sizes s2 ON e.d2 = s2.doc_id
                ORDER BY e.d1, e.d2""")),
 
+    // ---- MinHash signatures via the typed Aggregator (same permutations
+    // as q36, computed as a distributive sketch: map-side partial
+    // signatures merge elementwise, so the shuffle carries k longs per
+    // doc instead of the shingle postings). Oracle = the q36 sig CTE.
+    GraftQuery(
+      "q39_minhash_signatures",
+      (s, d) => {
+        val hx = shingles(s, d)
+          .select(col("doc_id"), (Portable.p60(col("s")) % P).as("hx"))
+        val mh = udaf(new graft.ops.MinHashSignature(K))
+        hx.groupBy(col("doc_id")).agg(mh(col("hx")).as("sig"))
+          .select(col("doc_id"),
+            expr("array_join(transform(sig, x -> CAST(x AS STRING)), ':')").as("sig_str"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $shinglesSql,
+               hx AS (SELECT doc_id, ${Portable.p60Sql("s")} % $P AS hx FROM sh),
+               sig AS (SELECT doc_id, i, min((CAST(2*i+3 AS BIGINT) * hx + CAST(5*i+7 AS BIGINT)) % $P) AS m
+                       FROM hx, range(0, $K) t(i) GROUP BY doc_id, i)
+               SELECT doc_id, string_agg(CAST(m AS VARCHAR), ':' ORDER BY i) AS sig_str
+               FROM sig GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- SimHash: 32-bit fingerprint; per token-occurrence each bit
     // contributes +1/-1 by the token hash's bit, fingerprint takes the
     // sign. A single groupBy(doc, bit) + groupBy(doc) — linear.

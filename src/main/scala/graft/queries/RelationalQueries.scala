@@ -437,6 +437,21 @@ object RelationalQueries {
               count(*) FILTER (event_type = 'view') AS view
               FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- HLL++ approximate distinct (the sketch the exact count can't
+    // afford at 100 TB). Sketches differ across engines, so no oracle;
+    // the exact column rides along and ApproxSpec pins the error bound.
+    GraftQuery(
+      "q24_approx_distinct",
+      (s, d) => {
+        t(s, d, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+            countDistinct(col("user_id")).as("exact_users"))
+          .orderBy(col("event_type"))
+      },
+      None),
+
     // ---- Exact distinct-count per group (expand-based distinct agg).
     GraftQuery(
       "q23_count_distinct",

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{MinHashSignature, Portable, TextPipeline}
+import graft.queries.Tables
+
+/** Cross-checks for the custom ops: the typed MinHash Aggregator against
+  * the relational formulation, HLL error bounds, ml.feature n-grams
+  * against the SQL shingle builder. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MinHashSignature Aggregator == explode+groupBy minima") {
+    val hx = Tables(spark, sf, "documents")
+      .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
+      .distinct()
+      .select(col("doc_id"), (Portable.p60(col("s")) % Portable.MinHashPrime).as("hx"))
+      .cache()
+    val mh = udaf(new MinHashSignature(16))
+    val viaAgg = hx.groupBy(col("doc_id"))
+      .agg(mh(col("hx")).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaGroup = hx
+      .withColumn("i", explode(sequence(lit(0), lit(15))))
+      .withColumn("hv", expr(s"(CAST(2*i+3 AS BIGINT) * hx + CAST(5*i+7 AS BIGINT)) % ${Portable.MinHashPrime}"))
+      .groupBy(col("doc_id"), col("i")).agg(min(col("hv")).as("m"))
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(viaAgg.nonEmpty && viaAgg.keySet == viaGroup.keySet)
+    viaAgg.foreach { case (doc, sig) => assert(sig == viaGroup(doc), s"doc $doc") }
+  }
+
+  test("approx_count_distinct stays within the configured 2% rsd (x5)") {
+    val rows = SparkEntry.queries("q24_approx_distinct")(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact <= 0.10, s"$et: $approx vs $exact")
+    }
+  }
+
+  test("ml.feature NGram(3) equals the SQL shingle builder") {
+    val docs = Tables(spark, sf, "documents").limit(50)
+    val viaMl = TextPipeline.tokensAndNGrams(docs)
+      .select(col("doc_id"), explode(col("ngrams")).as("s")).distinct()
+      .as[(Long, String)].collect().toSet
+    val viaSql = docs
+      .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
+      .distinct()
+      .as[(Long, String)].collect().toSet
+    assert(viaMl == viaSql)
+  }
+
+  test("StopWordsRemover drops stopwords, keeps content words") {
+    val out = TextPipeline.tokensAndNGrams(Seq((1L, "the quick fox and the dog")).toDF("doc_id", "text"))
+      .select($"toks_clean").as[Seq[String]].head()
+    assert(out == Seq("quick", "fox", "dog"))
+  }
+}
