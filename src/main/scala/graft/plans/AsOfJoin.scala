@@ -1,0 +1,148 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** A whole-operator Catalyst extension (SURVEY build-plan option (c):
+  * LogicalPlan + SparkStrategy + SparkPlan): the as-of join Spark lacks —
+  * for every left row, the single latest right row with
+  * rightTime <= leftTime on matching keys (left outer semantics).
+  *
+  * Execution shape, chosen for 100 TB: both sides hash-partition on the
+  * join key and sort by (key, time) — exactly a sort-merge join's
+  * requirements, satisfied by EnsureRequirements with real exchanges —
+  * then a single forward pass per partition matches every left row
+  * against a one-row rolling right state. No window over a combined
+  * union (the q18 formulation), no per-key buffering of right history,
+  * no time-range blowup: O(|L|+|R|) per partition with O(1) state.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): LogicalPlan =
+    copy(left = l, right = r)
+}
+
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // co-partition like a sort-merge join; EnsureRequirements inserts the
+  // exchanges + sorts
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOutput = left.output
+    val rOutput = right.output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    val keyTypes = lKeys.map(_.dataType)
+    val timeType = lTime.dataType
+    val allOutput = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, lOutput)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOutput)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), lOutput)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rOutput)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val resultProj = UnsafeProjection.create(allOutput, allOutput)
+      val nullRight = new GenericInternalRow(rOutput.size)
+      val joined = new JoinedRow
+
+      val rBuf = rIter.buffered
+      var lastMatch: InternalRow = null
+      var lastMatchKey: InternalRow = null
+
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lT = lTimeProj(lRow).copy()
+        // consume right rows that are (a) on earlier keys or (b) on this
+        // key with time <= left time; the latest such row is the match
+        var advancing = true
+        while (advancing && rBuf.hasNext) {
+          val rKey = rKeyProj(rBuf.head)
+          val cmp = keyOrd.compare(rKey, lKey)
+          if (cmp < 0) { rBuf.next() }
+          else if (cmp == 0 && timeOrd.compare(rTimeProj(rBuf.head), lT) <= 0) {
+            lastMatchKey = rKey.copy()
+            lastMatch = rBuf.next().copy()
+          } else advancing = false
+        }
+        val matched = lastMatch != null && lastMatchKey != null &&
+          keyOrd.compare(lastMatchKey, lKey) == 0
+        resultProj(joined(lRow, if (matched) lastMatch else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): SparkPlan =
+    copy(left = l, right = r)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+object AsOfJoin {
+  /** Left as-of join: every `left` row plus the latest `right` row with
+    * `rightTime <= leftTime` on equal keys (right columns null when no
+    * such row). Column names must be disjoint across the two sides.
+    *
+    * Names are resolved here against the analyzed children (the node is
+    * injected post-analysis, so the analyzer never visits it). */
+  def asOf(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String): Expression =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"asOf: column '$name' not in [${plan.output.map(_.name).mkString(", ")}]"))
+    val plan = AsOfJoinPlan(lPlan, rPlan,
+      Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
+      attr(lPlan, leftTime), attr(rPlan, rightTime))
+    GraftSqlBridge.ofRows(spark, plan)
+  }
+}

@@ -355,6 +355,36 @@ object RelationalQueries {
                     FROM events)
               WHERE event_type = 'purchase' ORDER BY event_id""")),
 
+    // ---- The same as-of semantics through the custom Catalyst operator
+    // (graft.plans.AsOfJoin: LogicalPlan + Strategy + SparkPlan with
+    // SMJ-style co-partitioning and an O(1)-state merge pass). Oracle is
+    // the definitional max(s.ts <= p.ts) formulation; q18 cross-checks
+    // the window formulation against the same data.
+    GraftQuery(
+      "q25_asof_join_custom",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+        graft.plans.AsOfJoin.asOf(purchases, signups,
+            "user_id", "s_user", "ts", "s_ts")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            date_format(col("s_ts"), "yyyy-MM-dd HH:mm:ss").as("last_signup_s"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+              strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+              strftime(last_signup, '%Y-%m-%d %H:%M:%S') AS last_signup_s
+              FROM (SELECT p.event_id, p.user_id, p.ts, max(s.ts) AS last_signup
+                    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+                    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+                      ON s.user_id = p.user_id AND s.ts <= p.ts
+                    GROUP BY 1, 2, 3)
+              ORDER BY event_id""")),
+
     // ---- Decorrelated aggregate subquery: customers above their
     // nation's average balance (join against a grouped aggregate).
     GraftQuery(

@@ -1,0 +1,48 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.plans.AsOfJoin
+
+/** The custom as-of operator: micro golden cases (matches, no-match
+  * nulls, latest-wins, exact-time inclusivity) plus agreement with the
+  * window formulation (q18) on real data. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOf: latest right <= left time per key; null when none") {
+    val trades = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 20L, ts("2024-01-01 09:00:00")),
+      (4L, 30L, ts("2024-01-01 09:00:00"))
+    ).toDF("id", "key", "t")
+    val quotes = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 1.0),
+      (10L, ts("2024-01-01 11:00:00"), 2.0),
+      (10L, ts("2024-01-01 13:00:00"), 3.0), // after every trade
+      (20L, ts("2024-01-01 09:00:00"), 4.0)  // exact-time match included
+    ).toDF("qkey", "qt", "price")
+
+    val out = AsOfJoin.asOf(trades, quotes, "key", "qkey", "t", "qt")
+      .select($"id", $"price")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+
+    assert(out(1L) == Some(1.0)) // 09:30 quote
+    assert(out(2L) == Some(2.0)) // 11:00 latest <= 12:00
+    assert(out(3L) == Some(4.0)) // equal timestamps included
+    assert(out(4L) == None)      // key 30 has no quotes -> nulls
+  }
+
+  test("asOf agrees with the window formulation on events (q25 vs q18)") {
+    val viaCustom = SparkEntry.queries("q25_asof_join_custom")(spark, sf)
+      .as[(Long, Long, String, Option[String])].collect().toSeq
+    val viaWindow = SparkEntry.queries("q18_asof_last_signup")(spark, sf)
+      .as[(Long, Long, String, Option[String])].collect().toSeq
+    assert(viaCustom.nonEmpty)
+    assert(viaCustom == viaWindow)
+  }
+}
