@@ -62,6 +62,13 @@ object EventStreams {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup (the LLM-pipeline dedup op in stream form):
+    * drop events already seen within the watermark horizon, keyed by a
+    * dedup fingerprint. Watermark bounds the dedup state — without it a
+    * 100 TB/day stream would accumulate unbounded seen-keys. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    withWm(events).dropDuplicates(keyCols :+ "ts")
+
   final case class EventRow(event_id: Long, user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ops.Skew
+import graft.queries.Tables
+import graft.streaming.EventStreams
+
+/** Scale-mechanics specs: bucketed co-located joins eliminate the
+  * shuffle, salted aggregation matches direct aggregation, streaming
+  * dedup drops repeats within the watermark horizon. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without an exchange") {
+    // default warehouse (./spark-warehouse, gitignored) — the conf is
+    // static and can't move per-test; clean any leftover location first
+    Seq("orders_b", "lineitem_b").foreach { tb =>
+      spark.sql(s"DROP TABLE IF EXISTS $tb")
+      val loc = new java.io.File(s"spark-warehouse/$tb")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val o = Tables(spark, sf, "orders")
+    val l = Tables(spark, sf, "lineitem")
+    o.write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_b")
+    l.write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_b")
+    // at test SF the planner would broadcast instead (bucketing is a
+    // big-big join tool) — force the shuffle-join path to observe the
+    // bucket layout doing its work
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located: bucket layout satisfies the join's distribution — no
+      // shuffle on either side
+      assert(!plan.contains("ShuffleExchange"), plan.linesIterator.take(25).mkString("\n"))
+      assert(plan.contains("SortMergeJoin") && plan.contains("Bucketed: true"),
+        plan.linesIterator.take(25).mkString("\n"))
+      assert(joined.count() == l.count()) // every lineitem has its order
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE orders_b")
+      spark.sql("DROP TABLE lineitem_b")
+    }
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val ev = Tables(spark, sf, "events")
+    val direct = ev.groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val salted = Skew.saltedCount(ev, $"user_id")
+      .as[(Long, Long)].collect().toMap
+    assert(salted == direct)
+    val directSum = ev.groupBy($"user_id").agg(sum($"value").as("s"))
+      .as[(Long, Double)].collect().toMap
+    val saltedSum = Skew.saltedSum(ev, $"user_id", $"value")
+      .as[(Long, Double)].collect().toMap
+    assert(saltedSum.keySet == directSum.keySet)
+    saltedSum.foreach { case (k, s) => assert(math.abs(s - directSum(k)) < 1e-6) }
+  }
+
+  test("streaming dedup drops duplicate keys within the watermark") {
+    val out = java.nio.file.Files.createTempDirectory("dedup_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup_ckpt").toString
+    // duplicate fingerprint: user_id + event_type; ts column is part of
+    // the dedup key per dropDuplicates-with-watermark requirements, so
+    // dedupe exact repeats of (user, type, ts)
+    val stream = EventStreams.readEventsStream(spark, sf)
+      .select($"user_id", $"event_type", $"ts")
+    val q = EventStreams.dedupStream(stream, Seq("user_id", "event_type"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      val n = spark.read.parquet(out).count()
+      val exact = Tables(spark, sf, "events")
+        .select($"user_id", $"event_type", $"ts").distinct().count()
+      assert(n == exact)
+    } finally q.stop()
+  }
+}
