@@ -52,6 +52,61 @@ object MentionRecommender {
       .withColumn("hash_user_id", hash(col("user_id")))
       .withColumn("hash_item_id", hash(col("item")))
 
+  /** J2/J3/R8: reverse hashed ids back to originals via broadcast
+    * equi-joins — the replacement for the reference's per-row linear
+    * scans over a driver-collected list (convert_user/convert_mention,
+    * COMP5349_2.py:79-99).
+    *
+    * `firstMatchWins = true` reproduces the reference's collision
+    * behavior exactly (its Python loop breaks on the first list entry
+    * with a matching hash): the build side keeps only the smallest
+    * original id per hash. With `false`, collisions fan out to all
+    * preimages (the honest relational semantics; SURVEY §7.5.1 — at
+    * scale the real fix is a dense-rank id dictionary, not a hash).
+    */
+  def reverseHash(recs: DataFrame, hashCol: String, idMap: DataFrame,
+      mapHashCol: String, mapIdCol: String,
+      firstMatchWins: Boolean = true): DataFrame = {
+    val build0 = idMap.select(col(mapHashCol), col(mapIdCol))
+    val build =
+      if (firstMatchWins)
+        build0.groupBy(col(mapHashCol)).agg(min(col(mapIdCol)).as(mapIdCol))
+      else build0.distinct()
+    recs.join(broadcast(build), recs(hashCol) === build(mapHashCol), "left")
+      .drop(mapHashCol)
+  }
+
+  /** The reference's full W2 id path (COMP5349_2.py:197-211): murmur-hash
+    * the 64-bit ids into ALS's int space, fit + recommend on hashed ids,
+    * then reverse both sides through broadcast joins. `dropPartial`
+    * mirrors reformat_values_w2 (COMP5349_2.py:65-74), which silently
+    * drops users with fewer than k recommendations; default keeps them
+    * (divergence flag 3, SURVEY §7.5). */
+  def recommendHashedIds(inter: DataFrame, k: Int = 5,
+      dropPartial: Boolean = false): DataFrame = {
+    val hashed = murmurIds(inter)
+    val als = new ALS()
+      .setRank(10).setSeed(0L).setMaxIter(5).setRegParam(0.1)
+      .setImplicitPrefs(true).setAlpha(1.0)
+      .setUserCol("hash_user_id").setItemCol("hash_item_id").setRatingCol("y")
+    val model = als.fit(hashed.select(col("hash_user_id"), col("hash_item_id"),
+      col("y").cast("float").as("y")))
+    model.setColdStartStrategy("drop")
+    val users = hashed.select(col("hash_user_id")).distinct()
+    val recs0 = model.recommendForUserSubset(users, k)
+    val recs = if (dropPartial) recs0.filter(size(col("recommendations")) === k) else recs0
+    val exploded = recs
+      .select(col("hash_user_id"),
+        posexplode(col("recommendations")).as(Seq("pos", "rec")))
+      .select(col("hash_user_id"), (col("pos") + 1).as("rn"),
+        col("rec.hash_item_id").as("rec_hash_item"))
+    val userMap = hashed.select(col("hash_user_id"), col("user_id")).distinct()
+    val itemMap = hashed.select(col("hash_item_id"), col("item")).distinct()
+    val withUser = reverseHash(exploded, "hash_user_id", userMap, "hash_user_id", "user_id")
+    reverseHash(withUser, "rec_hash_item", itemMap, "hash_item_id", "item")
+      .select(col("user_id"), col("rn"), col("item").as("rec_item"))
+  }
+
   /** Fit ALS and emit top-k recommendations per user, exploded to rows
     * (user_id, rn, item, rating). Deterministic given the seed and a
     * pinned shuffle-partition count (SURVEY §5.3). */
