@@ -406,6 +406,37 @@ object RelationalQueries {
                  FROM customer GROUP BY 1) ON c_nationkey = nk
               WHERE c_acctbal > nation_avg ORDER BY c_custkey""")),
 
+    // ---- The SQL front end (spark.sql over temp views) — same Catalyst
+    // pipeline as the DataFrame API, exercised through the parser
+    // (TPC-H Q3 shape: shipping priority).
+    GraftQuery(
+      "q26_sql_shipping_priority",
+      (s, d) => {
+        Seq("customer", "orders", "lineitem")
+          .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+        s.sql("""
+          SELECT o_orderkey,
+                 round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                 date_format(o_orderdate, 'yyyy-MM-dd') AS odate,
+                 o_orderpriority
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+          GROUP BY o_orderkey, date_format(o_orderdate, 'yyyy-MM-dd'), o_orderpriority
+          ORDER BY revenue DESC, o_orderkey
+          LIMIT 10""")
+      },
+      Some("""SELECT o_orderkey,
+              round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+              strftime(o_orderdate, '%Y-%m-%d') AS odate,
+              o_orderpriority
+              FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+              GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+              ORDER BY revenue DESC, o_orderkey
+              LIMIT 10""")),
+
     // ---- CASE WHEN bucketing + conditional agg.
     GraftQuery(
       "q20_case_buckets",

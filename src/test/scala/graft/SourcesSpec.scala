@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.queries.Tables
+
+/** Source/sink coverage beyond parquet: CSV and JSONL round trips with
+  * explicit schemas, and partition-pruned reads of a partitioned layout
+  * (the write shape a 100 TB ingest would use). */
+class SourcesSpec extends SparkSpec {
+
+  private lazy val events = Tables(spark, sf, "events")
+
+  test("CSV round trip with explicit schema preserves data") {
+    val dir = Files.createTempDirectory("csv_rt").toString + "/out"
+    val src = events.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    src.write.option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(src.schema).csv(dir)
+    assert(back.count() == src.count())
+    val s1 = src.agg(round(sum(col("value")), 4)).head().getDouble(0)
+    val s2 = back.agg(round(sum(col("value")), 4)).head().getDouble(0)
+    assert(s1 == s2)
+  }
+
+  test("JSONL round trip (the splittable alternative to multiline JSON)") {
+    val dir = Files.createTempDirectory("jsonl_rt").toString + "/out"
+    val src = events.select(col("event_id"), col("user_id"), col("props"))
+    src.write.json(dir)
+    val back = spark.read.schema(src.schema).json(dir)
+    assert(back.count() == src.count())
+    assert(back.select(sum(col("event_id"))).head().getLong(0) ==
+      src.select(sum(col("event_id"))).head().getLong(0))
+  }
+
+  test("partitioned parquet: filters become PartitionFilters (pruned scan)") {
+    val dir = Files.createTempDirectory("part_pq").toString + "/out"
+    events.write.partitionBy("event_type").parquet(dir)
+    val clicks = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val plan = clicks.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan.take(800))
+    assert(clicks.count() ==
+      events.filter(col("event_type") === "click").count())
+  }
+}
