@@ -129,7 +129,8 @@ object UserSimilarity {
       .withColumn("w", col("tf") * log((col("m") + 1.0) / (col("df") + 1.0)))
     val norms = weights.groupBy(col("user_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-    val wn = weights.join(norms, "user_id")
+    // cached: consumed by both sides of the similarity join
+    val wn = weights.join(norms, "user_id").cache()
     val q = wn.filter(col("user_id") < queryMax)
       .select(col("user_id").as("qu"), col("item"), col("w").as("wq"), col("nrm").as("nq"))
     val o = wn.select(col("user_id").as("ou"), col("item").as("item2"), col("w").as("wo"), col("nrm").as("no"))

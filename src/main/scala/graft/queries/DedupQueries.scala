@@ -97,19 +97,30 @@ object DedupQueries {
         val band = sig
           .groupBy(col("doc_id"), (col("i") / BandRows).cast("int").as("b"))
           .agg(expr("array_join(transform(array_sort(collect_list(struct(i, m))), x -> CAST(x.m AS STRING)), ':')").as("v"))
+        // cached: the candidate set feeds est, the doc restriction, and
+        // the final assembly — without it the whole signature pipeline
+        // re-runs per branch
         val cand = band.select(col("doc_id").as("d1"), col("b"), col("v"))
           .join(band.select(col("doc_id").as("d2"), col("b").as("b2"), col("v").as("v2")),
             col("b") === col("b2") && col("v") === col("v2") && col("d1") < col("d2"))
           .select(col("d1"), col("d2")).distinct()
+          .cache()
         val s1 = sig.select(col("doc_id").as("d1"), col("i"), col("m").as("m1"))
         val s2 = sig.select(col("doc_id").as("d2x"), col("i").as("i2"), col("m").as("m2"))
         val est = cand.join(s1, "d1")
           .join(s2, col("d2") === col("d2x") && col("i") === col("i2"))
           .groupBy(col("d1"), col("d2"))
           .agg(round(sum(when(col("m1") === col("m2"), 1).otherwise(0)).cast("double") / K, 4).as("est_jaccard"))
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val a = sh.select(col("doc_id").as("d1"), col("s"))
-        val b = sh.select(col("doc_id").as("d2"), col("s").as("s2"))
+        // exact-jaccard verification only needs candidate docs — restrict
+        // the shingle self-join to them (LSH found ~1% of docs; the
+        // full-corpus join would dominate this query's cost). Shingle
+        // sets are unchanged per doc, so sizes/intersections are exact.
+        val candDocs = cand.select(col("d1").as("doc_id"))
+          .union(cand.select(col("d2").as("doc_id"))).distinct()
+        val shC = sh.join(candDocs, "doc_id").cache()
+        val sizes = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val a = shC.select(col("doc_id").as("d1"), col("s"))
+        val b = shC.select(col("doc_id").as("d2"), col("s").as("s2"))
         val inter = a.join(b, col("s") === col("s2") && col("d1") < col("d2"))
           .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
         est
