@@ -111,6 +111,33 @@ case class AsOfJoinExec(
     copy(left = l, right = r)
 }
 
+/** Optimizer rule (the Rule[LogicalPlan] extension point): Catalyst's
+  * PushDownPredicates won't push through a node it doesn't know, so a
+  * Filter above AsOfJoinPlan would evaluate after the join and the
+  * predicate would never reach the parquet scan. An as-of join emits
+  * exactly one row per left row (left-preserving, no multiplication), so
+  * any conjunct referencing only left-side attributes commutes with the
+  * join; right-referencing conjuncts stay above (right columns are
+  * null-extended, same as outer-join pushdown rules).
+  */
+object PushFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val (pushable, kept) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(j.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
+        kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
@@ -133,6 +160,10 @@ object AsOfJoin {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
     }
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed

@@ -37,6 +37,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(4L) == None)      // key 30 has no quotes -> nulls
   }
 
+  test("PushFilterThroughAsOfJoin pushes left-only predicates below the join") {
+    val trades = Seq((1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 20L, ts("2024-01-01 11:00:00"))).toDF("id", "key", "t")
+    val quotes = Seq((10L, ts("2024-01-01 09:00:00"), 1.0))
+      .toDF("qkey", "qt", "price")
+    val joined = AsOfJoin.asOf(trades, quotes, "key", "qkey", "t", "qt")
+    val filtered = joined.filter($"id" === 1L && $"price" > 0.5)
+    val optimized = filtered.queryExecution.optimizedPlan.toString
+    // left-only conjunct (id = 1) sits BELOW the as-of join after the
+    // rule fires; the right-referencing conjunct (price) stays above
+    val lines = optimized.linesIterator.toSeq
+    val joinIdx = lines.indexWhere(_.contains("AsOfJoinPlan"))
+    assert(joinIdx >= 0, optimized)
+    assert(lines.take(joinIdx).exists(_.contains("price")), optimized)
+    assert(lines.drop(joinIdx + 1).exists(l => l.contains("Filter") && l.contains("id")), optimized)
+    // and semantics hold
+    val rows = filtered.select($"id", $"price").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 1.0)))
+  }
+
   test("asOf agrees with the window formulation on events (q25 vs q18)") {
     val viaCustom = SparkEntry.queries("q25_asof_join_custom")(spark, sf)
       .as[(Long, Long, String, Option[String])].collect().toSeq
