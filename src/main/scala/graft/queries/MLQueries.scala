@@ -99,6 +99,27 @@ object MLQueries {
               event_type, count(*) AS n, round(sum(value), 2) AS total_value
               FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
 
+    // ---- The stream-stream interval join on its batch twin (the
+    // streaming variant with watermark-bounded state is specced in
+    // StreamingSpec; same function, same semantics).
+    GraftQuery(
+      "q57_purchase_attribution",
+      (s, d) => EventStreams.purchaseAttribution(t(s, d, "events"))
+        .select(col("purchase_id"), col("user_id"),
+          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_s"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_s"),
+          col("value"))
+        .orderBy(col("purchase_id"), col("click_s")),
+      Some("""SELECT p.event_id AS purchase_id, p.user_id,
+              strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_s,
+              strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_s,
+              p.value
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON c.user_id = p.user_id
+               AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+              ORDER BY purchase_id, click_s""")),
+
     // ---- Multimodal inventory: binary payload column + typed metadata,
     // metadata-only projection (never touches the payload at scan time).
     GraftQuery(

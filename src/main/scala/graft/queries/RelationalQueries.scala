@@ -457,6 +457,78 @@ object RelationalQueries {
               count(*) AS n, round(avg(l_quantity), 6) AS avg_qty
               FROM lineitem GROUP BY 1 ORDER BY bucket""")),
 
+    // ---- Window-function breadth beyond row_number: rank, lag, and a
+    // running frame sum over each customer's order history.
+    GraftQuery(
+      "q27_window_funcs",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            rank().over(Window.partitionBy(col("o_custkey"))
+              .orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("price_rank"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+            round(sum(col("o_totalprice"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+              .as("running_total"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+              rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+              lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+              round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+              FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- Exact interpolated percentiles (both engines define the
+    // linear-interpolation quantile identically).
+    GraftQuery(
+      "q28_percentiles",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+            round(min(col("l_extendedprice")), 2).as("min_price"),
+            round(max(col("l_extendedprice")), 2).as("max_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+              round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+              round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+              round(min(l_extendedprice), 2) AS min_price,
+              round(max(l_extendedprice), 2) AS max_price
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- Scalar string-function gauntlet (incl. levenshtein — both
+    // engines implement the exact DP distance).
+    GraftQuery(
+      "q29_string_funcs",
+      (s, d) => {
+        t(s, d, "part")
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("uname"),
+            substring(col("p_name"), 1, 5).as("prefix5"),
+            lpad(col("p_brand"), 12, "*").as("brand_pad"),
+            regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"),
+            levenshtein(col("p_name"), col("p_type")).as("lev_name_type"),
+            reverse(col("p_name")).as("rname"),
+            length(col("p_name")).as("name_len"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, upper(p_name) AS uname,
+              substring(p_name, 1, 5) AS prefix5,
+              lpad(p_brand, 12, '*') AS brand_pad,
+              regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+              levenshtein(p_name, p_type) AS lev_name_type,
+              reverse(p_name) AS rname,
+              CAST(length(p_name) AS INTEGER) AS name_len
+              FROM part ORDER BY p_partkey""")),
+
     // ---- Equi + range predicate join (interval containment): lineitems
     // shipped within 30 days of their order date. The equi key carries the
     // shuffle; the range predicate evaluates post-match (no blowup).

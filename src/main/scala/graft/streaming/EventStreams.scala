@@ -62,6 +62,26 @@ object EventStreams {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("session_value"))
 
+  /** Stream-stream interval join: attribute each purchase to the clicks
+    * by the same user within the preceding hour. Both sides carry
+    * watermarks and the join has a two-sided time bound, so the state
+    * store retains only one watermark-horizon of each side — the
+    * unbounded-state trap of naive stream joins is structurally
+    * excluded. Works identically on batch frames. */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val clicks = withWm(events).filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val purchases = withWm(events).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** Streaming exact dedup (the LLM-pipeline dedup op in stream form):
     * drop events already seen within the watermark horizon, keyed by a
     * dedup fingerprint. Watermark bounds the dedup state — without it a

@@ -62,6 +62,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch join (purchase attribution)") {
+    val q = EventStreams.purchaseAttribution(EventStreams.readEventsStream(spark, sf))
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out")
+        .select($"purchase_id", $"click_ts").as[(Long, java.sql.Timestamp)]
+        .collect().toSet
+      val batch = EventStreams.purchaseAttribution(Tables(spark, sf, "events"))
+        .select($"purchase_id", $"click_ts").as[(Long, java.sql.Timestamp)]
+        .collect().toSet
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink receives every micro-batch") {
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = EventStreams.readEventsStream(spark, sf)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen.addAndGet(batch.count()): Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(seen.get() == Tables(spark, sf, "events").count())
+    } finally q.stop()
+  }
+
   test("runningTotals: stateful op accumulates per-user counts") {
     val events = Tables(spark, sf, "events")
       .selectExpr("event_id", "user_id", "event_type", "value")
