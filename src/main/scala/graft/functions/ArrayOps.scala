@@ -64,5 +64,9 @@ object GraftFunctions {
       "array_dot", exprs => ArrayDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "p60", exprs => Portable60(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "p60_rolling8_min", exprs => RollingMin60(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash32", exprs => SimHash32(exprs.head), "scala_udf")
   }
 }

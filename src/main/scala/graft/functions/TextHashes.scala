@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass codegen twins of the dedup queries' exploded formulations.
+  * Each computes, per input row, exactly the value the relational
+  * formulation aggregates to — same integer math, same hash — so the
+  * DuckDB oracles are unchanged while the Spark plan loses a generate +
+  * two aggregate exchanges per query.
+  */
+
+/** min over i in 1..max(len-7,1) of p60(substring(s, i, 8)) — the
+  * winnowing rolling fingerprint of q33, without materializing the
+  * 8-gram array. */
+object RollingMin60 {
+  def eval(s: UTF8String): Long = {
+    val end = math.max(s.numChars() - 7, 1)
+    var m = Long.MaxValue
+    var i = 1
+    while (i <= end) {
+      val h = Portable60.hash60(s.substringSQL(i, 8))
+      if (h < m) m = h
+      i += 1
+    }
+    m
+  }
+}
+
+case class RollingMin60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "p60_rolling8_min"
+  override def nullSafeEval(input: Any): Any =
+    RollingMin60.eval(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingMin60.eval($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 32-bit SimHash over a token array: per token occurrence, bit j of
+  * p60(token) % 2^32 contributes +1/-1 to counter j; fingerprint sets
+  * bit j iff counter j > 0. Identical to q37's explode + two-groupBy
+  * formulation, evaluated in one pass per document. */
+object SimHash32 {
+  def eval(tokens: ArrayData): Long = {
+    val v = new Array[Int](32)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val tok = tokens.getUTF8String(t)
+      if (tok != null) {
+        val h = Portable60.hash60(tok) % 4294967296L
+        var j = 0
+        while (j < 32) {
+          if (((h >>> j) & 1L) == 1L) v(j) += 1 else v(j) -= 1
+          j += 1
+        }
+      }
+      t += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 32) { if (v(j) > 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+}
+
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+  override def nullSafeEval(input: Any): Any =
+    SimHash32.eval(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash32.eval($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

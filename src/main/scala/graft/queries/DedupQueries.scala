@@ -181,15 +181,13 @@ object DedupQueries {
     GraftQuery(
       "q37_simhash",
       (s, d) => {
-        val tok = t(s, d, "documents")
-          .select(col("doc_id"), explode(Portable.tokens(col("text"))).as("tk"))
-        val h32 = tok.select(col("doc_id"), (Portable.p60(col("tk")) % 4294967296L).as("h"))
-        val v = h32
-          .withColumn("j", explode(sequence(lit(0), lit(31))))
-          .withColumn("contrib", expr("CASE WHEN (h DIV CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END"))
-          .groupBy(col("doc_id"), col("j")).agg(sum(col("contrib")).as("v"))
-        v.withColumn("bitval", expr("CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
-          .groupBy(col("doc_id")).agg(sum(col("bitval")).as("simhash"))
+        // one-pass codegen twin of the exploded formulation (the oracle
+        // below still spells it out relationally): per token occurrence,
+        // bit j of the 32-bit token hash votes +1/-1; fingerprint takes
+        // the sign. A projection — no generate, no aggregate exchanges.
+        t(s, d, "documents")
+          .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+          .select(col("doc_id"), expr("simhash32(w)").as("simhash"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tk FROM documents),

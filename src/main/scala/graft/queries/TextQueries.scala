@@ -133,8 +133,11 @@ object TextQueries {
           .select(
             col("doc_id"),
             Portable.p60(col("nt")).as("fp_full"),
-            expr(s"""array_min(transform(sequence(1, greatest(length(nt) - 7, 1)),
-                     i -> ${sparkP60("substring(nt, i, 8)")}))""").as("fp_rolling"))
+            // one-pass codegen twin of
+            //   array_min(transform(sequence(1, greatest(length-7,1)),
+            //             i -> p60(substring(nt, i, 8))))
+            // — same values, no per-doc 8-gram array materialization
+            expr("p60_rolling8_min(nt)").as("fp_rolling"))
           .orderBy(col("doc_id"))
       },
       Some(s"""SELECT doc_id,
