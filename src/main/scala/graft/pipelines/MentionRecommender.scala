@@ -88,6 +88,7 @@ object MentionRecommender {
     val als = new ALS()
       .setRank(10).setSeed(0L).setMaxIter(5).setRegParam(0.1)
       .setImplicitPrefs(true).setAlpha(1.0)
+      .setNumBlocks(4)
       .setUserCol("hash_user_id").setItemCol("hash_item_id").setRatingCol("y")
     val model = als.fit(hashed.select(col("hash_user_id"), col("hash_item_id"),
       col("y").cast("float").as("y")))
@@ -116,6 +117,9 @@ object MentionRecommender {
     val als = new ALS()
       .setRank(10).setSeed(0L).setMaxIter(5).setRegParam(0.1)
       .setImplicitPrefs(true).setAlpha(1.0)
+      // default 10x10 blocks = 100 factor-join tasks per sweep; at local
+      // scale 4 blocks keep the same math with far fewer stages
+      .setNumBlocks(4)
       .setUserCol("user").setItemCol("item").setRatingCol("y")
     val model = als.fit(inter)
     model.setColdStartStrategy("drop")

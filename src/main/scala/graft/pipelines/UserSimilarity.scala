@@ -28,7 +28,12 @@ object UserSimilarity {
       numFeatures: Int = 200,
       vocabSize: Int = 200,
       topK: Int = 5,
-      parityTokens: Boolean = false)
+      parityTokens: Boolean = false,
+      // which feature spaces to build: skip an unused fit pass when a
+      // caller only consumes one of the two (each fit is a full corpus
+      // aggregation — A4/A5)
+      computeCv: Boolean = true,
+      computeTfidf: Boolean = true)
 
   /** The reference's exact W1 document builder (COMP5349_2.py:146) on the
     * tweet data model: keep replies/retweets, derive the interacted tweet
@@ -67,19 +72,27 @@ object UserSimilarity {
         new RegexTokenizer().setInputCol("ids").setOutputCol("toks")
           .setPattern("[,\\s]+").transform(docs)
     ).cache()
-    val cvModel = new CountVectorizer()
-      .setInputCol("toks").setOutputCol("cv_raw")
-      .setVocabSize(p.vocabSize).setMinDF(1).fit(tokenized)
-    val withCv = cvModel.transform(tokenized)
-    val withTf = new HashingTF()
-      .setInputCol("toks").setOutputCol("tf_raw")
-      .setNumFeatures(p.numFeatures).transform(withCv)
-    val withIdf = new IDF().setInputCol("tf_raw").setOutputCol("tfidf_raw")
-      .fit(withTf).transform(withTf)
-    val n1 = new Normalizer().setInputCol("tfidf_raw").setOutputCol("tfidf_norm").setP(2.0)
-    val n2 = new Normalizer().setInputCol("cv_raw").setOutputCol("cv_norm").setP(2.0)
-    n2.transform(n1.transform(withIdf))
-      .select(col("user_id"), col("tfidf_norm"), col("cv_norm"))
+    val withCv =
+      if (p.computeCv) {
+        val cvModel = new CountVectorizer()
+          .setInputCol("toks").setOutputCol("cv_raw")
+          .setVocabSize(p.vocabSize).setMinDF(1).fit(tokenized)
+        new Normalizer().setInputCol("cv_raw").setOutputCol("cv_norm").setP(2.0)
+          .transform(cvModel.transform(tokenized))
+      } else tokenized
+    val withBoth =
+      if (p.computeTfidf) {
+        val withTf = new HashingTF()
+          .setInputCol("toks").setOutputCol("tf_raw")
+          .setNumFeatures(p.numFeatures).transform(withCv)
+        new Normalizer().setInputCol("tfidf_raw").setOutputCol("tfidf_norm").setP(2.0)
+          .transform(new IDF().setInputCol("tf_raw").setOutputCol("tfidf_raw")
+            .fit(withTf).transform(withTf))
+      } else withCv
+    val outCols = Seq(col("user_id")) ++
+      (if (p.computeTfidf) Seq(col("tfidf_norm")) else Nil) ++
+      (if (p.computeCv) Seq(col("cv_norm")) else Nil)
+    withBoth.select(outCols: _*)
   }
 
   /** Sparse dot product of two ml vectors. Dense enough for the 200-dim

@@ -85,6 +85,59 @@ object EmbeddingQueries {
                  FROM n a JOIN n b ON a.vec_id < b.vec_id)
               WHERE cos_sim >= 0.35 ORDER BY d1, d2""")),
 
+    // ---- Array/collection-function gauntlet over the embedding lists
+    // (slice, element access, min/max, size, sort-head — all codegen
+    // built-ins; DuckDB list_* twins).
+    GraftQuery(
+      "q43_array_funcs",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        e.select(
+          col("vec_id"),
+          size(col("v")).as("dim"),
+          round(array_max(col("v")), 6).as("vmax"),
+          round(array_min(col("v")), 6).as("vmin"),
+          round(element_at(col("v"), 1), 6).as("first_val"),
+          round(expr("aggregate(slice(v, 1, 8), 0D, (a, x) -> a + x)"), 6).as("head8_sum"),
+          round(element_at(array_sort(col("v")), 32), 6).as("sorted_32nd"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+              CAST(len(v) AS INTEGER) AS dim,
+              round(list_max(v), 6) AS vmax,
+              round(list_min(v), 6) AS vmin,
+              round(v[1], 6) AS first_val,
+              round(list_sum(v[1:8]), 6) AS head8_sum,
+              round(list_sort(v)[32], 6) AS sorted_32nd
+              FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+              ORDER BY vec_id""")),
+
+    // ---- Three-valued-logic / null-handling semantics (nullif-derived
+    // nulls; count(col) vs count(*), null-skipping aggregates, coalesce
+    // — the semantics the reference leans on at COMP5349_2.py:146,196).
+    GraftQuery(
+      "q44_null_semantics",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            expr("nullif(l_discount, 0.0)").as("disc_n"),
+            col("l_quantity"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("disc_n")).as("n_discounted"),
+            round(coalesce(avg(col("disc_n")), lit(0.0)), 6).as("avg_disc_nonzero"),
+            round(sum(coalesce(col("disc_n"), lit(0.0)) * col("l_quantity")), 4).as("weighted_disc"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+              count(*) AS n_rows,
+              count(nullif(l_discount, 0.0)) AS n_discounted,
+              round(coalesce(avg(nullif(l_discount, 0.0)), 0.0), 6) AS avg_disc_nonzero,
+              round(sum(coalesce(nullif(l_discount, 0.0), 0.0) * l_quantity), 4) AS weighted_disc
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- LSH-bucketed ANN: 6 deterministic pseudo-random hyperplanes
     // (integer weights from an LCG formula both engines evaluate exactly)
     // -> 64 sign buckets; candidates = same bucket; exact cosine rerank

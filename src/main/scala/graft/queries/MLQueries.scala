@@ -51,7 +51,8 @@ object MLQueries {
       "q50_w1_tfidf_topk",
       (s, d) => {
         val feats = UserSimilarity.featurize(
-          UserSimilarity.userDocs(t(s, d, "events")))
+          UserSimilarity.userDocs(t(s, d, "events")),
+          UserSimilarity.Params(computeCv = false))
         UserSimilarity.topKSimilar(feats, col("user_id") < 30, "tfidf_norm")
           .orderBy(col("query_user"), col("rn"))
       },
@@ -63,7 +64,8 @@ object MLQueries {
       "q50_w1_cv_topk",
       (s, d) => {
         val feats = UserSimilarity.featurize(
-          UserSimilarity.userDocs(t(s, d, "events")))
+          UserSimilarity.userDocs(t(s, d, "events")),
+          UserSimilarity.Params(computeTfidf = false))
         UserSimilarity.topKSimilar(feats, col("user_id") < 30, "cv_norm")
           .orderBy(col("query_user"), col("rn"))
       },
