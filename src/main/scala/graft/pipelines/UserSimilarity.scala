@@ -137,19 +137,24 @@ object UserSimilarity {
       .groupBy(col("user_id"), col("item")).agg(count(lit(1)).cast("double").as("tf"))
     val m = tf.select(countDistinct(col("user_id")).as("m"))
     val df = tf.groupBy(col("item")).agg(count(lit(1)).cast("double").as("df"))
+    // cached: consumed by the query side, the corpus side, and the norm
+    // aggregate
     val weights = tf
       .join(broadcast(df), "item").crossJoin(broadcast(m))
       .withColumn("w", col("tf") * log((col("m") + 1.0) / (col("df") + 1.0)))
+      .cache()
     val norms = weights.groupBy(col("user_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-    // cached: consumed by both sides of the similarity join
-    val wn = weights.join(norms, "user_id").cache()
-    val q = wn.filter(col("user_id") < queryMax)
-      .select(col("user_id").as("qu"), col("item"), col("w").as("wq"), col("nrm").as("nq"))
-    val o = wn.select(col("user_id").as("ou"), col("item").as("item2"), col("w").as("wo"), col("nrm").as("no"))
+    val q = weights.filter(col("user_id") < queryMax)
+      .select(col("user_id").as("qu"), col("item"), col("w").as("wq"))
+    val o = weights.select(col("user_id").as("ou"), col("item").as("item2"), col("w").as("wo"))
+    // group on the pair alone (narrow keys -> clean partial aggregation);
+    // norms are a per-user frame, broadcast-joined after the reduction
     val sims = q.join(o, col("item") === col("item2") && col("qu") =!= col("ou"))
-      .groupBy(col("qu"), col("ou"), col("nq"), col("no"))
+      .groupBy(col("qu"), col("ou"))
       .agg(sum(col("wq") * col("wo")).as("dot"))
+      .join(broadcast(norms.select(col("user_id").as("qu"), col("nrm").as("nq"))), "qu")
+      .join(broadcast(norms.select(col("user_id").as("ou"), col("nrm").as("no"))), "ou")
       .select(col("qu"), col("ou"), round(col("dot") / (col("nq") * col("no")), 6).as("sim"))
     val w = Window.partitionBy(col("qu")).orderBy(col("sim").desc, col("ou").desc)
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
