@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The dedup operator library (SURVEY §7.4), parameterized and
+  * composable — the query registry (graft.queries.DedupQueries) exposes
+  * fixed configurations of these for the driver's oracle gate.
+  *
+  * Inputs are a document frame with (`idCol`: long, `textCol`: string).
+  * All hashing uses the portable 60-bit md5 hash so results are
+  * engine-checkable; swap [[Portable.p60]] for `hash()` (Murmur3) when
+  * cross-engine parity is not needed and throughput matters.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles per document: (id, s).
+    *
+    * @param maxShingleDf drop shingles appearing in more than this many
+    *   documents before any join — the 100 TB knob: stop-shingles create
+    *   the quadratic postings lists, and dropping them bounds the join
+    *   fan-out at a small recall cost. Int.MaxValue = exact.
+    */
+  def shingles(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text", maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("id"), Portable.tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("id"),
+        explode(expr(s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', ${
+          (0 until n).map(j => s"w[i+$j]").mkString(", ")}))")).as("s"))
+      .distinct()
+    if (maxShingleDf == Int.MaxValue) base
+    else {
+      val keep = base.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf).select(col("s"))
+      base.join(keep, "s").select(col("id"), col("s"))
+    }
+  }
+
+  /** Exact-duplicate survivors: lowest id per normalized-text
+    * fingerprint, with the copy count. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = docs.withColumn("fp", Portable.p60(Portable.normText(col(textCol))))
+    val canon = fp.groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+    fp.join(canon, "fp").filter(col(idCol) === col("keep_id"))
+      .drop("fp", "keep_id")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (id1 < id2, jaccard rounded to
+    * 6dp) via the inverted-index self-join. */
+  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+    val s = sh.cache()
+    val sizes = s.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = s.select(col("id").as("d1"), col("s"))
+      .join(s.select(col("id").as("d2"), col("s").as("s2")),
+        col("s") === col("s2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("c").cast("double") / (col("n1") + col("n2") - col("c")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** MinHash signatures (k permutations, q36's constants) per document:
+    * (id, sig array<long>) — computed with the distributive Aggregator. */
+  def minhashSignatures(sh: DataFrame, k: Int = 16): DataFrame = {
+    val mh = udaf(new MinHashSignature(k))
+    sh.select(col("id"), (Portable.p60(col("s")) % Portable.MinHashPrime).as("hx"))
+      .groupBy(col("id")).agg(mh(col("hx")).as("sig"))
+  }
+
+  /** LSH candidate pairs from banded signatures (id1 < id2). */
+  def lshCandidates(sigs: DataFrame, bandRows: Int = 4): DataFrame = {
+    val banded = sigs
+      .select(col("id"), posexplode(col("sig")).as(Seq("i", "m")))
+      .groupBy(col("id"), (col("i") / bandRows).cast("int").as("b"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(i, m))), x -> CAST(x.m AS STRING)), ':')").as("v"))
+    banded.select(col("id").as("d1"), col("b"), col("v"))
+      .join(banded.select(col("id").as("d2"), col("b").as("b2"), col("v").as("v2")),
+        col("b") === col("b2") && col("v") === col("v2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+
+  /** SimHash fingerprints per document: (id, simhash) — one-pass codegen
+    * expression over the token array. */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("id"), Portable.tokens(col(textCol)).as("w"))
+      .select(col("id"), expr("simhash32(w)").as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: byte-banded candidates filtered by Hamming
+    * distance (pigeonhole: hamming <= 7 pairs always share a byte). */
+  def simhashPairs(fp: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = fp.withColumn("k", explode(sequence(lit(0), lit(3))))
+      .withColumn("byte", expr("(simhash DIV CAST(pow(2, 8 * k) AS BIGINT)) % 256"))
+    banded.select(col("id").as("d1"), col("simhash").as("h1"), col("k"), col("byte"))
+      .join(banded.select(col("id").as("d2"), col("simhash").as("h2"),
+        col("k").as("k2"), col("byte").as("byte2")),
+        col("k") === col("k2") && col("byte") === col("byte2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("h1"), col("h2")).distinct()
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
+  private[graft] def spark(df: DataFrame): SparkSession = df.sparkSession
+}

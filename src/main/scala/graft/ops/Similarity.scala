@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity-search library (SURVEY §7.4): brute-force cosine
+  * as the exactness baseline, sign-LSH buckets as the sublinear path.
+  * Input frame: (`idCol`: long, `vecCol`: array<float|double>).
+  * Cosines are rounded to 6dp before ranking so top-k cuts are
+  * deterministic (ties break by neighbor id).
+  */
+object Similarity {
+
+  /** id + double vector + L2 norm, with graft functions registered. */
+  def prepare(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    emb.select(col(idCol).as("id"),
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(array_dot(v, v))"))
+  }
+
+  /** Exact top-k cosine neighbors for each vector matching
+    * `queryFilter`, against the full frame. |Q| x N work, not N². */
+  def cosineTopK(prepared: DataFrame, queryFilter: Column, k: Int): DataFrame = {
+    val q = prepared.filter(queryFilter)
+      .select(col("id").as("qid"), col("v").as("va"), col("nrm").as("qn"))
+    val x = prepared.select(col("id").as("nid"), col("v").as("vb"), col("nrm").as("nn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
+    q.join(x, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(expr("array_dot(va, vb)") / (col("qn") * col("nn")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** All pairs id1 < id2 with cosine >= threshold (the near-dup audit
+    * path; run [[annTopK]] at scale). */
+  def nearDupPairs(prepared: DataFrame, minCosine: Double): DataFrame = {
+    val a = prepared.select(col("id").as("d1"), col("v").as("va"), col("nrm").as("n1"))
+    val b = prepared.select(col("id").as("d2"), col("v").as("vb"), col("nrm").as("n2"))
+    a.join(b, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(expr("array_dot(va, vb)") / (col("n1") * col("n2")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
+  }
+
+  /** Deterministic sign-LSH bucket id from `planes` pseudo-random
+    * integer hyperplanes (LCG weights — engine-portable). */
+  def withLshBucket(prepared: DataFrame, planes: Int = 6, dim: Int = 64): DataFrame =
+    prepared.withColumn("bucket", expr(
+      s"""aggregate(transform(sequence(0, ${planes - 1}), p ->
+            CASE WHEN aggregate(sequence(1, $dim), 0D, (a, dm) ->
+              a + element_at(v, dm) * CAST((CAST(1103515245 AS BIGINT) * (p * $dim + dm) + 12345) % 2001 - 1000 AS DOUBLE)) > 0D
+            THEN CAST(pow(2, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+          CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
+
+  /** Approximate top-k: candidates share an LSH bucket, reranked by
+    * exact cosine. Sublinear: per-bucket blocks instead of N² pairs. */
+  def annTopK(prepared: DataFrame, queryFilter: Column, k: Int,
+      planes: Int = 6, dim: Int = 64): DataFrame = {
+    val e = withLshBucket(prepared, planes, dim)
+    val q = e.filter(queryFilter)
+      .select(col("id").as("qid"), col("v").as("va"), col("nrm").as("qn"), col("bucket"))
+    val x = e.select(col("id").as("nid"), col("v").as("vb"), col("nrm").as("nn"),
+      col("bucket").as("bucket2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
+    q.join(x, col("bucket") === col("bucket2") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(expr("array_dot(va, vb)") / (col("qn") * col("nn")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+}

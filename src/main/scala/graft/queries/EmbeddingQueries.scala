@@ -2,55 +2,34 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.GraftFunctions
+import graft.ops.Similarity
 
-/** Similarity search over the `embeddings` table (SURVEY.md §7.4):
-  * brute-force cosine top-k as the exactness baseline, all-pairs
-  * cosine near-dup, and a random-hyperplane LSH-bucketed ANN as the
-  * scale path.
+/** Similarity search over the `embeddings` table (SURVEY.md §7.4),
+  * delegating to [[graft.ops.Similarity]]: brute-force cosine top-k as
+  * the exactness baseline, all-pairs cosine near-dup, and a
+  * random-hyperplane LSH-bucketed ANN as the scale path. Plus the
+  * array-function and null-semantics coverage queries.
   *
   * Cosines are computed in double with a left-to-right fold on both
-  * engines and rounded to 6 decimals *before* ranking, so top-k cuts are
+  * engines (the codegen array_dot matches DuckDB's list_dot_product)
+  * and rounded to 6 decimals before ranking, so top-k cuts are
   * deterministic across engines (ties broken by neighbor id).
   */
 object EmbeddingQueries {
   import Tables.{apply => t}
 
-  /** embeddings with unit-norm precomputation (double precision). The
-    * norm reuses the codegen'd dot (dot(v,v) = |v|^2). */
-  private def vecs(s: SparkSession, d: String): DataFrame = {
-    GraftFunctions.register(s)
-    t(s, d, "embeddings")
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(array_dot(v, v))"))
-  }
-
-  private val dotExpr = "array_dot(va, vb)"
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Similarity.prepare(t(s, d, "embeddings"))
 
   val all: Seq[GraftQuery] = Seq(
 
-    // ---- brute-force cosine top-5 for a fixed query subset. The
-    // all-pairs product is restricted to |Q| x N (not N²); at cluster
-    // scale Q is the batch of query vectors and the scan side stays
-    // partition-parallel.
+    // ---- brute-force cosine top-5 for a fixed query subset (|Q| x N
+    // work, not N²; at cluster scale Q is the query batch).
     GraftQuery(
       "q40_embed_topk",
-      (s, d) => {
-        val e = vecs(s, d)
-        val q = e.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("qn"))
-        val x = e.select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nn"))
-        val pairs = q.join(x, col("qid") =!= col("nid"))
-          .select(col("qid"), col("nid"),
-            round(expr(dotExpr) / (col("qn") * col("nn")), 6).as("cos_sim"))
-        pairs
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
-              .orderBy(col("cos_sim").desc, col("nid"))))
-          .filter(col("rn") <= 5)
-          .select(col("qid"), col("nid"), col("cos_sim"), col("rn"))
-          .orderBy(col("qid"), col("rn"))
-      },
+      (s, d) => Similarity.cosineTopK(vecs(s, d), col("id") < 20, k = 5)
+        .select(col("qid"), col("nid"), col("cos_sim"), col("rn"))
+        .orderBy(col("qid"), col("rn")),
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
               p AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
@@ -62,21 +41,13 @@ object EmbeddingQueries {
                  FROM p)
               WHERE rn <= 5 ORDER BY qid, rn""")),
 
-    // ---- embedding-cosine near-dup: all pairs i<j above a cosine
-    // threshold. This is the exactness oracle for the LSH path below; at
-    // 100 TB you run q42's bucketed variant and reserve this for audits.
+    // ---- embedding-cosine near-dup: all pairs i<j above a threshold
+    // (the exactness oracle for the LSH path; at 100 TB run q42 and
+    // reserve this for audits).
     GraftQuery(
       "q41_embed_neardup",
-      (s, d) => {
-        val e = vecs(s, d)
-        val a = e.select(col("vec_id").as("d1"), col("v").as("va"), col("nrm").as("n1"))
-        val b = e.select(col("vec_id").as("d2"), col("v").as("vb"), col("nrm").as("n2"))
-        a.join(b, col("d1") < col("d2"))
-          .select(col("d1"), col("d2"),
-            round(expr(dotExpr) / (col("n1") * col("n2")), 6).as("cos_sim"))
-          .filter(col("cos_sim") >= 0.35)
-          .orderBy(col("d1"), col("d2"))
-      },
+      (s, d) => Similarity.nearDupPairs(vecs(s, d), minCosine = 0.35)
+        .orderBy(col("d1"), col("d2")),
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
               SELECT d1, d2, cos_sim FROM
@@ -85,9 +56,7 @@ object EmbeddingQueries {
                  FROM n a JOIN n b ON a.vec_id < b.vec_id)
               WHERE cos_sim >= 0.35 ORDER BY d1, d2""")),
 
-    // ---- Array/collection-function gauntlet over the embedding lists
-    // (slice, element access, min/max, size, sort-head — all codegen
-    // built-ins; DuckDB list_* twins).
+    // ---- Array/collection-function gauntlet over the embedding lists.
     GraftQuery(
       "q43_array_funcs",
       (s, d) => {
@@ -138,37 +107,15 @@ object EmbeddingQueries {
               round(sum(coalesce(nullif(l_discount, 0.0), 0.0) * l_quantity), 4) AS weighted_disc
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
-    // ---- LSH-bucketed ANN: 6 deterministic pseudo-random hyperplanes
-    // (integer weights from an LCG formula both engines evaluate exactly)
-    // -> 64 sign buckets; candidates = same bucket; exact cosine rerank
-    // top-3. The bucket join replaces the N² pair space with per-bucket
-    // blocks — the standard sublinear ANN trade.
+    // ---- LSH-bucketed ANN: 6 deterministic sign hyperplanes -> 64
+    // buckets; candidates share a bucket; exact cosine rerank top-3.
     GraftQuery(
       "q42_ann_lsh",
-      (s, d) => {
-        val planes =
-          """aggregate(transform(sequence(0, 5), p ->
-               CASE WHEN aggregate(sequence(1, 64), 0D, (a, dm) ->
-                 a + element_at(v, dm) * CAST((CAST(1103515245 AS BIGINT) * (p * 64 + dm) + 12345) % 2001 - 1000 AS DOUBLE)) > 0D
-               THEN CAST(pow(2, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
-             CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
-        val e = vecs(s, d).withColumn("bucket", expr(planes))
-        val q = e.filter(col("vec_id") < 50)
-          .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("qn"), col("bucket"))
-        val x = e.select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nn"), col("bucket").as("bucket2"))
-        val pairs = q.join(x, col("bucket") === col("bucket2") && col("qid") =!= col("nid"))
-          .select(col("qid"), col("nid"),
-            round(expr(dotExpr) / (col("qn") * col("nn")), 6).as("cos_sim"))
-        pairs
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
-              .orderBy(col("cos_sim").desc, col("nid"))))
-          .filter(col("rn") <= 3)
-          .select(col("qid"), col("nid"), col("cos_sim"), col("rn"))
-          .orderBy(col("qid"), col("rn"))
-      },
+      (s, d) => Similarity.annTopK(vecs(s, d), col("id") < 50, k = 3)
+        .select(col("qid"), col("nid"), col("cos_sim"), col("rn"))
+        .orderBy(col("qid"), col("rn")),
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+              n AS (SELECT vec_id, v, nrm FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)),
               bk AS (SELECT vec_id, v, nrm,
                        CAST(list_sum([CASE WHEN list_sum([v[dm] * CAST((CAST(1103515245 AS BIGINT) * (p * 64 + dm) + 12345) % 2001 - 1000 AS DOUBLE)
                                                           FOR dm IN range(1, 65)]) > 0

@@ -152,15 +152,9 @@ object TextQueries {
     // one shuffle on a 60-bit key, no driver state).
     GraftQuery(
       "q34_dedup_exact",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), col("n_chars"), Portable.p60(Portable.normText(col("text"))).as("fp"))
-        val canon = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        docs.join(canon, "fp")
-          .filter(col("doc_id") === col("keep_id"))
-          .select(col("doc_id"), col("n_chars"), col("n_copies"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => graft.ops.Dedup.exact(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_chars"), col("n_copies"))
+        .orderBy(col("doc_id")),
       Some(s"""SELECT doc_id, n_chars, n_copies FROM
                  (SELECT doc_id, n_chars, fp FROM
                    (SELECT doc_id, n_chars, ${Portable.p60Sql(Portable.normTextSql("text"))} AS fp FROM documents))
