@@ -55,6 +55,48 @@ object Similarity {
             THEN CAST(pow(2, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
           CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
 
+  /** IVF (inverted-file) ANN: a seeded k-means coarse quantizer assigns
+    * every vector to one of `nlist` cells; a query probes its `nprobe`
+    * nearest cells and exact-cosine-reranks only their members. The
+    * other classic sublinear trade next to sign-LSH: cell assignment is
+    * one fit + one projection, search cost scales with nprobe/nlist of
+    * the corpus. Not oracle-expressible (k-means centers are float
+    * iterations); recall and rerank correctness are specced. */
+  def ivfTopK(prepared: DataFrame, queryFilter: Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withFeat = prepared.withColumn("feat", array_to_vector(col("v")))
+    val model = new KMeans().setK(nlist).setSeed(0L)
+      .setFeaturesCol("feat").setPredictionCol("cell").fit(withFeat)
+    val assigned = model.transform(withFeat).drop("feat").cache()
+    // tiny (nlist x dim) centers table, crossable with the query batch
+    val centers = {
+      val spark = prepared.sparkSession
+      import spark.implicits._
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray) }
+        .toDF("center_cell", "center")
+    }
+    val probes = assigned.filter(queryFilter)
+      .select(col("id").as("qid"), col("v").as("va"), col("nrm").as("qn"))
+      .crossJoin(broadcast(centers))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(va, center, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col("center_cell"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("va"), col("qn"), col("center_cell").as("cell"))
+    val members = assigned.select(col("id").as("nid"), col("v").as("vb"),
+      col("nrm").as("nn"), col("cell").as("cell2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
+    probes.join(members, col("cell") === col("cell2") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(expr("array_dot(va, vb)") / (col("qn") * col("nn")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** Approximate top-k: candidates share an LSH bucket, reranked by
     * exact cosine. Sublinear: per-bucket blocks instead of N² pairs. */
   def annTopK(prepared: DataFrame, queryFilter: Column, k: Int,

@@ -107,6 +107,18 @@ object EmbeddingQueries {
               round(sum(coalesce(nullif(l_discount, 0.0), 0.0) * l_quantity), 4) AS weighted_disc
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- IVF ANN: seeded k-means coarse quantizer + nprobe cell search
+    // with exact cosine rerank. Float cluster centers aren't
+    // oracle-expressible; rerank exactness + recall are specced
+    // (OpsSpec). Rows-only at the driver.
+    GraftQuery(
+      "q45_ann_ivf",
+      (s, d) => Similarity.ivfTopK(vecs(s, d), col("id") < 50, k = 3,
+          nlist = 16, nprobe = 4)
+        .select(col("qid"), col("nid"), col("cos_sim"), col("rn"))
+        .orderBy(col("qid"), col("rn")),
+      None),
+
     // ---- LSH-bucketed ANN: 6 deterministic sign hyperplanes -> 64
     // buckets; candidates share a bucket; exact cosine rerank top-3.
     GraftQuery(

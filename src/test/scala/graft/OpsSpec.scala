@@ -57,6 +57,26 @@ class OpsSpec extends SparkSpec {
     assert(viaMl == viaSql)
   }
 
+  test("IVF ANN: reranked cosines are exact; recall vs brute force is nonzero") {
+    val prepared = graft.ops.Similarity.prepare(Tables(spark, sf, "embeddings")).cache()
+    val brute = graft.ops.Similarity.cosineTopK(prepared, col("id") < 10, k = 5)
+      .select($"qid", $"nid", $"cos_sim").as[(Long, Long, Double)].collect()
+    val ivf = graft.ops.Similarity.ivfTopK(prepared, col("id") < 10, k = 5,
+      nlist = 8, nprobe = 3)
+      .select($"qid", $"nid", $"cos_sim").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    // IVF cosines must be exact (same rounded value as brute force for
+    // the same pair)
+    val bruteAll = graft.ops.Similarity.cosineTopK(prepared, col("id") < 10, k = 499)
+      .select($"qid", $"nid", $"cos_sim").as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    ivf.foreach { case (q, n, c) => assert(bruteAll((q, n)) == c, s"($q,$n)") }
+    // and the probe finds a nonzero share of true neighbors
+    val bruteSet = brute.map(t => (t._1, t._2)).toSet
+    val hit = ivf.count(t => bruteSet.contains((t._1, t._2)))
+    assert(hit > 0, s"IVF recalled 0 of ${bruteSet.size} true top-5 pairs")
+  }
+
   test("StopWordsRemover drops stopwords, keeps content words") {
     val out = TextPipeline.tokensAndNGrams(Seq((1L, "the quick fox and the dog")).toDF("doc_id", "text"))
       .select($"toks_clean").as[Seq[String]].head()
