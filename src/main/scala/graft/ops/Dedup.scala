@@ -108,5 +108,46 @@ object Dedup {
       .select(col("d1"), col("d2"), col("hamming"))
   }
 
+  /** Connected components over near-dup pairs (d1, d2): returns
+    * (id, component) with component = the smallest id reachable. This is
+    * what turns pairwise similarity into dedup groups (SURVEY §7.4:
+    * "approxSimilarityJoin + connected components").
+    *
+    * Min-label propagation: each round every node adopts the smallest
+    * label in its neighborhood; converges in O(graph diameter) rounds —
+    * tiny for dedup clusters (near-dup groups are dense). Each round is
+    * one shuffle join + aggregate, all distributed; the driver loop only
+    * checks the converged flag. (At extreme scale swap in
+    * large-star/small-star — same contract.)
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, col("b") === col("id"))
+        .groupBy(col("a")).agg(min(col("component")).as("nbr_min"))
+      val next = labels
+        .join(neighborMin, col("id") === col("a"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+        .cache()
+      val changed = next.join(labels.select(col("id").as("id2"), col("component").as("old")),
+        col("id") === col("id2"))
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   private[graft] def spark(df: DataFrame): SparkSession = df.sparkSession
 }

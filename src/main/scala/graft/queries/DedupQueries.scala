@@ -125,6 +125,33 @@ object DedupQueries {
                SELECT doc_id, string_agg(CAST(m AS VARCHAR), ':' ORDER BY i) AS sig_str
                FROM sig GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- Dedup groups: connected components over the Jaccard >= 0.1
+    // near-dup pairs — component id = smallest reachable doc id. Spark
+    // side is distributed min-label propagation; the oracle computes the
+    // same closure with a recursive CTE.
+    GraftQuery(
+      "q46_dedup_components",
+      (s, d) => Dedup.connectedComponents(
+          Dedup.jaccardPairs(docShingles(s, d), minJaccard = 0.1))
+        .orderBy(col("id")),
+      Some(s"""WITH RECURSIVE $shinglesSql,
+               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                         GROUP BY 1, 2),
+               pairs AS (SELECT d1, d2 FROM
+                           (SELECT d1, d2, round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+                            FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
+                         WHERE jaccard >= 0.1),
+               edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                         UNION ALL SELECT d2, d1 FROM pairs),
+               reach(node, r) AS (
+                 SELECT DISTINCT a, a FROM edges
+                 UNION
+                 SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node)
+               SELECT node AS id, min(r) AS component FROM reach
+               GROUP BY node ORDER BY id""")),
+
     // ---- SimHash fingerprints (one-pass codegen expression; the oracle
     // spells out the per-bit vote relationally).
     GraftQuery(

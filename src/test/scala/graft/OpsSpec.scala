@@ -57,6 +57,14 @@ class OpsSpec extends SparkSpec {
     assert(viaMl == viaSql)
   }
 
+  test("connectedComponents: chains collapse, separate groups stay apart") {
+    // components: {1,2,3,4} (a chain), {10,11}, isolated nodes absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
+    val comps = graft.ops.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("IVF ANN: reranked cosines are exact; recall vs brute force is nonzero") {
     val prepared = graft.ops.Similarity.prepare(Tables(spark, sf, "embeddings")).cache()
     val brute = graft.ops.Similarity.cosineTopK(prepared, col("id") < 10, k = 5)
