@@ -108,6 +108,18 @@ object MentionRecommender {
       .select(col("user_id"), col("rn"), col("item").as("rec_item"))
   }
 
+  /** Re-assemble exploded (user_id, rn, item...) recommendation rows
+    * into the reference's output shape (user, [k item ids] in rank
+    * order — reformat_values_w2's tuple, COMP5349_2.py:65-74): sort the
+    * collected (rn, item) structs, then project the items. Rank order is
+    * carried by the struct sort, not by collect_list's arrival order
+    * (which is partition-dependent, SURVEY §5.3). */
+  def assembleRecs(recRows: DataFrame, itemCol: String = "item"): DataFrame =
+    recRows
+      .groupBy(col("user_id"))
+      .agg(expr(s"transform(array_sort(collect_list(struct(rn, $itemCol))), x -> x.$itemCol)")
+        .as("recommendations"))
+
   /** Fit ALS and emit top-k recommendations per user, exploded to rows
     * (user_id, rn, item, rating). Deterministic given the seed and a
     * pinned shuffle-partition count (SURVEY §5.3). */

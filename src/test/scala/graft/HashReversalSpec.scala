@@ -55,5 +55,13 @@ class HashReversalSpec extends SparkSpec {
     val partial = MentionRecommender.recommendHashedIds(inter, k = 5, dropPartial = true)
       .as[(Long, Int, Int)].collect()
     assert(partial.length <= recs.length)
+    // re-assembled reference output shape: (user, [items] in rank order)
+    val assembled = MentionRecommender.assembleRecs(
+      MentionRecommender.recommendHashedIds(inter, k = 5)
+        .withColumnRenamed("rec_item", "item"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val expected = recs.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(assembled == expected)
   }
 }
