@@ -133,17 +133,24 @@ object Dedup {
       val neighborMin = edges
         .join(labels, col("b") === col("id"))
         .groupBy(col("a")).agg(min(col("component")).as("nbr_min"))
-      val next = labels
-        .join(neighborMin, col("id") === col("a"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
         .cache()
-      val changed = next.join(labels.select(col("id").as("id2"), col("component").as("old")),
-        col("id") === col("id2"))
-        .filter(col("component") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      // convergence read off the improvement frame directly (one small
+      // join) before building the next labels
+      val changed = neighborMin
+        .join(labels, col("a") === col("id"))
+        .filter(col("nbr_min") < col("component")).limit(1).count()
+      if (changed == 0) converged = true
+      else {
+        val next = labels
+          .join(neighborMin, col("id") === col("a"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+          .cache()
+        next.count() // materialize before unpersisting the parent
+        labels.unpersist()
+        labels = next
+      }
+      neighborMin.unpersist()
       iter += 1
     }
     labels

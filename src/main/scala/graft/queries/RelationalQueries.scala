@@ -585,6 +585,72 @@ object RelationalQueries {
       },
       None),
 
+    // ---- Ordered-event funnel: signup -> first click after signup ->
+    // first purchase after that click, per user; output stage counts.
+    // Two-phase conditional mins (each stage's window depends on the
+    // previous stage's timestamp) — all joins on user_id.
+    GraftQuery(
+      "q47_funnel",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"), col("event_type"), col("ts"))
+        val signup = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+        val click = ev.filter(col("event_type") === "click")
+          .join(signup, "user_id")
+          .filter(col("ts") >= col("t_signup"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        val purchase = ev.filter(col("event_type") === "purchase")
+          .join(click, "user_id")
+          .filter(col("ts") >= col("t_click"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+        ev.select(col("user_id")).distinct()
+          .join(signup, Seq("user_id"), "left")
+          .join(click, Seq("user_id"), "left")
+          .join(purchase, Seq("user_id"), "left")
+          .agg(
+            count(lit(1)).as("n_users"),
+            count(col("t_signup")).as("n_signed_up"),
+            count(col("t_click")).as("n_clicked_after"),
+            count(col("t_purchase")).as("n_purchased_after"))
+      },
+      Some("""WITH signup AS (SELECT user_id, min(ts) AS t_signup FROM events
+                              WHERE event_type = 'signup' GROUP BY 1),
+              click AS (SELECT e.user_id, min(e.ts) AS t_click
+                        FROM events e JOIN signup s ON e.user_id = s.user_id
+                        WHERE e.event_type = 'click' AND e.ts >= s.t_signup GROUP BY 1),
+              purchase AS (SELECT e.user_id, min(e.ts) AS t_purchase
+                           FROM events e JOIN click c ON e.user_id = c.user_id
+                           WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1)
+              SELECT count(*) AS n_users,
+                     count(t_signup) AS n_signed_up,
+                     count(t_click) AS n_clicked_after,
+                     count(t_purchase) AS n_purchased_after
+              FROM (SELECT DISTINCT user_id FROM events) u
+              LEFT JOIN signup USING (user_id)
+              LEFT JOIN click USING (user_id)
+              LEFT JOIN purchase USING (user_id)""")),
+
+    // ---- Cohort retention: users grouped by first-activity month,
+    // counted per active month — first-event assignment via a grouped
+    // min joined back, then a distinct (cohort, month, user) count.
+    GraftQuery(
+      "q48_cohort_retention",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("wk"))
+        val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+        ev.join(cohort, "user_id")
+          .select(col("cohort_wk"), col("wk"), col("user_id")).distinct()
+          .groupBy(col("cohort_wk"), col("wk"))
+          .agg(count(lit(1)).as("active_users"))
+          .orderBy(col("cohort_wk"), col("wk"))
+      },
+      Some("""WITH ev AS (SELECT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk FROM events),
+              cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1)
+              SELECT cohort_wk, wk, count(*) AS active_users
+              FROM (SELECT DISTINCT cohort_wk, wk, user_id FROM ev JOIN cohort USING (user_id))
+              GROUP BY cohort_wk, wk ORDER BY cohort_wk, wk""")),
+
     // ---- Exact distinct-count per group (expand-based distinct agg).
     GraftQuery(
       "q23_count_distinct",
