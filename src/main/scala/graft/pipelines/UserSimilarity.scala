@@ -131,10 +131,13 @@ object UserSimilarity {
     * `queryFilter` bounds the left side (the batch of query users).
     */
   def relationalTopK(events: DataFrame, queryMax: Int, k: Int = 5): DataFrame = {
+    // cached: df, the corpus size m, and the weight projection all
+    // re-read this aggregate
     val tf = events
       .select(col("user_id"), get_json_object(col("props"), "$.k").as("item"))
       .filter(col("item").isNotNull)
       .groupBy(col("user_id"), col("item")).agg(count(lit(1)).cast("double").as("tf"))
+      .cache()
     val m = tf.select(countDistinct(col("user_id")).as("m"))
     val df = tf.groupBy(col("item")).agg(count(lit(1)).cast("double").as("df"))
     // cached: consumed by the query side, the corpus side, and the norm
