@@ -147,6 +147,18 @@ object TextQueries {
                FROM (SELECT doc_id, ${Portable.normTextSql("text")} AS nt FROM documents)
                ORDER BY doc_id""")),
 
+    // ---- compression-ratio quality signal (deflate bytes / raw bytes;
+    // repetitive junk compresses away). zlib output isn't
+    // SQL-expressible -> rows-only; invariants in OpsSpec.
+    GraftQuery(
+      "q49_compression_quality",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextPipeline.compressionRatio(col("text")).as("deflate_ratio"),
+          col("n_chars"))
+        .orderBy(col("doc_id")),
+      None),
+
     // ---- exact deduplication: keep the lowest doc_id per normalized
     // fingerprint (hash-groupBy dedup — the 100 TB-safe exact-dup plan:
     // one shuffle on a 60-bit key, no driver state).

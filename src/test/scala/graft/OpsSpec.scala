@@ -85,6 +85,21 @@ class OpsSpec extends SparkSpec {
     assert(hit > 0, s"IVF recalled 0 of ${bruteSet.size} true top-5 pairs")
   }
 
+  test("compressionRatio: repetitive text compresses below varied text") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over a lazy dog while seven wizards vex")
+    ).toDF("id", "text")
+    val r = df.select($"id", graft.ops.TextPipeline.compressionRatio($"text").as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) < r(2L), s"repetitive ${r(1L)} !< varied ${r(2L)}")
+    assert(r.values.forall(v => v > 0 && v < 1.5))
+    // deterministic
+    val r2 = df.select($"id", graft.ops.TextPipeline.compressionRatio($"text").as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(r == r2)
+  }
+
   test("StopWordsRemover drops stopwords, keeps content words") {
     val out = TextPipeline.tokensAndNGrams(Seq((1L, "the quick fox and the dog")).toDF("doc_id", "text"))
       .select($"toks_clean").as[Seq[String]].head()

@@ -33,6 +33,17 @@ class SourcesSpec extends SparkSpec {
       src.select(sum(col("event_id"))).head().getLong(0))
   }
 
+  test("ORC round trip preserves data and pushes filters") {
+    val dir = Files.createTempDirectory("orc_rt").toString + "/out"
+    events.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == events.count())
+    val filtered = back.filter(col("event_type") === "purchase")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type)"), plan.take(600))
+    assert(filtered.count() == events.filter(col("event_type") === "purchase").count())
+  }
+
   test("partitioned parquet: filters become PartitionFilters (pruned scan)") {
     val dir = Files.createTempDirectory("part_pq").toString + "/out"
     events.write.partitionBy("event_type").parquet(dir)
