@@ -95,6 +95,23 @@ object UserSimilarity {
     withBoth.select(outCols: _*)
   }
 
+  /** Word2Vec user embeddings: the reference imports Word2Vec but never
+    * instantiates it (kdan9405_Assignment2_Notebook:78, SURVEY §2.9) —
+    * this completes that dangling surface. Seeded, tokens from the same
+    * document builder; ml.feature.Word2Vec already averages word vectors
+    * per document, giving one embedding per user. */
+  def word2vecFeatures(docs: DataFrame, vectorSize: Int = 16): DataFrame = {
+    val tokenized = new RegexTokenizer().setInputCol("ids").setOutputCol("toks")
+      .setPattern("[,\\s]+").transform(docs)
+    val model = new org.apache.spark.ml.feature.Word2Vec()
+      .setInputCol("toks").setOutputCol("w2v")
+      .setVectorSize(vectorSize).setMinCount(1).setSeed(0L).setMaxIter(1)
+      .fit(tokenized)
+    new Normalizer().setInputCol("w2v").setOutputCol("w2v_norm").setP(2.0)
+      .transform(model.transform(tokenized))
+      .select(col("user_id"), col("w2v_norm"))
+  }
+
   /** Sparse dot product of two ml vectors. Dense enough for the 200-dim
     * reference space; the hot path at scale is [[relationalTopK]], which
     * never materializes vectors at all. */

@@ -71,6 +71,19 @@ object MLQueries {
       },
       None),
 
+    // ---- W1 via Word2Vec embeddings (the import the reference never
+    // used — notebook:78). Neural embeddings aren't oracle-expressible;
+    // rows-only, invariants in PipelineSpec.
+    GraftQuery(
+      "q58_w1_word2vec_topk",
+      (s, d) => {
+        val feats = UserSimilarity.word2vecFeatures(
+          UserSimilarity.userDocs(t(s, d, "events")))
+        UserSimilarity.topKSimilar(feats, col("user_id") < 30, "w2v_norm")
+          .orderBy(col("query_user"), col("rn"))
+      },
+      None),
+
     // ---- W2 rating-matrix build (G1+A2 of COMP5349_2.py:196-197) —
     // relational, oracle-checked.
     GraftQuery(

@@ -60,6 +60,20 @@ class PipelineSpec extends SparkSpec {
     assert(top.toSeq == Seq(3L, 2L)) // id DESC among equal sims
   }
 
+  test("Word2Vec features: unit norm, fixed dim, seeded-reproducible") {
+    val docs = UserSimilarity.userDocs(Tables(spark, sf, "events"))
+    val f1 = UserSimilarity.word2vecFeatures(docs, vectorSize = 16)
+    val rows = f1.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[Vector](1)
+      assert(v.size == 16)
+      assert(math.abs(math.sqrt(v.toArray.map(x => x * x).sum) - 1.0) < 1e-6)
+    }
+    val f2 = UserSimilarity.word2vecFeatures(docs, vectorSize = 16).collect()
+    assert(rows.map(_.toString).sorted.toSeq == f2.map(_.toString).sorted.toSeq)
+  }
+
   test("W1 ml-pipeline cosine agrees with relational TF-IDF cosine") {
     // with numFeatures large enough to be collision-free, HashingTF+IDF
     // cosine must equal the sparse relational computation.
