@@ -55,6 +55,12 @@ object Multimodal {
     * this container). Deterministic: feature j = mean of payload bytes
     * congruent to j mod dim, scaled to [0,1). A real implementation
     * replaces only this function body; signature and batch shape stay.
+    *
+    * Values are quantized to millionths with exact integer math
+    * (q = sums·10⁶ div counts·256, feature = q/10⁶): q < 2²⁴ so the
+    * float32 round-trips the integer exactly, which is what makes the
+    * fake features cross-engine hashable (the q55 oracle recomputes q in
+    * pure integer SQL).
     */
   def stubDecode(content: Array[Byte], dim: Int): Array[Float] = {
     val sums = new Array[Long](dim)
@@ -66,7 +72,10 @@ object Multimodal {
       counts(j) += 1
       i += 1
     }
-    Array.tabulate(dim)(j => if (counts(j) == 0) 0f else (sums(j).toFloat / counts(j)) / 256f)
+    Array.tabulate(dim) { j =>
+      if (counts(j) == 0) 0f
+      else (sums(j) * 1000000L / (counts(j) * 256L)).toFloat / 1e6f
+    }
   }
 
   /** Feature extraction over media rows, batched per partition. The

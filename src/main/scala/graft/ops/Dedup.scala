@@ -32,9 +32,13 @@ object Dedup {
       .distinct()
     if (maxShingleDf == Int.MaxValue) base
     else {
-      val keep = base.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxShingleDf).select(col("s"))
-      base.join(keep, "s").select(col("id"), col("s"))
+      // df via a window over the shingle key: ONE shuffle regardless of
+      // scale. (An agg+join costs the same only while the distinct-shingle
+      // side still broadcasts; at 100 TB it doesn't.)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+      base.withColumn("df", count(lit(1)).over(w))
+        .filter(col("df") <= maxShingleDf)
+        .select(col("id"), col("s"))
     }
   }
 

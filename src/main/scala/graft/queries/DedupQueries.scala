@@ -13,9 +13,13 @@ import graft.ops.{Dedup, Portable}
   * Scale shape: every operator here is shuffle-joins + hash-aggregates
   * on bounded keys (shingle, band value, byte band) — no driver state,
   * no O(n²) pair enumeration except *within* candidate buckets, which is
-  * the standard LSH trade. At 100 TB you'd additionally pass
-  * `maxShingleDf` to [[Dedup.shingles]] to drop stop-shingles before the
-  * join; at test SFs exactness keeps the DuckDB oracle checkable.
+  * the standard LSH trade. Every shingle-joining query runs with a
+  * `maxShingleDf` cap (the 100 TB knob: a single stop-shingle's postings
+  * list is the quadratic hazard of the inverted-index join). The default
+  * cap of 1000 is far above any df in the test corpora (max observed 25
+  * at sf0.1) so results stay exact; q59 runs an aggressive cap that
+  * observably drops shingles, value-checking the drop path itself.
+  * Both sides of the oracle apply the same cap.
   *
   * The reference's own similarity is an exhaustive broadcast loop
   * (COMP5349_2.py:29-47); these are the sublinear replacements it lacks.
@@ -23,15 +27,36 @@ import graft.ops.{Dedup, Portable}
 object DedupQueries {
   import Tables.{apply => t}
 
-  private def docShingles(s: SparkSession, d: String): DataFrame =
-    Dedup.shingles(t(s, d, "documents"))
+  /** Stop-shingle df cap for the standard queries: bounds postings lists
+    * (and so join fan-out) without changing results at any df below it. */
+  private val MaxShingleDf = 1000
 
-  /** DuckDB CTEs computing the same shingle set (1-based list indexing). */
-  private val shinglesSql =
-    """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-       sh AS (SELECT DISTINCT doc_id, s FROM
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Dedup.shingles(t(s, d, "documents"), maxShingleDf = MaxShingleDf)
+
+  /** DuckDB CTEs computing the same df-capped shingle set (1-based list
+    * indexing; the window mirrors Dedup.shingles' single-shuffle plan). */
+  private def shinglesSqlCap(cap: Int): String =
+    s"""toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       sh0 AS (SELECT DISTINCT doc_id, s FROM
                (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                       FOR i IN range(1, len(w) - 1)]) AS s FROM toks))"""
+                                       FOR i IN range(1, len(w) - 1)]) AS s FROM toks)),
+       sh AS (SELECT doc_id, s FROM
+               (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0)
+              WHERE df <= $cap)"""
+
+  private val shinglesSql = shinglesSqlCap(MaxShingleDf)
+
+  /** The q35 jaccard-pair SQL body over whatever `sh` CTE precedes it. */
+  private val jaccardPairsSql =
+    """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT d1, d2, jaccard FROM
+         (SELECT d1, d2, round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+          FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
+       WHERE jaccard >= 0.1 ORDER BY d1, d2"""
 
   private val P = Portable.MinHashPrime // 2^31-1
   private val K = 16                    // minhash signature length
@@ -45,15 +70,19 @@ object DedupQueries {
       "q35_ngram_jaccard",
       (s, d) => Dedup.jaccardPairs(docShingles(s, d), minJaccard = 0.1)
         .orderBy(col("d1"), col("d2")),
-      Some(s"""WITH $shinglesSql,
-               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-               inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-                         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                         GROUP BY 1, 2)
-               SELECT d1, d2, jaccard FROM
-                 (SELECT d1, d2, round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
-                  FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
-               WHERE jaccard >= 0.1 ORDER BY d1, d2""")),
+      Some(s"WITH $shinglesSql, $jaccardPairsSql")),
+
+    // ---- the same jaccard join under an aggressive stop-shingle cap
+    // (df <= 5 actually drops shingles at every test SF), value-checking
+    // the bounded-postings path end-to-end: this is the configuration a
+    // 100 TB corpus runs, where hot shingles must be dropped before the
+    // self-join or its fan-out goes quadratic.
+    GraftQuery(
+      "q59_jaccard_capped",
+      (s, d) => Dedup.jaccardPairs(
+          Dedup.shingles(t(s, d, "documents"), maxShingleDf = 5), minJaccard = 0.1)
+        .orderBy(col("d1"), col("d2")),
+      Some(s"WITH ${shinglesSqlCap(5)}, $jaccardPairsSql")),
 
     // ---- MinHash + LSH: signatures via the typed Aggregator, banded
     // 4x4; docs sharing any band value become candidates; each candidate
@@ -63,15 +92,17 @@ object DedupQueries {
       "q36_minhash_lsh",
       (s, d) => {
         val sh = docShingles(s, d).cache()
-        val sigs = Dedup.minhashSignatures(sh, K)
+        val sigs = Dedup.minhashSignatures(sh, K).cache()
         val cand = Dedup.lshCandidates(sigs, BandRows).cache()
-        val sig = sigs.select(col("id"), posexplode(col("sig")).as(Seq("i", "m")))
-        val s1 = sig.select(col("id").as("d1"), col("i"), col("m").as("m1"))
-        val s2 = sig.select(col("id").as("d2x"), col("i").as("i2"), col("m").as("m2"))
-        val est = cand.join(s1, "d1")
-          .join(s2, col("d2") === col("d2x") && col("i") === col("i2"))
-          .groupBy(col("d1"), col("d2"))
-          .agg(round(sum(when(col("m1") === col("m2"), 1).otherwise(0)).cast("double") / K, 4).as("est_jaccard"))
+        // signature agreement as a map-side expression over the two sig
+        // arrays: two id-equi-joins bring the arrays onto the pair, then
+        // zip_with compares in place — no posexplode fan-out, no re-agg.
+        val est = cand
+          .join(sigs.select(col("id").as("d1"), col("sig").as("sig1")), "d1")
+          .join(sigs.select(col("id").as("d2"), col("sig").as("sig2")), "d2")
+          .select(col("d1"), col("d2"),
+            round(expr("size(filter(zip_with(sig1, sig2, (a, b) -> a = b), x -> x))")
+              .cast("double") / K, 4).as("est_jaccard"))
         val candDocs = cand.select(col("d1").as("id"))
           .union(cand.select(col("d2").as("id"))).distinct()
         val shC = sh.join(candDocs, "id").cache()

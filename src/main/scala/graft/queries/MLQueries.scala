@@ -152,8 +152,12 @@ object MLQueries {
 
     // ---- Multimodal feature extraction through the stubbed decoder
     // (real plumbing: binary columns, typed Dataset, partition-parallel
-    // batched mapPartitions). Rows-only at the driver; determinism and
-    // batch shape are pinned in MultimodalSpec.
+    // batched mapPartitions). The float features are integer-quantized
+    // (Multimodal.stubDecode) and emitted as the q39-style ':'-joined
+    // string of their 10⁶-scaled integers, so the driver can hash them;
+    // the oracle recomputes the byte means in pure integer SQL over the
+    // ASCII payload. Batch shape and determinism are pinned in
+    // MultimodalSpec.
     GraftQuery(
       "q55_multimodal_features",
       (s, d) => {
@@ -162,8 +166,24 @@ object MLQueries {
         val media = Multimodal.fromDocuments(t(s, d, "documents")).as[Multimodal.MediaRow]
         Multimodal.extractFeatures(media, dim = 16, batchSize = 64)
           .toDF()
+          .select(col("media_id"), col("modality"), col("dim"),
+            expr("array_join(transform(features, " +
+              "x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS STRING)), ':')")
+              .as("features_str"))
           .orderBy(col("media_id"))
       },
-      None)
+      Some("""WITH pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents),
+              b AS (SELECT doc_id, CAST((i - 1) % 16 AS INTEGER) AS j,
+                           ascii(substr(text, i, 1)) AS v FROM pos),
+              f AS (SELECT doc_id, j, (sum(v) * 1000000) // (count(*) * 256) AS q
+                    FROM b GROUP BY 1, 2),
+              fx AS (SELECT d.doc_id, t.j, coalesce(f.q, 0) AS q
+                     FROM documents d CROSS JOIN range(0, 16) t(j)
+                     LEFT JOIN f ON f.doc_id = d.doc_id AND f.j = t.j)
+              SELECT doc_id AS media_id,
+                     ['image','audio','video','text'][CAST(doc_id % 4 AS INTEGER) + 1] AS modality,
+                     16 AS dim,
+                     string_agg(CAST(q AS VARCHAR), ':' ORDER BY j) AS features_str
+              FROM fx GROUP BY 1, 2, 3 ORDER BY media_id"""))
   )
 }
