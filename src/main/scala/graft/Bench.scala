@@ -6,6 +6,12 @@ import org.apache.spark.sql.SparkSession
   * the noop sink (count() would let Catalyst prune unreferenced
   * projections — noop forces full materialization of every output
   * column), one JSON line out.
+  *
+  * Optional args are query-name substrings: when present, only matching
+  * queries run (dev profiling loop); the driver passes none and gets the
+  * full suite. A query that throws is benched at its time-to-failure and
+  * reported in an `"errors"` object — failures must be visible in the
+  * artifact, not swallowed into a fast-looking total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,16 +30,31 @@ object Bench {
     // not first-query session initialization.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => args.isEmpty || args.exists(name.contains) }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // per-query cache hygiene: query builds cache intermediates that are
+      // load-bearing within the query but dead after it; without this the
+      // 59-query session accumulates storage memory until eviction churn
+      // dominates (observed 8x slowdowns on late-suite queries).
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

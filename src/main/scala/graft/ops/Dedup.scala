@@ -55,7 +55,10 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs (id1 < id2, jaccard rounded to
     * 6dp) via the inverted-index self-join. */
   def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
-    val s = sh.cache()
+    // cache only if the caller hasn't already (both sizes and the
+    // inverted-index self-join re-read it); double-caching the same frame
+    // wastes a storage copy
+    val s = if (sh.storageLevel == org.apache.spark.storage.StorageLevel.NONE) sh.cache() else sh
     val sizes = s.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = s.select(col("id").as("d1"), col("s"))
       .join(s.select(col("id").as("d2"), col("s").as("s2")),
@@ -157,6 +160,8 @@ object Dedup {
       neighborMin.unpersist()
       iter += 1
     }
+    // labels is cached + materialized; the edge list is dead weight now
+    edges.unpersist()
     labels
   }
 
