@@ -23,22 +23,23 @@ object Dedup {
     */
   def shingles(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text", maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    // per-doc dedup is map-side (array_distinct before the explode) — the
+    // equivalent .distinct() costs a full shuffle of the exploded set
     val base = docs
       .select(col(idCol).as("id"), Portable.tokens(col(textCol)).as("w"))
       .filter(size(col("w")) >= n)
       .select(col("id"),
-        explode(expr(s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', ${
-          (0 until n).map(j => s"w[i+$j]").mkString(", ")}))")).as("s"))
-      .distinct()
+        explode(array_distinct(expr(s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', ${
+          (0 until n).map(j => s"w[i+$j]").mkString(", ")}))"))).as("s"))
     if (maxShingleDf == Int.MaxValue) base
     else {
-      // df via a window over the shingle key: ONE shuffle regardless of
-      // scale. (An agg+join costs the same only while the distinct-shingle
-      // side still broadcasts; at 100 TB it doesn't.)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
-      base.withColumn("df", count(lit(1)).over(w))
+      // df via hash aggregate + join-back: partial aggregation collapses a
+      // hot stop-shingle map-side (a window would buffer its whole postings
+      // list in one task — the very skew the cap exists to bound), and the
+      // post-agg df frame is tiny, so AQE typically broadcasts the join.
+      val df = base.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxShingleDf)
-        .select(col("id"), col("s"))
+      base.join(df.select(col("s")), "s").select(col("id"), col("s"))
     }
   }
 
@@ -138,31 +139,24 @@ object Dedup {
     var iter = 0
     while (!converged && iter < maxIter) {
       val neighborMin = edges
-        .join(labels, col("b") === col("id"))
+        .join(labels.select(col("id"), col("component")), col("b") === col("id"))
         .groupBy(col("a")).agg(min(col("component")).as("nbr_min"))
+      // one action per round: the next labels carry their previous value,
+      // so the convergence probe is a filter over the (cached) next frame
+      // — no separate improvement join, no second full materialization
+      val next = labels
+        .join(neighborMin, col("id") === col("a"), "left")
+        .select(col("id"), col("component").as("prev"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
         .cache()
-      // convergence read off the improvement frame directly (one small
-      // join) before building the next labels
-      val changed = neighborMin
-        .join(labels, col("a") === col("id"))
-        .filter(col("nbr_min") < col("component")).limit(1).count()
-      if (changed == 0) converged = true
-      else {
-        val next = labels
-          .join(neighborMin, col("id") === col("a"), "left")
-          .select(col("id"),
-            least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-          .cache()
-        next.count() // materialize before unpersisting the parent
-        labels.unpersist()
-        labels = next
-      }
-      neighborMin.unpersist()
+      val changed = next.filter(col("component") < col("prev")).limit(1).count()
+      if (changed == 0) { converged = true; next.unpersist() }
+      else { labels.unpersist(); labels = next }
       iter += 1
     }
     // labels is cached + materialized; the edge list is dead weight now
     edges.unpersist()
-    labels
+    labels.select(col("id"), col("component"))
   }
 
   private[graft] def spark(df: DataFrame): SparkSession = df.sparkSession
