@@ -40,7 +40,7 @@ object MentionRecommender {
     * COMP5349_2.py:196-197 (explode + filter + groupBy().count()). */
   def interactions(events: DataFrame): DataFrame =
     events
-      .select(col("user_id"), get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .select(col("user_id"), graft.queries.Tables.propsItem.as("item"))
       .filter(col("user_id").isNotNull && col("item").isNotNull)
       .groupBy(col("user_id"), col("item"))
       .agg(count(lit(1)).as("y"))

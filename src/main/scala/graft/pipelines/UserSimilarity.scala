@@ -53,7 +53,7 @@ object UserSimilarity {
     * items from the event props JSON). */
   def userDocs(events: DataFrame): DataFrame =
     events
-      .select(col("user_id"), get_json_object(col("props"), "$.k").as("item"))
+      .select(col("user_id"), graft.queries.Tables.propsItem.as("item"))
       .filter(col("item").isNotNull)
       .groupBy(col("user_id"))
       .agg(concat_ws(", ", collect_list(col("item"))).as("ids"))
@@ -151,7 +151,7 @@ object UserSimilarity {
     // cached: df, the corpus size m, and the weight projection all
     // re-read this aggregate
     val tf = events
-      .select(col("user_id"), get_json_object(col("props"), "$.k").as("item"))
+      .select(col("user_id"), graft.queries.Tables.propsItem.as("item"))
       .filter(col("item").isNotNull)
       .groupBy(col("user_id"), col("item")).agg(count(lit(1)).cast("double").as("tf"))
       .cache()

@@ -41,4 +41,12 @@ object Tables {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
   }
+
+  /** The parsed `events.props` payload: `{"k": <int>}`. One `from_json`
+    * with an explicit schema (Jackson streaming, no JsonPath engine)
+    * instead of per-key `get_json_object` — callers reuse the single
+    * parsed struct however many fields they pull. */
+  val propsItem: org.apache.spark.sql.Column =
+    from_json(col("props"),
+      org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")
 }

@@ -227,7 +227,7 @@ object RelationalQueries {
           .select(
             col("event_id"),
             struct(col("event_type").as("et"), col("value").as("v")).as("s"),
-            get_json_object(col("props"), "$.k").cast("int").as("k"))
+            Tables.propsItem.as("k"))
           .select(col("event_id"), col("s").getField("et").as("et"),
             col("s").getField("v").as("v"), col("k"))
           .orderBy(col("event_id"))
