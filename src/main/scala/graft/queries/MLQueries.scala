@@ -156,14 +156,20 @@ object MLQueries {
     // (Multimodal.stubDecode) and emitted as the q39-style ':'-joined
     // string of their 10⁶-scaled integers, so the driver can hash them;
     // the oracle recomputes the byte means in pure integer SQL over the
-    // ASCII payload. Batch shape and determinism are pinned in
-    // MultimodalSpec.
+    // payload. Both sides compute over an explicitly ASCII-sanitized
+    // payload (non-ASCII code points -> '?') because the oracle's
+    // ascii(substr(...)) walks code points while the Spark side walks
+    // UTF-8 bytes — alignment only holds for ASCII, so we pin it rather
+    // than assume the corpus stays ASCII. Batch shape and determinism
+    // are pinned in MultimodalSpec.
     GraftQuery(
       "q55_multimodal_features",
       (s, d) => {
         val spark = s
         import spark.implicits._
-        val media = Multimodal.fromDocuments(t(s, d, "documents")).as[Multimodal.MediaRow]
+        val asciiDocs = t(s, d, "documents")
+          .withColumn("text", regexp_replace(col("text"), "[^\\x00-\\x7F]", "?"))
+        val media = Multimodal.fromDocuments(asciiDocs).as[Multimodal.MediaRow]
         Multimodal.extractFeatures(media, dim = 16, batchSize = 64)
           .toDF()
           .select(col("media_id"), col("modality"), col("dim"),
@@ -172,7 +178,8 @@ object MLQueries {
               .as("features_str"))
           .orderBy(col("media_id"))
       },
-      Some("""WITH pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents),
+      Some("""WITH docs AS (SELECT doc_id, regexp_replace(text, '[^\x00-\x7f]', '?', 'g') AS text FROM documents),
+              pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM docs),
               b AS (SELECT doc_id, CAST((i - 1) % 16 AS INTEGER) AS j,
                            ascii(substr(text, i, 1)) AS v FROM pos),
               f AS (SELECT doc_id, j, (sum(v) * 1000000) // (count(*) * 256) AS q
