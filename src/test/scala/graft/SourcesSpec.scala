@@ -44,6 +44,18 @@ class SourcesSpec extends SparkSpec {
     assert(filtered.count() == events.filter(col("event_type") === "purchase").count())
   }
 
+  test("S4/S5 text sink parity: one Row.toString line per record") {
+    val dir = Files.createTempDirectory("text_sink").toString + "/out"
+    val src = events.select(col("event_id"), col("event_type")).limit(100)
+    graft.sources.TextSink.saveAsText(src, dir)
+    val back = graft.sources.TextSink.readText(spark, dir)
+    assert(back.count() == 100)
+    // the reference's saveAsTextFile line shape: the record's string
+    // rendering, bracketed, comma-joined (COMP5349_2.py:188,211)
+    val line = back.head().getString(0)
+    assert(line.startsWith("[") && line.endsWith("]") && line.contains(","), line)
+  }
+
   test("partitioned parquet: filters become PartitionFilters (pruned scan)") {
     val dir = Files.createTempDirectory("part_pq").toString + "/out"
     events.write.partitionBy("event_type").parquet(dir)

@@ -95,6 +95,50 @@ class TweetParitySpec extends SparkSpec {
     // rows with null/empty user_mentions and the null-user row are gone
   }
 
+  // The reference's only captured correctness artifact is the W1 top-5
+  // list with tied scores broken id-DESC (kdan9405_Assignment2_Notebook:
+  // 220-230). This fixture reproduces that golden *shape*: users 2-4
+  // carry documents identical to the query user (sim 1.0 three-way tie)
+  // and users 5-6 carry a second identical pair (equal partial overlap),
+  // so the full ordered 5-list pins both tie groups id-DESC.
+  private val goldenTieJson =
+    """[
+      |  {"user_id": 1, "replyto_id": 100, "user_mentions": []},
+      |  {"user_id": 1, "retweet_id": 200, "user_mentions": []},
+      |  {"user_id": 2, "replyto_id": 100, "user_mentions": []},
+      |  {"user_id": 2, "retweet_id": 200, "user_mentions": []},
+      |  {"user_id": 3, "replyto_id": 100, "user_mentions": []},
+      |  {"user_id": 3, "retweet_id": 200, "user_mentions": []},
+      |  {"user_id": 4, "replyto_id": 100, "user_mentions": []},
+      |  {"user_id": 4, "retweet_id": 200, "user_mentions": []},
+      |  {"user_id": 5, "replyto_id": 100, "user_mentions": []},
+      |  {"user_id": 5, "retweet_id": 300, "user_mentions": []},
+      |  {"user_id": 6, "replyto_id": 100, "user_mentions": []},
+      |  {"user_id": 6, "retweet_id": 300, "user_mentions": []},
+      |  {"user_id": 7, "replyto_id": 400, "user_mentions": []}
+      |]""".stripMargin
+
+  test("golden-tie fixture: literal W1 top-5, ties id-DESC, both spaces") {
+    val dir = Files.createTempDirectory("tweets-golden")
+    Files.writeString(dir.resolve("tweets.json"), goldenTieJson)
+    val tweets = spark.read.option("multiline", "true")
+      .schema(tweetSchema).json(dir.toString)
+    val feats = UserSimilarity.featurize(
+      UserSimilarity.tweetDocs(tweets),
+      UserSimilarity.Params(parityTokens = true))
+    for (space <- Seq("tfidf_norm", "cv_norm")) {
+      val top = UserSimilarity.topKSimilar(feats, col("user_id") === 1L, space, k = 5)
+        .orderBy($"rn").select($"other_user", $"sim_r").as[(Long, Double)]
+        .collect().toSeq
+      // the golden shape: {2,3,4} tie at 1.0 ordered 4,3,2; {5,6} tie at
+      // a strictly smaller sim ordered 6,5
+      assert(top.map(_._1) == Seq(4L, 3L, 2L, 6L, 5L), s"order in $space: $top")
+      assert(top.take(3).forall(_._2 == 1.0), s"identical-doc ties in $space: $top")
+      assert(top(3)._2 == top(4)._2 && top(3)._2 < 1.0 && top(3)._2 > 0.0,
+        s"partial-overlap tie in $space: $top")
+    }
+  }
+
   test("F3: murmur ids compress >2^31 ids into int range (reference W2 hash)") {
     val inter = MentionRecommender.interactionsFromTweets(readTweets(explicitSchema = true))
     val hashed = MentionRecommender.murmurIds(
