@@ -10,6 +10,10 @@ import duckdb
 sfdir, outdir = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3:])
 
+def selected(name):
+    # match exact names or prefixes ("q60" selects q60_stratified_sample)
+    return not only or any(name == o or name.startswith(o) for o in only)
+
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
@@ -26,7 +30,7 @@ def norm(v):
 
 fails = 0
 for name, sql in sorted(oracle.items()):
-    if only and name not in only: continue
+    if not selected(name): continue
     pq = glob.glob(f"{outdir}/{name}/*.parquet")
     if not pq:
         print(f"FAIL {name}: no spark output"); fails += 1; continue
@@ -51,7 +55,7 @@ for name, sql in sorted(oracle.items()):
 # queries without oracle: rows-only
 for qdir in sorted(glob.glob(f"{outdir}/*/")):
     name = os.path.basename(qdir.rstrip("/"))
-    if name in oracle or (only and name not in only): continue
+    if name in oracle or not selected(name): continue
     pq = glob.glob(f"{qdir}/*.parquet")
     n = con.sql(f"SELECT count(*) FROM '{pq[0]}'").fetchone()[0] if pq else -1
     print(f"rows {name}: {n}")

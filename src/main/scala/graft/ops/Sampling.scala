@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and mixing for training-data pipelines.
+  *
+  * Everything here is hash-gated rather than RNG-gated — the 100 TB
+  * idiom: `keep iff hash(key) % 10000 < rate` is reproducible across
+  * runs, engines and repartitions, needs no seed plumbed through
+  * executors, never shuffles (a pure filter evaluated at the scan), and
+  * composes with pushdown (the gate rides into the parquet scan's
+  * post-scan filter while partition/column pruning still apply).
+  * `df.sample()` by contrast is partition-order-dependent and
+  * unrepeatable under AQE re-planning.
+  *
+  * Rates are in basis points (1/10000) so integer math is exact on both
+  * engines — no float thresholds in the gate.
+  */
+object Sampling {
+
+  /** The hash gate: true iff this key falls in the first `rateBp`/10000
+    * of the hash ring. */
+  def hashGate(key: Column, rateBp: Column): Column =
+    pmod(Portable.p60(key.cast("string")), lit(10000)) < rateBp
+
+  /** Uniform deterministic sample at `rateBp` basis points. */
+  def uniform(df: DataFrame, key: Column, rateBp: Int): DataFrame =
+    df.filter(hashGate(key, lit(rateBp)))
+
+  /** Stratified deterministic sample: per-stratum rates in basis points,
+    * unlisted strata fall back to `defaultBp` (0 = drop). This is the
+    * "data mixing" primitive of LLM corpus assembly: down-weight the
+    * over-represented stratum, keep the rare one at 100%. */
+  def stratified(df: DataFrame, key: Column, stratum: Column,
+      ratesBp: Map[String, Int], defaultBp: Int = 0): DataFrame = {
+    val rate = ratesBp.foldLeft(lit(defaultBp): Column) {
+      case (acc, (k, bp)) => when(stratum === k, lit(bp)).otherwise(acc)
+    }
+    df.filter(hashGate(key, rate))
+  }
+
+  /** Weighted interleave of same-schema sources, tagged by origin: each
+    * source is hash-sampled to its weight, then unioned — no shuffle,
+    * no global sort; downstream repartitioning (if any) does the
+    * physical interleaving. */
+  def mix(sources: Seq[(String, DataFrame, Int)], key: String): DataFrame =
+    sources.map { case (tag, df, rateBp) =>
+      uniform(df, col(key), rateBp).withColumn("source", lit(tag))
+    }.reduce(_.unionByName(_))
+}

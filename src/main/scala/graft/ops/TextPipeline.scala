@@ -26,6 +26,63 @@ object TextPipeline {
     ngram.transform(stop.transform(tok.transform(docs)))
   }
 
+  /** BM25 relevance of every document against a bag of query terms —
+    * the classic retrieval scorer, expressed as one inverted-index pass:
+    * explode to (doc, term), filter to the query terms BEFORE any
+    * aggregation (the filter rides down to the scan side of the
+    * shuffle), then per-(doc, term) tf joined to per-term df. The df and
+    * corpus-stats frames are tiny (|query terms| and 1 row) and
+    * broadcast. No per-doc vector is ever materialized.
+    *
+    * idf = ln(1 + (N - df + .5)/(df + .5)) (the Robertson-Sparck Jones
+    * form with the +1 floor, non-negative for df near N).
+    */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val toks = docs.select(col(idCol).as("id"),
+      graft.ops.Portable.tokens(col(textCol)).as("w"))
+    val lens = toks.select(col("id"), size(col("w")).cast("double").as("dl"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    val tf = toks
+      .select(col("id"), explode(col("w")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), "term").crossJoin(broadcast(stats))
+      .join(lens, "id")
+      .withColumn("idf", log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .groupBy(col("id"))
+      .agg(round(sum(col("idf") * col("tf") * (lit(k1) + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))), 6)
+        .as("bm25"))
+  }
+
+  /** Context-window chunking: split each document's token stream into
+    * fixed-size chunks with overlap (`stride` < `chunkSize` overlaps by
+    * the difference) — the standard pre-tokenization step of LLM corpus
+    * prep. Entirely map-side (array ops + one explode, no shuffle);
+    * emits a portable fingerprint per chunk rather than the chunk text
+    * so downstream dedup/verify work on fixed-width keys.
+    */
+  def chunk(docs: DataFrame, chunkSize: Int = 64, stride: Int = 48,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(stride > 0 && chunkSize >= stride, "need 0 < stride <= chunkSize")
+    docs
+      .select(col(idCol).as("doc_id"), graft.ops.Portable.tokens(col(textCol)).as("w"))
+      .withColumn("n_chunks",
+        (ceil(greatest(lit(0), size(col("w")) - chunkSize) / lit(stride.toDouble)))
+          .cast("int") + 1)
+      .select(col("doc_id"), col("w"),
+        posexplode(expr(s"transform(sequence(0, n_chunks - 1), i -> slice(w, i * $stride + 1, $chunkSize))"))
+          .as(Seq("chunk_id", "toks")))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("toks")).as("n_tokens"),
+        Portable.p60(concat_ws(" ", col("toks"))).as("chunk_fp"))
+  }
+
   /** Deflate compression ratio of the text (compressed/raw bytes) — a
     * standard LLM-data quality signal: highly repetitive or templated
     * documents compress far below prose (ratio << 1) and get filtered

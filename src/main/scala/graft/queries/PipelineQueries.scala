@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Portable, Sampling, TextPipeline}
+
+/** Training-data-pipeline operators beyond the dedup/similarity families:
+  * deterministic corpus sampling, retrieval scoring, and context-window
+  * chunking. All three are the 100 TB formulations — hash-gated filters
+  * instead of RNG samples, inverted-index scoring instead of per-doc
+  * vectors, map-side chunking instead of a shuffle — and all three are
+  * oracle-checked value-by-value in DuckDB.
+  */
+object PipelineQueries {
+  import Tables.{apply => t}
+
+  private val p60 = (e: String) => Portable.p60Sql(e)
+
+  /** Per-stratum sampling rates in basis points: keep every purchase
+    * (rare, high-value), a quarter of signups, 5% of the click/view
+    * firehose, and drop the error stream entirely — one of each regime. */
+  private val Rates = Map("purchase" -> 10000, "signup" -> 2500,
+    "click" -> 500, "view" -> 500)
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ---- deterministic stratified sampling (corpus mixing): the gate is
+    // a pure filter on a portable hash, so the sample is reproducible
+    // across runs/engines/partitionings and evaluates at the scan with
+    // zero shuffle. df.sample() can't promise any of that under AQE.
+    GraftQuery(
+      "q60_stratified_sample",
+      (s, d) => Sampling.stratified(t(s, d, "events"),
+          key = col("event_id"), stratum = col("event_type"),
+          ratesBp = Rates, defaultBp = 0)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .orderBy(col("event_id")),
+      Some(s"""SELECT event_id, event_type, user_id FROM events
+               WHERE ${p60("CAST(event_id AS VARCHAR)")} % 10000 <
+                 CASE event_type WHEN 'purchase' THEN 10000 WHEN 'signup' THEN 2500
+                      WHEN 'click' THEN 500 WHEN 'view' THEN 500 ELSE 0 END
+               ORDER BY event_id""")),
+
+    // ---- BM25 relevance against a fixed query-term bag: one
+    // inverted-index pass, query-term filter applied before any
+    // aggregation, df/corpus stats broadcast. Scores rounded (summation
+    // order varies between engines).
+    GraftQuery(
+      "q61_bm25_score",
+      (s, d) => TextPipeline.bm25(t(s, d, "documents"),
+          queryTerms = Seq("spark", "table", "hash"))
+        .select(col("id").as("doc_id"), col("bm25"))
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+              lens AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+              stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens),
+              tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                     FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+                     WHERE term IN ('spark', 'table', 'hash') GROUP BY 1, 2),
+              df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+              SELECT doc_id,
+                     round(sum(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+              FROM (SELECT t.doc_id, t.tf, ln(1 + (n - df + 0.5) / (df + 0.5)) AS idf, dl, avgdl
+                    FROM tf t JOIN df USING (term) CROSS JOIN stats JOIN lens USING (doc_id))
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- context-window chunking (64-token windows, stride 48): pure
+    // map-side array work — no shuffle anywhere in the plan — emitting a
+    // portable fingerprint per chunk so chunk-level dedup gets
+    // fixed-width keys.
+    GraftQuery(
+      "q62_doc_chunks",
+      (s, d) => TextPipeline.chunk(t(s, d, "documents"), chunkSize = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+               nc AS (SELECT doc_id, w,
+                             CAST(ceil(greatest(0, len(w) - 64) / 48.0) AS INTEGER) + 1 AS n_chunks
+                      FROM toks),
+               ch AS (SELECT doc_id, CAST(unnest(range(0, n_chunks)) AS INTEGER) AS chunk_id, w FROM nc)
+               SELECT doc_id, chunk_id,
+                      len(w[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS n_tokens,
+                      ${p60("array_to_string(w[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')")} AS chunk_fp
+               FROM ch ORDER BY doc_id, chunk_id"""))
+  )
+}

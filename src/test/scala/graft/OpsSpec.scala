@@ -105,4 +105,73 @@ class OpsSpec extends SparkSpec {
       .select($"toks_clean").as[Seq[String]].head()
     assert(out == Seq("quick", "fox", "dog"))
   }
+
+  test("Sampling: hash gate is deterministic, rate-accurate, repartition-stable") {
+    val events = Tables(spark, sf, "events")
+    val n = events.count()
+    val s1 = graft.ops.Sampling.uniform(events, col("event_id"), 1000)
+    val kept = s1.count()
+    // 10% +- 2pp on ~10k keys
+    assert(math.abs(kept.toDouble / n - 0.10) < 0.02, s"$kept of $n")
+    // same rows regardless of physical layout (the df.sample() failure mode)
+    val ids1 = s1.select($"event_id").as[Long].collect().sorted.toSeq
+    val ids2 = graft.ops.Sampling.uniform(events.repartition(7), col("event_id"), 1000)
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+    // nested property: a 5% sample is a strict subset of the 10% sample
+    // (hash gates nest — what makes rate changes incremental at 100 TB)
+    val ids05 = graft.ops.Sampling.uniform(events, col("event_id"), 500)
+      .select($"event_id").as[Long].collect().toSet
+    assert(ids05.subsetOf(ids1.toSet) && ids05.size < ids1.size)
+  }
+
+  test("Sampling: stratified rates apply per stratum; unlisted strata drop") {
+    val events = Tables(spark, sf, "events")
+    val out = graft.ops.Sampling.stratified(events, col("event_id"), col("event_type"),
+      Map("purchase" -> 10000, "click" -> 500), defaultBp = 0)
+    val byType = out.groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    val allPurchases = events.filter($"event_type" === "purchase").count()
+    assert(byType("purchase") == allPurchases) // 100% stratum intact
+    assert(byType.get("view").isEmpty && byType.get("error").isEmpty) // default drops
+    val allClicks = events.filter($"event_type" === "click").count()
+    assert(byType("click") < allClicks / 10) // 5% stratum way down
+  }
+
+  test("Sampling.mix tags origins and respects weights") {
+    val docs = Tables(spark, sf, "documents")
+    val mixed = graft.ops.Sampling.mix(Seq(
+      ("full", docs, 10000), ("half", docs, 5000)), key = "doc_id")
+    val byTag = mixed.groupBy($"source").count().as[(String, Long)].collect().toMap
+    val n = docs.count()
+    assert(byTag("full") == n)
+    assert(math.abs(byTag("half").toDouble / n - 0.5) < 0.1, byTag)
+  }
+
+  test("chunk: windows tile with overlap and cover every token") {
+    val doc = (1 to 150).map(i => s"t$i").mkString(" ") // 150 tokens
+    val chunks = TextPipeline.chunk(Seq((1L, doc)).toDF("doc_id", "text"),
+      chunkSize = 64, stride = 48)
+      .orderBy($"chunk_id")
+      .select($"chunk_id", $"n_tokens").as[(Int, Int)].collect().toSeq
+    // ceil((150-64)/48)+1 = 3 chunks: [1..64], [49..112], [97..150]
+    assert(chunks == Seq((0, 64), (1, 64), (2, 54)), chunks.toString)
+    // short doc -> one chunk of its full length
+    val one = TextPipeline.chunk(Seq((2L, "a b c")).toDF("doc_id", "text"))
+      .select($"chunk_id", $"n_tokens").as[(Int, Int)].collect().toSeq
+    assert(one == Seq((0, 3)))
+  }
+
+  test("bm25: term-bearing docs score, rarer term outranks common one") {
+    val df = Seq(
+      (1L, "rare common common common filler filler"),
+      (2L, "common filler filler filler filler text"),
+      (3L, "filler text only here nothing else")
+    ).toDF("doc_id", "text")
+    val scores = TextPipeline.bm25(df, Seq("rare", "common"))
+      .as[(Long, Double)].collect().toMap
+    assert(!scores.contains(3L)) // no query term -> no row
+    assert(scores(1L) > scores(2L)) // doc 1 has the rare term + more tf
+    assert(scores.values.forall(_ > 0))
+  }
 }
