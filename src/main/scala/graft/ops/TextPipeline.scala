@@ -42,16 +42,21 @@ object TextPipeline {
     import org.apache.spark.sql.functions._
     val toks = docs.select(col(idCol).as("id"),
       graft.ops.Portable.tokens(col(textCol)).as("w"))
-    val lens = toks.select(col("id"), size(col("w")).cast("double").as("dl"))
-    val stats = lens.agg(count(lit(1)).cast("double").as("n"),
-      avg(col("dl")).as("avgdl"))
+    val stats = toks.select(size(col("w")).cast("double").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+    // doc length rides through the explode so no separate lens scan/join
+    // is needed; tf is cached because df is derived from it (without the
+    // cache Spark re-scans the corpus for the df branch). Bounded:
+    // ≤ |docs containing a query term| × |query terms| rows.
     val tf = toks
-      .select(col("id"), explode(col("w")).as("term"))
+      .select(col("id"), size(col("w")).cast("double").as("dl"),
+        explode(col("w")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
-      .groupBy(col("id"), col("term")).agg(count(lit(1)).cast("double").as("tf"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+      .cache()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(df), "term").crossJoin(broadcast(stats))
-      .join(lens, "id")
       .withColumn("idf", log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
       .groupBy(col("id"))
       .agg(round(sum(col("idf") * col("tf") * (lit(k1) + 1.0) /
