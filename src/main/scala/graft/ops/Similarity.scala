@@ -45,6 +45,23 @@ object Similarity {
       .filter(col("cos_sim") >= minCosine)
   }
 
+  /** The scale path for near-dup pair generation: candidates must share
+    * a sign-LSH bucket (per-bucket blocks instead of N² pairs), then
+    * exact-cosine filtered. Feed the result to
+    * [[Dedup.connectedComponents]] for embedding-level dedup groups. */
+  def lshNearDupPairs(prepared: DataFrame, minCosine: Double,
+      planes: Int = 6, dim: Int = 64): DataFrame = {
+    val e = withLshBucket(prepared, planes, dim)
+    val a = e.select(col("id").as("d1"), col("v").as("va"), col("nrm").as("n1"),
+      col("bucket"))
+    val b = e.select(col("id").as("d2"), col("v").as("vb"), col("nrm").as("n2"),
+      col("bucket").as("bucket2"))
+    a.join(b, col("bucket") === col("bucket2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(expr("array_dot(va, vb)") / (col("n1") * col("n2")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
+  }
+
   /** Deterministic sign-LSH bucket id from `planes` pseudo-random
     * integer hyperplanes (LCG weights — engine-portable). */
   def withLshBucket(prepared: DataFrame, planes: Int = 6, dim: Int = 64): DataFrame =

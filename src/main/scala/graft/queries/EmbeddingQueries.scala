@@ -141,6 +141,39 @@ object EmbeddingQueries {
                 (SELECT qid, nid, cos_sim,
                         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rn
                  FROM p)
-              WHERE rn <= 3 ORDER BY qid, rn"""))
+              WHERE rn <= 3 ORDER BY qid, rn""")),
+
+    // ---- embedding-level dedup groups: LSH-candidate near-dup pairs
+    // (the 100 TB pair generator — per-bucket blocks, never N²)
+    // collapsed into groups by distributed min-label propagation. The
+    // oracle rebuilds the identical bucket/pair set and closes it with a
+    // recursive CTE. The composition point of the similarity + dedup
+    // families: q41 audits the pair set, q46 the group collapse, this
+    // one the end-to-end scale formulation.
+    GraftQuery(
+      "q63_embed_dedup_groups",
+      (s, d) => graft.ops.Dedup.connectedComponents(
+          Similarity.lshNearDupPairs(vecs(s, d), minCosine = 0.35)
+            .select(col("d1"), col("d2")))
+        .orderBy(col("id")),
+      Some("""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              n AS (SELECT vec_id, v, nrm FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)),
+              bk AS (SELECT vec_id, v, nrm,
+                       CAST(list_sum([CASE WHEN list_sum([v[dm] * CAST((CAST(1103515245 AS BIGINT) * (p * 64 + dm) + 12345) % 2001 - 1000 AS DOUBLE)
+                                                          FOR dm IN range(1, 65)]) > 0
+                                           THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END
+                                      FOR p IN range(0, 6)]) AS BIGINT) AS bucket
+                     FROM n),
+              pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+                        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+                        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35),
+              edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                        UNION ALL SELECT d2, d1 FROM pairs),
+              reach(node, r) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node)
+              SELECT node AS id, min(r) AS component FROM reach
+              GROUP BY node ORDER BY id"""))
   )
 }
