@@ -121,40 +121,52 @@ object Dedup {
     * what turns pairwise similarity into dedup groups (SURVEY §7.4:
     * "approxSimilarityJoin + connected components").
     *
-    * Min-label propagation: each round every node adopts the smallest
-    * label in its neighborhood; converges in O(graph diameter) rounds —
-    * tiny for dedup clusters (near-dup groups are dense). Each round is
-    * one shuffle join + aggregate, all distributed; the driver loop only
-    * checks the converged flag. (At extreme scale swap in
-    * large-star/small-star — same contract.)
+    * Min-label propagation with pointer jumping: each round every node
+    * adopts the smallest label in its neighborhood, then compresses
+    * through its label's label (label(x) := label(label(x))) — the
+    * pointer-jumping step turns O(diameter) convergence into
+    * O(log diameter), which matters on chain-shaped near-dup graphs
+    * (embedding chains at a loose threshold), not just dense clusters.
+    * Every step is a distributed join/aggregate; the driver loop only
+    * reads the converged flag.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .cache()
+    // localCheckpoint (eager) after every round: an iterative frame's
+    // logical plan otherwise nests all previous rounds — analysis cost
+    // and driver memory grow superlinearly with the iteration count, and
+    // any recompute cascades through the whole chain. Checkpointing
+    // truncates the lineage to the materialized blocks.
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("component", col("id"))
-      .cache()
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val neighborMin = edges
         .join(labels.select(col("id"), col("component")), col("b") === col("id"))
         .groupBy(col("a")).agg(min(col("component")).as("nbr_min"))
-      // one action per round: the next labels carry their previous value,
-      // so the convergence probe is a filter over the (cached) next frame
-      // — no separate improvement join, no second full materialization
-      val next = labels
+      val stepped = labels
         .join(neighborMin, col("id") === col("a"), "left")
         .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-        .cache()
-      val changed = next.filter(col("component") < col("prev")).limit(1).count()
-      if (changed == 0) { converged = true; next.unpersist() }
-      else { labels.unpersist(); labels = next }
+        .localCheckpoint() // consumed twice by the jump join below
+      // pointer jump: follow the new label one hop (label(label(x))) —
+      // labels only ever shrink, so the composed label is still a
+      // reachable node and chains halve every round, turning O(diameter)
+      // convergence into O(log diameter) on chain-shaped graphs
+      val next = stepped
+        .join(stepped.select(col("id").as("jid"), col("component").as("jcomp")),
+          col("component") === col("jid"), "left")
+        .select(col("id"), col("prev"),
+          least(col("component"), coalesce(col("jcomp"), col("component"))).as("component"))
+        .localCheckpoint()
+      val changed = next.filter(col("component") < col("prev")).count()
+      if (changed == 0) converged = true else labels = next
       iter += 1
     }
-    // labels is cached + materialized; the edge list is dead weight now
     edges.unpersist()
     labels.select(col("id"), col("component"))
   }
