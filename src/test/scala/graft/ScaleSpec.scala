@@ -52,6 +52,28 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("sampling and chunking plans are shuffle-free (scan-side work only)") {
+    // the 100 TB claims these ops make are plan properties — pin them:
+    // a hash-gated sample is a pure filter, chunking is pure map-side
+    // array work; neither may introduce an exchange
+    val events = Tables(spark, sf, "events")
+    val samplePlan = graft.ops.Sampling
+      .uniform(events, col("event_id"), 1000)
+      .queryExecution.executedPlan.toString
+    assert(!samplePlan.contains("Exchange"), samplePlan.take(500))
+    val docs = Tables(spark, sf, "documents")
+    val chunkPlan = graft.ops.TextPipeline.chunk(docs)
+      .queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"), chunkPlan.take(500))
+    // and the sample's gate evaluates against a pruned scan (only the
+    // columns the query needs are read)
+    val pruned = graft.ops.Sampling.uniform(
+      events.select(col("event_id"), col("event_type")), col("event_id"), 1000)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<event_id:bigint,event_type:string>"),
+      scan.take(800))
+  }
+
   test("salted aggregation equals direct aggregation") {
     val ev = Tables(spark, sf, "events")
     val direct = ev.groupBy($"user_id").agg(count(lit(1)).as("n"))
