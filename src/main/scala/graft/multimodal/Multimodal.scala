@@ -93,6 +93,33 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: re-bucket the payload to exactly `targetBytes` bytes,
+    * each output byte the mean of its source bucket — the deterministic
+    * stand-in for an image/audio resample (a real implementation swaps
+    * the bucket mean for the codec's interpolation; the typed-Dataset
+    * plumbing and the `n_bytes` metadata update stay). Payloads shorter
+    * than the target upsample by bucket repetition; empty stays empty. */
+  def resize(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(targetBytes > 0, "targetBytes must be positive")
+    media.map { r =>
+      val n = r.content.length
+      if (n == 0) r
+      else {
+        val out = Array.tabulate(targetBytes) { j =>
+          val lo = (j.toLong * n / targetBytes).toInt
+          val hi = math.max(lo + 1, ((j + 1).toLong * n / targetBytes).toInt)
+          val end = math.min(hi, n)
+          var s = 0L
+          var i = lo
+          while (i < end) { s += r.content(i) & 0xff; i += 1 }
+          (s / (end - lo)).toByte
+        }
+        r.copy(content = out, n_bytes = targetBytes.toLong)
+      }
+    }
+  }
+
   /** Frame/sample subsampling stub: keep every `everyN`-th byte of the
     * payload (stands in for video frame sampling / audio resampling). */
   def subsample(media: Dataset[MediaRow], everyN: Int): Dataset[MediaRow] = {

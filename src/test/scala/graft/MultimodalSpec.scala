@@ -38,4 +38,21 @@ class MultimodalSpec extends SparkSpec {
       assert(r.content.toSeq == expected.toSeq && r.n_bytes == expected.length)
     }
   }
+
+  test("resize re-buckets payloads to the exact target size, deterministically") {
+    val resized = Multimodal.resize(media, targetBytes = 32).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      assert(r.content.length == 32 && r.n_bytes == 32L, r.media_id.toString)
+    }
+    // down- then re-resize is deterministic (same values both runs)
+    val again = Multimodal.resize(media, targetBytes = 32).collect()
+    assert(resized.map(_.content.toSeq).toSeq == again.map(_.content.toSeq).toSeq)
+    // constant payloads resize to the same constant (bucket means)
+    import spark.implicits._
+    val const = Seq(Multimodal.MediaRow(1L, "image",
+      Array.fill[Byte](100)(7), "application/x-fake-png", 100L)).toDS()
+    val c = Multimodal.resize(const, targetBytes = 10).head()
+    assert(c.content.forall(_ == 7.toByte))
+  }
 }

@@ -27,6 +27,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hash-gated sampling is stream/batch-unified (stateless filter)") {
+    import org.apache.spark.sql.functions.col
+    val stream = EventStreams.readEventsStream(spark, sf)
+    val q = graft.ops.Sampling.uniform(stream, col("event_id"), 1000)
+      .select($"event_id")
+      .writeStream.format("memory").queryName("sample_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sample_out").as[Long].collect().toSet
+      val batch = graft.ops.Sampling
+        .uniform(Tables(spark, sf, "events"), col("event_id"), 1000)
+        .select($"event_id").as[Long].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sessionize: sessions end >= start and split on 30-min gaps") {
     val sessions = EventStreams.sessionize(Tables(spark, sf, "events"))
     val rows = sessions
