@@ -21,6 +21,10 @@ object PipelineQueries {
   private val Rates = Map("purchase" -> 10000, "signup" -> 2500,
     "click" -> 500, "view" -> 500)
 
+  // q31's stopword list (the quality-scoring vocabulary)
+  private val stopList = Seq("the", "a", "or", "and", "of", "to", "in", "on",
+    "is", "it").map(w => s"'$w'").mkString(", ")
+
   val all: Seq[GraftQuery] = Seq(
 
     // ---- deterministic stratified sampling (corpus mixing): the gate is
@@ -79,6 +83,62 @@ object PipelineQueries {
                SELECT doc_id, chunk_id,
                       len(w[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS n_tokens,
                       ${p60("array_to_string(w[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')")} AS chunk_fp
-               FROM ch ORDER BY doc_id, chunk_id"""))
+               FROM ch ORDER BY doc_id, chunk_id""")),
+
+    // ---- weighted corpus mixing: two sources (documents split by id
+    // parity standing in for distinct corpora) hash-sampled to their mix
+    // weights and unioned, tagged by origin. Each branch is still a pure
+    // scan-side filter; the union is plan-level only (no shuffle until
+    // the output sort).
+    GraftQuery(
+      "q64_corpus_mix",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Sampling.mix(Seq(
+            ("web", docs.filter(pmod(col("doc_id"), lit(2)) === 0), 8000),
+            ("code", docs.filter(pmod(col("doc_id"), lit(2)) === 1), 3000)),
+          key = "doc_id")
+          .select(col("source"), col("doc_id"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some(s"""SELECT source, doc_id FROM (
+                 SELECT 'web' AS source, doc_id FROM documents
+                 WHERE doc_id % 2 = 0 AND ${p60("CAST(doc_id AS VARCHAR)")} % 10000 < 8000
+                 UNION ALL
+                 SELECT 'code', doc_id FROM documents
+                 WHERE doc_id % 2 = 1 AND ${p60("CAST(doc_id AS VARCHAR)")} % 10000 < 3000)
+               ORDER BY source, doc_id""")),
+
+    // ---- the end-to-end corpus-assembly funnel — quality gate (q31's
+    // rule) → exact dedup (min-id survivor per normalized fingerprint)
+    // → deterministic 50% hash sample — composed into ONE declarative
+    // plan: the filter and the sample gate are scan-side, the dedup is
+    // the single shuffle. This is the shape of an actual LLM data-prep
+    // job; every stage is the library op, not a re-implementation.
+    GraftQuery(
+      "q65_corpus_assembly",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), col("text"), Portable.tokens(col("text")).as("w"))
+        val quality = toks
+          .filter(size(col("w")) >= 10 &&
+            expr(s"size(filter(w, t -> t IN ($stopList)))").cast("double")
+              / size(col("w")) <= 0.5)
+          .select(col("doc_id"), col("text"), size(col("w")).as("n_tokens"))
+        val deduped = graft.ops.Dedup.exact(quality)
+        Sampling.uniform(deduped, col("doc_id"), 5000)
+          .select(col("doc_id"), col("n_tokens"), col("n_copies"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+               q AS (SELECT doc_id, text, len(w) AS n_tokens FROM toks
+                     WHERE len(w) >= 10
+                       AND len(list_filter(w, t -> t IN ($stopList))) * 1.0 / len(w) <= 0.5),
+               fp AS (SELECT doc_id, n_tokens, ${p60(Portable.normTextSql("text"))} AS fp FROM q),
+               keep AS (SELECT fp, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+                        FROM fp GROUP BY fp)
+               SELECT doc_id, n_tokens, n_copies FROM fp JOIN keep USING (fp)
+               WHERE doc_id = keep_id AND ${p60("CAST(doc_id AS VARCHAR)")} % 10000 < 5000
+               ORDER BY doc_id"""))
   )
 }
