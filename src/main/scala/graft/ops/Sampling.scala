@@ -40,6 +40,22 @@ object Sampling {
     df.filter(hashGate(key, rate))
   }
 
+  /** Deterministic per-key cap: keep at most `k` rows per key, chosen by
+    * hash order (so the kept subset is stable across runs and layouts,
+    * and unbiased w.r.t. any natural ordering of the data). The corpus
+    * "max N documents per domain / events per user" primitive. One
+    * window shuffle on the key; `tieBreak` must be unique within a key
+    * for full determinism. A pathologically hot key buffers its
+    * partition in the window — pre-filter such keys with [[stratified]]
+    * (rate them down) before capping if that's a real risk. */
+  def capPerKey(df: DataFrame, key: Column, tieBreak: Column, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(Portable.p60(tieBreak.cast("string")), tieBreak)
+    df.withColumn("rn_cap", row_number().over(w))
+      .filter(col("rn_cap") <= k)
+      .drop("rn_cap")
+  }
+
   /** Weighted interleave of same-schema sources, tagged by origin: each
     * source is hash-sampled to its weight, then unioned — no shuffle,
     * no global sort; downstream repartitioning (if any) does the

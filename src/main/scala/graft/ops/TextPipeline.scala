@@ -88,6 +88,29 @@ object TextPipeline {
         Portable.p60(concat_ws(" ", col("toks"))).as("chunk_fp"))
   }
 
+  /** Boilerplate share per document: tile each doc into non-overlapping
+    * `blockTokens`-token blocks ([[chunk]] with stride = size), count the
+    * blocks whose fingerprint recurs in >= `minDf` distinct documents
+    * (headers, footers, templates — the classic LLM-corpus noise), and
+    * report the per-doc boilerplate ratio. The repeated-fingerprint
+    * frame is small (only recurring blocks) and broadcasts. */
+  def boilerplate(docs: DataFrame, blockTokens: Int = 16, minDf: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val chunks = chunk(docs, chunkSize = blockTokens, stride = blockTokens,
+      idCol = idCol, textCol = textCol)
+    val rep = chunks.groupBy(col("chunk_fp"))
+      .agg(countDistinct(col("doc_id")).as("block_df"))
+      .filter(col("block_df") >= minDf)
+      .select(col("chunk_fp"), lit(1).as("is_rep"))
+    chunks.join(broadcast(rep), Seq("chunk_fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        coalesce(sum(col("is_rep")), lit(0L)).cast("long").as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler").cast("double") / col("n_blocks"), 6))
+  }
+
   /** Deflate compression ratio of the text (compressed/raw bytes) — a
     * standard LLM-data quality signal: highly repetitive or templated
     * documents compress far below prose (ratio << 1) and get filtered

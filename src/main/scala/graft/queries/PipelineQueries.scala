@@ -139,6 +139,48 @@ object PipelineQueries {
                         FROM fp GROUP BY fp)
                SELECT doc_id, n_tokens, n_copies FROM fp JOIN keep USING (fp)
                WHERE doc_id = keep_id AND ${p60("CAST(doc_id AS VARCHAR)")} % 10000 < 5000
-               ORDER BY doc_id"""))
+               ORDER BY doc_id""")),
+
+    // ---- deterministic per-key cap: at most 3 events per user, chosen
+    // by hash order (stable across runs/layouts, unbiased w.r.t. event
+    // time or id order — a time-ordered cap would keep only each user's
+    // earliest events).
+    GraftQuery(
+      "q66_cap_per_user",
+      (s, d) => Sampling.capPerKey(t(s, d, "events"),
+          key = col("user_id"), tieBreak = col("event_id"), k = 3)
+        .select(col("user_id"), col("event_id"))
+        .orderBy(col("user_id"), col("event_id")),
+      Some(s"""SELECT user_id, event_id FROM
+                 (SELECT user_id, event_id,
+                         row_number() OVER (PARTITION BY user_id
+                           ORDER BY ${p60("CAST(event_id AS VARCHAR)")}, event_id) AS rn
+                  FROM events)
+               WHERE rn <= 3 ORDER BY user_id, event_id""")),
+
+    // ---- boilerplate detection: non-overlapping 16-token blocks whose
+    // fingerprint recurs across >= 2 documents (the near-dup corpus has
+    // plenty); per-doc boilerplate ratio is the removal signal.
+    GraftQuery(
+      "q67_boilerplate",
+      (s, d) => TextPipeline.boilerplate(t(s, d, "documents"),
+          blockTokens = 16, minDf = 2)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+               nc AS (SELECT doc_id, w,
+                             CAST(ceil(greatest(0, len(w) - 16) / 16.0) AS INTEGER) + 1 AS n_chunks
+                      FROM toks),
+               ch AS (SELECT doc_id, CAST(unnest(range(0, n_chunks)) AS INTEGER) AS chunk_id, w FROM nc),
+               chunks AS (SELECT doc_id, chunk_id,
+                                 ${p60("array_to_string(w[chunk_id * 16 + 1 : chunk_id * 16 + 16], ' ')")} AS fp
+                          FROM ch),
+               rep AS (SELECT fp, 1 AS is_rep FROM
+                         (SELECT fp, count(DISTINCT doc_id) AS block_df FROM chunks GROUP BY fp)
+                       WHERE block_df >= 2)
+               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+                      CAST(coalesce(sum(is_rep), 0) AS BIGINT) AS n_boiler,
+                      round(coalesce(sum(is_rep), 0) * 1.0 / count(*), 6) AS boiler_ratio
+               FROM chunks LEFT JOIN rep USING (fp)
+               GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -162,6 +162,38 @@ class OpsSpec extends SparkSpec {
     assert(one == Seq((0, 3)))
   }
 
+  test("capPerKey: at most k per key, hash-stable across layouts") {
+    val events = Tables(spark, sf, "events")
+    val capped = graft.ops.Sampling.capPerKey(events, col("user_id"), col("event_id"), k = 3)
+    val sizes = capped.groupBy($"user_id").count().as[(Long, Long)].collect()
+    assert(sizes.forall(_._2 <= 3) && sizes.exists(_._2 == 3))
+    val ids1 = capped.select($"event_id").as[Long].collect().sorted.toSeq
+    val ids2 = graft.ops.Sampling
+      .capPerKey(events.repartition(5), col("user_id"), col("event_id"), k = 3)
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+    // hash order, not natural order: the kept set is NOT just the lowest
+    // event_ids per user
+    val lowest = events.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"user_id").orderBy($"event_id")))
+      .filter($"rn" <= 3).select($"event_id").as[Long].collect().sorted.toSeq
+    assert(ids1 != lowest)
+  }
+
+  test("boilerplate: shared block detected, unique text scores zero") {
+    val header = (1 to 16).map(i => s"hdr$i").mkString(" ")
+    val docs = Seq(
+      (1L, header + " " + (1 to 16).map(i => s"a$i").mkString(" ")),
+      (2L, header + " " + (1 to 16).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 32).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextPipeline.boilerplate(docs, blockTokens = 16, minDf = 2)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_blocks", $"n_boiler").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 0L)), out.toString)
+  }
+
   test("bm25: term-bearing docs score, rarer term outranks common one") {
     val df = Seq(
       (1L, "rare common common common filler filler"),
