@@ -135,6 +135,36 @@ object MLQueries {
                AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
               ORDER BY purchase_id, click_s""")),
 
+    // ---- Session windows on the batch frame (the streaming variant is
+    // specced in StreamingSpec). The oracle is the classic
+    // gaps-and-islands rewrite: a session breaks on a >= 30-min gap,
+    // session end = last event + gap — exactly session_window's
+    // [start, last + gap) semantics.
+    GraftQuery(
+      "q68_sessions",
+      (s, d) => EventStreams.sessionize(t(s, d, "events"))
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH s AS (SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+                   FROM events),
+              g AS (SELECT user_id, ts, value,
+                           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM s)
+              SELECT user_id,
+                     strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                     strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     round(sum(value), 2) AS session_value
+              FROM g GROUP BY user_id, sid
+              ORDER BY user_id NULLS FIRST, session_start""")),
+
     // ---- Multimodal inventory: binary payload column + typed metadata,
     // metadata-only projection (never touches the payload at scan time).
     GraftQuery(
