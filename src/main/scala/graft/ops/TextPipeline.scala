@@ -111,6 +111,36 @@ object TextPipeline {
         round(col("n_boiler").cast("double") / col("n_blocks"), 6))
   }
 
+  /** Unigram language-model quality score — the KenLM-perplexity
+    * stand-in of LLM corpus filtering: train the LM as corpus-wide term
+    * frequencies (one aggregate), score each document by its mean token
+    * negative log-probability (-avg ln(tf_t / T)). High scores = rare-
+    * token-heavy documents (gibberish, OCR noise); low = templated.
+    * The LM join shuffles on the term key (partial-aggregated tf, no
+    * broadcast assumption — at 100 TB the vocabulary doesn't fit). */
+  def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val toks = docs.select(col(idCol).as("id"),
+      explode(graft.ops.Portable.tokens(col(textCol))).as("term"))
+    val lm = toks.groupBy(col("term")).agg(count(lit(1)).cast("double").as("tf"))
+      .crossJoin(broadcast(toks.agg(count(lit(1)).cast("double").as("total"))))
+      .select(col("term"), log(col("tf") / col("total")).as("logp"))
+    toks.join(lm, "term")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(-avg(col("logp")), 6).as("avg_neg_logprob"))
+  }
+
+  /** Pattern redaction (PII scrubbing): the replaced text plus the
+    * number of hits, as a pair of columns. Patterns must stay within the
+    * regex dialect common to Java and RE2 for oracle parity. */
+  def redact(text: Column, pattern: String, replacement: String): (Column, Column) = {
+    import org.apache.spark.sql.functions._
+    (regexp_replace(text, pattern, replacement),
+      size(regexp_extract_all(text, lit(pattern), lit(0))))
+  }
+
   /** Deflate compression ratio of the text (compressed/raw bytes) — a
     * standard LLM-data quality signal: highly repetitive or templated
     * documents compress far below prose (ratio << 1) and get filtered

@@ -181,6 +181,42 @@ object PipelineQueries {
                       CAST(coalesce(sum(is_rep), 0) AS BIGINT) AS n_boiler,
                       round(coalesce(sum(is_rep), 0) * 1.0 / count(*), 6) AS boiler_ratio
                FROM chunks LEFT JOIN rep USING (fp)
-               GROUP BY doc_id ORDER BY doc_id"""))
+               GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- unigram-LM quality score (the KenLM-perplexity stand-in):
+    // corpus term frequencies as the LM, documents scored by mean token
+    // negative log-probability.
+    GraftQuery(
+      "q69_lm_quality",
+      (s, d) => TextPipeline.unigramLogProb(t(s, d, "documents"))
+        .select(col("id").as("doc_id"), col("n_tokens"), col("avg_neg_logprob"))
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+              lm AS (SELECT term, ln(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM toks)) AS logp
+                     FROM toks GROUP BY term)
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     round(-avg(logp), 6) AS avg_neg_logprob
+              FROM toks JOIN lm USING (term)
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- PII scrubbing over log-shaped lines: redact the user id,
+    // count redactions (null users redact nothing — the negative case
+    // rides along). Patterns stay in the Java∩RE2 regex dialect.
+    GraftQuery(
+      "q70_pii_scrub",
+      (s, d) => {
+        val line = concat(lit("type="), col("event_type"), lit(" user="),
+          coalesce(col("user_id").cast("string"), lit("-")))
+        val (scrubbed, hits) = TextPipeline.redact(line, "user=[0-9]+", "user=[PII]")
+        t(s, d, "events")
+          .select(col("event_id"), scrubbed.as("scrubbed"), hits.as("n_redactions"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+                     regexp_replace('type=' || event_type || ' user=' || coalesce(CAST(user_id AS VARCHAR), '-'),
+                                    'user=[0-9]+', 'user=[PII]', 'g') AS scrubbed,
+                     len(regexp_extract_all('type=' || event_type || ' user=' || coalesce(CAST(user_id AS VARCHAR), '-'),
+                                            'user=[0-9]+')) AS n_redactions
+              FROM events ORDER BY event_id"""))
   )
 }

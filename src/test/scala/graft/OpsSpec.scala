@@ -194,6 +194,31 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 0L)), out.toString)
   }
 
+  test("unigramLogProb: rare-token docs score above common-token docs") {
+    val df = Seq(
+      (1L, "common common common common"),
+      (2L, "common common rare1 rare2")
+    ).toDF("doc_id", "text")
+    val out = TextPipeline.unigramLogProb(df)
+      .select($"id", $"avg_neg_logprob").as[(Long, Double)].collect().toMap
+    assert(out(2L) > out(1L), out.toString) // rare tokens cost more bits
+    // doc 1 is all-modal tokens: -ln(6/8) each
+    assert(math.abs(out(1L) - (-math.log(6.0 / 8.0))) < 1e-6)
+  }
+
+  test("redact: scrubs every hit, counts them, leaves clean text alone") {
+    val df = Seq(
+      (1L, "user=123 did x then user=456 did y"),
+      (2L, "nothing to see")
+    ).toDF("id", "line")
+    val (scrubbed, hits) = TextPipeline.redact($"line", "user=[0-9]+", "user=[PII]")
+    val out = df.select($"id", scrubbed.as("s"), hits.as("n"))
+      .as[(Long, String, Int)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L) == (("user=[PII] did x then user=[PII] did y", 2)))
+    assert(out(2L) == (("nothing to see", 0)))
+  }
+
   test("bm25: term-bearing docs score, rarer term outranks common one") {
     val df = Seq(
       (1L, "rare common common common filler filler"),
