@@ -217,6 +217,47 @@ object PipelineQueries {
                                     'user=[0-9]+', 'user=[PII]', 'g') AS scrubbed,
                      len(regexp_extract_all('type=' || event_type || ' user=' || coalesce(CAST(user_id AS VARCHAR), '-'),
                                             'user=[0-9]+')) AS n_redactions
-              FROM events ORDER BY event_id"""))
+              FROM events ORDER BY event_id""")),
+
+    // ---- column profiling (the data-quality dashboard aggregate):
+    // totals, null counts, min/max/mean/stddev per numeric column in ONE
+    // scan — stack melts the columns so the profile is a single
+    // partial-aggregating groupBy on a 3-value key, not one scan per
+    // column. stddev is the sample form in both engines.
+    GraftQuery(
+      "q71_profile",
+      (s, d) => t(s, d, "lineitem")
+        .selectExpr("stack(3, 'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice, 'l_discount', l_discount) as (col_name, v)")
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("v")).as("n_nonnull"),
+          round(min(col("v")), 6).as("vmin"),
+          round(max(col("v")), 6).as("vmax"),
+          round(avg(col("v")), 6).as("vavg"),
+          round(stddev(col("v")), 6).as("vstd"))
+        .orderBy(col("col_name")),
+      Some("""SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(v) AS BIGINT) AS n_nonnull,
+                     round(min(v), 6) AS vmin, round(max(v), 6) AS vmax,
+                     round(avg(v), 6) AS vavg, round(stddev(v), 6) AS vstd
+              FROM (SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+                    UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+                    UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+              GROUP BY col_name ORDER BY col_name""")),
+
+    // ---- fixed-width histogram over event values (50-unit buckets):
+    // one partial-aggregating groupBy on the bucket key.
+    GraftQuery(
+      "q72_histogram",
+      (s, d) => t(s, d, "events")
+        .groupBy(floor(col("value") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 2).as("lo"),
+          round(max(col("value")), 2).as("hi"))
+        .orderBy(col("bucket")),
+      Some("""SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n,
+                     round(min(value), 2) AS lo, round(max(value), 2) AS hi
+              FROM events GROUP BY 1 ORDER BY bucket NULLS FIRST"""))
   )
 }
