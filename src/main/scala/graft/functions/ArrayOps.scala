@@ -56,6 +56,67 @@ case class ArrayDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Sign-LSH bucket id from LCG pseudo-random hyperplanes — the codegen
+  * twin of the HOF formulation in `Similarity.withLshBucket` (and of the
+  * DuckDB oracle): bit p of the bucket is set iff
+  * Σ_dm v[dm-1] · (((1103515245·(p·dim+dm) + 12345) mod 2001) − 1000) > 0,
+  * summed strictly left-to-right so results are bit-identical across the
+  * three formulations. As nested `aggregate` lambdas this evaluates
+  * planes×dim interpreted closures per row; here it is two primitive
+  * loops inside whole-stage codegen.
+  */
+case class SignLsh(child: Expression, planes: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "sign_lsh"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var dm = 1
+      while (dm <= n) {
+        val w = (1103515245L * (p.toLong * dim + dm) + 12345L) % 2001L - 1000L
+        s += v.getDouble(dm - 1) * w.toDouble
+        dm += 1
+      }
+      if (s > 0.0) bucket += (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val b = ctx.freshName("bucket")
+      val p = ctx.freshName("p")
+      val dm = ctx.freshName("dm")
+      val s = ctx.freshName("s")
+      val w = ctx.freshName("w")
+      s"""
+         |int $n = java.lang.Math.min($dim, $a.numElements());
+         |long $b = 0L;
+         |for (int $p = 0; $p < $planes; $p++) {
+         |  double $s = 0.0;
+         |  for (int $dm = 1; $dm <= $n; $dm++) {
+         |    long $w = (1103515245L * ((long) $p * $dim + $dm) + 12345L) % 2001L - 1000L;
+         |    $s += $a.getDouble($dm - 1) * (double) $w;
+         |  }
+         |  if ($s > 0.0) $b += (1L << $p);
+         |}
+         |${ev.value} = $b;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object GraftFunctions {
   /** Idempotently register graft's SQL functions on a session, so query
     * builders can use them via expr("array_dot(a, b)") / expr("p60(s)"). */
@@ -68,5 +129,9 @@ object GraftFunctions {
       "p60_rolling8_min", exprs => RollingMin60(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash32", exprs => SimHash32(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sign_lsh", exprs => SignLsh(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+      "scala_udf")
   }
 }

@@ -63,14 +63,14 @@ object Similarity {
   }
 
   /** Deterministic sign-LSH bucket id from `planes` pseudo-random
-    * integer hyperplanes (LCG weights — engine-portable). */
-  def withLshBucket(prepared: DataFrame, planes: Int = 6, dim: Int = 64): DataFrame =
-    prepared.withColumn("bucket", expr(
-      s"""aggregate(transform(sequence(0, ${planes - 1}), p ->
-            CASE WHEN aggregate(sequence(1, $dim), 0D, (a, dm) ->
-              a + element_at(v, dm) * CAST((CAST(1103515245 AS BIGINT) * (p * $dim + dm) + 12345) % 2001 - 1000 AS DOUBLE)) > 0D
-            THEN CAST(pow(2, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
-          CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
+    * integer hyperplanes (LCG weights — engine-portable). Computed by
+    * the codegen [[graft.functions.SignLsh]] expression — bit-identical
+    * to the HOF formulation it replaced and to the DuckDB oracle, minus
+    * the planes×dim interpreted lambda evaluations per row. */
+  def withLshBucket(prepared: DataFrame, planes: Int = 6, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(prepared.sparkSession)
+    prepared.withColumn("bucket", expr(s"sign_lsh(v, $planes, $dim)"))
+  }
 
   /** IVF (inverted-file) ANN: a seeded k-means coarse quantizer assigns
     * every vector to one of `nlist` cells; a query probes its `nprobe`
