@@ -84,7 +84,10 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val withFeat = prepared.withColumn("feat", array_to_vector(col("v")))
-    val model = new KMeans().setK(nlist).setSeed(0L)
+    // a coarse quantizer doesn't need a converged clustering — cells
+    // just need to be stable (seeded) and roughly balanced; standard IVF
+    // builds cap the training sweeps
+    val model = new KMeans().setK(nlist).setSeed(0L).setMaxIter(8)
       .setFeaturesCol("feat").setPredictionCol("cell").fit(withFeat)
     val assigned = model.transform(withFeat).drop("feat").cache()
     // tiny (nlist x dim) centers table, crossable with the query batch
@@ -94,12 +97,17 @@ object Similarity {
       model.clusterCenters.zipWithIndex.toSeq
         .map { case (c, i) => (i, c.toArray) }
         .toDF("center_cell", "center")
+        .withColumn("cn2", expr("array_dot(center, center)"))
     }
+    // squared distance via the codegen dot product (|q|² + |c|² - 2q·c)
+    // instead of a per-row zip_with/aggregate lambda chain; probe choice
+    // only ranks distances, so the algebraic form is free to differ from
+    // the subtractive one
     val probes = assigned.filter(queryFilter)
       .select(col("id").as("qid"), col("v").as("va"), col("nrm").as("qn"))
       .crossJoin(broadcast(centers))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(va, center, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"))
+      .withColumn("dist",
+        col("qn") * col("qn") + col("cn2") - lit(2.0) * expr("array_dot(va, center)"))
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("dist"), col("center_cell"))))
       .filter(col("pr") <= nprobe)
