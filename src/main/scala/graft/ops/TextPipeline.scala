@@ -93,7 +93,10 @@ object TextPipeline {
     * blocks whose fingerprint recurs in >= `minDf` distinct documents
     * (headers, footers, templates — the classic LLM-corpus noise), and
     * report the per-doc boilerplate ratio. The repeated-fingerprint
-    * frame is small (only recurring blocks) and broadcasts. */
+    * frame is small (only recurring blocks) and broadcasts. The chunk
+    * stream is computed twice (df pass + scoring pass) — it's pure
+    * map-side work off the scan, cheaper than persisting a corpus-sized
+    * intermediate. */
   def boilerplate(docs: DataFrame, blockTokens: Int = 16, minDf: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -117,7 +120,10 @@ object TextPipeline {
     * negative log-probability (-avg ln(tf_t / T)). High scores = rare-
     * token-heavy documents (gibberish, OCR noise); low = templated.
     * The LM join shuffles on the term key (partial-aggregated tf, no
-    * broadcast assumption — at 100 TB the vocabulary doesn't fit). */
+    * broadcast assumption — at 100 TB the vocabulary doesn't fit). The
+    * token stream is scanned once for the LM and once for scoring; a
+    * production pipeline materializes the LM frame and amortizes it
+    * across every scoring run, which is the `lm` sub-frame here. */
   def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.functions._
