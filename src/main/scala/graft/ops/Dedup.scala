@@ -81,12 +81,18 @@ object Dedup {
       .groupBy(col("id")).agg(mh(col("hx")).as("sig"))
   }
 
-  /** LSH candidate pairs from banded signatures (id1 < id2). */
+  /** LSH candidate pairs from banded signatures (id1 < id2). Banding is
+    * map-side (slice over the signature array, one row per band) — the
+    * posexplode + groupBy formulation pays a shuffle to reassemble what
+    * the array already holds in order. */
   def lshCandidates(sigs: DataFrame, bandRows: Int = 4): DataFrame = {
     val banded = sigs
-      .select(col("id"), posexplode(col("sig")).as(Seq("i", "m")))
-      .groupBy(col("id"), (col("i") / bandRows).cast("int").as("b"))
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(i, m))), x -> CAST(x.m AS STRING)), ':')").as("v"))
+      .select(col("id"), explode(expr(
+        s"""transform(sequence(0, size(sig) DIV $bandRows - 1), b ->
+              struct(b AS b, array_join(transform(slice(sig, b * $bandRows + 1, $bandRows),
+                                                  x -> CAST(x AS STRING)), ':') AS v))"""))
+        .as("bv"))
+      .select(col("id"), col("bv.b").as("b"), col("bv.v").as("v"))
     banded.select(col("id").as("d1"), col("b"), col("v"))
       .join(banded.select(col("id").as("d2"), col("b").as("b2"), col("v").as("v2")),
         col("b") === col("b2") && col("v") === col("v2") && col("d1") < col("d2"))
