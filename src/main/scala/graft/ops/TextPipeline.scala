@@ -75,6 +75,7 @@ object TextPipeline {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.functions._
     require(stride > 0 && chunkSize >= stride, "need 0 < stride <= chunkSize")
+    graft.functions.GraftFunctions.register(docs.sparkSession) // p60
     docs
       .select(col(idCol).as("doc_id"), graft.ops.Portable.tokens(col(textCol)).as("w"))
       .withColumn("n_chunks",

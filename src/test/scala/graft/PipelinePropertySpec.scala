@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.{Sampling, TextPipeline}
+import graft.queries.Tables
+
+/** Property tests for the corpus-assembly operators: invariants over
+  * generated inputs, evaluated in single batched Spark jobs (one frame
+  * of generated docs, not one job per sample). */
+class PipelinePropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("chunk: every token is covered, counts match the closed form") {
+    val lens = samples(Gen.choose(1, 200), 60).distinct
+    val docs = lens.map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val C = 64
+    val S = 48
+    val chunks = TextPipeline.chunk(docs, chunkSize = C, stride = S)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum($"n_tokens").as("sum_tokens"),
+        max($"n_tokens").as("max_tokens"))
+      .as[(Long, Long, Long, Long)].collect()
+    chunks.foreach { case (n, nChunks, sumTokens, maxTokens) =>
+      val expectChunks = math.ceil(math.max(0, n - C) / S.toDouble).toLong + 1
+      assert(nChunks == expectChunks, s"doc len $n: $nChunks != $expectChunks")
+      assert(maxTokens <= C, s"doc len $n overlong chunk")
+      // full coverage with overlap: (nChunks-1) overlaps of (C-S) tokens,
+      // except the tail chunk which holds whatever remains
+      val tail = n - (nChunks - 1) * S
+      assert(sumTokens == (nChunks - 1) * C + tail,
+        s"doc len $n: sum $sumTokens, chunks $nChunks")
+    }
+    assert(chunks.length == lens.length)
+  }
+
+  test("sampling: rates nest and row counts grow monotonically") {
+    val events = Tables(spark, sf, "events").select($"event_id").cache()
+    try {
+      val rates = samples(Gen.choose(0, 10000), 30).distinct.sorted
+      // one job: tag every event with its hash slot, evaluate all rates
+      val slots = events
+        .select($"event_id",
+          pmod(graft.ops.Portable.p60($"event_id".cast("string")), lit(10000)).as("slot"))
+        .as[(Long, Long)].collect()
+      val total = slots.length
+      var prev = Set.empty[Long]
+      var prevRate = -1
+      rates.foreach { r =>
+        val kept = slots.collect { case (id, s) if s < r => id }.toSet
+        assert(prev.subsetOf(kept), s"rate $prevRate not nested in $r")
+        // rate accuracy within 2.5pp for non-degenerate rates
+        if (r >= 1000 && r <= 9000)
+          assert(math.abs(kept.size.toDouble / total - r / 10000.0) < 0.025,
+            s"rate $r kept ${kept.size}/$total")
+        prev = kept
+        prevRate = r
+      }
+      // and the DataFrame-side gate agrees with the collected slots
+      val viaOp = Sampling.uniform(events, $"event_id", 2500)
+        .as[Long].collect().toSet
+      assert(viaOp == slots.collect { case (id, s) if s < 2500 => id }.toSet)
+    } finally { events.unpersist(); () }
+  }
+
+  test("capPerKey: bound holds for every k, capped set nests in uncapped") {
+    val events = Tables(spark, sf, "events")
+    samples(Gen.choose(1, 5), 5).distinct.foreach { k =>
+      val capped = Sampling.capPerKey(events, $"user_id", $"event_id", k)
+        .groupBy($"user_id").count().as[(Long, Long)].collect()
+      assert(capped.forall(_._2 <= k), s"k=$k violated")
+    }
+  }
+}
