@@ -174,6 +174,57 @@ object EmbeddingQueries {
                 UNION
                 SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node)
               SELECT node AS id, min(r) AS component FROM reach
-              GROUP BY node ORDER BY id"""))
+              GROUP BY node ORDER BY id""")),
+
+    // ---- ANN quality evaluation: per-query recall@3 of the sign-LSH
+    // path against exact ground truth — the measurement an ANN rollout
+    // runs continuously (sampled queries, not the full corpus). Both
+    // paths are deterministic, so recall itself is oracle-checkable.
+    // On this synthetic corpus recall is low (~0.1 at sf0.1): the
+    // embeddings are near-uniform (max cosine ≈ 0.5), the regime where
+    // single-table sign-LSH is weakest — which is precisely what a
+    // recall probe exists to expose (and why the IVF path, q45, is the
+    // second ANN trade).
+    GraftQuery(
+      "q73_ann_recall",
+      (s, d) => {
+        val v = vecs(s, d)
+        val exact = Similarity.cosineTopK(v, col("id") < 50, k = 3)
+          .select(col("qid"), col("nid"))
+        val ann = Similarity.annTopK(v, col("id") < 50, k = 3)
+          .select(col("qid").as("aqid"), col("nid").as("anid"))
+        exact
+          .join(ann, col("qid") === col("aqid") && col("nid") === col("anid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_exact"),
+            count(col("anid")).as("n_hit"),
+            round(count(col("anid")).cast("double") / count(lit(1)), 6).as("recall"))
+          .orderBy(col("qid"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+              ex AS (SELECT qid, nid FROM
+                       (SELECT q.vec_id AS qid, x.vec_id AS nid,
+                               row_number() OVER (PARTITION BY q.vec_id
+                                 ORDER BY round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) DESC, x.vec_id) AS rn
+                        FROM n q JOIN n x ON q.vec_id < 50 AND x.vec_id <> q.vec_id)
+                     WHERE rn <= 3),
+              bk AS (SELECT vec_id, v, nrm,
+                       CAST(list_sum([CASE WHEN list_sum([v[dm] * CAST((CAST(1103515245 AS BIGINT) * (p * 64 + dm) + 12345) % 2001 - 1000 AS DOUBLE)
+                                                          FOR dm IN range(1, 65)]) > 0
+                                           THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END
+                                      FOR p IN range(0, 6)]) AS BIGINT) AS bucket
+                     FROM n),
+              an AS (SELECT qid, nid FROM
+                       (SELECT q.vec_id AS qid, x.vec_id AS nid,
+                               row_number() OVER (PARTITION BY q.vec_id
+                                 ORDER BY round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) DESC, x.vec_id) AS rn
+                        FROM bk q JOIN bk x ON q.bucket = x.bucket AND q.vec_id < 50 AND x.vec_id <> q.vec_id)
+                     WHERE rn <= 3)
+              SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_exact,
+                     CAST(count(an.nid) AS BIGINT) AS n_hit,
+                     round(count(an.nid) * 1.0 / count(*), 6) AS recall
+              FROM ex LEFT JOIN an ON ex.qid = an.qid AND ex.nid = an.nid
+              GROUP BY ex.qid ORDER BY ex.qid"""))
   )
 }
