@@ -4,11 +4,13 @@ import org.apache.spark.sql.functions._
 import graft.ops.{Portable, Sampling, TextPipeline}
 
 /** Training-data-pipeline operators beyond the dedup/similarity families:
-  * deterministic corpus sampling, retrieval scoring, and context-window
-  * chunking. All three are the 100 TB formulations — hash-gated filters
-  * instead of RNG samples, inverted-index scoring instead of per-doc
-  * vectors, map-side chunking instead of a shuffle — and all three are
-  * oracle-checked value-by-value in DuckDB.
+  * deterministic sampling/mixing/capping, retrieval scoring (BM25),
+  * context-window chunking, boilerplate detection, LM quality scoring,
+  * PII redaction, profiling and the composed corpus-assembly funnel.
+  * Each uses the 100 TB formulation — hash-gated filters instead of RNG
+  * samples, inverted-index scoring instead of per-doc vectors, map-side
+  * chunking instead of shuffles, partial-aggregating profiles — and all
+  * are oracle-checked value-by-value in DuckDB.
   */
 object PipelineQueries {
   import Tables.{apply => t}
