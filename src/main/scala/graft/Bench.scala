@@ -38,8 +38,11 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
+          // blank out quote/backslash and ALL control chars (<0x20) so
+          // the artifact line stays valid JSON whatever the message holds
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+            .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)
+            .take(200)
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // per-query cache hygiene: query builds cache intermediates that are

@@ -84,11 +84,12 @@ object Dedup {
   /** LSH candidate pairs from banded signatures (id1 < id2). Banding is
     * map-side (slice over the signature array, one row per band) — the
     * posexplode + groupBy formulation pays a shuffle to reassemble what
-    * the array already holds in order. */
+    * the array already holds in order. Band count is ceil(k/bandRows):
+    * a trailing partial band still generates candidates. */
   def lshCandidates(sigs: DataFrame, bandRows: Int = 4): DataFrame = {
     val banded = sigs
       .select(col("id"), explode(expr(
-        s"""transform(sequence(0, size(sig) DIV $bandRows - 1), b ->
+        s"""transform(sequence(0, (size(sig) + $bandRows - 1) DIV $bandRows - 1), b ->
               struct(b AS b, array_join(transform(slice(sig, b * $bandRows + 1, $bandRows),
                                                   x -> CAST(x AS STRING)), ':') AS v))"""))
         .as("bv"))
@@ -144,7 +145,10 @@ object Dedup {
     // logical plan otherwise nests all previous rounds — analysis cost
     // and driver memory grow superlinearly with the iteration count, and
     // any recompute cascades through the whole chain. Checkpointing
-    // truncates the lineage to the materialized blocks.
+    // truncates the lineage to the materialized blocks. Superseded
+    // checkpoints (one small label frame per round) are reclaimed by the
+    // ContextCleaner once unreferenced; the within-round `stepped` frame
+    // uses an ordinary cache and is dropped explicitly.
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
@@ -158,7 +162,7 @@ object Dedup {
         .join(neighborMin, col("id") === col("a"), "left")
         .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-        .localCheckpoint() // consumed twice by the jump join below
+        .cache() // consumed twice by the jump join below; freed at round end
       // pointer jump: follow the new label one hop (label(label(x))) —
       // labels only ever shrink, so the composed label is still a
       // reachable node and chains halve every round, turning O(diameter)
@@ -170,6 +174,7 @@ object Dedup {
           least(col("component"), coalesce(col("jcomp"), col("component"))).as("component"))
         .localCheckpoint()
       val changed = next.filter(col("component") < col("prev")).count()
+      stepped.unpersist()
       if (changed == 0) converged = true else labels = next
       iter += 1
     }

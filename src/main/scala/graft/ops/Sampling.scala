@@ -25,8 +25,10 @@ object Sampling {
     pmod(Portable.p60(key.cast("string")), lit(10000)) < rateBp
 
   /** Uniform deterministic sample at `rateBp` basis points. */
-  def uniform(df: DataFrame, key: Column, rateBp: Int): DataFrame =
+  def uniform(df: DataFrame, key: Column, rateBp: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession) // p60
     df.filter(hashGate(key, lit(rateBp)))
+  }
 
   /** Stratified deterministic sample: per-stratum rates in basis points,
     * unlisted strata fall back to `defaultBp` (0 = drop). This is the
@@ -34,6 +36,7 @@ object Sampling {
     * over-represented stratum, keep the rare one at 100%. */
   def stratified(df: DataFrame, key: Column, stratum: Column,
       ratesBp: Map[String, Int], defaultBp: Int = 0): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession) // p60
     val rate = ratesBp.foldLeft(lit(defaultBp): Column) {
       case (acc, (k, bp)) => when(stratum === k, lit(bp)).otherwise(acc)
     }
@@ -49,11 +52,16 @@ object Sampling {
     * partition in the window — pre-filter such keys with [[stratified]]
     * (rate them down) before capping if that's a real risk. */
   def capPerKey(df: DataFrame, key: Column, tieBreak: Column, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession) // p60
+    // collision-safe temp column: don't clobber a user column of the
+    // same name
+    val rn = Iterator.from(0).map(i => s"__graft_rn_cap$i")
+      .find(n => !df.columns.contains(n)).get
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(key).orderBy(Portable.p60(tieBreak.cast("string")), tieBreak)
-    df.withColumn("rn_cap", row_number().over(w))
-      .filter(col("rn_cap") <= k)
-      .drop("rn_cap")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= k)
+      .drop(rn)
   }
 
   /** Weighted interleave of same-schema sources, tagged by origin: each

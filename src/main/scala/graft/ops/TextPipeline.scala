@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions.udf
   * (pure projections — no fit pass, no shuffle). */
 object TextPipeline {
 
+  /** The quality-scoring stopword vocabulary — the single definition
+    * behind q31's stop-ratio rule and the corpus-assembly gate (q65),
+    * so the two can't drift apart. */
+  val QualityStopwords: Seq[String] =
+    Seq("the", "a", "or", "and", "of", "to", "in", "on", "is", "it")
+
   /** tokens → filtered tokens → n-grams, as added columns
     * (`toks`, `toks_clean`, `ngrams`). */
   def tokensAndNGrams(docs: DataFrame, textCol: String = "text", n: Int = 3,

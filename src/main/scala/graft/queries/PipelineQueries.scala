@@ -23,9 +23,9 @@ object PipelineQueries {
   private val Rates = Map("purchase" -> 10000, "signup" -> 2500,
     "click" -> 500, "view" -> 500)
 
-  // q31's stopword list (the quality-scoring vocabulary)
-  private val stopList = Seq("the", "a", "or", "and", "of", "to", "in", "on",
-    "is", "it").map(w => s"'$w'").mkString(", ")
+  // q31's stopword list (the shared quality-scoring vocabulary)
+  private val stopList =
+    TextPipeline.QualityStopwords.map(w => s"'$w'").mkString(", ")
 
   val all: Seq[GraftQuery] = Seq(
 

@@ -15,7 +15,7 @@ import graft.ops.Portable
 object TextQueries {
   import Tables.{apply => t}
 
-  private val stopwords = Seq("the", "a", "or", "and", "of", "to", "in", "on", "is", "it")
+  private val stopwords = graft.ops.TextPipeline.QualityStopwords
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   // language marker tokens for the n-gram-heuristic language ID
