@@ -53,7 +53,10 @@ object TextPipeline {
     // doc length rides through the explode so no separate lens scan/join
     // is needed; tf is cached because df is derived from it (without the
     // cache Spark re-scans the corpus for the df branch). Bounded:
-    // ≤ |docs containing a query term| × |query terms| rows.
+    // ≤ |docs containing a query term| × |query terms| rows. The cache
+    // lives until the session drops it (the harness clears caches after
+    // every query); long-lived callers scoring many query bags should
+    // spark.catalog.clearCache() between calls.
     val tf = toks
       .select(col("id"), size(col("w")).cast("double").as("dl"),
         explode(col("w")).as("term"))
