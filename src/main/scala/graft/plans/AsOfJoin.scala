@@ -27,7 +27,8 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    toleranceMicros: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -41,6 +42,7 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    toleranceMicros: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -66,6 +68,7 @@ case class AsOfJoinExec(
     val rKeys = rightKeys
     val lTime = leftTime
     val rTime = rightTime
+    val tol = toleranceMicros
     val keyTypes = lKeys.map(_.dataType)
     val timeType = lTime.dataType
     val allOutput = output
@@ -84,6 +87,7 @@ case class AsOfJoinExec(
       val rBuf = rIter.buffered
       var lastMatch: InternalRow = null
       var lastMatchKey: InternalRow = null
+      var lastMatchTime = 0L
 
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
@@ -97,11 +101,15 @@ case class AsOfJoinExec(
           if (cmp < 0) { rBuf.next() }
           else if (cmp == 0 && timeOrd.compare(rTimeProj(rBuf.head), lT) <= 0) {
             lastMatchKey = rKey.copy()
+            lastMatchTime = rTimeProj(rBuf.head).getLong(0)
             lastMatch = rBuf.next().copy()
           } else advancing = false
         }
         val matched = lastMatch != null && lastMatchKey != null &&
-          keyOrd.compare(lastMatchKey, lKey) == 0
+          keyOrd.compare(lastMatchKey, lKey) == 0 &&
+          // tolerance bound: match must not be older than the window
+          // (long-backed time types only: timestamp micros / long)
+          tol.forall(t => lT.getLong(0) - lastMatchTime <= t)
         resultProj(joined(lRow, if (matched) lastMatch else nullRight))
       }
     }
@@ -140,8 +148,8 @@ object PushFilterThroughAsOfJoin
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -153,9 +161,14 @@ object AsOfJoin {
     *
     * Names are resolved here against the analyzed children (the node is
     * injected post-analysis, so the analyzer never visits it). */
+  /** @param toleranceMicros reject matches older than this many
+    *   microseconds before the left time (pandas merge_asof tolerance);
+    *   None = unbounded lookback. Time columns must be long-backed
+    *   (timestamp / long) when a tolerance is set. */
   def asOf(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      toleranceMicros: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -173,7 +186,7 @@ object AsOfJoin {
           s"asOf: column '$name' not in [${plan.output.map(_.name).mkString(", ")}]"))
     val plan = AsOfJoinPlan(lPlan, rPlan,
       Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
-      attr(lPlan, leftTime), attr(rPlan, rightTime))
+      attr(lPlan, leftTime), attr(rPlan, rightTime), toleranceMicros)
     GraftSqlBridge.ofRows(spark, plan)
   }
 }

@@ -236,6 +236,37 @@ object RelationalQueries {
               CAST(props->>'k' AS INTEGER) AS k
               FROM events ORDER BY event_id""")),
 
+    // ---- The as-of join under a lookback tolerance (merge_asof
+    // tolerance semantics): a signup only attributes to purchases within
+    // the following 24 hours. Same O(1)-state merge; the bound is one
+    // comparison at emit time.
+    GraftQuery(
+      "q74_asof_tolerance",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+        graft.plans.AsOfJoin.asOf(purchases, signups,
+            "user_id", "s_user", "ts", "s_ts",
+            toleranceMicros = Some(24L * 3600 * 1000000))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            date_format(col("s_ts"), "yyyy-MM-dd HH:mm:ss").as("last_signup_s"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+              strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+              strftime(last_signup, '%Y-%m-%d %H:%M:%S') AS last_signup_s
+              FROM (SELECT p.event_id, p.user_id, p.ts, max(s.ts) AS last_signup
+                    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+                    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+                      ON s.user_id = p.user_id AND s.ts <= p.ts
+                       AND s.ts >= p.ts - INTERVAL 24 HOUR
+                    GROUP BY 1, 2, 3)
+              ORDER BY event_id""")),
+
     // ---- A3: distinct (COMP5349_2.py:207).
     GraftQuery(
       "q12_distinct",

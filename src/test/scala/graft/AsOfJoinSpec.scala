@@ -37,6 +37,27 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(4L) == None)      // key 30 has no quotes -> nulls
   }
 
+  test("asOf tolerance: stale matches null out, fresh ones survive") {
+    val trades = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // quote 09:30 -> 30 min old: fresh
+      (2L, 10L, ts("2024-01-01 12:00:00")), // quote 11:00 -> 60 min old: at bound
+      (3L, 20L, ts("2024-01-01 18:00:00"))  // quote 09:00 -> 9 h old: stale
+    ).toDF("id", "key", "t")
+    val quotes = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 1.0),
+      (10L, ts("2024-01-01 11:00:00"), 2.0),
+      (20L, ts("2024-01-01 09:00:00"), 4.0)
+    ).toDF("qkey", "qt", "price")
+    val hour = 3600L * 1000000
+    val out = AsOfJoin.asOf(trades, quotes, "key", "qkey", "t", "qt",
+        toleranceMicros = Some(hour))
+      .select($"id", $"price")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) == Some(1.0))
+    assert(out(2L) == Some(2.0)) // exactly at the bound: inclusive
+    assert(out(3L) == None)      // match exists but is stale -> null-extended
+  }
+
   test("PushFilterThroughAsOfJoin pushes left-only predicates below the join") {
     val trades = Seq((1L, 10L, ts("2024-01-01 10:00:00")),
       (2L, 20L, ts("2024-01-01 11:00:00"))).toDF("id", "key", "t")
