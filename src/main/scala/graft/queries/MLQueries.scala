@@ -165,6 +165,27 @@ object MLQueries {
               FROM g GROUP BY user_id, sid
               ORDER BY user_id NULLS FIRST, session_start""")),
 
+    // ---- The custom stateful operator (flatMapGroupsWithState) on its
+    // batch twin: in batch mode every group passes through the state
+    // function once, so the running totals equal the plain aggregate —
+    // which is exactly what makes the stateful path oracle-checkable.
+    GraftQuery(
+      "q75_running_totals",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val events = t(s, d, "events")
+          .selectExpr("event_id", "user_id", "event_type", "value")
+          .as[EventStreams.EventRow]
+        EventStreams.runningTotals(events).toDF()
+          .select(col("user_id"), col("n_events"),
+            round(col("total_value"), 2).as("total_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 2) AS total_value
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // ---- Multimodal inventory: binary payload column + typed metadata,
     // metadata-only projection (never touches the payload at scan time).
     GraftQuery(
