@@ -59,13 +59,19 @@ case class ArrayDot(left: Expression, right: Expression)
 /** Sign-LSH bucket id from LCG pseudo-random hyperplanes — the codegen
   * twin of the HOF formulation in `Similarity.withLshBucket` (and of the
   * DuckDB oracle): bit p of the bucket is set iff
-  * Σ_dm v[dm-1] · (((1103515245·(p·dim+dm) + 12345) mod 2001) − 1000) > 0,
+  * Σ_dm v[dm-1] · (((1103515245·((offset+p)·dim+dm) + 12345) mod 2001) − 1000) > 0,
   * summed strictly left-to-right so results are bit-identical across the
   * three formulations. As nested `aggregate` lambdas this evaluates
   * planes×dim interpreted closures per row; here it is two primitive
   * loops inside whole-stage codegen.
+  *
+  * `offset` shifts the global plane index, giving independent hyperplane
+  * sets for multi-table LSH (table t uses offset = t·planes): candidate
+  * union over L tables is the standard recall lever when a single table's
+  * collision probability is too low. offset=0 reproduces the original
+  * single-table planes exactly.
   */
-case class SignLsh(child: Expression, planes: Int, dim: Int)
+case class SignLsh(child: Expression, planes: Int, dim: Int, offset: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -80,7 +86,7 @@ case class SignLsh(child: Expression, planes: Int, dim: Int)
       var s = 0.0
       var dm = 1
       while (dm <= n) {
-        val w = (1103515245L * (p.toLong * dim + dm) + 12345L) % 2001L - 1000L
+        val w = (1103515245L * ((offset.toLong + p) * dim + dm) + 12345L) % 2001L - 1000L
         s += v.getDouble(dm - 1) * w.toDouble
         dm += 1
       }
@@ -104,7 +110,7 @@ case class SignLsh(child: Expression, planes: Int, dim: Int)
          |for (int $p = 0; $p < $planes; $p++) {
          |  double $s = 0.0;
          |  for (int $dm = 1; $dm <= $n; $dm++) {
-         |    long $w = (1103515245L * ((long) $p * $dim + $dm) + 12345L) % 2001L - 1000L;
+         |    long $w = (1103515245L * (((long) $offset + $p) * $dim + $dm) + 12345L) % 2001L - 1000L;
          |    $s += $a.getDouble($dm - 1) * (double) $w;
          |  }
          |  if ($s > 0.0) $b += (1L << $p);
@@ -118,9 +124,17 @@ case class SignLsh(child: Expression, planes: Int, dim: Int)
 }
 
 object GraftFunctions {
+  // one registration per session: every op entry point calls register()
+  // defensively (specs hand ops raw toDF frames), so gate the actual
+  // registry writes behind a session-keyed set instead of re-writing five
+  // temp functions per op invocation
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
   /** Idempotently register graft's SQL functions on a session, so query
     * builders can use them via expr("array_dot(a, b)") / expr("p60(s)"). */
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = if (registered.add(spark)) {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_dot", exprs => ArrayDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -131,7 +145,8 @@ object GraftFunctions {
       "simhash32", exprs => SimHash32(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sign_lsh", exprs => SignLsh(exprs(0),
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
+        if (exprs.length > 3) exprs(3).eval().asInstanceOf[Int] else 0),
       "scala_udf")
   }
 }

@@ -11,13 +11,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * formulation aggregates to — same integer math, same hash — so the
   * DuckDB oracles are unchanged while the Spark plan loses a generate +
   * two aggregate exchanges per query.
+  *
+  * The static helpers live in [[TextHashOps]] (NOT the case-class
+  * companions): scalac suppresses the static forwarder for a companion
+  * method whose name collides with an inherited class member, and both
+  * expressions inherit `eval(InternalRow)` — a companion `eval` would
+  * compile but leave the generated `graft.functions.X.eval(...)` call
+  * unresolvable at Janino time, silently de-optimizing every enclosing
+  * whole-stage to interpreted eval.
   */
+object TextHashOps {
 
-/** min over i in 1..max(len-7,1) of p60(substring(s, i, 8)) — the
-  * winnowing rolling fingerprint of q33, without materializing the
-  * 8-gram array. */
-object RollingMin60 {
-  def eval(s: UTF8String): Long = {
+  /** min over i in 1..max(len-7,1) of p60(substring(s, i, 8)) — the
+    * winnowing rolling fingerprint of q33, without materializing the
+    * 8-gram array. */
+  def rollingMin60(s: UTF8String): Long = {
     val end = math.max(s.numChars() - 7, 1)
     var m = Long.MaxValue
     var i = 1
@@ -28,25 +36,12 @@ object RollingMin60 {
     }
     m
   }
-}
 
-case class RollingMin60(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = LongType
-  override def prettyName: String = "p60_rolling8_min"
-  override def nullSafeEval(input: Any): Any =
-    RollingMin60.eval(input.asInstanceOf[UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.RollingMin60.eval($c)")
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** 32-bit SimHash over a token array: per token occurrence, bit j of
-  * p60(token) % 2^32 contributes +1/-1 to counter j; fingerprint sets
-  * bit j iff counter j > 0. Identical to q37's explode + two-groupBy
-  * formulation, evaluated in one pass per document. */
-object SimHash32 {
-  def eval(tokens: ArrayData): Long = {
+  /** 32-bit SimHash over a token array: per token occurrence, bit j of
+    * p60(token) % 2^32 contributes +1/-1 to counter j; fingerprint sets
+    * bit j iff counter j > 0. Identical to q37's explode + two-groupBy
+    * formulation, evaluated in one pass per document. */
+  def simHash32(tokens: ArrayData): Long = {
     val v = new Array[Int](32)
     val n = tokens.numElements()
     var t = 0
@@ -69,13 +64,24 @@ object SimHash32 {
   }
 }
 
+case class RollingMin60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "p60_rolling8_min"
+  override def nullSafeEval(input: Any): Any =
+    TextHashOps.rollingMin60(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.rollingMin60($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHash32(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash32"
   override def nullSafeEval(input: Any): Any =
-    SimHash32.eval(input.asInstanceOf[ArrayData])
+    TextHashOps.simHash32(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash32.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.simHash32($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -80,15 +80,23 @@ object Similarity {
     * the corpus. Not oracle-expressible (k-means centers are float
     * iterations); recall and rerank correctness are specced. */
   def ivfTopK(prepared: DataFrame, queryFilter: Column, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, fitSampleBp: Int = 2000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val withFeat = prepared.withColumn("feat", array_to_vector(col("v")))
     // a coarse quantizer doesn't need a converged clustering — cells
     // just need to be stable (seeded) and roughly balanced; standard IVF
-    // builds cap the training sweeps
+    // builds cap the training sweeps AND train on a sample: fitting on
+    // the full corpus would be maxIter full passes over 100 TB before
+    // any search. The deterministic hash gate keeps the fit reproducible
+    // across runs/layouts; assignment still covers every vector. Fall
+    // back to the full frame only when the sampled stratum is too thin
+    // to support nlist cells (tiny test SFs).
+    val sampled = Sampling.uniform(withFeat, col("id"), fitSampleBp)
+    val fitFrame =
+      if (sampled.limit(2 * nlist).count() >= 2L * nlist) sampled else withFeat
     val model = new KMeans().setK(nlist).setSeed(0L).setMaxIter(8)
-      .setFeaturesCol("feat").setPredictionCol("cell").fit(withFeat)
+      .setFeaturesCol("feat").setPredictionCol("cell").fit(fitFrame)
     val assigned = model.transform(withFeat).drop("feat").cache()
     // tiny (nlist x dim) centers table, crossable with the query batch
     val centers = {
@@ -135,6 +143,40 @@ object Similarity {
     q.join(x, col("bucket") === col("bucket2") && col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(expr("array_dot(va, vb)") / (col("qn") * col("nn")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Multi-table approximate top-k: L independent sign-LSH tables (table
+    * t hashes with hyperplanes offset by t·planes), candidates = the
+    * UNION of per-table bucket collisions, then one exact-cosine rerank.
+    * The standard recall lever when one table's collision probability is
+    * too low (near-uniform corpora): miss probability decays as
+    * (1-p)^L instead of (1-p). tables=1 is exactly [[annTopK]]. Work
+    * scales linearly in L at hash time; the rerank sees each candidate
+    * once (pairs colliding in several tables are deduped — on
+    * (qid,nid,cos): cos is a pure function of the pair, so the distinct
+    * is exact and avoids re-joining vectors back after dedup). */
+  def annTopKTables(prepared: DataFrame, queryFilter: Column, k: Int,
+      tables: Int = 4, planes: Int = 6, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(prepared.sparkSession)
+    val tb = explode(array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+        expr(s"sign_lsh(v, $planes, $dim, ${t * planes})").as("bucket"))): _*))
+    val e = prepared.withColumn("tb", tb)
+      .select(col("id"), col("v"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = e.filter(queryFilter)
+      .select(col("id").as("qid"), col("v").as("va"), col("nrm").as("qn"),
+        col("tbl"), col("bucket"))
+    val x = e.select(col("id").as("nid"), col("v").as("vb"), col("nrm").as("nn"),
+      col("tbl").as("tbl2"), col("bucket").as("bucket2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
+    q.join(x, col("tbl") === col("tbl2") && col("bucket") === col("bucket2") &&
+        col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(expr("array_dot(va, vb)") / (col("qn") * col("nn")), 6).as("cos_sim"))
+      .distinct()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }

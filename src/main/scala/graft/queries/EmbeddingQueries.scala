@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.Similarity
+import graft.ops.{Portable, Sampling, Similarity}
 
 /** Similarity search over the `embeddings` table (SURVEY.md §7.4),
   * delegating to [[graft.ops.Similarity]]: brute-force cosine top-k as
@@ -41,14 +41,23 @@ object EmbeddingQueries {
                  FROM p)
               WHERE rn <= 5 ORDER BY qid, rn""")),
 
-    // ---- embedding-cosine near-dup: all pairs i<j above a threshold
-    // (the exactness oracle for the LSH path; at 100 TB run q42 and
-    // reserve this for audits).
+    // ---- embedding-cosine near-dup exactness audit over a
+    // deterministic 20% hash-gated stratum: all pairs i<j above the
+    // threshold WITHIN the stratum. Exact pairwise cosine is inherently
+    // N² — bounding the audit to a fixed stratum is what makes "run the
+    // exactness audit continuously" a scale-shaped statement (4% of the
+    // pair volume here; at 100 TB pick the rate to budget). The
+    // full-corpus audit stays available as Similarity.nearDupPairs on an
+    // unsampled frame (dev use); the production pair generators are q42
+    // / q63's bucketed paths.
     GraftQuery(
       "q41_embed_neardup",
-      (s, d) => Similarity.nearDupPairs(vecs(s, d), minCosine = 0.35)
+      (s, d) => Similarity.nearDupPairs(
+          Sampling.uniform(vecs(s, d), col("id"), rateBp = 2000),
+          minCosine = 0.35)
         .orderBy(col("d1"), col("d2")),
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                          WHERE ${Portable.p60Sql("CAST(vec_id AS VARCHAR)")} % 10000 < 2000),
               n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
               SELECT d1, d2, cos_sim FROM
                 (SELECT a.vec_id AS d1, b.vec_id AS d2,
@@ -176,30 +185,31 @@ object EmbeddingQueries {
               SELECT node AS id, min(r) AS component FROM reach
               GROUP BY node ORDER BY id""")),
 
-    // ---- ANN quality evaluation: per-query recall@3 of the sign-LSH
-    // path against exact ground truth — the measurement an ANN rollout
-    // runs continuously (sampled queries, not the full corpus). Both
-    // paths are deterministic, so recall itself is oracle-checkable.
-    // On this synthetic corpus recall is low (~0.1 at sf0.1): the
-    // embeddings are near-uniform (max cosine ≈ 0.5), the regime where
-    // single-table sign-LSH is weakest — which is precisely what a
-    // recall probe exists to expose (and why the IVF path, q45, is the
-    // second ANN trade).
+    // ---- ANN quality evaluation: recall@3 of the sign-LSH path against
+    // exact ground truth, per table count L ∈ {1,2,4} — the measurement
+    // an ANN rollout runs continuously, extended into the multi-table
+    // tuning curve. Both paths are deterministic, so recall itself is
+    // oracle-checkable. On this synthetic corpus single-table recall is
+    // low (~0.1 at sf0.1: embeddings are near-uniform, max cosine ≈ 0.5,
+    // the regime where one sign-LSH table is weakest); the per-L rows
+    // pin the recall lift the candidate-union buys — the knob a 100 TB
+    // deployment turns (L hash passes, miss rate (1-p)^L).
     GraftQuery(
       "q73_ann_recall",
       (s, d) => {
         val v = vecs(s, d)
         val exact = Similarity.cosineTopK(v, col("id") < 50, k = 3)
           .select(col("qid"), col("nid"))
-        val ann = Similarity.annTopK(v, col("id") < 50, k = 3)
-          .select(col("qid").as("aqid"), col("nid").as("anid"))
-        exact
-          .join(ann, col("qid") === col("aqid") && col("nid") === col("anid"), "left")
-          .groupBy(col("qid"))
-          .agg(count(lit(1)).as("n_exact"),
-            count(col("anid")).as("n_hit"),
-            round(count(col("anid")).cast("double") / count(lit(1)), 6).as("recall"))
-          .orderBy(col("qid"))
+        Seq(1, 2, 4).map { l =>
+          val ann = Similarity.annTopKTables(v, col("id") < 50, k = 3, tables = l)
+            .select(col("qid").as("aqid"), col("nid").as("anid"))
+          exact
+            .join(ann, col("qid") === col("aqid") && col("nid") === col("anid"), "left")
+            .agg(count(lit(1)).as("n_exact"),
+              count(col("anid")).as("n_hit"),
+              round(count(col("anid")).cast("double") / count(lit(1)), 6).as("recall"))
+            .select(lit(l).as("tables"), col("n_exact"), col("n_hit"), col("recall"))
+        }.reduce(_.unionByName(_)).orderBy(col("tables"))
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -209,22 +219,28 @@ object EmbeddingQueries {
                                  ORDER BY round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) DESC, x.vec_id) AS rn
                         FROM n q JOIN n x ON q.vec_id < 50 AND x.vec_id <> q.vec_id)
                      WHERE rn <= 3),
-              bk AS (SELECT vec_id, v, nrm,
-                       CAST(list_sum([CASE WHEN list_sum([v[dm] * CAST((CAST(1103515245 AS BIGINT) * (p * 64 + dm) + 12345) % 2001 - 1000 AS DOUBLE)
+              bk AS (SELECT n.vec_id, n.v, n.nrm, r.t,
+                       CAST(list_sum([CASE WHEN list_sum([v[dm] * CAST((CAST(1103515245 AS BIGINT) * ((r.t * 6 + p) * 64 + dm) + 12345) % 2001 - 1000 AS DOUBLE)
                                                           FOR dm IN range(1, 65)]) > 0
                                            THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END
                                       FOR p IN range(0, 6)]) AS BIGINT) AS bucket
-                     FROM n),
-              an AS (SELECT qid, nid FROM
-                       (SELECT q.vec_id AS qid, x.vec_id AS nid,
-                               row_number() OVER (PARTITION BY q.vec_id
-                                 ORDER BY round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) DESC, x.vec_id) AS rn
-                        FROM bk q JOIN bk x ON q.bucket = x.bucket AND q.vec_id < 50 AND x.vec_id <> q.vec_id)
-                     WHERE rn <= 3)
-              SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_exact,
+                     FROM n, range(0, 4) r(t)),
+              cand AS (SELECT DISTINCT ls.L, q.vec_id AS qid, x.vec_id AS nid,
+                              round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) AS cos_sim
+                       FROM (VALUES (1), (2), (4)) ls(L)
+                       JOIN bk q ON q.t < ls.L AND q.vec_id < 50
+                       JOIN bk x ON x.t = q.t AND x.bucket = q.bucket AND x.vec_id <> q.vec_id),
+              an AS (SELECT L, qid, nid FROM
+                       (SELECT L, qid, nid,
+                               row_number() OVER (PARTITION BY L, qid ORDER BY cos_sim DESC, nid) AS rn
+                        FROM cand)
+                     WHERE rn <= 3),
+              exl AS (SELECT ls.L, ex.qid, ex.nid
+                      FROM (VALUES (1), (2), (4)) ls(L) CROSS JOIN ex)
+              SELECT exl.L AS tables, CAST(count(*) AS BIGINT) AS n_exact,
                      CAST(count(an.nid) AS BIGINT) AS n_hit,
                      round(count(an.nid) * 1.0 / count(*), 6) AS recall
-              FROM ex LEFT JOIN an ON ex.qid = an.qid AND ex.nid = an.nid
-              GROUP BY ex.qid ORDER BY ex.qid"""))
+              FROM exl LEFT JOIN an ON an.L = exl.L AND an.qid = exl.qid AND an.nid = exl.nid
+              GROUP BY exl.L ORDER BY tables"""))
   )
 }
