@@ -30,29 +30,37 @@ object Bench {
     // not first-query session initialization.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // dev knob for variance diagnosis: min-of-n per query. The driver
+    // never sets it (default 1), so the artifact semantics are unchanged;
+    // min (not mean) because the question repeats answer is "what does
+    // this plan cost without GC/AQE-replan noise".
+    val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
+      .map(_.toInt).filter(_ >= 1).getOrElse(1)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => args.isEmpty || args.exists(name.contains) }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          // blank out quote/backslash and ALL control chars (<0x20) so
-          // the artifact line stays valid JSON whatever the message holds
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)
-            .take(200)
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // per-query cache hygiene: query builds cache intermediates that are
-      // load-bearing within the query but dead after it; without this the
-      // 59-query session accumulates storage memory until eviction churn
-      // dominates (observed 8x slowdowns on late-suite queries).
-      spark.catalog.clearCache()
+      val dt = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch {
+          case e: Throwable =>
+            // blank out quote/backslash and ALL control chars (<0x20) so
+            // the artifact line stays valid JSON whatever the message holds
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)
+              .take(200)
+        }
+        // per-query cache hygiene: query builds cache intermediates that
+        // are load-bearing within the query but dead after it; without
+        // this the full-suite session accumulates storage memory until
+        // eviction churn dominates (observed 8x slowdowns late in suite).
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }.min
       name -> dt
     }
-    // keep the artifact line SHORT: the driver captures only the tail of
+    // keep the artifact lines SHORT: the driver captures only the tail of
     // sbt output, and full-precision doubles pushed q01-q16 out of the
     // capture window in rounds 3-4 ("parsed": null). 3 decimals suffice.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -61,7 +69,12 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // two lines, long one FIRST: the driver tails output, so anything cut
+    // is cut from the FRONT — rounds 1-5 put "value" at the head of one
+    // long line and the driver parsed null every round. The short
+    // total-only line last is what must survive the capture window.
+    println(s"""{"metric":"per_query","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

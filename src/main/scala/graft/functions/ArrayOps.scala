@@ -127,10 +127,13 @@ object GraftFunctions {
   // one registration per session: every op entry point calls register()
   // defensively (specs hand ops raw toDF frames), so gate the actual
   // registry writes behind a session-keyed set instead of re-writing five
-  // temp functions per op invocation
+  // temp functions per op invocation. WEAK keys: a strong set would pin
+  // every session ever registered (sessionState and all) for the JVM
+  // lifetime — a leak in long-lived multi-session processes and suites.
   private val registered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Idempotently register graft's SQL functions on a session, so query
     * builders can use them via expr("array_dot(a, b)") / expr("p60(s)"). */

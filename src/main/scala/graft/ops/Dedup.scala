@@ -85,19 +85,38 @@ object Dedup {
     * map-side (slice over the signature array, one row per band) — the
     * posexplode + groupBy formulation pays a shuffle to reassemble what
     * the array already holds in order. Band count is ceil(k/bandRows):
-    * a trailing partial band still generates candidates. */
-  def lshCandidates(sigs: DataFrame, bandRows: Int = 4): DataFrame = {
+    * a trailing partial band still generates candidates.
+    *
+    * `keepSigs = true` carries the full signature array through the band
+    * join and emits (d1, d2, sig1, sig2), so callers can compute
+    * signature agreement map-side on the pair. The trade: each banded
+    * row carries k longs (×bands duplication over the exchange) — but
+    * the alternative is two O(N)-row joins back to the signature frame
+    * after the fact, which at corpus scale is two more shuffles (or a
+    * non-scalable O(N) broadcast) and was observed to flip between
+    * broadcast and full exchange under AQE's under-reported cached-frame
+    * stats (rounds 1-5: 5.7s vs 54.6s bench whiplash on this very plan). */
+  def lshCandidates(sigs: DataFrame, bandRows: Int = 4,
+      keepSigs: Boolean = false): DataFrame = {
+    val sigCols = if (keepSigs) Seq(col("sig")) else Nil
     val banded = sigs
-      .select(col("id"), explode(expr(
+      .select(col("id") +: explode(expr(
         s"""transform(sequence(0, (size(sig) + $bandRows - 1) DIV $bandRows - 1), b ->
               struct(b AS b, array_join(transform(slice(sig, b * $bandRows + 1, $bandRows),
                                                   x -> CAST(x AS STRING)), ':') AS v))"""))
-        .as("bv"))
-      .select(col("id"), col("bv.b").as("b"), col("bv.v").as("v"))
-    banded.select(col("id").as("d1"), col("b"), col("v"))
-      .join(banded.select(col("id").as("d2"), col("b").as("b2"), col("v").as("v2")),
-        col("b") === col("b2") && col("v") === col("v2") && col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
+        .as("bv") +: sigCols: _*)
+      .select(col("id") +: col("bv.b").as("b") +: col("bv.v").as("v") +: sigCols: _*)
+    val left = banded.select(
+      col("id").as("d1") +: col("b") +: col("v") +:
+        (if (keepSigs) Seq(col("sig").as("sig1")) else Nil): _*)
+    val right = banded.select(
+      col("id").as("d2") +: col("b").as("b2") +: col("v").as("v2") +:
+        (if (keepSigs) Seq(col("sig").as("sig2")) else Nil): _*)
+    val joined = left.join(right,
+      col("b") === col("b2") && col("v") === col("v2") && col("d1") < col("d2"))
+    // sig1/sig2 are functions of d1/d2, so the wider distinct stays exact
+    if (keepSigs) joined.select(col("d1"), col("d2"), col("sig1"), col("sig2")).distinct()
+    else joined.select(col("d1"), col("d2")).distinct()
   }
 
   /** SimHash fingerprints per document: (id, simhash) — one-pass codegen

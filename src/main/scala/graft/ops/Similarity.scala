@@ -92,9 +92,12 @@ object Similarity {
     // across runs/layouts; assignment still covers every vector. Fall
     // back to the full frame only when the sampled stratum is too thin
     // to support nlist cells (tiny test SFs).
+    // existence probe, not a count: head(n) short-circuits after n ids
+    // instead of running a distributed count job per invocation
     val sampled = Sampling.uniform(withFeat, col("id"), fitSampleBp)
     val fitFrame =
-      if (sampled.limit(2 * nlist).count() >= 2L * nlist) sampled else withFeat
+      if (sampled.select(col("id")).head(2 * nlist).length >= 2 * nlist) sampled
+      else withFeat
     val model = new KMeans().setK(nlist).setSeed(0L).setMaxIter(8)
       .setFeaturesCol("feat").setPredictionCol("cell").fit(fitFrame)
     val assigned = model.transform(withFeat).drop("feat").cache()
@@ -158,14 +161,29 @@ object Similarity {
     * (qid,nid,cos): cos is a pure function of the pair, so the distinct
     * is exact and avoids re-joining vectors back after dedup). */
   def annTopKTables(prepared: DataFrame, queryFilter: Column, k: Int,
-      tables: Int = 4, planes: Int = 6, dim: Int = 64): DataFrame = {
+      tables: Int = 4, planes: Int = 6, dim: Int = 64): DataFrame =
+    annTopKFromHashed(hashTables(prepared, tables, planes, dim), queryFilter, k)
+
+  /** One row per (vector, table): (id, v, nrm, tbl, bucket), table t
+    * hashed with hyperplanes offset by t·planes. Hash ONCE at the max
+    * table count and filter `tbl < L` downstream to evaluate smaller L —
+    * re-hashing per L (as a naive recall sweep would) costs
+    * 1+2+…+L_max table passes instead of L_max. */
+  def hashTables(prepared: DataFrame, tables: Int,
+      planes: Int = 6, dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(prepared.sparkSession)
     val tb = explode(array((0 until tables).map(t =>
       struct(lit(t).as("tbl"),
         expr(s"sign_lsh(v, $planes, $dim, ${t * planes})").as("bucket"))): _*))
-    val e = prepared.withColumn("tb", tb)
+    prepared.withColumn("tb", tb)
       .select(col("id"), col("v"), col("nrm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Top-k from an already-hashed (id, v, nrm, tbl, bucket) frame (see
+    * [[hashTables]]): per-table bucket collisions, union-deduped, one
+    * exact-cosine rerank. */
+  def annTopKFromHashed(e: DataFrame, queryFilter: Column, k: Int): DataFrame = {
     val q = e.filter(queryFilter)
       .select(col("id").as("qid"), col("v").as("va"), col("nrm").as("qn"),
         col("tbl"), col("bucket"))

@@ -92,14 +92,15 @@ object DedupQueries {
       "q36_minhash_lsh",
       (s, d) => {
         val sh = docShingles(s, d).cache()
-        val sigs = Dedup.minhashSignatures(sh, K).cache()
-        val cand = Dedup.lshCandidates(sigs, BandRows).cache()
-        // signature agreement as a map-side expression over the two sig
-        // arrays: two id-equi-joins bring the arrays onto the pair, then
-        // zip_with compares in place — no posexplode fan-out, no re-agg.
+        val sigs = Dedup.minhashSignatures(sh, K)
+        // keepSigs carries both signature arrays through the band join, so
+        // agreement is a map-side zip_with on the candidate pair itself —
+        // no joins back to the signature frame. The re-join formulation
+        // this replaces was the repo's one bimodal plan (5.7s vs 54.6s
+        // across rounds): AQE sized the *cached* sig frame inconsistently
+        // and flipped those joins between broadcast and full exchange.
+        val cand = Dedup.lshCandidates(sigs, BandRows, keepSigs = true).cache()
         val est = cand
-          .join(sigs.select(col("id").as("d1"), col("sig").as("sig1")), "d1")
-          .join(sigs.select(col("id").as("d2"), col("sig").as("sig2")), "d2")
           .select(col("d1"), col("d2"),
             round(expr("size(filter(zip_with(sig1, sig2, (a, b) -> a = b), x -> x))")
               .cast("double") / K, 4).as("est_jaccard"))
