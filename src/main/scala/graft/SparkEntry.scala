@@ -14,7 +14,8 @@ object SparkEntry {
   /** Every implemented operator from SURVEY.md §2, by name. */
   def registry: Seq[GraftQuery] =
     RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      EmbeddingQueries.all ++ MLQueries.all ++ PipelineQueries.all
+      EmbeddingQueries.all ++ MLQueries.all ++ PipelineQueries.all ++
+      InvariantQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The W1 user-similarity semantics (top-5 TF-IDF cosine neighbors per

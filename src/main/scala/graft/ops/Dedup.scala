@@ -120,18 +120,31 @@ object Dedup {
   }
 
   /** SimHash fingerprints per document: (id, simhash) — one-pass codegen
-    * expression over the token array. */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    * expression over the token array.
+    *
+    * @param bits fingerprint width, 32 or 64. 32 is the oracle-parity
+    *   width (DuckDB-expressible bit votes); 64 is the scale width —
+    *   with byte-banding, expected in-bucket collision rate per band
+    *   drops from N²/2³² to N²/2⁶⁴-ish, the difference between "fine at
+    *   sf0.1" and "fine on a 100 TB corpus". */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      bits: Int = 32): DataFrame = {
+    require(bits == 32 || bits == 64, s"simhash width must be 32 or 64, got $bits")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col(idCol).as("id"), Portable.tokens(col(textCol)).as("w"))
-      .select(col("id"), expr("simhash32(w)").as("simhash"))
+      .select(col("id"), expr(s"simhash$bits(w)").as("simhash"))
   }
 
   /** SimHash near-dup pairs: byte-banded candidates filtered by Hamming
-    * distance (pigeonhole: hamming <= 7 pairs always share a byte). */
-  def simhashPairs(fp: DataFrame, maxHamming: Int): DataFrame = {
-    val banded = fp.withColumn("k", explode(sequence(lit(0), lit(3))))
-      .withColumn("byte", expr("(simhash DIV CAST(pow(2, 8 * k) AS BIGINT)) % 256"))
+    * distance (pigeonhole: hamming <= fpBytes-1 pairs always share a
+    * byte band — both widths keep maxHamming <= 7 complete).
+    *
+    * @param fpBytes fingerprint width in bytes (4 for simhash32, 8 for
+    *   simhash64). Byte extraction is shift-and-mask, not DIV/mod, so a
+    *   64-bit fingerprint's sign bit is just another signal bit. */
+  def simhashPairs(fp: DataFrame, maxHamming: Int, fpBytes: Int = 4): DataFrame = {
+    val banded = fp.withColumn("k", explode(sequence(lit(0), lit(fpBytes - 1))))
+      .withColumn("byte", expr("shiftright(simhash, 8 * k) & 255"))
     banded.select(col("id").as("d1"), col("simhash").as("h1"), col("k"), col("byte"))
       .join(banded.select(col("id").as("d2"), col("simhash").as("h2"),
         col("k").as("k2"), col("byte").as("byte2")),

@@ -83,13 +83,13 @@ object MentionRecommender {
     * drops users with fewer than k recommendations; default keeps them
     * (divergence flag 3, SURVEY §7.5). */
   def recommendHashedIds(inter: DataFrame, k: Int = 5,
-      dropPartial: Boolean = false): DataFrame = {
+      dropPartial: Boolean = false, numBlocks: Int = 0): DataFrame = {
     val hashed = murmurIds(inter)
     val als = new ALS()
       .setRank(10).setSeed(0L).setMaxIter(5).setRegParam(0.1)
       .setImplicitPrefs(true).setAlpha(1.0)
-      .setNumBlocks(4)
       .setUserCol("hash_user_id").setItemCol("hash_item_id").setRatingCol("y")
+    if (numBlocks > 0) als.setNumBlocks(numBlocks)
     val model = als.fit(hashed.select(col("hash_user_id"), col("hash_item_id"),
       col("y").cast("float").as("y")))
     model.setColdStartStrategy("drop")
@@ -122,17 +122,21 @@ object MentionRecommender {
 
   /** Fit ALS and emit top-k recommendations per user, exploded to rows
     * (user_id, rn, item, rating). Deterministic given the seed and a
-    * pinned shuffle-partition count (SURVEY §5.3). */
-  def recommend(events: DataFrame, k: Int = 5): DataFrame = {
+    * pinned shuffle-partition count (SURVEY §5.3).
+    *
+    * `numBlocks <= 0` keeps Spark's own default (10x10 blocks = 100
+    * factor-join tasks per sweep) — the right setting on a real cluster,
+    * where block count should track parallelism, not be pinned to a
+    * local constant. The local bench entry (q53) passes 4: same math,
+    * far fewer stages on a single machine. */
+  def recommend(events: DataFrame, k: Int = 5, numBlocks: Int = 0): DataFrame = {
     val inter = interactions(events)
       .select(col("user_id").cast("int").as("user"), col("item"), col("y").cast("float"))
     val als = new ALS()
       .setRank(10).setSeed(0L).setMaxIter(5).setRegParam(0.1)
       .setImplicitPrefs(true).setAlpha(1.0)
-      // default 10x10 blocks = 100 factor-join tasks per sweep; at local
-      // scale 4 blocks keep the same math with far fewer stages
-      .setNumBlocks(4)
       .setUserCol("user").setItemCol("item").setRatingCol("y")
+    if (numBlocks > 0) als.setNumBlocks(numBlocks)
     val model = als.fit(inter)
     model.setColdStartStrategy("drop")
     val users = inter.select(col("user")).distinct()

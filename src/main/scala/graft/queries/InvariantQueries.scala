@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+import graft.pipelines.MentionRecommender
+
+/** Oracle-checked invariant companions for the ML queries whose raw
+  * outputs are not SQL-expressible (float factors, HLL sketches, k-means
+  * cells). Each runs the SAME operator as its no-oracle sibling and
+  * reduces the output to properties DuckDB can compute independently
+  * from the base tables — turning "rows-only" driver entries into green
+  * hash rows without pretending the float internals are portable.
+  *
+  * These complement (don't replace) the ScalaTest invariants: the specs
+  * check tighter numeric properties; these put a driver-visible gate on
+  * every round.
+  */
+object InvariantQueries {
+  import Tables.{apply => t}
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ---- q53 companion: ALS output invariants. Every interacting user
+    // gets exactly k recommendations (implicit-feedback ALS factors every
+    // observed user/item; coldStart=drop removes nothing in-sample), rank
+    // positions top out at k, and no recommended item falls outside the
+    // observed item set (item factors only exist for observed items).
+    GraftQuery(
+      "q76_als_invariants",
+      (s, d) => {
+        val events = t(s, d, "events")
+        val recs = MentionRecommender.recommend(events, k = 5, numBlocks = 4).cache()
+        val inter = MentionRecommender.interactions(events).cache()
+        val obsUsers = inter.select(col("user_id").cast("int").as("u")).distinct()
+        val obsItems = inter.select(col("item").as("it")).distinct()
+        val coverage = recs.agg(
+          countDistinct(col("user_id")).as("n_users_covered"),
+          max(col("rn")).cast("long").as("max_rn"))
+        val lists = recs.groupBy(col("user_id")).agg(count(lit(1)).as("len"))
+          .agg(min(col("len")).as("min_list_len"))
+        val badItems = recs.join(obsItems, recs("item") === obsItems("it"), "left")
+          .agg(sum(when(col("it").isNull, 1L).otherwise(0L)).as("n_bad_items"))
+        val badUsers = recs.join(obsUsers, recs("user_id") === obsUsers("u"), "left")
+          .agg(sum(when(col("u").isNull, 1L).otherwise(0L)).as("n_bad_users"))
+        coverage.crossJoin(lists).crossJoin(badItems).crossJoin(badUsers)
+      },
+      Some("""SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_covered,
+              CAST(5 AS BIGINT) AS max_rn,
+              CAST(5 AS BIGINT) AS min_list_len,
+              CAST(0 AS BIGINT) AS n_bad_items,
+              CAST(0 AS BIGINT) AS n_bad_users
+              FROM events
+              WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL""")),
+
+    // ---- q24 companion: the HLL estimate stays within bound per group.
+    // 0.02 rsd with a 0.10 acceptance band (5 sigma; same band OpsSpec
+    // pins) — the oracle asserts the bound holds, not the sketch value.
+    GraftQuery(
+      "q77_approx_distinct_bound",
+      (s, d) => t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx"),
+          countDistinct(col("user_id")).as("exact"))
+        .select(col("event_type"),
+          (abs(col("approx") - col("exact")).cast("double") / col("exact") <= 0.10)
+            .as("within_bound"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, true AS within_bound FROM events
+              GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- q45 companion: IVF results are genuine. Per query: exactly k
+    // candidates came back, every reported cosine recomputes bit-equal
+    // from the raw vectors, and none exceeds the exact top-1 cosine (an
+    // approximate method can miss the best neighbor, never beat it).
+    GraftQuery(
+      "q78_ivf_valid",
+      (s, d) => {
+        val v = Similarity.prepare(t(s, d, "embeddings")).cache()
+        val ivf = Similarity.ivfTopK(v, col("id") < 50, k = 3, nlist = 16, nprobe = 4)
+        val top1 = Similarity.cosineTopK(v, col("id") < 50, k = 1)
+          .select(col("qid").as("t_qid"), col("cos_sim").as("best_cos"))
+        val qv = v.select(col("id").as("q_id"), col("v").as("qvec"), col("nrm").as("qn"))
+        val nv = v.select(col("id").as("n_id"), col("v").as("nvec"), col("nrm").as("nn"))
+        ivf
+          .join(qv, col("qid") === col("q_id"))
+          .join(nv, col("nid") === col("n_id"))
+          .join(top1, col("qid") === col("t_qid"))
+          .select(col("qid"), col("cos_sim"), col("best_cos"),
+            round(expr("array_dot(qvec, nvec)") / (col("qn") * col("nn")), 6).as("recomp"))
+          .groupBy(col("qid"))
+          .agg(
+            count(lit(1)).as("n_recs"),
+            sum(when(col("cos_sim") =!= col("recomp"), 1L).otherwise(0L)).as("n_cos_mismatch"),
+            sum(when(col("cos_sim") > col("best_cos"), 1L).otherwise(0L)).as("n_above_best"))
+          .orderBy(col("qid"))
+      },
+      Some("""SELECT vec_id AS qid, CAST(3 AS BIGINT) AS n_recs,
+              CAST(0 AS BIGINT) AS n_cos_mismatch,
+              CAST(0 AS BIGINT) AS n_above_best
+              FROM embeddings WHERE vec_id < 50 ORDER BY qid""")),
+
+    // ---- q50_w1_cv_topk companion: the CountVectorizer cosine space
+    // re-expressed relationally (count-weighted inverted-index join over
+    // the same per-user item multiset, vocab capped at 200 by document
+    // frequency with deterministic ties df DESC, item ASC), with q50's
+    // tie semantics (sim DESC, other id DESC). The cap never binds on
+    // the test corpora (100 distinct items), so PipelineSpec can assert
+    // exact agreement with the ml.feature path — the same cross-check
+    // q51 provides for the TF-IDF space. Null-user pseudo-docs are
+    // excluded up front: topKSimilar's qu <> ou null semantics already
+    // keep them out of every q50 result row.
+    GraftQuery(
+      "q79_w1_cv_relational",
+      (s, d) => {
+        val tf = t(s, d, "events")
+          .select(col("user_id"), Tables.propsItem.as("item"))
+          .filter(col("user_id").isNotNull && col("item").isNotNull)
+          .groupBy(col("user_id"), col("item"))
+          .agg(count(lit(1)).cast("double").as("c"))
+          .cache()
+        val vocab = tf.groupBy(col("item")).agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("item")).limit(200).select(col("item"))
+        val w = tf.join(broadcast(vocab), "item")
+        val norms = w.groupBy(col("user_id")).agg(sqrt(sum(col("c") * col("c"))).as("nrm"))
+        val q = w.filter(col("user_id") < 30)
+          .select(col("user_id").as("query_user"), col("item"), col("c").as("cq"))
+        val o = w.select(col("user_id").as("other_user"), col("item").as("item2"),
+          col("c").as("co"))
+        val sims = q
+          .join(o, col("item") === col("item2") && col("query_user") =!= col("other_user"))
+          .groupBy(col("query_user"), col("other_user"))
+          .agg(sum(col("cq") * col("co")).as("dot"))
+          .join(broadcast(norms.select(col("user_id").as("query_user"), col("nrm").as("nq"))),
+            "query_user")
+          .join(broadcast(norms.select(col("user_id").as("other_user"), col("nrm").as("no"))),
+            "other_user")
+          .select(col("query_user"), col("other_user"),
+            round(col("dot") / (col("nq") * col("no")), 6).as("sim"))
+        val rk = Window.partitionBy(col("query_user"))
+          .orderBy(col("sim").desc, col("other_user").desc)
+        sims.withColumn("rn", row_number().over(rk)).filter(col("rn") <= 5)
+          .orderBy(col("query_user"), col("rn"))
+      },
+      Some("""WITH tf AS (SELECT user_id, CAST(props->>'k' AS INTEGER) AS item,
+                                 CAST(count(*) AS DOUBLE) AS c
+                          FROM events
+                          WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL
+                          GROUP BY 1, 2),
+              vocab AS (SELECT item FROM
+                          (SELECT item, count(*) AS df FROM tf GROUP BY 1
+                           ORDER BY df DESC, item LIMIT 200)),
+              w AS (SELECT user_id, tf.item, c FROM tf JOIN vocab ON tf.item = vocab.item),
+              norms AS (SELECT user_id, sqrt(sum(c * c)) AS nrm FROM w GROUP BY 1),
+              sims AS (SELECT q.user_id AS query_user, o.user_id AS other_user,
+                              round(sum(q.c * o.c) / (max(nq.nrm) * max(no.nrm)), 6) AS sim
+                       FROM w q JOIN w o ON q.item = o.item AND q.user_id <> o.user_id
+                       JOIN norms nq ON nq.user_id = q.user_id
+                       JOIN norms no ON no.user_id = o.user_id
+                       WHERE q.user_id < 30 GROUP BY 1, 2)
+              SELECT query_user, other_user, sim, rn FROM
+                (SELECT query_user, other_user, sim,
+                        row_number() OVER (PARTITION BY query_user
+                                           ORDER BY sim DESC, other_user DESC) AS rn
+                 FROM sims)
+              WHERE rn <= 5 ORDER BY query_user, rn"""))
+  )
+}

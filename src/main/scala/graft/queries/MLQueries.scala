@@ -98,7 +98,9 @@ object MLQueries {
     // aren't oracle-expressible; invariants in ALSSpec.
     GraftQuery(
       "q53_w2_als_top5",
-      (s, d) => MentionRecommender.recommend(t(s, d, "events"), k = 5),
+      // numBlocks=4 is the local[32] bench setting only; the operator
+      // default keeps Spark's own block count for cluster runs
+      (s, d) => MentionRecommender.recommend(t(s, d, "events"), k = 5, numBlocks = 4),
       None),
 
     // ---- Streaming transform run on the batch frame (unified path;

@@ -57,6 +57,49 @@ class OpsSpec extends SparkSpec {
     assert(viaMl == viaSql)
   }
 
+  test("simhash64: deterministic, full-width, banded pairs == brute force") {
+    val docs = Tables(spark, sf, "documents")
+    val fp = graft.ops.Dedup.simhash(docs, bits = 64).cache()
+    val fps = fp.as[(Long, Long)].collect()
+    assert(fps.nonEmpty)
+    // deterministic across evaluations
+    assert(graft.ops.Dedup.simhash(docs, bits = 64).as[(Long, Long)]
+      .collect().toMap == fps.toMap)
+    // the mixed hash really populates the high 32 bits (a zero-padded
+    // 32-bit fingerprint would band trivially and void the fan-out claim)
+    assert(fps.exists { case (_, h) => (h >>> 32) != 0L })
+    // banded candidate generation (8 byte-bands) finds exactly the
+    // brute-force hamming <= 2 pairs — pigeonhole completeness holds at
+    // the wider width
+    val viaBands = graft.ops.Dedup.simhashPairs(fp, maxHamming = 2, fpBytes = 8)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = (for {
+      (i1, h1) <- fps; (i2, h2) <- fps if i1 < i2
+      d = java.lang.Long.bitCount(h1 ^ h2) if d <= 2
+    } yield (i1, i2, d)).toSet
+    assert(viaBands == brute)
+    // 32-bit path through the generalized byte extraction is unchanged
+    // vs the DIV/mod formulation the q38 oracle pins
+    val fp32 = graft.ops.Dedup.simhash(docs).cache()
+    val shifted = graft.ops.Dedup.simhashPairs(fp32, maxHamming = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val divMod = {
+      val banded = fp32.withColumn("k", explode(sequence(lit(0), lit(3))))
+        .withColumn("byte", expr("(simhash DIV CAST(pow(2, 8 * k) AS BIGINT)) % 256"))
+      banded.select(col("id").as("d1"), col("simhash").as("h1"), col("k"), col("byte"))
+        .join(banded.select(col("id").as("d2"), col("simhash").as("h2"),
+          col("k").as("k2"), col("byte").as("byte2")),
+          col("k") === col("k2") && col("byte") === col("byte2") && col("d1") < col("d2"))
+        .select(col("d1"), col("d2"), col("h1"), col("h2")).distinct()
+        .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+        .filter(col("hamming") <= 2)
+        .select(col("d1"), col("d2"), col("hamming"))
+        .as[(Long, Long, Int)].collect().toSet
+    }
+    assert(shifted == divMod)
+  }
+
   test("connectedComponents: chains collapse, separate groups stay apart") {
     // components: {1,2,3,4} (a chain), {10,11}, isolated nodes absent
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")

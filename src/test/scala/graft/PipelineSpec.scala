@@ -92,4 +92,23 @@ class PipelineSpec extends SparkSpec {
       assert(math.abs(ml((q, o)) - s) < 1e-4, s"($q,$o): ml=${ml((q, o))} rel=$s")
     }
   }
+
+  test("W1 CountVectorizer cosine agrees with relational count cosine (q79)") {
+    // the test corpora hold 100 distinct items < vocabSize=200, so the
+    // vocab cap binds in neither path and the two cosines are the same
+    // math: CountVectorizer counts == relational (user, item) counts.
+    val mlRows = SparkEntry.queries("q50_w1_cv_topk")(spark, sf)
+      .select($"query_user", $"other_user", $"rn", $"sim_r")
+      .as[(Long, Long, Int, Double)].collect()
+    val relRows = SparkEntry.queries("q79_w1_cv_relational")(spark, sf)
+      .select($"query_user", $"other_user", $"rn", $"sim")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(relRows.nonEmpty)
+    assert(mlRows.map(r => (r._1, r._2, r._3)).toSet ==
+      relRows.map(r => (r._1, r._2, r._3)).toSet)
+    val ml = mlRows.map { case (q, o, _, s) => ((q, o), s) }.toMap
+    relRows.foreach { case (q, o, _, s) =>
+      assert(math.abs(ml((q, o)) - s) < 1e-4, s"($q,$o): ml=${ml((q, o))} rel=$s")
+    }
+  }
 }
