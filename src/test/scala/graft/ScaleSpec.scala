@@ -74,6 +74,27 @@ class ScaleSpec extends SparkSpec {
       scan.take(800))
   }
 
+  test("lshCandidates keepSigs: one self-join, same pairs, sigs on the pair") {
+    // the q36 stability fix is a plan property — pin it: carrying the
+    // signatures through the band join must not add joins (the broken
+    // formulation joined the signature frame back twice, and AQE's
+    // cached-stats guess flipped those between broadcast and full
+    // exchange run-to-run)
+    val docs = Tables(spark, sf, "documents")
+    val sigs = graft.ops.Dedup.minhashSignatures(
+      graft.ops.Dedup.shingles(docs), k = 16)
+    val withSigs = graft.ops.Dedup.lshCandidates(sigs, bandRows = 4, keepSigs = true)
+    val plan = withSigs.queryExecution.executedPlan.toString
+    val joins = plan.linesIterator.count(_.contains("Join"))
+    assert(joins == 1, s"expected exactly the band self-join, got $joins:\n${plan.take(800)}")
+    assert(withSigs.columns.toSet == Set("d1", "d2", "sig1", "sig2"))
+    // and the carried-sig variant yields exactly the plain variant's pairs
+    val plain = graft.ops.Dedup.lshCandidates(sigs, bandRows = 4)
+      .as[(Long, Long)].collect().toSet
+    val carried = withSigs.select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(carried == plain && plain.nonEmpty)
+  }
+
   test("salted aggregation equals direct aggregation") {
     val ev = Tables(spark, sf, "events")
     val direct = ev.groupBy($"user_id").agg(count(lit(1)).as("n"))
