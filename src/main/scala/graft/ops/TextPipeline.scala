@@ -148,6 +148,102 @@ object TextPipeline {
         round(-avg(col("logp")), 6).as("avg_neg_logprob"))
   }
 
+  /** Cross-document duplicated-span ratio — the exact-substring-dedup
+    * signal of LLM corpus prep (the "how much of this document appears
+    * verbatim elsewhere" measure; documents above a threshold get their
+    * duplicate spans cut or are dropped whole): per document, the
+    * fraction of its n-token window positions whose window also occurs
+    * in at least one OTHER document.
+    *
+    * Scale shape: one per-position window stream off the scan, df over
+    * the DISTINCT (doc, window) pairs (partial-aggregated — a hot window
+    * collapses map-side), and a shuffle join back on the window key. No
+    * broadcast assumption: at corpus scale the repeated-window frame is
+    * itself large; skew on hot windows is AQE's skew-join case. Spans,
+    * not shingle sets: positions count multiplicity, so a doc that is
+    * 90% one repeated template line scores 0.9, not one shingle's worth.
+    */
+  def dupSpanRatio(docs: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val gram = (0 until n).map(j => s"w[i+$j]").mkString(", ")
+    val wins = docs
+      .select(col(idCol).as("doc_id"), Portable.tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $gram))"))
+          .as("s"))
+    val rep = wins.select(col("doc_id"), col("s")).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") >= 2)
+      .select(col("s"), lit(1).as("is_dup"))
+    wins.join(rep, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        coalesce(sum(col("is_dup")), lit(0)).cast("long").as("n_dup_spans"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+  }
+
+  /** Benchmark decontamination — the n-gram-overlap check every serious
+    * training corpus runs against its eval sets: a train document is
+    * contaminated if it shares at least one n-token gram with any
+    * benchmark document. Emits every train doc with its shared-gram
+    * count (distinct grams) and the flag, so the caller can threshold or
+    * hard-drop.
+    *
+    * Scale shape: the benchmark side is small by construction (eval sets
+    * are MBs against a 100 TB corpus), so its distinct gram set is
+    * broadcast and the train side never shuffles — the whole check is
+    * scan + map-side join + per-doc aggregate. */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val gram = (0 until n).map(j => s"w[i+$j]").mkString(", ")
+    def grams(docs: DataFrame): DataFrame = docs
+      .select(col(idCol).as("doc_id"), Portable.tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $gram))"))
+          .as("s"))
+    val benchGrams = grams(benchmark).select(col("s")).distinct()
+      .select(col("s"), lit(1).as("hit"))
+    val shared = grams(train).distinct()
+      .join(broadcast(benchGrams), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(coalesce(sum(col("hit")), lit(0)).cast("long").as("n_shared_grams"))
+    train.select(col(idCol).as("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .withColumn("contaminated", col("n_shared_grams") > 0)
+  }
+
+  /** Intra-document repetition metrics (the Gopher-family repetition
+    * filters): per document, the share of n-gram positions whose gram
+    * recurs within the same document (`dup_ratio`) and the share taken
+    * by the single most frequent gram (`top_ratio`). High values mark
+    * degenerate generation loops, scraped boilerplate and list spam.
+    * Both shuffles key on (doc, gram) then doc — skew is bounded by
+    * document length, never corpus-wide. */
+  def repetition(docs: DataFrame, n: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val gram = (0 until n).map(j => s"w[i+$j]").mkString(", ")
+    docs
+      .select(col(idCol).as("doc_id"), Portable.tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $gram))"))
+          .as("s"))
+      .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_ratio"),
+        round(sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("double") /
+          sum(col("c")), 6).as("dup_ratio"))
+  }
+
   /** Pattern redaction (PII scrubbing): the replaced text plus the
     * number of hits, as a pair of columns. Patterns must stay within the
     * regex dialect common to Java and RE2 for oracle parity. */

@@ -260,6 +260,75 @@ object PipelineQueries {
       Some("""SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
                      CAST(count(*) AS BIGINT) AS n,
                      round(min(value), 2) AS lo, round(max(value), 2) AS hi
-              FROM events GROUP BY 1 ORDER BY bucket NULLS FIRST"""))
+              FROM events GROUP BY 1 ORDER BY bucket NULLS FIRST""")),
+
+    // ---- cross-document duplicated-span ratio (the exact-substring-
+    // dedup signal: per doc, the share of its 8-token window positions
+    // occurring verbatim in another document). Positions, not shingle
+    // sets — multiplicity counts.
+    GraftQuery(
+      "q80_dup_spans",
+      (s, d) => TextPipeline.dupSpanRatio(t(s, d, "documents"), n = 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+              wins AS (SELECT doc_id,
+                              unnest([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]
+                                      FOR i IN range(1, len(w) - 6)]) AS s
+                       FROM toks WHERE len(w) >= 8),
+              rep AS (SELECT s FROM
+                        (SELECT s, count(DISTINCT doc_id) AS gdf FROM wins GROUP BY s)
+                      WHERE gdf >= 2)
+              SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                     CAST(sum(CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+                     round(sum(CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_ratio
+              FROM wins w LEFT JOIN rep r ON w.s = r.s
+              GROUP BY w.doc_id ORDER BY doc_id""")),
+
+    // ---- benchmark decontamination: deterministic pseudo-benchmark
+    // (doc_id % 97 = 0) against the rest of the corpus as train; a train
+    // doc is contaminated if it shares any 3-token gram with any
+    // benchmark doc. The benchmark gram set broadcasts (eval sets are
+    // MBs against a 100 TB corpus); the train side never shuffles for
+    // the check itself.
+    GraftQuery(
+      "q81_decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TextPipeline.decontaminate(
+            docs.filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0), n = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+              wins AS (SELECT doc_id,
+                              unnest([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
+                       FROM toks WHERE len(w) >= 3),
+              bench AS (SELECT DISTINCT s FROM wins WHERE doc_id % 97 = 0),
+              tg AS (SELECT DISTINCT doc_id, s FROM wins WHERE doc_id % 97 <> 0),
+              shared AS (SELECT tg.doc_id, count(b.s) AS n_shared
+                         FROM tg LEFT JOIN bench b ON tg.s = b.s GROUP BY 1)
+              SELECT d.doc_id,
+                     CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared_grams,
+                     coalesce(n_shared, 0) > 0 AS contaminated
+              FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+              LEFT JOIN shared ON d.doc_id = shared.doc_id
+              ORDER BY d.doc_id""")),
+
+    // ---- intra-document repetition (Gopher-family filters): duplicate
+    // bigram share and top-bigram share per doc. Shuffles key on
+    // (doc, gram) then doc — skew bounded by document length.
+    GraftQuery(
+      "q82_repetition",
+      (s, d) => TextPipeline.repetition(t(s, d, "documents"), n = 2)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+              wins AS (SELECT doc_id,
+                              unnest([w[i]||' '||w[i+1] FOR i IN range(1, len(w))]) AS s
+                       FROM toks WHERE len(w) >= 2),
+              cnt AS (SELECT doc_id, s, count(*) AS c FROM wins GROUP BY 1, 2)
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                     round(max(c) * 1.0 / sum(c), 6) AS top_ratio,
+                     round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS dup_ratio
+              FROM cnt GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

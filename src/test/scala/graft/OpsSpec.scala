@@ -249,6 +249,54 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(out(1L) - (-math.log(6.0 / 8.0))) < 1e-6)
   }
 
+  test("dupSpanRatio: cloned docs score 1, unique doc 0, partial in between") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),            // one 8-gram, cloned in doc 2
+      (2L, "a b c d e f g h"),
+      (3L, "p q r s t u v w x"),          // two 8-grams, both unique
+      (4L, "a b c d e f g h unique tail") // 3 spans, first == docs 1/2
+    ).toDF("doc_id", "text")
+    val r = TextPipeline.dupSpanRatio(docs, n = 8)
+      .select($"doc_id", $"n_spans", $"n_dup_spans", $"dup_ratio")
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 1L, 1L, 1.0)))
+    assert(r(2L) == ((2L, 1L, 1L, 1.0)))
+    assert(r(3L) == ((3L, 2L, 0L, 0.0)))
+    assert(r(4L) == ((4L, 3L, 1L, 0.333333)))
+    // short docs (< n tokens) emit no row rather than a 0/0 ratio
+    assert(!TextPipeline.dupSpanRatio(Seq((9L, "too short")).toDF("doc_id", "text"), n = 8)
+      .collect().exists(_ => true))
+  }
+
+  test("decontaminate: overlap with the benchmark flags, clean docs pass") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),   // shares "alpha beta gamma" + "beta gamma delta"
+      (2L, "omega psi chi"),            // clean
+      (3L, "x y")                       // too short for a 3-gram: clean by construction
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val r = TextPipeline.decontaminate(train, bench, n = 3)
+      .select($"doc_id", $"n_shared_grams", $"contaminated")
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 2L, true)))
+    assert(r(2L) == ((2L, 0L, false)))
+    assert(r(3L) == ((3L, 0L, false)))  // every train doc gets a row
+  }
+
+  test("repetition: degenerate loop scores 1, distinct text scores 0") {
+    val docs = Seq(
+      (1L, "a a a a"),          // bigrams: "a a" x3 -> top 1.0, dup 1.0
+      (2L, "a b c d"),          // all distinct -> top 1/3, dup 0
+      (3L, "x y x y x")         // "x y" x2, "y x" x2 -> top 0.5, dup 1.0
+    ).toDF("doc_id", "text")
+    val r = TextPipeline.repetition(docs, n = 2)
+      .select($"doc_id", $"n_grams", $"top_ratio", $"dup_ratio")
+      .as[(Long, Long, Double, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 3L, 1.0, 1.0)))
+    assert(r(2L) == ((2L, 3L, 0.333333, 0.0)))
+    assert(r(3L) == ((3L, 4L, 0.5, 1.0)))
+  }
+
   test("redact: scrubs every hit, counts them, leaves clean text alone") {
     val df = Seq(
       (1L, "user=123 did x then user=456 did y"),
