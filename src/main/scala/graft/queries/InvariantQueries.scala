@@ -34,16 +34,20 @@ object InvariantQueries {
         val inter = MentionRecommender.interactions(events).cache()
         val obsUsers = inter.select(col("user_id").cast("int").as("u")).distinct()
         val obsItems = inter.select(col("item").as("it")).distinct()
-        val coverage = recs.agg(
-          countDistinct(col("user_id")).as("n_users_covered"),
-          max(col("rn")).cast("long").as("max_rn"))
-        val lists = recs.groupBy(col("user_id")).agg(count(lit(1)).as("len"))
-          .agg(min(col("len")).as("min_list_len"))
-        val badItems = recs.join(obsItems, recs("item") === obsItems("it"), "left")
-          .agg(sum(when(col("it").isNull, 1L).otherwise(0L)).as("n_bad_items"))
-        val badUsers = recs.join(obsUsers, recs("user_id") === obsUsers("u"), "left")
-          .agg(sum(when(col("u").isNull, 1L).otherwise(0L)).as("n_bad_users"))
-        coverage.crossJoin(lists).crossJoin(badItems).crossJoin(badUsers)
+        // two passes over the cached recs: per-user rollup (coverage =
+        // row count of the rollup, so no separate countDistinct branch),
+        // and one membership join covering both closure checks
+        val lists = recs.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("len"), max(col("rn")).as("maxrn"))
+          .agg(count(lit(1)).as("n_users_covered"),
+            max(col("maxrn")).cast("long").as("max_rn"),
+            min(col("len")).as("min_list_len"))
+        val closure = recs
+          .join(obsItems, recs("item") === obsItems("it"), "left")
+          .join(obsUsers, recs("user_id") === obsUsers("u"), "left")
+          .agg(sum(when(col("it").isNull, 1L).otherwise(0L)).as("n_bad_items"),
+            sum(when(col("u").isNull, 1L).otherwise(0L)).as("n_bad_users"))
+        lists.crossJoin(closure)
       },
       Some("""SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_covered,
               CAST(5 AS BIGINT) AS max_rn,
