@@ -29,45 +29,61 @@ object Bench {
     // dev knob for variance diagnosis: min-of-n per query. The driver
     // never sets it (default 1), so the artifact semantics are unchanged;
     // min (not mean) because the question repeats answer is "what does
-    // this plan cost without GC/AQE-replan noise".
+    // this plan cost without GC/AQE-replan noise". Malformed values fall
+    // back to 1 — a typo'd env var must not kill the artifact lines.
     val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
-      .map(_.toInt).filter(_ >= 1).getOrElse(1)
+      .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ >= 1).getOrElse(1)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => args.isEmpty || args.exists(name.contains) }
     // Full-suite JIT/codegen warmup at the smallest SF: every selected
-    // query runs once on sf0.001 before anything is timed. The previous
-    // single-flagship warmup left each query's first execution paying
-    // its own JIT compilation — rounds 3-5 showed isolated 4-12s spikes
-    // on sub-second queries (q29: 12.3s cold vs 0.35s warm) that read as
-    // regressions. Disable with SPARK_GRAFT_BENCH_WARMUP=0.
-    if (sys.env.get("SPARK_GRAFT_BENCH_WARMUP") != Some("0"))
-      selected.foreach { case (_, fn) =>
-        try fn(spark, "/root/testdata/sf0.001").write
-          .format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        spark.catalog.clearCache()
-      }
+    // query runs once on a tiny fixture before anything is timed. The
+    // previous single-flagship warmup left each query's first execution
+    // paying its own JIT compilation — rounds 3-5 showed isolated 4-12s
+    // spikes on sub-second queries (q29: 12.3s cold vs 0.35s warm) that
+    // read as regressions. SPARK_GRAFT_BENCH_WARMUP overrides the
+    // directory; "0" disables. A missing directory warns instead of
+    // silently skipping (a silent skip brings the spikes back with
+    // nothing in the output explaining them).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "/root/testdata/sf0.001")
+    if (warmDir != "0") {
+      if (new java.io.File(warmDir).isDirectory)
+        selected.foreach { case (_, fn) =>
+          try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+          spark.catalog.clearCache()
+        }
+      else
+        System.err.println(
+          s"graft.Bench: warmup dir $warmDir missing - timing cold (JIT noise likely)")
+    }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { case (name, fn) =>
-      val dt = (1 to repeats).map { _ =>
+      // per-repeat outcomes: a query is errored only if EVERY repeat
+      // failed, and its time is the min over successful repeats when any
+      // exist — a transient flake must not mark a working plan broken or
+      // leak its time-to-failure into the min.
+      val runs = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
-          case e: Throwable =>
-            // blank out quote/backslash and ALL control chars (<0x20) so
-            // the artifact line stays valid JSON whatever the message holds
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)
-              .take(200)
-        }
+        val err =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+          catch {
+            case e: Throwable =>
+              // blank out quote/backslash and ALL control chars (<0x20) so
+              // the artifact line stays valid JSON whatever the message holds
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+                .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)
+                .take(200))
+          }
         // per-query cache hygiene: query builds cache intermediates that
         // are load-bearing within the query but dead after it; without
         // this the full-suite session accumulates storage memory until
         // eviction churn dominates (observed 8x slowdowns late in suite).
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> dt
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val ok = runs.filter(_._2.isEmpty)
+      if (ok.isEmpty) errors(name) = runs.last._2.get
+      name -> (if (ok.nonEmpty) ok.map(_._1).min else runs.map(_._1).min)
     }
     // keep the artifact lines SHORT: the driver captures only the tail of
     // sbt output, and full-precision doubles pushed q01-q16 out of the

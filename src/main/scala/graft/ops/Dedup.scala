@@ -136,13 +136,19 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: byte-banded candidates filtered by Hamming
-    * distance (pigeonhole: hamming <= fpBytes-1 pairs always share a
-    * byte band — both widths keep maxHamming <= 7 complete).
+    * distance. Pigeonhole completeness: a pair with hamming <= fpBytes-1
+    * must share at least one byte band, so results are exact up to that
+    * bound — 3 for the 32-bit fingerprint, 7 for the 64-bit one. The
+    * require makes the bound part of the API: beyond it, banding would
+    * silently drop pairs whose differing bits spread across every band.
     *
     * @param fpBytes fingerprint width in bytes (4 for simhash32, 8 for
     *   simhash64). Byte extraction is shift-and-mask, not DIV/mod, so a
     *   64-bit fingerprint's sign bit is just another signal bit. */
   def simhashPairs(fp: DataFrame, maxHamming: Int, fpBytes: Int = 4): DataFrame = {
+    require(maxHamming <= fpBytes - 1,
+      s"byte banding is only complete for hamming <= ${fpBytes - 1} " +
+        s"(got maxHamming=$maxHamming with $fpBytes bands); widen the fingerprint")
     val banded = fp.withColumn("k", explode(sequence(lit(0), lit(fpBytes - 1))))
       .withColumn("byte", expr("shiftright(simhash, 8 * k) & 255"))
     banded.select(col("id").as("d1"), col("simhash").as("h1"), col("k"), col("byte"))

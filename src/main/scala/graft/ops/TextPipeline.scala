@@ -162,6 +162,10 @@ object TextPipeline {
     * itself large; skew on hot windows is AQE's skew-join case. Spans,
     * not shingle sets: positions count multiplicity, so a doc that is
     * 90% one repeated template line scores 0.9, not one shingle's worth.
+    * The window stream is computed twice (df pass + join-back pass) by
+    * the same trade [[boilerplate]] documents: it is pure map-side work
+    * off the scan, and persisting a corpus-sized exploded intermediate
+    * is the costlier choice at the design scale.
     */
   def dupSpanRatio(docs: DataFrame, n: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

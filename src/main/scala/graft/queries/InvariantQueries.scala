@@ -107,14 +107,18 @@ object InvariantQueries {
 
     // ---- q50_w1_cv_topk companion: the CountVectorizer cosine space
     // re-expressed relationally (count-weighted inverted-index join over
-    // the same per-user item multiset, vocab capped at 200 by document
-    // frequency with deterministic ties df DESC, item ASC), with q50's
-    // tie semantics (sim DESC, other id DESC). The cap never binds on
-    // the test corpora (100 distinct items), so PipelineSpec can assert
-    // exact agreement with the ml.feature path — the same cross-check
-    // q51 provides for the TF-IDF space. Null-user pseudo-docs are
-    // excluded up front: topKSimilar's qu <> ou null semantics already
-    // keep them out of every q50 result row.
+    // the same per-user item multiset, vocab capped at 200 by TOTAL
+    // corpus term count — CountVectorizer's own selection key — with
+    // deterministic ties count DESC, item ASC where CV's hashmap order
+    // is arbitrary), with q50's tie semantics (sim DESC, other id DESC).
+    // Ranking is on the 6dp-rounded cosine: required for oracle
+    // portability (raw last-ulp doubles are not cross-engine stable),
+    // and the fixture corpora hold no sub-1e-6 near-ties. The cap never
+    // binds on the test corpora (100 distinct items), so PipelineSpec
+    // can assert agreement with the ml.feature path — the same
+    // cross-check q51 provides for the TF-IDF space. Null-user
+    // pseudo-docs are excluded up front: topKSimilar's qu <> ou null
+    // semantics already keep them out of every q50 result row.
     GraftQuery(
       "q79_w1_cv_relational",
       (s, d) => {
@@ -124,8 +128,8 @@ object InvariantQueries {
           .groupBy(col("user_id"), col("item"))
           .agg(count(lit(1)).cast("double").as("c"))
           .cache()
-        val vocab = tf.groupBy(col("item")).agg(count(lit(1)).as("df"))
-          .orderBy(col("df").desc, col("item")).limit(200).select(col("item"))
+        val vocab = tf.groupBy(col("item")).agg(sum(col("c")).as("total"))
+          .orderBy(col("total").desc, col("item")).limit(200).select(col("item"))
         val w = tf.join(broadcast(vocab), "item")
         val norms = w.groupBy(col("user_id")).agg(sqrt(sum(col("c") * col("c"))).as("nrm"))
         val q = w.filter(col("user_id") < 30)
@@ -153,8 +157,8 @@ object InvariantQueries {
                           WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL
                           GROUP BY 1, 2),
               vocab AS (SELECT item FROM
-                          (SELECT item, count(*) AS df FROM tf GROUP BY 1
-                           ORDER BY df DESC, item LIMIT 200)),
+                          (SELECT item, sum(c) AS total FROM tf GROUP BY 1
+                           ORDER BY total DESC, item LIMIT 200)),
               w AS (SELECT user_id, tf.item, c FROM tf JOIN vocab ON tf.item = vocab.item),
               norms AS (SELECT user_id, sqrt(sum(c * c)) AS nrm FROM w GROUP BY 1),
               sims AS (SELECT q.user_id AS query_user, o.user_id AS other_user,

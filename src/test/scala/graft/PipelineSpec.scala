@@ -104,8 +104,11 @@ class PipelineSpec extends SparkSpec {
       .select($"query_user", $"other_user", $"rn", $"sim")
       .as[(Long, Long, Int, Double)].collect()
     assert(relRows.nonEmpty)
-    assert(mlRows.map(r => (r._1, r._2, r._3)).toSet ==
-      relRows.map(r => (r._1, r._2, r._3)).toSet)
+    // top-5 membership per query user, not exact rn: q79 must rank on
+    // the 6dp-rounded cosine (oracle portability) while topKSimilar
+    // ranks on the raw dot, so a sub-1e-6 near-tie could legally swap
+    // adjacent ranks between the paths without either being wrong
+    assert(mlRows.map(r => (r._1, r._2)).toSet == relRows.map(r => (r._1, r._2)).toSet)
     val ml = mlRows.map { case (q, o, _, s) => ((q, o), s) }.toMap
     relRows.foreach { case (q, o, _, s) =>
       assert(math.abs(ml((q, o)) - s) < 1e-4, s"($q,$o): ml=${ml((q, o))} rel=$s")
