@@ -220,5 +220,24 @@ object Dedup {
     labels.select(col("id"), col("component"))
   }
 
+  /** One representative per near-dup component — what a production
+    * dedup keeps (the min-id label of [[connectedComponents]] is a group
+    * key, not a retention policy). `scored` is the full corpus as
+    * (doc_id, score); `comps` the (id, component) frame from
+    * [[connectedComponents]] — docs absent from it (never paired) are
+    * their own component. Highest score wins, ties to the smaller id.
+    * Emits every doc with its component and a `keep` flag so callers
+    * can either filter survivors or audit what was dropped. */
+  def canonical(scored: DataFrame, comps: DataFrame): DataFrame = {
+    val labeled = scored.join(comps, scored("doc_id") === comps("id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"),
+        col("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component")).orderBy(col("score").desc, col("doc_id"))
+    labeled
+      .withColumn("keep", org.apache.spark.sql.functions.row_number().over(w) === 1)
+      .select(col("component"), col("doc_id"), col("score"), col("keep"))
+  }
+
   private[graft] def spark(df: DataFrame): SparkSession = df.sparkSession
 }

@@ -184,6 +184,55 @@ object DedupQueries {
                SELECT node AS id, min(r) AS component FROM reach
                GROUP BY node ORDER BY id""")),
 
+    // ---- Canonical-document selection: what a production dedup
+    // actually keeps. Near-dup components (q46's operator) joined back
+    // to the full corpus (singleton docs are their own component), then
+    // one representative per component by quality — here token count
+    // DESC, id ASC — via a per-component window. The 100 TB shape:
+    // component frame is pairs-sized (small next to the corpus), the
+    // join shuffles on doc id, and the window partitions on component
+    // (skew bounded by the largest dup cluster, the same bound the
+    // pair generator already enforces).
+    GraftQuery(
+      "q83_canonical_docs",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val comps = Dedup.connectedComponents(
+          Dedup.jaccardPairs(docShingles(s, d), minJaccard = 0.1)
+            .select(col("d1"), col("d2")))
+        val scored = docs.select(col("doc_id"),
+          size(Portable.tokens(col("text"))).as("score"))
+        Dedup.canonical(scored, comps)
+          .select(col("component"), col("doc_id"),
+            col("score").as("n_toks"), col("keep"))
+          .orderBy(col("component"), col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $shinglesSql,
+               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                         GROUP BY 1, 2),
+               pairs AS (SELECT d1, d2 FROM
+                           (SELECT d1, d2, round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+                            FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
+                         WHERE jaccard >= 0.1),
+               edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                         UNION ALL SELECT d2, d1 FROM pairs),
+               reach(node, r) AS (
+                 SELECT DISTINCT a, a FROM edges
+                 UNION
+                 SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+               comp AS (SELECT node AS id, min(r) AS component FROM reach GROUP BY node),
+               tk AS (SELECT doc_id,
+                             CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_toks
+                      FROM documents),
+               lab AS (SELECT t.doc_id, coalesce(c.component, t.doc_id) AS component, n_toks
+                       FROM tk t LEFT JOIN comp c ON c.id = t.doc_id)
+               SELECT component, doc_id, n_toks,
+                      (row_number() OVER (PARTITION BY component
+                                          ORDER BY n_toks DESC, doc_id) = 1) AS keep
+               FROM lab ORDER BY component, doc_id""")),
+
     // ---- SimHash fingerprints (one-pass codegen expression; the oracle
     // spells out the per-bit vote relationally).
     GraftQuery(

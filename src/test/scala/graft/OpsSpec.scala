@@ -108,6 +108,21 @@ class OpsSpec extends SparkSpec {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("canonical: best-scored doc kept per component, singletons keep themselves") {
+    // component {1,2,3}: doc 2 has the top score; {10,11}: tie -> smaller
+    // id; doc 99 never paired -> its own component, kept
+    val comps = graft.ops.Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2"))
+    val scored = Seq((1L, 5), (2L, 9), (3L, 7), (10L, 4), (11L, 4), (99L, 1))
+      .toDF("doc_id", "score")
+    val r = graft.ops.Dedup.canonical(scored, comps)
+      .as[(Long, Long, Int, Boolean)].collect()
+      .map { case (c, id, _, keep) => id -> ((c, keep)) }.toMap
+    assert(r(1L) == ((1L, false)) && r(2L) == ((1L, true)) && r(3L) == ((1L, false)))
+    assert(r(10L) == ((10L, true)) && r(11L) == ((10L, false)))
+    assert(r(99L) == ((99L, true)))
+  }
+
   test("IVF ANN: reranked cosines are exact; recall vs brute force is nonzero") {
     val prepared = graft.ops.Similarity.prepare(Tables(spark, sf, "embeddings")).cache()
     val brute = graft.ops.Similarity.cosineTopK(prepared, col("id") < 10, k = 5)
