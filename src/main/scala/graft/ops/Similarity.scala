@@ -150,6 +150,21 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Symmetric per-vector int8 quantization — the memory lever of
+    * corpus-scale ANN (a 64-dim float64 vector is 512 bytes; its int8
+    * twin plus one scale is ~72): scale = max|v_i| / 127, codes =
+    * round-half-up(v_i / scale). Emits (id, v, nrm, scale, qv) so
+    * callers can compute dequantized cosines as
+    * dot(qa, qb)·sa·sb / (nrm_a·nrm_b) without touching the float
+    * vectors. Round-half-up via floor(x + 0.5) on both engines — no
+    * banker's-rounding divergence. Zero vectors clamp the scale to
+    * 1e-12 (codes all zero, cosine 0). */
+  def quantize(prepared: DataFrame): DataFrame =
+    prepared
+      .withColumn("scale",
+        greatest(expr("array_max(transform(v, x -> abs(x)))") / 127.0, lit(1e-12)))
+      .withColumn("qv", expr("transform(v, x -> CAST(floor(x / scale + 0.5) AS DOUBLE))"))
+
   /** Multi-table approximate top-k: L independent sign-LSH tables (table
     * t hashes with hyperplanes offset by t·planes), candidates = the
     * UNION of per-table bucket collisions, then one exact-cosine rerank.

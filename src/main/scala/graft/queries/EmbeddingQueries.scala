@@ -185,6 +185,53 @@ object EmbeddingQueries {
               SELECT node AS id, min(r) AS component FROM reach
               GROUP BY node ORDER BY id""")),
 
+    // ---- int8-quantized cosine top-k: the ANN memory lever (512-byte
+    // float64 vectors -> ~72-byte int8 codes + scale) with its accuracy
+    // cost made visible — every row carries the dequantized cosine, the
+    // exact cosine and their gap. Codes are computed as doubles in-plan
+    // (the storage win is at rest, the codegen dot wants doubles);
+    // ranking is by the QUANTIZED cosine, which is the honest semantics
+    // of searching over codes.
+    GraftQuery(
+      "q84_quantized_topk",
+      (s, d) => {
+        val qq = Similarity.quantize(vecs(s, d))
+        val a = qq.select(col("id").as("qid"), col("qv").as("qa"),
+          col("scale").as("sa"), col("v").as("va"), col("nrm").as("na"))
+        val b = qq.select(col("id").as("nid"), col("qv").as("qb"),
+          col("scale").as("sb"), col("v").as("vb"), col("nrm").as("nb"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cos_q").desc, col("nid"))
+        a.filter(col("qid") < 20)
+          .join(b, col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            round(expr("array_dot(qa, qb)") * col("sa") * col("sb") /
+              (col("na") * col("nb")), 6).as("cos_q"),
+            round(expr("array_dot(va, vb)") / (col("na") * col("nb")), 6).as("cos_exact"))
+          .withColumn("err", round(abs(col("cos_q") - col("cos_exact")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+              q AS (SELECT vec_id, v, nrm,
+                           greatest(list_max([abs(x) FOR x IN v]) / 127, 1e-12) AS scale
+                    FROM n),
+              qq AS (SELECT vec_id, v, nrm, scale,
+                            [CAST(floor(x / scale + 0.5) AS DOUBLE) FOR x IN v] AS qv
+                     FROM q),
+              p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                           round(list_dot_product(a.qv, b.qv) * a.scale * b.scale
+                                 / (a.nrm * b.nrm), 6) AS cos_q,
+                           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_exact
+                    FROM qq a JOIN qq b ON a.vec_id < 20 AND b.vec_id <> a.vec_id)
+              SELECT qid, nid, cos_q, cos_exact, round(abs(cos_q - cos_exact), 6) AS err, rn
+              FROM (SELECT qid, nid, cos_q, cos_exact,
+                           row_number() OVER (PARTITION BY qid ORDER BY cos_q DESC, nid) AS rn
+                    FROM p)
+              WHERE rn <= 5 ORDER BY qid, rn""")),
+
     // ---- ANN quality evaluation: recall@3 of the sign-LSH path against
     // exact ground truth, per table count L ∈ {1,2,4} — the measurement
     // an ANN rollout runs continuously, extended into the multi-table

@@ -143,6 +143,22 @@ class OpsSpec extends SparkSpec {
     assert(hit > 0, s"IVF recalled 0 of ${bruteSet.size} true top-5 pairs")
   }
 
+  test("quantize: codes in int8 range, dequantized cosine within 2% of exact") {
+    val prepared = graft.ops.Similarity.prepare(Tables(spark, sf, "embeddings")).cache()
+    val qq = graft.ops.Similarity.quantize(prepared)
+    // every code within [-127, 127]
+    val outOfRange = qq
+      .selectExpr("size(filter(qv, x -> abs(x) > 127)) AS bad")
+      .agg(sum(col("bad"))).as[Long].head()
+    assert(outOfRange == 0L)
+    // 64-dim int8: per-element error <= scale/2, cosine error well under
+    // 2% on unit-norm-ish synthetic embeddings — pin the bound the q84
+    // err column is expected to stay inside
+    val maxErr = SparkEntry.queries("q84_quantized_topk")(spark, sf)
+      .agg(max(col("err"))).as[Double].head()
+    assert(maxErr <= 0.02, s"quantized cosine drifted: max err $maxErr")
+  }
+
   test("compressionRatio: repetitive text compresses below varied text") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
