@@ -77,4 +77,37 @@ class PipelinePropertySpec extends SparkSpec {
       assert(capped.forall(_._2 <= k), s"k=$k violated")
     }
   }
+
+  test("hygiene ratios are bounded; contamination shrinks as n grows") {
+    val docs = Tables(spark, sf, "documents").cache()
+    try {
+      // dupSpanRatio and repetition emit ratios in [0,1] with consistent
+      // numerators on the real corpus
+      val spans = TextPipeline.dupSpanRatio(docs, n = 8)
+        .as[(Long, Long, Long, Double)].collect()
+      assert(spans.nonEmpty)
+      spans.foreach { case (id, nSpans, nDup, ratio) =>
+        assert(nDup >= 0 && nDup <= nSpans && ratio >= 0.0 && ratio <= 1.0, s"doc $id")
+      }
+      val reps = TextPipeline.repetition(docs, n = 2)
+        .as[(Long, Long, Double, Double)].collect()
+      reps.foreach { case (id, nGrams, top, dup) =>
+        assert(top > 0.0 && top <= 1.0 && dup >= 0.0 && dup <= 1.0, s"doc $id")
+        // 5e-7 slack: top_ratio is rounded to 6dp, which can land just
+        // below the exact uniform floor 1/n_grams
+        assert(top >= 1.0 / nGrams - 5e-7, s"doc $id: top ratio below uniform floor")
+      }
+      // containment law: sharing an (n+1)-gram implies sharing both its
+      // n-gram halves, so the contaminated set can only shrink as n grows
+      val train = docs.filter($"doc_id" % 97 =!= 0)
+      val bench = docs.filter($"doc_id" % 97 === 0)
+      val flaggedAt = (n: Int) => TextPipeline.decontaminate(train, bench, n)
+        .filter($"contaminated").select($"doc_id").as[Long].collect().toSet
+      val f2 = flaggedAt(2)
+      val f3 = flaggedAt(3)
+      val f5 = flaggedAt(5)
+      assert(f3.subsetOf(f2) && f5.subsetOf(f3),
+        s"contamination not monotone: |f2|=${f2.size} |f3|=${f3.size} |f5|=${f5.size}")
+    } finally docs.unpersist()
+  }
 }
