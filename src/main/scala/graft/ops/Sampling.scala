@@ -72,4 +72,32 @@ object Sampling {
     sources.map { case (tag, df, rateBp) =>
       uniform(df, col(key), rateBp).withColumn("source", lit(tag))
     }.reduce(_.unionByName(_))
+
+  /** Token-budget-aware mixing — how training mixes are actually
+    * specified ("this many tokens of code, this many of web"), while
+    * [[mix]] weights rows. Each source's gate rate is derived from its
+    * own token total: rateBp = min(10000, budget·10000 div total), an
+    * exact-integer computation on both engines. The total is a one-row
+    * aggregate broadcast back over the source — no driver action, no
+    * collect — and the gate stays a deterministic hash filter, so the
+    * achieved token count converges on the budget (rows are hash-random,
+    * token-weighted in expectation) and the sample still nests/replays
+    * like every other gate here. A source whose total is under budget
+    * clamps to keep-all.
+    *
+    * Sources: (origin tag, frame holding `keyCol` + `tokenCol`, token
+    * budget). Emits (origin, key, n_tokens).
+    */
+  def mixByTokenBudget(sources: Seq[(String, DataFrame, Long)],
+      keyCol: String = "doc_id", tokenCol: String = "n_tokens"): DataFrame =
+    sources.map { case (tag, df, budget) =>
+      graft.functions.GraftFunctions.register(df.sparkSession) // p60
+      val total = df.agg(sum(col(tokenCol)).cast("long").as("__graft_total_tokens"))
+      df.crossJoin(broadcast(total))
+        .withColumn("__graft_rate_bp",
+          least(lit(10000L), expr(s"CAST(${budget}L * 10000 AS BIGINT) DIV __graft_total_tokens")))
+        .filter(hashGate(col(keyCol), col("__graft_rate_bp")))
+        .select(lit(tag).as("origin"), col(keyCol).as("key"),
+          col(tokenCol).cast("long").as("n_tokens"))
+    }.reduce(_.unionByName(_))
 }

@@ -262,6 +262,39 @@ object PipelineQueries {
                      round(min(value), 2) AS lo, round(max(value), 2) AS hi
               FROM events GROUP BY 1 ORDER BY bucket NULLS FIRST""")),
 
+    // ---- token-budget-aware mixing: three pseudo-sources (doc_id mod 3)
+    // sampled to hit token budgets, not row shares — the way training
+    // mixes are specified. Source c's budget exceeds its total, pinning
+    // the keep-all clamp path. Rates derive from one-row token-total
+    // aggregates broadcast back over each source; the gate stays a
+    // deterministic scan-side hash filter.
+    GraftQuery(
+      "q85_token_budget_mix",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"),
+            size(Portable.tokens(col("text"))).cast("long").as("n_tokens"))
+        def src(r: Int) = toks.filter(col("doc_id") % 3 === r)
+        Sampling.mixByTokenBudget(Seq(
+            ("web", src(0), 5000L), ("code", src(1), 3000L), ("books", src(2), 100000000L)))
+          .orderBy(col("origin"), col("key"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id,
+                                    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+                             FROM documents),
+               g AS (SELECT doc_id, n_tokens, ${p60("CAST(doc_id AS VARCHAR)")} % 10000 AS slot
+                     FROM toks),
+               rates AS (SELECT CAST(doc_id % 3 AS INTEGER) AS grp,
+                                least(10000, (CAST(CASE CAST(doc_id % 3 AS INTEGER)
+                                                   WHEN 0 THEN 5000 WHEN 1 THEN 3000
+                                                   ELSE 100000000 END AS BIGINT) * 10000) // sum(n_tokens)) AS rate
+                         FROM toks GROUP BY 1)
+               SELECT CASE grp WHEN 0 THEN 'web' WHEN 1 THEN 'code' ELSE 'books' END AS origin,
+                      doc_id AS key, n_tokens
+               FROM g JOIN rates ON CAST(g.doc_id % 3 AS INTEGER) = rates.grp
+               WHERE slot < rate
+               ORDER BY origin, key""")),
+
     // ---- cross-document duplicated-span ratio (the exact-substring-
     // dedup signal: per doc, the share of its 8-token window positions
     // occurring verbatim in another document). Positions, not shingle

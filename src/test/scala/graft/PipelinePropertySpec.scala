@@ -110,4 +110,28 @@ class PipelinePropertySpec extends SparkSpec {
         s"contamination not monotone: |f2|=${f2.size} |f3|=${f3.size} |f5|=${f5.size}")
     } finally docs.unpersist()
   }
+
+  test("mixByTokenBudget: achieved tokens track budgets, clamp keeps all") {
+    val toks = Tables(spark, sf, "documents")
+      .select($"doc_id", size(graft.ops.Portable.tokens($"text")).cast("long").as("n_tokens"))
+      .cache()
+    try {
+      val total = toks.agg(sum($"n_tokens")).as[Long].head()
+      val half = total / 2
+      val mixed = Sampling.mixByTokenBudget(Seq(
+          ("half", toks, half), ("all", toks, total * 10)))
+        .groupBy($"origin").agg(sum($"n_tokens").as("got"), count(lit(1)).as("rows"))
+        .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+      // over-budget source clamps to keep-all
+      assert(mixed("all")._2 == total)
+      // half-budget source lands near half (hash gate is row-random,
+      // token-weighted in expectation; wide tolerance for a small corpus)
+      val got = mixed("half")._2.toDouble
+      assert(got > half * 0.5 && got < half * 1.5, s"got $got of target $half")
+      // determinism: same call, same rows
+      val again = Sampling.mixByTokenBudget(Seq(("half", toks, half)))
+        .agg(sum($"n_tokens")).as[Long].head()
+      assert(again == mixed("half")._2)
+    } finally toks.unpersist()
+  }
 }
