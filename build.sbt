@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses benchmark JSON from the tail of `sbt "runMain
+// graft.Bench"` stdout. Two sbt default behaviors break that parse:
+// every forked-process line is re-logged with an "[info] " prefix, and
+// a "[success] Total time: ..." line is appended after the run. Route
+// the forked JVM's stdout straight through unprefixed and drop the
+// success banner so the bench's final JSON line is the final raw line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

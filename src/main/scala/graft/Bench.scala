@@ -99,7 +99,11 @@ object Bench {
     // long line and the driver parsed null every round. The short
     // total-only line last is what must survive the capture window.
     println(s"""{"metric":"per_query","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    // stop BEFORE the total line: anything SparkContext shutdown prints
+    // must land above it, so the total JSON is the process's last stdout
+    // line (build.sbt strips sbt's [info] prefix and [success] banner).
     spark.stop()
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
