@@ -34,5 +34,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: local[32] runs 32 concurrent tasks in ONE JVM, so this
+  // heap is effectively 32 executor slots' worth of unified memory; 8g
+  // left the bench suite GC-bound in some rounds (the machine has 128g).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -78,7 +78,15 @@ object Bench {
         // are load-bearing within the query but dead after it; without
         // this the full-suite session accumulates storage memory until
         // eviction churn dominates (observed 8x slowdowns late in suite).
+        // clearCache only drops SQL-cached plans; localCheckpoint blocks
+        // (dedup components' per-round label frames) live outside the
+        // cache manager and otherwise linger until a GC happens to run
+        // the ContextCleaner — the prime suspect for the bimodal
+        // late-suite inflation (queries sorting after q46 spiked 5-12x
+        // in some rounds and not others).
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val ok = runs.filter(_._2.isEmpty)

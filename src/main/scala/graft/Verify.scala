@@ -22,8 +22,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop each query's cached intermediates before the next runs (same
-      // session-hygiene rationale as Bench)
+      // session-hygiene rationale as Bench); localCheckpoint blocks sit
+      // outside the SQL cache manager, so sweep persistent RDDs too
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -73,6 +73,28 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Near-superset pairs: overlap coefficient |A∩B| / min(|A|,|B|) over
+    * shingle sets, for pairs above `minOverlap` (id1 < id2). Catches the
+    * duplication Jaccard structurally cannot: a document quoted or
+    * wrapped inside a much larger one has tiny Jaccard (the union is
+    * dominated by the big doc) but overlap ≈ 1. Same inverted-index
+    * join as [[jaccardPairs]] — postings-bounded, never |docs|² — and
+    * the same stop-shingle df cap applies upstream in [[shingles]]. */
+  def containmentPairs(sh: DataFrame, minOverlap: Double): DataFrame = {
+    val s = if (sh.storageLevel == org.apache.spark.storage.StorageLevel.NONE) sh.cache() else sh
+    val sizes = s.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = s.select(col("id").as("d1"), col("s"))
+      .join(s.select(col("id").as("d2"), col("s").as("s2")),
+        col("s") === col("s2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("c").cast("double") / least(col("n1"), col("n2")), 6).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   /** MinHash signatures (k permutations, q36's constants) per document:
     * (id, sig array<long>) — computed with the distributive Aggregator. */
   def minhashSignatures(sh: DataFrame, k: Int = 16): DataFrame = {
@@ -176,8 +198,15 @@ object Dedup {
     * reads the converged flag.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    // symmetrize in ONE pass over `pairs`: the union-of-two-selects form
+    // evaluates the (potentially expensive — q46/q83 feed the whole
+    // inverted-index jaccard join in here) pair plan twice when the cache
+    // below first materializes; explode duplicates each row map-side.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("d1").as("a"), col("d2").as("b")),
+        struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .cache()
     // localCheckpoint (eager) after every round: an iterative frame's
     // logical plan otherwise nests all previous rounds — analysis cost

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Encoder
+
+/** Misra–Gries frequent-items sketch as a typed `Aggregator`
+  * (mergeable-summaries form: Agarwal et al., PODS 2012) — at most `k`
+  * counters of fixed size whatever the stream length, with the classic
+  * guarantee that any item of true frequency > n/(k+1) still holds a
+  * counter at the end. Partial sketches merge associatively (sum
+  * counters, then shave the (k+1)-th largest value off everything), so
+  * the map-side combine ships ≤ k entries per partition — the whole
+  * point at corpus scale, where the exact alternative is a groupBy
+  * shuffling the full token vocabulary.
+  */
+class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+  require(k >= 1, s"sketch capacity must be >= 1, got $k")
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+    b.get(x) match {
+      case Some(c)            => b.updated(x, c + 1)
+      case None if b.size < k => b.updated(x, 1L)
+      // full and x unseen: decrement every counter (x's +1 and the -1
+      // cancel), dropping zeros — the O(k) step that amortizes to O(1)
+      // per stream item because each decrement burns k+1 prior arrivals
+      case None =>
+        b.flatMap { case (t, c) => if (c > 1) Some(t -> (c - 1)) else None }
+    }
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val sum = b.foldLeft(a) { case (m, (t, c)) =>
+      m.updated(t, m.getOrElse(t, 0L) + c)
+    }
+    if (sum.size <= k) sum
+    else {
+      // shave the (k+1)-th largest counter value off every counter: ≤ k
+      // survive, and each item loses at most what the error bound allows
+      val vals = sum.valuesIterator.toArray
+      java.util.Arrays.sort(vals)
+      val cut = vals(sum.size - k - 1)
+      sum.flatMap { case (t, c) => if (c > cut) Some(t -> (c - cut)) else None }
+    }
+  }
+
+  override def finish(buf: Map[String, Long]): Map[String, Long] = buf
+
+  override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+}
+
+object MisraGries {
+
+  /** Exact heavy hitters — every item with count·(k+1) > n, with its
+    * exact count — computed WITHOUT a full-vocabulary shuffle: pass 1
+    * runs the sketch (fixed ≤ k-entry state per partition, merged on one
+    * reducer), pass 2 recounts only the ≤ k sketch candidates via a
+    * broadcast semi-join. The sketch's superset guarantee is what makes
+    * the two-pass result exact, not approximate: no qualifying item can
+    * be missing from the candidates, and the recount replaces estimated
+    * counters with true counts. `items` is any single-column frame of
+    * string items (tokens, shingles, domains). */
+  def heavyHitters(items: DataFrame, itemCol: Column, k: Int): DataFrame = {
+    val mg = udaf(new MisraGries(k))
+    val its = items.select(itemCol.cast("string").as("tk"))
+    val cand = its.agg(mg(col("tk")).as("sketch"))
+      .select(explode(map_keys(col("sketch"))).as("tk"))
+    val total = its.agg(count(lit(1)).as("n_total"))
+    its.join(broadcast(cand), "tk")
+      .groupBy(col("tk")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      // exact integer threshold: cnt > n/(k+1) without a float in sight
+      .filter(col("cnt") * (k + 1) > col("n_total"))
+      .select(col("tk"), col("cnt"))
+  }
+}

@@ -73,6 +73,58 @@ object Sampling {
       uniform(df, col(key), rateBp).withColumn("source", lit(tag))
     }.reduce(_.unionByName(_))
 
+  /** Priority sampling (Duffield–Lund–Thorup, JACM 54(6) 2007): a
+    * weighted without-replacement sample of k rows that supports
+    * UNBIASED subset-sum estimation — the corpus-sampling primitive for
+    * "sample documents proportionally to token count, then estimate
+    * corpus token totals from the sample". Each row gets priority
+    * q = w/u with u a deterministic hash uniform; the k largest
+    * priorities are kept and every kept row carries the
+    * Horvitz–Thompson weight ŵ = max(w, τ), τ = the (k+1)-th priority —
+    * E[Σ ŵ over any fixed subset of the sample] equals that subset's
+    * true Σ w.
+    *
+    * Cross-engine exactness (the same discipline as the cosine family,
+    * but with no rounding needed before the rank): u is a dyadic
+    * rational built from the TOP 52 bits of the 60-bit hash —
+    * (h div 2^8 + 0.5) / 2^52 needs exactly 53 mantissa bits — and
+    * q = w/u is then ONE correctly-rounded IEEE division of exact
+    * inputs, so both engines rank bit-identical doubles. No ln/pow
+    * anywhere (only +,-,*,/ are correctly rounded by both engines).
+    *
+    * Scale shape: priority is a scan-side projection; the global
+    * top-(k+1) is TakeOrderedAndProject (per-partition top-k, merge of
+    * k-row heads — no global sort, no full exchange); τ and the rank
+    * window then run on k+1 rows. Ties (identical hash AND weight)
+    * break by key.
+    */
+  def prioritySample(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession) // p60
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val M = 1L << 52
+    // top 52 of the 60 hash bits via integer shift — Column./ would cast
+    // the long to double FIRST (losing bits 53-60 to rounding) and make
+    // u engine-dependent
+    val u = (shiftright(Portable.p60(key.cast("string")), 8).cast("double") + lit(0.5)) /
+      lit(M.toDouble)
+    val pri = df
+      .select(key.as("key"), weight.cast("double").as("w"))
+      .withColumn("priority", col("w") / u)
+    val topK1 = pri.orderBy(col("priority").desc, col("key")).limit(k + 1)
+    // k+1 rows from here on: the un-partitioned window is a deliberate
+    // single-task step over a constant-size frame, not a scale hazard
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("priority").desc, col("key"))
+    val ranked = topK1.withColumn("rn", row_number().over(win))
+    val tau = ranked.agg(coalesce(
+      max(when(col("rn") === k + 1, col("priority"))), lit(0.0)).as("tau"))
+    ranked.filter(col("rn") <= k)
+      .crossJoin(broadcast(tau))
+      .select(col("key"), col("w"), col("rn"),
+        round(col("priority"), 6).as("priority"),
+        round(greatest(col("w"), col("tau")), 6).as("w_hat"))
+  }
+
   /** Token-budget-aware mixing — how training mixes are actually
     * specified ("this many tokens of code, this many of web"), while
     * [[mix]] weights rows. Each source's gate rate is derived from its
