@@ -110,7 +110,9 @@ object Bench {
     // stop BEFORE the total line: anything SparkContext shutdown prints
     // must land above it, so the total JSON is the process's last stdout
     // line (build.sbt strips sbt's [info] prefix and [success] banner).
-    spark.stop()
+    // Try: a shutdown-hook/cleaner error escaping stop() must not eat the
+    // total line — an unparseable artifact is worse than an unclean stop.
+    scala.util.Try(spark.stop())
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     System.out.flush()
   }

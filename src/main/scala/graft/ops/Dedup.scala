@@ -53,9 +53,13 @@ object Dedup {
       .drop("fp", "keep_id")
   }
 
-  /** Exact n-gram Jaccard near-dup pairs (id1 < id2, jaccard rounded to
-    * 6dp) via the inverted-index self-join. */
-  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+  /** The shared inverted-index intersection plan behind [[jaccardPairs]]
+    * and [[containmentPairs]]: per-pair (d1 < d2) shared-shingle count
+    * with both set sizes attached — (d1, d2, c, n1, n2). Any set
+    * similarity that is a function of (|A∩B|, |A|, |B|) derives from
+    * this frame with one projection, so the join/cap strategy evolves in
+    * exactly one place. */
+  private def intersectionWithSizes(sh: DataFrame): DataFrame = {
     // cache only if the caller hasn't already (both sizes and the
     // inverted-index self-join re-read it); double-caching the same frame
     // wastes a storage copy
@@ -68,10 +72,15 @@ object Dedup {
     inter
       .join(sizes.select(col("id").as("d1"), col("n").as("n1")), "d1")
       .join(sizes.select(col("id").as("d2"), col("n").as("n2")), "d2")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (id1 < id2, jaccard rounded to
+    * 6dp) via the inverted-index self-join. */
+  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame =
+    intersectionWithSizes(sh)
       .select(col("d1"), col("d2"),
         round(col("c").cast("double") / (col("n1") + col("n2") - col("c")), 6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-  }
 
   /** Near-superset pairs: overlap coefficient |A∩B| / min(|A|,|B|) over
     * shingle sets, for pairs above `minOverlap` (id1 < id2). Catches the
@@ -80,20 +89,11 @@ object Dedup {
     * dominated by the big doc) but overlap ≈ 1. Same inverted-index
     * join as [[jaccardPairs]] — postings-bounded, never |docs|² — and
     * the same stop-shingle df cap applies upstream in [[shingles]]. */
-  def containmentPairs(sh: DataFrame, minOverlap: Double): DataFrame = {
-    val s = if (sh.storageLevel == org.apache.spark.storage.StorageLevel.NONE) sh.cache() else sh
-    val sizes = s.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = s.select(col("id").as("d1"), col("s"))
-      .join(s.select(col("id").as("d2"), col("s").as("s2")),
-        col("s") === col("s2") && col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.select(col("id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("id").as("d2"), col("n").as("n2")), "d2")
+  def containmentPairs(sh: DataFrame, minOverlap: Double): DataFrame =
+    intersectionWithSizes(sh)
       .select(col("d1"), col("d2"),
         round(col("c").cast("double") / least(col("n1"), col("n2")), 6).as("overlap"))
       .filter(col("overlap") >= minOverlap)
-  }
 
   /** MinHash signatures (k permutations, q36's constants) per document:
     * (id, sig array<long>) — computed with the distributive Aggregator. */

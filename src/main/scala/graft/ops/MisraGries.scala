@@ -68,7 +68,13 @@ object MisraGries {
     * string items (tokens, shingles, domains). */
   def heavyHitters(items: DataFrame, itemCol: Column, k: Int): DataFrame = {
     val mg = udaf(new MisraGries(k))
+    // drop nulls up front: a null item would become a Map key in the
+    // sketch buffer and Catalyst's MapType forbids null keys (runtime
+    // serialization error); and counting nulls in n_total while the
+    // candidate join drops them would skew the threshold. Null is "no
+    // item", uniformly, on both passes.
     val its = items.select(itemCol.cast("string").as("tk"))
+      .filter(col("tk").isNotNull)
     val cand = its.agg(mg(col("tk")).as("sketch"))
       .select(explode(map_keys(col("sketch"))).as("tk"))
     val total = its.agg(count(lit(1)).as("n_total"))

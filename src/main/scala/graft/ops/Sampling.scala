@@ -97,6 +97,13 @@ object Sampling {
     * k-row heads — no global sort, no full exchange); τ and the rank
     * window then run on k+1 rows. Ties (identical hash AND weight)
     * break by key.
+    *
+    * `key` MUST be unique per row (the same discipline [[capPerKey]]
+    * demands of `tieBreak`): u is derived from the key alone, so
+    * duplicate keys would share one uniform draw — correlated
+    * priorities violate DLT's independence assumption and silently bias
+    * the ŵ estimator, even though the emitted rows still look fine.
+    * Pre-aggregate duplicate keys (summing weights) before sampling.
     */
   def prioritySample(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession) // p60
@@ -107,9 +114,12 @@ object Sampling {
     // u engine-dependent
     val u = (shiftright(Portable.p60(key.cast("string")), 8).cast("double") + lit(0.5)) /
       lit(M.toDouble)
+    // priority is computed in the SAME select that renames key/weight: u
+    // references the caller's key column, which no longer resolves after
+    // the rename drops it from the projection
     val pri = df
-      .select(key.as("key"), weight.cast("double").as("w"))
-      .withColumn("priority", col("w") / u)
+      .select(key.as("key"), weight.cast("double").as("w"),
+        (weight.cast("double") / u).as("priority"))
     val topK1 = pri.orderBy(col("priority").desc, col("key")).limit(k + 1)
     // k+1 rows from here on: the un-partitioned window is a deliberate
     // single-task step over a constant-size frame, not a scale hazard

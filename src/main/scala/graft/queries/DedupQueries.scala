@@ -84,6 +84,24 @@ object DedupQueries {
         .orderBy(col("d1"), col("d2")),
       Some(s"WITH ${shinglesSqlCap(5)}, $jaccardPairsSql")),
 
+    // ---- near-superset pairs: overlap coefficient |A∩B|/min(|A|,|B|)
+    // over the same inverted index — the containment signal Jaccard
+    // misses (a doc quoted inside a much larger one). Same postings-
+    // bounded join as q35; only the final ratio differs.
+    GraftQuery(
+      "q88_containment_pairs",
+      (s, d) => Dedup.containmentPairs(docShingles(s, d), minOverlap = 0.5)
+        .orderBy(col("d1"), col("d2")),
+      Some(s"""WITH $shinglesSql,
+               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                         GROUP BY 1, 2)
+               SELECT d1, d2, overlap FROM
+                 (SELECT d1, d2, round(c * 1.0 / least(s1.n, s2.n), 6) AS overlap
+                  FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
+               WHERE overlap >= 0.5 ORDER BY d1, d2""")),
+
     // ---- MinHash + LSH: signatures via the typed Aggregator, banded
     // 4x4; docs sharing any band value become candidates; each candidate
     // reports the minhash estimate and the exact Jaccard (verified only

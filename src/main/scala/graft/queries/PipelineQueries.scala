@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Portable, Sampling, TextPipeline}
+import graft.ops.{MisraGries, Portable, Sampling, TextPipeline}
 
 /** Training-data-pipeline operators beyond the dedup/similarity families:
   * deterministic sampling/mixing/capping, retrieval scoring (BM25),
@@ -346,6 +346,55 @@ object PipelineQueries {
               FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
               LEFT JOIN shared ON d.doc_id = shared.doc_id
               ORDER BY d.doc_id""")),
+
+    // ---- Misra–Gries heavy hitters over the token stream: every token
+    // above n/(k+1) frequency with its EXACT count, via sketch pass +
+    // broadcast recount — never a full-vocabulary shuffle (the map-side
+    // state is <= k counters per partition whatever the corpus size).
+    // The oracle computes the same set the exhaustive way; matching it
+    // value-for-value is precisely the sketch's superset guarantee.
+    GraftQuery(
+      "q86_heavy_hitters",
+      (s, d) => MisraGries.heavyHitters(
+          t(s, d, "documents").select(explode(Portable.tokens(col("text"))).as("tk")),
+          col("tk"), k = 40)
+        .orderBy(col("tk")),
+      Some("""WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tk FROM documents),
+              n AS (SELECT count(*) AS n_total FROM tok WHERE tk IS NOT NULL)
+              SELECT tk, CAST(count(*) AS BIGINT) AS cnt FROM tok, n
+              WHERE tk IS NOT NULL
+              GROUP BY tk, n_total HAVING count(*) * 41 > n_total
+              ORDER BY tk""")),
+
+    // ---- priority sampling (Duffield–Lund–Thorup): 100 documents
+    // weighted by token count, each with its Horvitz–Thompson estimation
+    // weight ŵ = max(w, τ). The uniform draw is a dyadic rational from
+    // the top 52 hash bits and the priority is one IEEE division, so
+    // both engines rank bit-identical doubles — a cross-engine-exact
+    // WEIGHTED sample, which df.sample() cannot be even unweighted.
+    GraftQuery(
+      "q87_priority_sample",
+      (s, d) => Sampling.prioritySample(
+          t(s, d, "documents")
+            .select(col("doc_id"), size(Portable.tokens(col("text"))).as("n_toks")),
+          key = col("doc_id"), weight = col("n_toks"), k = 100)
+        .orderBy(col("rn")),
+      Some(s"""WITH w AS (SELECT doc_id AS key,
+                                 CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS w
+                          FROM documents),
+               pri AS (SELECT key, w,
+                              w / (((${p60("CAST(key AS VARCHAR)")} // 256) + 0.5)
+                                   / 4503599627370496.0) AS priority
+                       FROM w),
+               top AS (SELECT key, w, priority FROM pri ORDER BY priority DESC, key LIMIT 101),
+               ranked AS (SELECT key, w, priority,
+                                 row_number() OVER (ORDER BY priority DESC, key) AS rn
+                          FROM top),
+               tau AS (SELECT coalesce(max(CASE WHEN rn = 101 THEN priority END), 0.0) AS tau
+                       FROM ranked)
+               SELECT key, w, CAST(rn AS INTEGER) AS rn, round(priority, 6) AS priority,
+                      round(greatest(w, tau), 6) AS w_hat
+               FROM ranked, tau WHERE rn <= 100 ORDER BY rn""")),
 
     // ---- intra-document repetition (Gopher-family filters): duplicate
     // bigram share and top-bigram share per doc. Shuffles key on
