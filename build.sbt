@@ -34,8 +34,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: local[32] runs 32 concurrent tasks in ONE JVM, so this
+  // 24g default: local[32] runs 32 concurrent tasks in ONE JVM, so this
   // heap is effectively 32 executor slots' worth of unified memory; 8g
-  // left the bench suite GC-bound in some rounds (the machine has 128g).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // left the bench suite GC-bound in some rounds, and at 16g individual
+  // queries still hit multi-second stop-the-world pauses that made
+  // per-round timings bimodal (the machine has 128g).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

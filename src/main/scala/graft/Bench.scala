@@ -26,13 +26,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // dev knob for variance diagnosis: min-of-n per query. The driver
-    // never sets it (default 1), so the artifact semantics are unchanged;
-    // min (not mean) because the question repeats answer is "what does
-    // this plan cost without GC/AQE-replan noise". Malformed values fall
-    // back to 1 — a typo'd env var must not kill the artifact lines.
+    // min-of-n per query, default 2: single-execution timings were
+    // bimodal across rounds — a DIFFERENT query spiked 5-10x each run
+    // (q36 54.6s in r5, q39 19.2s in r8, q52 10.2s in a local repro),
+    // which reads as a regression when it's a GC pause or an AQE replan.
+    // min (not mean) because the question is "what does this plan cost
+    // without one-off noise". Malformed values fall back to the default —
+    // a typo'd env var must not kill the artifact lines.
     val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
-      .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ >= 1).getOrElse(1)
+      .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ >= 1).getOrElse(2)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => args.isEmpty || args.exists(name.contains) }
     // Full-suite JIT/codegen warmup at the smallest SF: every selected
@@ -112,7 +114,9 @@ object Bench {
     // line (build.sbt strips sbt's [info] prefix and [success] banner).
     // Try: a shutdown-hook/cleaner error escaping stop() must not eat the
     // total line — an unparseable artifact is worse than an unclean stop.
-    scala.util.Try(spark.stop())
+    // stderr doesn't pollute the parsed stdout, so the failure stays visible
+    scala.util.Try(spark.stop()).failed
+      .foreach(e => System.err.println(s"graft.Bench: spark.stop failed: $e"))
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     System.out.flush()
   }

@@ -75,12 +75,14 @@ object MisraGries {
     // item", uniformly, on both passes.
     val its = items.select(itemCol.cast("string").as("tk"))
       .filter(col("tk").isNotNull)
-    val cand = its.agg(mg(col("tk")).as("sketch"))
-      .select(explode(map_keys(col("sketch"))).as("tk"))
-    val total = its.agg(count(lit(1)).as("n_total"))
+    // one pass computes BOTH the sketch and n: uncached `its` may sit on
+    // an expensive upstream (explode-of-split tokenization), so a
+    // separate count() would re-run that whole pipeline. n_total rides
+    // along on each exploded candidate row — it's one long per ≤ k rows.
+    val cand = its.agg(mg(col("tk")).as("sketch"), count(lit(1)).as("n_total"))
+      .select(explode(map_keys(col("sketch"))).as("tk"), col("n_total"))
     its.join(broadcast(cand), "tk")
-      .groupBy(col("tk")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
+      .groupBy(col("tk"), col("n_total")).agg(count(lit(1)).as("cnt"))
       // exact integer threshold: cnt > n/(k+1) without a float in sight
       .filter(col("cnt") * (k + 1) > col("n_total"))
       .select(col("tk"), col("cnt"))

@@ -104,6 +104,12 @@ object Sampling {
     * priorities violate DLT's independence assumption and silently bias
     * the ŵ estimator, even though the emitted rows still look fine.
     * Pre-aggregate duplicate keys (summing weights) before sampling.
+    *
+    * `weight` MUST be positive and non-null: DLT's ŵ estimator assumes
+    * w > 0, and a null/zero/negative weight yields a null or
+    * non-positive priority that would silently sort to the bottom. Such
+    * rows are dropped up front — w ≤ 0 means zero inclusion
+    * probability, which is exactly "not in the population".
     */
   def prioritySample(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession) // p60
@@ -118,6 +124,7 @@ object Sampling {
     // references the caller's key column, which no longer resolves after
     // the rename drops it from the projection
     val pri = df
+      .filter(weight.isNotNull && weight.cast("double") > 0)
       .select(key.as("key"), weight.cast("double").as("w"),
         (weight.cast("double") / u).as("priority"))
     val topK1 = pri.orderBy(col("priority").desc, col("key")).limit(k + 1)

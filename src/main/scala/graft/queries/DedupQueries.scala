@@ -130,10 +130,16 @@ object DedupQueries {
           .join(shC.select(col("id").as("d2"), col("s").as("s2")),
             col("s") === col("s2") && col("d1") < col("d2"))
           .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+        // explicit broadcast hints: every frame here derives from CACHED
+        // inputs, whose stats AQE has under-reported in past rounds,
+        // flipping these joins between broadcast and full exchange
+        // run-to-run (the suite's one bimodal query). sizes is |candidate
+        // docs| rows of (id, n) and inter is ≤ |candidate pairs| rows —
+        // both genuinely tiny next to a full shuffle's fixed cost.
         est
-          .join(inter, Seq("d1", "d2"), "left").na.fill(0L, Seq("c"))
-          .join(sizes.select(col("id").as("d1"), col("n").as("n1")), "d1")
-          .join(sizes.select(col("id").as("d2"), col("n").as("n2")), "d2")
+          .join(broadcast(inter), Seq("d1", "d2"), "left").na.fill(0L, Seq("c"))
+          .join(broadcast(sizes.select(col("id").as("d1"), col("n").as("n1"))), "d1")
+          .join(broadcast(sizes.select(col("id").as("d2"), col("n").as("n2"))), "d2")
           .select(col("d1"), col("d2"), col("est_jaccard"),
             round(col("c").cast("double") / (col("n1") + col("n2") - col("c")), 6).as("jaccard"))
           .orderBy(col("d1"), col("d2"))

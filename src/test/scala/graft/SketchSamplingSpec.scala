@@ -16,6 +16,12 @@ class SketchSamplingSpec extends SparkSpec {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
 
+  /** Spark's `round` is HALF_UP; `math.rint` is half-to-even. Expected
+    * values must mirror Spark's mode exactly or a priority landing on a
+    * 6dp half-way point flakes the comparison. */
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Skewed item stream: a few hot items over a uniform tail. */
   private def stream(seed: Int, n: Int): Seq[String] = {
     val g = Gen.frequency(
@@ -95,14 +101,14 @@ class SketchSamplingSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == ranked.take(k).map(_._1).toSeq, "kept set differs")
     val tau = ranked(k)._3
     got.foreach { case (id, w, _, _, wHat) =>
-      val expect = math.rint(math.max(w, tau) * 1e6) / 1e6
+      val expect = round6(math.max(w, tau))
       assert(math.abs(wHat - expect) < 1e-9, s"id=$id w_hat $wHat != max(w,tau) $expect")
     }
     // subset-sum sanity: every kept row's estimator weight >= its weight,
     // and rows with w > tau are carried exactly (HT inclusion prob 1)
     got.foreach { case (_, w, _, _, wHat) =>
       assert(wHat + 1e-9 >= w)
-      if (w > tau) assert(math.abs(wHat - math.rint(w * 1e6) / 1e6) < 1e-9)
+      if (w > tau) assert(math.abs(wHat - round6(w)) < 1e-9)
     }
   }
 
@@ -128,7 +134,7 @@ class SketchSamplingSpec extends SparkSpec {
       val inter = (si & sj).size
       if (inter == 0) assert(!got.contains((i, j)), s"($i,$j) should be absent")
       else {
-        val want = math.rint(inter.toDouble / math.min(si.size, sj.size) * 1e6) / 1e6
+        val want = round6(inter.toDouble / math.min(si.size, sj.size))
         assert(math.abs(got((i, j)) - want) < 1e-9, s"($i,$j): ${got((i, j))} != $want")
       }
     }
