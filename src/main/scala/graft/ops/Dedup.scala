@@ -118,16 +118,27 @@ object Dedup {
     * non-scalable O(N) broadcast) and was observed to flip between
     * broadcast and full exchange under AQE's under-reported cached-frame
     * stats (rounds 1-5: 5.7s vs 54.6s bench whiplash on this very plan). */
-  def lshCandidates(sigs: DataFrame, bandRows: Int = 4,
-      keepSigs: Boolean = false): DataFrame = {
+  /** Map-side banding of a signature frame: (id, b, v [, sig]) — one row
+    * per band, band value joined to a string (slice over the array, no
+    * shuffle). Shared by the self-join candidates and the asymmetric
+    * batch-vs-corpus form so the band encoding can never drift between
+    * them. */
+  private def bandedSigs(sigs: DataFrame, bandRows: Int,
+      keepSigs: Boolean): DataFrame = {
     val sigCols = if (keepSigs) Seq(col("sig")) else Nil
-    val banded = sigs
+    sigs
       .select(col("id") +: explode(expr(
         s"""transform(sequence(0, (size(sig) + $bandRows - 1) DIV $bandRows - 1), b ->
               struct(b AS b, array_join(transform(slice(sig, b * $bandRows + 1, $bandRows),
                                                   x -> CAST(x AS STRING)), ':') AS v))"""))
         .as("bv") +: sigCols: _*)
       .select(col("id") +: col("bv.b").as("b") +: col("bv.v").as("v") +: sigCols: _*)
+  }
+
+  def lshCandidates(sigs: DataFrame, bandRows: Int = 4,
+      keepSigs: Boolean = false): DataFrame = {
+    val sigCols = if (keepSigs) Seq(col("sig")) else Nil
+    val banded = bandedSigs(sigs, bandRows, keepSigs)
     val left = banded.select(
       col("id").as("d1") +: col("b") +: col("v") +:
         (if (keepSigs) Seq(col("sig").as("sig1")) else Nil): _*)
@@ -139,6 +150,24 @@ object Dedup {
     // sig1/sig2 are functions of d1/d2, so the wider distinct stays exact
     if (keepSigs) joined.select(col("d1"), col("d2"), col("sig1"), col("sig2")).distinct()
     else joined.select(col("d1"), col("d2")).distinct()
+  }
+
+  /** Batch ids that LSH-collide with the corpus — the incremental-ingest
+    * primitive ("which of today's crawl near-dups against everything
+    * already ingested"). Asymmetric on purpose: the corpus-side banded
+    * frame STREAMS (it's the 100 TB side — never collected, never
+    * broadcast, never self-joined) while the batch-side bands get an
+    * explicit broadcast hint (a daily batch is orders of magnitude
+    * smaller than the corpus; if it ever isn't, drop the hint and this
+    * becomes a plain shuffle join on (b, v) — same semantics). Returns
+    * distinct batch `id`s; callers anti-join to keep survivors. */
+  def corpusCollisions(batchSigs: DataFrame, corpusSigs: DataFrame,
+      bandRows: Int = 4): DataFrame = {
+    val b = bandedSigs(batchSigs, bandRows, keepSigs = false)
+      .select(col("id").as("bid"), col("b"), col("v"))
+    val c = bandedSigs(corpusSigs, bandRows, keepSigs = false)
+    c.join(broadcast(b), Seq("b", "v"))
+      .select(col("bid").as("id")).distinct()
   }
 
   /** SimHash fingerprints per document: (id, simhash) — one-pass codegen

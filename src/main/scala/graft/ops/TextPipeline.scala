@@ -98,6 +98,60 @@ object TextPipeline {
         Portable.p60(concat_ws(" ", col("toks"))).as("chunk_fp"))
   }
 
+  /** GPT-style sequence packing: concatenate every document's tokens in
+    * doc-id order into one global stream and cut it every `seqLen`
+    * tokens — the standard way training examples are actually formed
+    * (docs are packed back-to-back; a doc may straddle a sequence
+    * boundary). Emits one row per (doc, sequence) span:
+    * (doc_id, seq_id, pos, n_tok) where `pos` is the span's offset
+    * INSIDE its sequence — exactly what a loader needs to materialize
+    * sequence `seq_id` without touching any global state.
+    *
+    * The global token offset is a prefix sum, computed WITHOUT a global
+    * single-task window: docs are bucketed by id range (`bucketWidth`
+    * ids per bucket — id-space, so order-preserving by construction),
+    * the within-bucket running sum is a partitioned window (parallel,
+    * codegen), and only the per-bucket totals — maxId/bucketWidth rows,
+    * thousands at 100 TB — pass through the one unpartitioned window
+    * before broadcasting back. A single global `ORDER BY doc_id ROWS
+    * UNBOUNDED PRECEDING` window would funnel the whole corpus through
+    * one task; this is the two-level scan-scan-broadcast form that
+    * doesn't.
+    *
+    * Zero-token docs contribute nothing to the stream and emit no span.
+    * All arithmetic is exact integer math (both engines), so results
+    * hash-match the oracle. Requires non-negative doc ids (DIV
+    * bucketing). */
+  def pack(docs: DataFrame, seqLen: Int, bucketWidth: Long = 1L << 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen > 0, s"sequence length must be positive, got $seqLen")
+    require(bucketWidth > 0, s"bucket width must be positive, got $bucketWidth")
+    val counted = docs.select(col(idCol).cast("long").as("doc_id"),
+        size(Portable.tokens(col(textCol))).cast("long").as("n"))
+      .withColumn("b", expr(s"doc_id DIV $bucketWidth"))
+    val localWin = Window.partitionBy(col("b")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = counted.withColumn("loff", coalesce(sum(col("n")).over(localWin), lit(0L)))
+    // per-bucket totals: tiny frame; the unpartitioned window runs over
+    // #buckets rows, not #docs
+    val bucketWin = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counted.groupBy(col("b")).agg(sum(col("n")).as("bn"))
+      .withColumn("boff", coalesce(sum(col("bn")).over(bucketWin), lit(0L)))
+      .select(col("b"), col("boff"))
+    local.join(broadcast(offsets), "b")
+      .withColumn("off", col("boff") + col("loff"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n"), col("off"),
+        explode(expr(s"sequence(off DIV $seqLen, (off + n - 1) DIV $seqLen)")).as("seq_id"))
+      .select(col("doc_id"), col("seq_id"),
+        (greatest(col("off"), col("seq_id") * seqLen) - col("seq_id") * seqLen).as("pos"),
+        (least(col("off") + col("n"), (col("seq_id") + 1) * seqLen)
+          - greatest(col("off"), col("seq_id") * seqLen)).as("n_tok"))
+  }
+
   /** Boilerplate share per document: tile each doc into non-overlapping
     * `blockTokens`-token blocks ([[chunk]] with stride = size), count the
     * blocks whose fingerprint recurs in >= `minDf` distinct documents

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Portable}
 
@@ -292,6 +292,53 @@ object DedupQueries {
                         FROM banded a JOIN banded b
                           ON a.k = b.k AND a.byte = b.byte AND a.doc_id < b.doc_id)
                SELECT d1, d2, bit_count(xor(h1, h2)) AS hamming FROM cand
-               WHERE bit_count(xor(h1, h2)) <= 2 ORDER BY d1, d2"""))
+               WHERE bit_count(xor(h1, h2)) <= 2 ORDER BY d1, d2""")),
+
+    // ---- Incremental ingest dedup: today's batch (doc_id % 4 = 0,
+    // standing in for a crawl increment) deduped against the
+    // already-ingested corpus (the rest). A batch doc is dropped on an
+    // exact normalized-text fingerprint hit OR an LSH band collision
+    // with any corpus doc; survivors are what ingestion appends. Both
+    // probe stages stream the CORPUS side and broadcast only batch-
+    // derived frames — the only orientation that works when the corpus
+    // is 100 TB and the batch is a day's crawl.
+    GraftQuery(
+      "q90_incremental_dedup",
+      (s, d) => {
+        val isBatchId = (c: Column) => pmod(c, lit(4)) === 0
+        val sigs = Dedup.minhashSignatures(docShingles(s, d), K).cache()
+        val nearHits = Dedup.corpusCollisions(
+          sigs.filter(isBatchId(col("id"))),
+          sigs.filter(!isBatchId(col("id"))), BandRows)
+        val fps = t(s, d, "documents").select(col("doc_id"),
+          Portable.p60(Portable.normText(col("text"))).as("fp"))
+        val exactHits = fps.filter(!isBatchId(col("doc_id")))
+          .join(broadcast(fps.filter(isBatchId(col("doc_id")))
+            .select(col("doc_id").as("id"), col("fp"))), "fp")
+          .select(col("id")).distinct()
+        val dropped = exactHits.union(nearHits).distinct()
+          .withColumnRenamed("id", "doc_id")
+        fps.filter(isBatchId(col("doc_id"))).select(col("doc_id"))
+          .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $shinglesSql,
+               hx AS (SELECT doc_id, ${Portable.p60Sql("s")} % $P AS hx FROM sh),
+               sig AS (SELECT doc_id, i, min((CAST(2*i+3 AS BIGINT) * hx + CAST(5*i+7 AS BIGINT)) % $P) AS m
+                       FROM hx, range(0, $K) t(i) GROUP BY doc_id, i),
+               band AS (SELECT doc_id, CAST(i // $BandRows AS INTEGER) AS b,
+                               string_agg(CAST(m AS VARCHAR), ':' ORDER BY i) AS v
+                        FROM sig GROUP BY 1, 2),
+               near AS (SELECT DISTINCT a.doc_id AS id FROM band a JOIN band b
+                        ON a.b = b.b AND a.v = b.v
+                        AND a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0),
+               nf AS (SELECT doc_id, ${Portable.p60Sql(Portable.normTextSql("text"))} AS fp FROM documents),
+               ex AS (SELECT DISTINCT a.doc_id AS id FROM nf a JOIN nf b
+                      ON a.fp = b.fp AND a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0)
+               SELECT doc_id FROM documents
+               WHERE doc_id % 4 = 0
+                 AND doc_id NOT IN (SELECT id FROM near)
+                 AND doc_id NOT IN (SELECT id FROM ex)
+               ORDER BY doc_id"""))
   )
 }

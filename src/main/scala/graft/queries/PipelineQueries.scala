@@ -411,6 +411,35 @@ object PipelineQueries {
               SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
                      round(max(c) * 1.0 / sum(c), 6) AS top_ratio,
                      round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS dup_ratio
-              FROM cnt GROUP BY doc_id ORDER BY doc_id"""))
+              FROM cnt GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- GPT-style sequence packing: the corpus token stream (doc-id
+    // order) cut every 256 tokens; one row per (doc, sequence) span with
+    // the span's offset inside its sequence. The global prefix sum is
+    // two-level (bucketed window + broadcast bucket offsets), never a
+    // whole-corpus single-task window; the oracle computes the same
+    // offsets with DuckDB's global window, pinning the two-level
+    // decomposition's exactness. bucketWidth 64 forces multiple buckets
+    // even at sf0.01, so the bucket-offset path is what's checked.
+    GraftQuery(
+      "q89_sequence_packing",
+      (s, d) => TextPipeline.pack(t(s, d, "documents"),
+          seqLen = 256, bucketWidth = 64)
+        .orderBy(col("doc_id"), col("seq_id")),
+      Some("""WITH toks AS (SELECT doc_id,
+                                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+                            FROM documents),
+              o AS (SELECT doc_id, n,
+                           CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                             AS BIGINT) AS off
+                    FROM toks WHERE n > 0),
+              sp AS (SELECT doc_id, n, off,
+                            unnest(range(off // 256, (off + n - 1) // 256 + 1)) AS seq_id
+                     FROM o)
+              SELECT doc_id, seq_id,
+                     greatest(off, seq_id * 256) - seq_id * 256 AS pos,
+                     least(off + n, (seq_id + 1) * 256) - greatest(off, seq_id * 256) AS n_tok
+              FROM sp ORDER BY doc_id, seq_id"""))
   )
 }

@@ -40,6 +40,50 @@ class PipelinePropertySpec extends SparkSpec {
     assert(chunks.length == lens.length)
   }
 
+  test("pack: bucketing-invariant, token-conserving, interior sequences full") {
+    // non-contiguous, gap-heavy ids: the DIV bucketing must not assume
+    // density, only non-negativity and order
+    val lens = samples(Gen.choose(1, 300), 80)
+    val docs = lens.zipWithIndex.map { case (n, i) =>
+      ((i.toLong * 7 + 3), (1 to n).map(j => s"t$j").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val L = 128
+    val spans = TextPipeline.pack(docs, seqLen = L, bucketWidth = 32)
+      .orderBy($"doc_id", $"seq_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // bucketWidth is an execution parameter, not a semantic one: one
+    // giant bucket (the degenerate single-window case) must give the
+    // exact same spans
+    val oneBucket = TextPipeline.pack(docs, seqLen = L, bucketWidth = 1L << 40)
+      .orderBy($"doc_id", $"seq_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(spans == oneBucket, "spans differ across bucketings")
+    // span-local bounds
+    spans.foreach { case (d, q, pos, nTok) =>
+      assert(pos >= 0 && pos < L, s"doc $d seq $q: pos $pos out of range")
+      assert(nTok >= 1 && pos + nTok <= L, s"doc $d seq $q: span [$pos, ${pos + nTok}) overflows")
+    }
+    // token conservation: each doc's spans sum to its token count and
+    // cover consecutive sequences
+    val byDoc = spans.groupBy(_._1)
+    val wantTokens = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong * 7 + 3) -> n.toLong }.toMap
+    byDoc.foreach { case (d, ss) =>
+      assert(ss.map(_._4).sum == wantTokens(d), s"doc $d: token count not conserved")
+      val seqs = ss.map(_._2)
+      assert(seqs == (seqs.min to seqs.max), s"doc $d: non-consecutive sequences")
+    }
+    // every sequence except the last is exactly full — the packing
+    // property that makes the cut usable as training examples
+    val bySeq = spans.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (q, tot) =>
+      if (q < lastSeq) assert(tot == L, s"seq $q holds $tot tokens, want $L")
+      else assert(tot <= L, s"last seq overfull: $tot")
+    }
+    assert(bySeq.values.sum == lens.map(_.toLong).sum, "global token count drifted")
+  }
+
   test("sampling: rates nest and row counts grow monotonically") {
     val events = Tables(spark, sf, "events").select($"event_id").cache()
     try {

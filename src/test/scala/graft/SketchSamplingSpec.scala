@@ -112,6 +112,31 @@ class SketchSamplingSpec extends SparkSpec {
     }
   }
 
+  test("corpusCollisions == batch side of lshCandidates' cross-split pairs") {
+    // three groups of 8 identical docs (guaranteed band collisions in
+    // every split) plus 16 unique docs (no collisions); batch = id%4==0
+    val docs = (0L until 40L).map { i =>
+      val text =
+        if (i < 24) (1 to 30).map(j => s"g${i / 8}w$j").mkString(" ")
+        else (1 to 30).map(j => s"u${i}w$j").mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(Dedup.shingles(docs, n = 3), 16).cache()
+    val batch = sigs.filter(col("id") % 4 === 0)
+    val corpus = sigs.filter(col("id") % 4 =!= 0)
+    val got = Dedup.corpusCollisions(batch, corpus).as[Long].collect().toSet
+    // the asymmetric probe must agree exactly with the symmetric
+    // candidate join restricted to cross-split pairs
+    val want = Dedup.lshCandidates(sigs).as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .collect { case (x, y) if x % 4 == 0 && y % 4 != 0 => x }.toSet
+    assert(got == want, s"got $got want $want")
+    // the three identical-text groups each contain both parities, so
+    // every batch member of a group collides; unique docs never do
+    assert(got == Set(0L, 4L, 8L, 12L, 16L, 20L), s"unexpected collision set $got")
+    sigs.unpersist()
+  }
+
   test("containmentPairs == brute-force overlap; superset doc scores 1.0") {
     // doc 1 is a strict subset of doc 2 (quoted-inside case); docs 3/4
     // overlap partially; doc 5 is disjoint
