@@ -89,6 +89,18 @@ object EventStreams {
   def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
     withWm(events).dropDuplicates(keyCols :+ "ts")
 
+  /** Stream-static incremental dedup: drop every streamed row whose key
+    * already exists in the STATIC corpus frame — the ingest-time
+    * complement of [[dedupStream]] (which dedups the stream against
+    * itself). A stream-static left-anti join keeps no streaming state at
+    * all: each micro-batch probes the corpus as a plain join (broadcast
+    * or shuffled, Catalyst's call per batch), so cost scales with the
+    * corpus join, not with stream history — the same orientation as the
+    * batch incremental dedup (q90), in stream form. */
+  def dedupAgainstStatic(stream: DataFrame, corpusKeys: DataFrame,
+      keyCol: String): DataFrame =
+    stream.join(corpusKeys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+
   final case class EventRow(event_id: Long, user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

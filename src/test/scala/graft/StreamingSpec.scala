@@ -27,6 +27,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupAgainstStatic: stream-static anti-join == batch, stateless") {
+    import org.apache.spark.sql.functions._
+    // "corpus" already holds the click/view fingerprints; only the rest
+    // of the stream survives ingestion
+    val corpus = Seq("click", "view").toDF("event_type")
+    val stream = EventStreams.readEventsStream(spark, sf)
+    val q = EventStreams.dedupAgainstStatic(stream, corpus, "event_type")
+      .select($"event_id")
+      .writeStream.format("memory").queryName("ingest_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ingest_out").as[Long].collect().toSet
+      val batch = EventStreams.dedupAgainstStatic(
+          Tables(spark, sf, "events"), corpus, "event_type")
+        .select($"event_id").as[Long].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // survivors really exclude every corpus-known key
+      val kept = Tables(spark, sf, "events")
+        .filter($"event_id".isin(streamed.toSeq.take(100): _*))
+        .select($"event_type").distinct().as[String].collect().toSet
+      assert(kept.intersect(Set("click", "view")).isEmpty)
+    } finally q.stop()
+  }
+
   test("hash-gated sampling is stream/batch-unified (stateless filter)") {
     import org.apache.spark.sql.functions.col
     val stream = EventStreams.readEventsStream(spark, sf)
