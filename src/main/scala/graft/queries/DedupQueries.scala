@@ -339,6 +339,50 @@ object DedupQueries {
                WHERE doc_id % 4 = 0
                  AND doc_id NOT IN (SELECT id FROM near)
                  AND doc_id NOT IN (SELECT id FROM ex)
-               ORDER BY doc_id"""))
+               ORDER BY doc_id""")),
+
+    // ---- Bloom-filter incremental dedup probe: the shuffle-free
+    // fast path of q90's exact stage. The corpus fingerprints fold into
+    // a Bloom filter (distributed treeAggregate; ~1.2 GB per 1e9 keys
+    // at 1% fpp), which broadcasts once and turns the batch probe into
+    // a scan-side filter — no join, no exchange. Valid while the filter
+    // fits executor memory; beyond that, partition the key space or
+    // fall back to q90's shuffled anti-join. Every 5th batch doc is
+    // injected into the corpus first ("already ingested yesterday"),
+    // so the no-false-negative guarantee is tested non-vacuously: a
+    // Bloom filter may wrongly KEEP a new doc (bounded FP rate, checked
+    // at 0.10 against the 0.03 build fpp) but can never wrongly DROP a
+    // known duplicate. The probe is a UDF because Spark's
+    // BloomFilterMightContain expression isn't registered for SQL use —
+    // the one-liner closure over the broadcast is the public-API form.
+    GraftQuery(
+      "q92_bloom_dedup_probe",
+      (s, d) => {
+        val fps = t(s, d, "documents").select(col("doc_id"),
+          Portable.p60(Portable.normText(col("text"))).as("fp"))
+        val batch = fps.filter(pmod(col("doc_id"), lit(4)) === 0)
+        val corpus = fps.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+          .unionByName(batch.filter(pmod(col("doc_id"), lit(20)) === 0))
+        // count() sizes the filter — one column-pruned aggregate, the
+        // same driver action any sketch-sizing pass needs
+        val bf = corpus.stat.bloomFilter("fp", corpus.count(), 0.03)
+        val bfB = s.sparkContext.broadcast(bf)
+        val hit = udf((x: Long) => bfB.value.mightContainLong(x))
+        batch
+          .withColumn("hit", hit(col("fp")))
+          .withColumn("dup", pmod(col("doc_id"), lit(20)) === 0)
+          .agg(
+            count(lit(1)).as("n_batch"),
+            sum(when(col("dup"), 1L).otherwise(0L)).as("n_known_dup"),
+            (sum(when(col("dup") && !col("hit"), 1L).otherwise(0L)) === 0)
+              .as("no_false_negatives"),
+            (sum(when(!col("dup") && col("hit"), 1L).otherwise(0L)).cast("double")
+              / greatest(sum(when(!col("dup"), 1L).otherwise(0L)), lit(1L)) <= 0.10)
+              .as("fp_rate_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_batch,
+                     CAST(sum(CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_known_dup,
+                     true AS no_false_negatives, true AS fp_rate_ok
+              FROM documents WHERE doc_id % 4 = 0"""))
   )
 }

@@ -172,6 +172,45 @@ object InvariantQueries {
                         row_number() OVER (PARTITION BY query_user
                                            ORDER BY sim DESC, other_user DESC) AS rn
                  FROM sims)
-              WHERE rn <= 5 ORDER BY query_user, rn"""))
+              WHERE rn <= 5 ORDER BY query_user, rn""")),
+
+    // ---- mergeable distinct-count sketches (Apache DataSketches HLL
+    // via Spark's hll_sketch_agg/hll_union_agg): one sketch per
+    // event_type shard, merged to a global estimate WITHOUT touching
+    // rows again — the incremental pattern that replaces recounting a
+    // 100 TB corpus when a day's shard arrives (sketch the shard, union
+    // with yesterday's sketch: a few KB of state per scope). Sketches
+    // aren't portable values, so the oracle asserts the error bound:
+    // lgConfigK=12 gives ~1.6% standard error; the 10% band is ~6
+    // sigma. The exact counts ride along so the boolean can't pass
+    // vacuously.
+    GraftQuery(
+      "q91_sketch_distinct_union",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val shard = ev.groupBy(col("event_type"))
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+            countDistinct(col("user_id")).as("exact"))
+        val per = shard.select(col("event_type"),
+          col("exact"),
+          (abs(expr("hll_sketch_estimate(sk)") - col("exact")).cast("double")
+            / col("exact") <= 0.10).as("within_bound"))
+        // merge-only path: the global estimate comes from the shard
+        // sketches, never from re-scanning events
+        val global = shard.agg(
+            expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+          .crossJoin(broadcast(
+            ev.agg(countDistinct(col("user_id")).as("exact"))))
+          .select(lit("_union").as("event_type"), col("exact"),
+            (abs(col("est") - col("exact")).cast("double") / col("exact") <= 0.10)
+              .as("within_bound"))
+        per.unionByName(global).orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact,
+                     true AS within_bound
+              FROM events GROUP BY event_type
+              UNION ALL
+              SELECT '_union', CAST(count(DISTINCT user_id) AS BIGINT), true FROM events
+              ORDER BY event_type"""))
   )
 }

@@ -42,6 +42,34 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("HLL sketches merge losslessly: union estimate == whole-frame estimate") {
+    // the property q91 rides on: sketch shards, union the sketches, and
+    // the estimate is IDENTICAL to sketching the unsharded frame (HLL
+    // register-max merge is exact, not approximate-on-approximate)
+    val ev = Tables(spark, sf, "events")
+    val merged = ev.groupBy($"event_type")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .as[Double].head()
+    val whole = ev.agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est"))
+      .as[Double].head()
+    assert(merged == whole, s"merge drift: $merged vs $whole")
+    val exact = ev.select($"user_id").distinct().count()
+    assert(math.abs(merged - exact) / exact <= 0.05, s"estimate $merged vs exact $exact")
+  }
+
+  test("bloom probe: zero false negatives, FP rate near build fpp") {
+    val n = 20000
+    val corpus = (0 until n).map(i => s"doc-$i").toDF("k")
+    val bf = corpus.stat.bloomFilter("k", n, 0.03)
+    // every inserted key MUST hit — the guarantee incremental dedup
+    // leans on (a known duplicate can never survive the probe)
+    (0 until n by 7).foreach(i => assert(bf.mightContainString(s"doc-$i")))
+    // unseen keys hit at ~fpp, checked with slack
+    val fps = (0 until n).count(i => bf.mightContainString(s"new-$i"))
+    assert(fps.toDouble / n <= 0.06, s"observed FP rate ${fps.toDouble / n}")
+  }
+
   test("ml.feature NGram(3) equals the SQL shingle builder") {
     val docs = Tables(spark, sf, "documents").limit(50)
     val viaMl = TextPipeline.tokensAndNGrams(docs)
