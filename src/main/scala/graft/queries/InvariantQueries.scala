@@ -174,6 +174,56 @@ object InvariantQueries {
                  FROM sims)
               WHERE rn <= 5 ORDER BY query_user, rn""")),
 
+    // ---- q49 companion: the deflate ratio is a well-formed quality
+    // signal for every document — strictly positive (zlib always emits
+    // SOMETHING) and under 1.5 (deflate's worst-case overhead on
+    // incompressible input is a few bytes per 64 KB block, nowhere near
+    // 50%). Per-doc rows so one bad document is visible, with the exact
+    // n_chars riding along to anchor the hash.
+    GraftQuery(
+      "q93_compression_bounds",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          (graft.ops.TextPipeline.compressionRatio(col("text")) > 0.0 &&
+            graft.ops.TextPipeline.compressionRatio(col("text")) <= 1.5)
+            .as("ratio_in_range"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, n_chars, true AS ratio_in_range
+              FROM documents ORDER BY doc_id""")),
+
+    // ---- q58 companion: word2vec top-k output invariants. Every query
+    // user gets exactly k recommendations (enough candidate users exist
+    // at every SF), ranks top out at k, cosines of L2-normalized vectors
+    // stay in [-1, 1], nobody recommends themselves, and every neighbor
+    // is a real featurized user.
+    GraftQuery(
+      "q94_w2v_topk_invariants",
+      (s, d) => {
+        val feats = graft.pipelines.UserSimilarity.word2vecFeatures(
+          graft.pipelines.UserSimilarity.userDocs(t(s, d, "events"))).cache()
+        val recs = graft.pipelines.UserSimilarity.topKSimilar(
+          feats, col("user_id") < 30, "w2v_norm")
+        val known = feats.select(col("user_id").as("other_user"), lit(1).as("known"))
+        recs.join(broadcast(known), Seq("other_user"), "left")
+          .groupBy(col("query_user"))
+          .agg(
+            count(lit(1)).as("n_recs"),
+            max(col("rn")).as("max_rn"),
+            (sum(when(abs(col("sim_r")) <= 1.000001, 0L).otherwise(1L)) === 0)
+              .as("sims_in_unit_range"),
+            (sum(when(col("other_user") === col("query_user"), 1L).otherwise(0L)) === 0)
+              .as("no_self"),
+            (sum(when(col("known").isNull, 1L).otherwise(0L)) === 0)
+              .as("neighbors_known"))
+          .orderBy(col("query_user"))
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events
+                         WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL)
+              SELECT user_id AS query_user, CAST(5 AS BIGINT) AS n_recs,
+                     CAST(5 AS INTEGER) AS max_rn, true AS sims_in_unit_range,
+                     true AS no_self, true AS neighbors_known
+              FROM u WHERE user_id < 30 ORDER BY query_user""")),
+
     // ---- mergeable distinct-count sketches (Apache DataSketches HLL
     // via Spark's hll_sketch_agg/hll_union_agg): one sketch per
     // event_type shard, merged to a global estimate WITHOUT touching

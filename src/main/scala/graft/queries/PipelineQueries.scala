@@ -413,6 +413,30 @@ object PipelineQueries {
                      round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS dup_ratio
               FROM cnt GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- deterministic train/val/test split (98/1/1): assignment is a
+    // pure function of the doc id's hash, so it is stable across runs,
+    // partitionings, engines and re-ingests — the property that keeps
+    // val/test leak-free as the corpus grows (a doc NEVER migrates
+    // between splits when unrelated docs are added, unlike
+    // randomSplit). Scan-side projection, one aggregate for the counts.
+    GraftQuery(
+      "q95_dataset_split",
+      (s, d) => {
+        val slot = pmod(Portable.p60(col("doc_id").cast("string")), lit(10000))
+        t(s, d, "documents")
+          .select(when(slot < 9800, "train").when(slot < 9900, "val")
+            .otherwise("test").as("split"), col("lang"))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("split"), col("lang"))
+      },
+      Some(s"""SELECT CASE WHEN slot < 9800 THEN 'train'
+                           WHEN slot < 9900 THEN 'val' ELSE 'test' END AS split,
+                      lang, CAST(count(*) AS BIGINT) AS n
+               FROM (SELECT lang, ${p60("CAST(doc_id AS VARCHAR)")} % 10000 AS slot
+                     FROM documents)
+               GROUP BY 1, 2 ORDER BY split, lang""")),
+
     // ---- GPT-style sequence packing: the corpus token stream (doc-id
     // order) cut every 256 tokens; one row per (doc, sequence) span with
     // the span's offset inside its sequence. The global prefix sum is
