@@ -52,6 +52,41 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("hive-partitioned write prunes partitions at read time") {
+    // the corpus layout story: a 100 TB corpus written partitionBy(lang)
+    // (or source/date) lets every per-language query touch 1/k of the
+    // files — but ONLY if the filter actually reaches the scan as a
+    // partition filter, not a post-scan predicate. Pin that.
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toFile
+    try {
+      Tables(spark, sf, "documents")
+        .write.mode("overwrite").partitionBy("lang")
+        .parquet(dir.getAbsolutePath)
+      val langs = new java.io.File(dir, ".").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+      assert(langs.length > 1, "fixture needs multiple lang partitions")
+      val one = spark.read.parquet(dir.getAbsolutePath)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("n_chars"))
+      val scan = one.queryExecution.executedPlan.toString
+      // the lang predicate must appear under PartitionFilters (directory
+      // pruning), and must NOT survive as a data Filter above the scan
+      assert(scan.contains("PartitionFilters: [isnotnull(lang"),
+        scan.linesIterator.take(20).mkString("\n"))
+      assert(!scan.contains("Filter (isnotnull(lang"),
+        scan.linesIterator.take(20).mkString("\n"))
+      // and partition pruning composes with column pruning
+      assert(scan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+        scan.take(800))
+      val expected = Tables(spark, sf, "documents")
+        .filter(col("lang") === "en").count()
+      assert(one.count() == expected)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir).deleteRecursively()
+    }
+  }
+
   test("sampling and chunking plans are shuffle-free (scan-side work only)") {
     // the 100 TB claims these ops make are plan properties — pin them:
     // a hash-gated sample is a pure filter, chunking is pure map-side
