@@ -157,16 +157,20 @@ object Dedup {
     * already ingested"). Asymmetric on purpose: the corpus-side banded
     * frame STREAMS (it's the 100 TB side — never collected, never
     * broadcast, never self-joined) while the batch-side bands get an
-    * explicit broadcast hint (a daily batch is orders of magnitude
-    * smaller than the corpus; if it ever isn't, drop the hint and this
-    * becomes a plain shuffle join on (b, v) — same semantics). Returns
-    * distinct batch `id`s; callers anti-join to keep survivors. */
+    * explicit broadcast hint by default (a daily batch is usually
+    * orders of magnitude smaller than the corpus). When the batch is a
+    * large slice of the corpus — a backfill, a quarterly re-crawl —
+    * pass `broadcastBatch = false` so the hint degrades to a plain
+    * shuffle join on (b, v) instead of OOMing the broadcast; the
+    * semantics are identical. Returns distinct batch `id`s; callers
+    * anti-join to keep survivors. */
   def corpusCollisions(batchSigs: DataFrame, corpusSigs: DataFrame,
-      bandRows: Int = 4): DataFrame = {
-    val b = bandedSigs(batchSigs, bandRows, keepSigs = false)
+      bandRows: Int = 4, broadcastBatch: Boolean = true): DataFrame = {
+    val b0 = bandedSigs(batchSigs, bandRows, keepSigs = false)
       .select(col("id").as("bid"), col("b"), col("v"))
+    val b = if (broadcastBatch) broadcast(b0) else b0
     val c = bandedSigs(corpusSigs, bandRows, keepSigs = false)
-    c.join(broadcast(b), Seq("b", "v"))
+    c.join(b, Seq("b", "v"))
       .select(col("bid").as("id")).distinct()
   }
 

@@ -105,11 +105,14 @@ object Sampling {
     * the ŵ estimator, even though the emitted rows still look fine.
     * Pre-aggregate duplicate keys (summing weights) before sampling.
     *
-    * `weight` MUST be positive and non-null: DLT's ŵ estimator assumes
-    * w > 0, and a null/zero/negative weight yields a null or
-    * non-positive priority that would silently sort to the bottom. Such
-    * rows are dropped up front — w ≤ 0 means zero inclusion
-    * probability, which is exactly "not in the population".
+    * `weight` MUST be positive, finite, and non-null: DLT's ŵ estimator
+    * assumes w > 0, and a null/zero/negative weight yields a null or
+    * non-positive priority that would silently sort to the bottom. NaN
+    * is worse — it compares greater than any number in Spark SQL, so a
+    * NaN weight would pass a plain `> 0` filter and its NaN priority
+    * would sort to the TOP, poisoning tau/ŵ. All such rows are dropped
+    * up front — w ≤ 0 or non-finite means zero inclusion probability,
+    * which is exactly "not in the population".
     */
   def prioritySample(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession) // p60
@@ -124,7 +127,8 @@ object Sampling {
     // references the caller's key column, which no longer resolves after
     // the rename drops it from the projection
     val pri = df
-      .filter(weight.isNotNull && weight.cast("double") > 0)
+      .filter(weight.isNotNull && weight.cast("double") > 0 &&
+        !isnan(weight.cast("double")))
       .select(key.as("key"), weight.cast("double").as("w"),
         (weight.cast("double") / u).as("priority"))
     val topK1 = pri.orderBy(col("priority").desc, col("key")).limit(k + 1)

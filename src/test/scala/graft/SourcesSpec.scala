@@ -60,8 +60,14 @@ class SourcesSpec extends SparkSpec {
     val dir = Files.createTempDirectory("part_pq").toString + "/out"
     events.write.partitionBy("event_type").parquet(dir)
     val clicks = spark.read.parquet(dir).filter(col("event_type") === "click")
-    val plan = clicks.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan.take(800))
+    // structural: the predicate must land in the scan node's
+    // partitionFilters, robust to plan-string format changes
+    val scans = clicks.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty &&
+      scans.head.partitionFilters.exists(_.references.exists(_.name == "event_type")),
+      clicks.queryExecution.executedPlan.toString.take(800))
     assert(clicks.count() ==
       events.filter(col("event_type") === "click").count())
   }
