@@ -12,11 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** id + double vector + L2 norm, with graft functions registered. */
-  def prepare(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** id + double vector + L2 norm, with graft functions registered.
+    * `keep` carries extra columns (a group label, a source tag) through
+    * the projection so callers don't re-join them on id afterwards. */
+  def prepare(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      keep: Seq[String] = Nil): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    emb.select(col(idCol).as("id"),
-        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+    emb.select(col(idCol).as("id") +:
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v") +:
+        keep.map(col): _*)
       .withColumn("nrm", expr("sqrt(array_dot(v, v))"))
   }
 
@@ -149,6 +153,36 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }
+
+  /** Per-group elementwise mean of the prepared vectors: (grp, centroid,
+    * cnrm). Shuffle shape at scale: posexplode produces N×dim rows, but
+    * the (grp, pos) hash aggregate combines map-side, so the exchange
+    * carries only |groups|×dim partial sums; the second aggregate
+    * reassembles dim rows per group into the centroid array. No window,
+    * no driver collect — centroids stay a (tiny) distributed frame. */
+  def groupCentroids(prepared: DataFrame, groupCol: Column): DataFrame =
+    prepared
+      .select(groupCol.as("grp"), posexplode(col("v")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(avg(col("col")).as("c"))
+      .groupBy(col("grp"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), e -> e.c)")
+        .as("centroid"))
+      .withColumn("cnrm", expr("sqrt(array_dot(centroid, centroid))"))
+
+  /** Cosine of every vector to its OWN group's centroid — the
+    * SemDeDup-style curation signal: vectors far from their cluster
+    * center are mislabeled/off-topic candidates, vectors at ~1 are
+    * redundant near-center mass. Centroids are |groups|×dim and
+    * broadcast, so the scoring pass is scan-side — one joinless-shaped
+    * map over the corpus, no N² anywhere. Cosine rounded to 6dp
+    * (engine-portable ranking, as everywhere in this module). */
+  def centroidCosine(prepared: DataFrame, groupCol: Column): DataFrame =
+    prepared.select(groupCol.as("grp"), col("id"), col("v"), col("nrm"))
+      .join(broadcast(groupCentroids(prepared, groupCol)), Seq("grp"))
+      .select(col("grp"), col("id"),
+        round(expr("array_dot(v, centroid)") / (col("nrm") * col("cnrm")), 6)
+          .as("cos_centroid"))
 
   /** Symmetric per-vector int8 quantization — the memory lever of
     * corpus-scale ANN (a 64-dim float64 vector is 512 bytes; its int8

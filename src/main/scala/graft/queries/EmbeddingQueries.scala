@@ -299,6 +299,45 @@ object EmbeddingQueries {
                      CAST(count(an.nid) AS BIGINT) AS n_hit,
                      round(count(an.nid) * 1.0 / count(*), 6) AS recall
               FROM exl LEFT JOIN an ON an.L = exl.L AND an.qid = exl.qid AND an.nid = exl.nid
-              GROUP BY exl.L ORDER BY tables"""))
+              GROUP BY exl.L ORDER BY tables""")),
+
+    // ---- per-group centroid distance (the SemDeDup-style curation
+    // signal): every vector scored by cosine to its OWN label's
+    // centroid; the bottom-3 per label flagged as outliers
+    // (mislabeled/off-topic candidates). Centroid building is two
+    // partial-aggregating groupBys (the exchange carries |labels|×dim
+    // partial sums, not vectors); scoring is scan-side against the
+    // broadcast |labels|×dim centroid table — no N² anywhere, so the
+    // pass costs one corpus scan at any scale. Rank-based flagging
+    // (bottom-k, ties by vec_id) keeps the query data-independent —
+    // no magic cosine threshold to re-tune per corpus.
+    GraftQuery(
+      "q96_embed_outliers",
+      (s, d) => {
+        val prep = Similarity.prepare(t(s, d, "embeddings"), keep = Seq("label"))
+        val scored = Similarity.centroidCosine(prep, col("label"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp")).orderBy(col("cos_centroid").asc, col("id"))
+        scored.withColumn("r", row_number().over(w))
+          .select(col("grp").as("label"), col("id").as("vec_id"),
+            col("cos_centroid"), (col("r") <= 3).as("is_outlier"))
+          .orderBy(col("label"), col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+              pos AS (SELECT label, i, avg(v[i]) AS c
+                      FROM e, range(1, 65) t(i) GROUP BY 1, 2),
+              cn AS (SELECT label, centroid,
+                            sqrt(list_dot_product(centroid, centroid)) AS cnrm
+                     FROM (SELECT label, list(c ORDER BY i) AS centroid
+                           FROM pos GROUP BY 1)),
+              sc AS (SELECT n.label, n.vec_id,
+                            round(list_dot_product(n.v, cn.centroid)
+                                  / (n.nrm * cn.cnrm), 6) AS cos_centroid
+                     FROM n JOIN cn ON n.label = cn.label)
+              SELECT label, vec_id, cos_centroid,
+                     (row_number() OVER (PARTITION BY label
+                        ORDER BY cos_centroid ASC, vec_id) <= 3) AS is_outlier
+              FROM sc ORDER BY label, vec_id"""))
   )
 }

@@ -464,6 +464,108 @@ object PipelineQueries {
               SELECT doc_id, seq_id,
                      greatest(off, seq_id * 256) - seq_id * 256 AS pos,
                      least(off + n, (seq_id + 1) * 256) - greatest(off, seq_id * 256) AS n_tok
-              FROM sp ORDER BY doc_id, seq_id"""))
+              FROM sp ORDER BY doc_id, seq_id""")),
+
+    // ---- vocabulary coverage curve (tokenizer-design telemetry): what
+    // fraction of all token OCCURRENCES the top-N most frequent terms
+    // cover, at N ∈ {10, 100, 1000}. The term-frequency aggregate is the
+    // scale work and it partial-aggregates on the term key; the ranking
+    // window then runs over the VOCAB (unique terms), which is orders of
+    // magnitude smaller than the corpus and bounded — the same
+    // single-task-over-a-bounded-frame defense as q86's recount. Ties
+    // (equal counts) break by term so the cut is engine-deterministic.
+    GraftQuery(
+      "q97_vocab_coverage",
+      (s, d) => {
+        val tf = t(s, d, "documents")
+          .select(explode(Portable.tokens(col("text"))).as("term"))
+          .filter(length(col("term")) > 0)
+          .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("term"))
+        val ranked = tf.select(col("c"), row_number().over(w).as("rk"))
+        val sizesDf = {
+          import org.apache.spark.sql.Row
+          import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+          s.createDataFrame(
+            java.util.Arrays.asList(Row(10), Row(100), Row(1000)),
+            StructType(Seq(StructField("vocab_size", IntegerType, nullable = false))))
+        }
+        val total = tf.agg(sum(col("c")).as("total"))
+        ranked.join(broadcast(sizesDf), col("rk") <= col("vocab_size"))
+          .groupBy(col("vocab_size"))
+          .agg(max(col("rk")).cast("long").as("n_terms"),
+            sum(col("c")).as("covered_tokens"))
+          .crossJoin(broadcast(total))
+          .select(col("vocab_size"), col("n_terms"), col("covered_tokens"),
+            col("total").as("total_tokens"),
+            round(col("covered_tokens") / col("total"), 6).as("coverage"))
+          .orderBy(col("vocab_size"))
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+                           FROM documents),
+              tf AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+                     FROM tok WHERE len(term) > 0 GROUP BY 1),
+              ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rk
+                         FROM tf),
+              tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM tf)
+              SELECT v.vocab_size, CAST(max(rk) AS BIGINT) AS n_terms,
+                     CAST(sum(c) AS BIGINT) AS covered_tokens,
+                     CAST(max(total) AS BIGINT) AS total_tokens,
+                     round(sum(c) * 1.0 / max(total), 6) AS coverage
+              FROM ranked, tot, (VALUES (10), (100), (1000)) v(vocab_size)
+              WHERE rk <= v.vocab_size
+              GROUP BY 1 ORDER BY vocab_size""")),
+
+    // ---- mergeable quantile sketch (fixed-width-bin histogram form):
+    // one sketch per event_type shard — a (bin, count) frame, the
+    // deterministic cousin of q91's HLL shards — merged by summing
+    // counts, then quantiles read off the merged CDF (estimate = upper
+    // edge of the first bin whose cumulative count reaches ceil(q·N);
+    // error bounded by the bin width, here 5.0). The per-shard build is
+    // a partial-aggregating groupBy; the merge touches only |bins| rows;
+    // the CDF window runs over the bounded bin domain (range/width
+    // rows), never the corpus. This is the keep-per-day-histograms,
+    // answer-global-percentiles-without-rescanning pattern.
+    GraftQuery(
+      "q98_quantile_sketch",
+      (s, d) => {
+        val shardSketch = t(s, d, "events")
+          .filter(col("value").isNotNull)
+          .groupBy(col("event_type"),
+            floor(col("value") / 5).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"))
+        val merged = shardSketch.groupBy(col("bin")).agg(sum(col("n")).as("n"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+        val cdf = merged
+          .select(col("bin"), sum(col("n")).over(w).as("cum"))
+          .crossJoin(broadcast(merged.agg(sum(col("n")).as("total"))))
+        val qsDf = {
+          import org.apache.spark.sql.Row
+          import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+          s.createDataFrame(
+            java.util.Arrays.asList(Row(0.25), Row(0.5), Row(0.9), Row(0.99)),
+            StructType(Seq(StructField("q", DoubleType, nullable = false))))
+        }
+        cdf.join(broadcast(qsDf), col("cum") >= ceil(col("q") * col("total")))
+          .groupBy(col("q"))
+          .agg(max(col("total")).as("n_total"), min(col("bin")).as("qbin"))
+          .select(col("q"), col("n_total"), col("qbin"),
+            round((col("qbin") + 1) * 5.0, 2).as("est"))
+          .orderBy(col("q"))
+      },
+      Some("""WITH sk AS (SELECT event_type, CAST(floor(value / 5) AS BIGINT) AS bin,
+                                 CAST(count(*) AS BIGINT) AS n
+                          FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+              g AS (SELECT bin, CAST(sum(n) AS BIGINT) AS n FROM sk GROUP BY 1),
+              cdf AS (SELECT bin, CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum
+                      FROM g),
+              tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+              SELECT CAST(q AS DOUBLE) AS q, CAST(max(total) AS BIGINT) AS n_total,
+                     CAST(min(bin) AS BIGINT) AS qbin,
+                     round((min(bin) + 1) * 5.0, 2) AS est
+              FROM cdf, tot, (VALUES (0.25), (0.5), (0.9), (0.99)) v(q)
+              WHERE cum >= ceil(q * total)
+              GROUP BY q ORDER BY q"""))
   )
 }
