@@ -173,7 +173,63 @@ object TextQueries {
                JOIN (SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
                      FROM (SELECT doc_id, ${Portable.p60Sql(Portable.normTextSql("text"))} AS fp FROM documents)
                      GROUP BY fp) USING (fp)
-               WHERE doc_id = keep_id ORDER BY doc_id"""))
+               WHERE doc_id = keep_id ORDER BY doc_id""")),
+
+    // ---- bigram collocations by PMI (vocab/tokenizer design telemetry:
+    // which token pairs behave as units and deserve a merged vocab
+    // entry). Bigram extraction is map-side (an indexed transform over
+    // the token array — no self-join on position); unigram and bigram
+    // counting partial-aggregate on the term keys; the two count joins
+    // are vocab-keyed shuffles, never corpus-keyed. PMI uses natural
+    // log with the identical operation shape on both engines, rounded
+    // to 6dp before the top-20 cut (ties broken by the pair itself).
+    // The cxy >= 5 support floor is standard practice: PMI explodes on
+    // hapax pairs.
+    GraftQuery(
+      "q99_bigram_pmi",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(Portable.tokens(col("text")).as("w"))
+        val uni = docs.select(explode(col("w")).as("x"))
+          .filter(length(col("x")) > 0)
+          .groupBy(col("x")).agg(count(lit(1)).as("cx"))
+        val bi = docs
+          .select(explode(expr(
+            """transform(slice(w, 1, greatest(size(w) - 1, 0)),
+               (t, i) -> struct(t AS x, element_at(w, i + 2) AS y))""")).as("b"))
+          .select(col("b.x").as("x"), col("b.y").as("y"))
+          .filter(length(col("x")) > 0 && length(col("y")) > 0)
+          .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+        bi.filter(col("cxy") >= 5)
+          .join(uni, "x")
+          .join(uni.select(col("x").as("y"), col("cx").as("cy")), "y")
+          .crossJoin(broadcast(uni.agg(sum(col("cx")).as("n_uni"))))
+          .crossJoin(broadcast(bi.agg(sum(col("cxy")).as("n_bi"))))
+          .select(col("x"), col("y"), col("cxy"),
+            round(log((col("cxy") / col("n_bi")) /
+              ((col("cx") / col("n_uni")) * (col("cy") / col("n_uni")))), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("x"), col("y"))
+          .limit(20)
+      },
+      Some("""WITH docs AS (SELECT string_split_regex(trim(text), '\s+') AS w
+                            FROM documents),
+              uni AS (SELECT x, CAST(count(*) AS BIGINT) AS cx
+                      FROM (SELECT unnest(w) AS x FROM docs)
+                      WHERE len(x) > 0 GROUP BY 1),
+              bi AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cxy
+                     FROM (SELECT unnest(list_slice(w, 1, len(w) - 1)) AS x,
+                                  unnest(list_slice(w, 2, len(w))) AS y
+                           FROM docs)
+                     WHERE len(x) > 0 AND len(y) > 0 GROUP BY 1, 2),
+              nu AS (SELECT CAST(sum(cx) AS BIGINT) AS n_uni FROM uni),
+              nb AS (SELECT CAST(sum(cxy) AS BIGINT) AS n_bi FROM bi)
+              SELECT bi.x, bi.y, cxy,
+                     round(ln((cxy / n_bi) /
+                       ((u1.cx / n_uni) * (u2.cx / n_uni))), 6) AS pmi
+              FROM bi JOIN uni u1 ON u1.x = bi.x
+                      JOIN uni u2 ON u2.x = bi.y, nu, nb
+              WHERE cxy >= 5
+              ORDER BY pmi DESC, bi.x, bi.y LIMIT 20"""))
   )
 
   /** Spark-SQL fragment of [[Portable.p60]] for use inside `expr` lambdas

@@ -67,6 +67,17 @@ class CentroidCoverageSpec extends SparkSpec {
     }
   }
 
+  test("q99: support floor respected, pmi ordered desc, within log bounds") {
+    val rows = SparkEntry.queries("q99_bigram_pmi")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(_.getLong(2) >= 5), "support floor violated")
+    val pmis = rows.map(_.getDouble(3))
+    assert(pmis.sliding(2).forall { case Array(a, b) => a >= b },
+      pmis.mkString(","))
+    // PMI(x,y) <= -ln(p(x|y) upper bound) ... at minimum it is finite
+    assert(pmis.forall(p => !p.isNaN && !p.isInfinite))
+  }
+
   test("quantile sketch: shard-merge equals global build; bin-width error bound") {
     val events = graft.queries.Tables(spark, sf, "events")
       .filter(col("value").isNotNull)
