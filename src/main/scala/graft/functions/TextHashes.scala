@@ -71,24 +71,21 @@ object TextHashOps {
     fp
   }
 
-  /** splitmix64 finalizer (public-domain constant set): spreads the
-    * 60-bit portable hash over all 64 bits so the wide fingerprint's
-    * high bytes are real signal, not zero-padding. */
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  /** Salt suffix for the high-half token hash of [[simHash64]]. */
+  private val HiSalt = UTF8String.fromString("#")
 
-  /** 64-bit SimHash — [[simHash32]] widened to 64 counters over a
-    * mixed-to-64-bit token hash. The scale variant: 8 byte-bands instead
-    * of 4 keep the same pigeonhole guarantee (hamming <= 7 pairs always
-    * share a band) while each band carries 8 signal bits of a
-    * 64-bit space, so in-bucket pair fan-out at a given corpus size
-    * drops ~2^32-fold vs banding a 32-bit fingerprint. No DuckDB oracle
-    * (the mix constants are JVM-side); candidate completeness and
-    * fingerprint determinism are spec-checked. */
+  /** 64-bit SimHash — [[simHash32]] widened to 64 counters. The 64 bits
+    * of per-token signal are two independent portable 32-bit hashes
+    * zipped together: bits 0-31 from p60(token) % 2^32 (exactly the
+    * [[simHash32]] hash) and bits 32-63 from p60(token || '#') % 2^32 (a
+    * salted second draw) — both DuckDB-expressible, so the wide
+    * fingerprint is oracle-checkable end-to-end (q100), unlike the
+    * earlier splitmix64 construction whose mix constants lived JVM-side
+    * only. The scale variant: 8 byte-bands instead of 4 keep the same
+    * pigeonhole guarantee (hamming <= fpBytes-1 pairs always share a
+    * band) while each band carries 8 signal bits of a 64-bit space, so
+    * in-bucket pair fan-out at a given corpus size drops ~2^32-fold vs
+    * banding a 32-bit fingerprint. */
   def simHash64(tokens: ArrayData): Long = {
     val v = new Array[Int](64)
     val n = tokens.numElements()
@@ -96,7 +93,9 @@ object TextHashOps {
     while (t < n) {
       val tok = tokens.getUTF8String(t)
       if (tok != null) {
-        val h = mix64(Portable60.hash60(tok))
+        val lo = Portable60.hash60(tok) % 4294967296L
+        val hi = Portable60.hash60(UTF8String.concat(tok, HiSalt)) % 4294967296L
+        val h = lo | (hi << 32)
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) v(j) += 1 else v(j) -= 1

@@ -43,6 +43,28 @@ object Dedup {
     }
   }
 
+  /** What the [[shingles]] df cap costs: one row of
+    * (n_types_kept, n_types_dropped, n_postings_kept, n_postings_dropped,
+    * max_df_kept) at the given `maxShingleDf`. "Types" are distinct
+    * shingles, "postings" the (doc, shingle) rows the inverted-index
+    * join would see — the dropped-postings count IS the recall exposure
+    * of the cap, surfaced as a monitored number instead of a silent
+    * filter. One partial-aggregating groupBy on the shingle key plus a
+    * one-row global aggregate — the same shuffle [[shingles]] already
+    * pays for the cap, so running this next to a capped dedup is free
+    * telemetry, not a second pipeline. */
+  def shingleDfTelemetry(docs: DataFrame, maxShingleDf: Int, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val df = shingles(docs, n, idCol, textCol)
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    df.agg(
+      sum(when(col("df") <= maxShingleDf, 1L).otherwise(0L)).as("n_types_kept"),
+      sum(when(col("df") > maxShingleDf, 1L).otherwise(0L)).as("n_types_dropped"),
+      sum(when(col("df") <= maxShingleDf, col("df")).otherwise(0L)).as("n_postings_kept"),
+      sum(when(col("df") > maxShingleDf, col("df")).otherwise(0L)).as("n_postings_dropped"),
+      coalesce(max(when(col("df") <= maxShingleDf, col("df"))), lit(0L)).as("max_df_kept"))
+  }
+
   /** Exact-duplicate survivors: lowest id per normalized-text
     * fingerprint, with the copy count. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -20,14 +20,20 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** The hash gate: true iff this key falls in the first `rateBp`/10000
-    * of the hash ring. */
-  def hashGate(key: Column, rateBp: Column): Column =
-    pmod(Portable.p60(key.cast("string")), lit(10000)) < rateBp
+    * of the hash ring, rotated by `offsetBp`. The offset is the audit-
+    * rotation knob: gates at the same rate with offsets spaced `rateBp`
+    * apart (0, r, 2r, …) select pairwise-disjoint strata whose union is
+    * the whole key space, so a recurring audit that bumps the offset
+    * round-robin eventually covers the corpus instead of re-reading the
+    * same fixed slice forever. */
+  def hashGate(key: Column, rateBp: Column, offsetBp: Column = lit(0)): Column =
+    pmod(Portable.p60(key.cast("string")) + offsetBp, lit(10000)) < rateBp
 
-  /** Uniform deterministic sample at `rateBp` basis points. */
-  def uniform(df: DataFrame, key: Column, rateBp: Int): DataFrame = {
+  /** Uniform deterministic sample at `rateBp` basis points; `offsetBp`
+    * rotates the selected stratum (see [[hashGate]]). */
+  def uniform(df: DataFrame, key: Column, rateBp: Int, offsetBp: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession) // p60
-    df.filter(hashGate(key, lit(rateBp)))
+    df.filter(hashGate(key, lit(rateBp), lit(offsetBp)))
   }
 
   /** Stratified deterministic sample: per-stratum rates in basis points,

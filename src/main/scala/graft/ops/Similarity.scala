@@ -174,14 +174,24 @@ object Similarity {
     * SemDeDup-style curation signal: vectors far from their cluster
     * center are mislabeled/off-topic candidates, vectors at ~1 are
     * redundant near-center mass. Centroids are |groups|×dim and
-    * broadcast, so the scoring pass is scan-side — one joinless-shaped
-    * map over the corpus, no N² anywhere. Cosine rounded to 6dp
-    * (engine-portable ranking, as everywhere in this module). */
-  def centroidCosine(prepared: DataFrame, groupCol: Column): DataFrame =
+    * broadcast, so the scoring pass is scan-side — no N² anywhere, but
+    * the corpus IS read twice (centroid build + scoring); at 100 TB
+    * that's the right trade (caching the corpus doesn't fit, two scans
+    * do), and callers that already hold a centroid frame (a running
+    * pipeline refreshing scores against yesterday's centroids) pass it
+    * via `centroids` to drop back to one scan. A zero-norm vector or
+    * all-zero group yields a NULL cosine (undefined direction) rather
+    * than an engine-dependent inf/NaN — downstream rankings must pin
+    * their null placement. Cosine rounded to 6dp (engine-portable
+    * ranking, as everywhere in this module). */
+  def centroidCosine(prepared: DataFrame, groupCol: Column,
+      centroids: Option[DataFrame] = None): DataFrame =
     prepared.select(groupCol.as("grp"), col("id"), col("v"), col("nrm"))
-      .join(broadcast(groupCentroids(prepared, groupCol)), Seq("grp"))
+      .join(broadcast(centroids.getOrElse(groupCentroids(prepared, groupCol))), Seq("grp"))
       .select(col("grp"), col("id"),
-        round(expr("array_dot(v, centroid)") / (col("nrm") * col("cnrm")), 6)
+        when(col("nrm") === 0 || col("cnrm") === 0, lit(null))
+          .otherwise(
+            round(expr("array_dot(v, centroid)") / (col("nrm") * col("cnrm")), 6))
           .as("cos_centroid"))
 
   /** Symmetric per-vector int8 quantization — the memory lever of

@@ -84,6 +84,26 @@ object DedupQueries {
         .orderBy(col("d1"), col("d2")),
       Some(s"WITH ${shinglesSqlCap(5)}, $jaccardPairsSql")),
 
+    // ---- df-cap telemetry for q59's aggressive cap: how many shingle
+    // types and postings the df <= 5 cap drops, and the largest df that
+    // survives — the recall cost of the 100 TB stop-shingle knob as an
+    // oracle-checked number instead of a silent filter. Same shuffle
+    // shape as the cap itself (one partial agg on the shingle key).
+    GraftQuery(
+      "q101_shingle_df_telemetry",
+      (s, d) => Dedup.shingleDfTelemetry(t(s, d, "documents"), maxShingleDf = 5),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+              sh0 AS (SELECT DISTINCT doc_id, s FROM
+                      (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                              FOR i IN range(1, len(w) - 1)]) AS s FROM toks)),
+              d AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh0 GROUP BY s)
+              SELECT CAST(sum(CASE WHEN df <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_kept,
+                     CAST(sum(CASE WHEN df > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_dropped,
+                     CAST(sum(CASE WHEN df <= 5 THEN df ELSE 0 END) AS BIGINT) AS n_postings_kept,
+                     CAST(sum(CASE WHEN df > 5 THEN df ELSE 0 END) AS BIGINT) AS n_postings_dropped,
+                     CAST(coalesce(max(CASE WHEN df <= 5 THEN df END), 0) AS BIGINT) AS max_df_kept
+              FROM d""")),
+
     // ---- near-superset pairs: overlap coefficient |A∩B|/min(|A|,|B|)
     // over the same inverted index — the containment signal Jaccard
     // misses (a doc quoted inside a much larger one). Same postings-
@@ -293,6 +313,43 @@ object DedupQueries {
                           ON a.k = b.k AND a.byte = b.byte AND a.doc_id < b.doc_id)
                SELECT d1, d2, bit_count(xor(h1, h2)) AS hamming FROM cand
                WHERE bit_count(xor(h1, h2)) <= 2 ORDER BY d1, d2""")),
+
+    // ---- 64-bit SimHash near-dup pairs — the width a 100 TB corpus
+    // actually runs (q37/q38 pin the 32-bit parity form): 8 byte-bands
+    // over 64 signal bits keep the pigeonhole guarantee to hamming <= 7
+    // while in-bucket collision fan-out drops ~2^32-fold vs the 32-bit
+    // width. The 64 bits per token are two independent portable 32-bit
+    // hashes (p60(tk) and p60(tk || '#')), so the oracle rebuilds the
+    // full fingerprint relationally: two's-complement assembly for the
+    // sign bit (sum of 2^j for j < 63, minus 2^63 when vote 63 is
+    // positive), shift-and-mask byte banding (sign-safe on both
+    // engines), bit_count(xor) hamming.
+    GraftQuery(
+      "q100_simhash64_pairs",
+      (s, d) => Dedup.simhashPairs(
+          Dedup.simhash(t(s, d, "documents"), bits = 64),
+          maxHamming = 3, fpBytes = 8)
+        .orderBy(col("d1"), col("d2")),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tk FROM documents),
+               h64 AS (SELECT doc_id, ${Portable.p60Sql("tk")} % 4294967296 AS hlo,
+                              ${Portable.p60Sql("tk || '#'")} % 4294967296 AS hhi
+                       FROM tok),
+               v AS (SELECT doc_id, j,
+                            sum(CASE WHEN (CASE WHEN j < 32 THEN hlo >> j ELSE hhi >> (j - 32) END) & 1 = 1
+                                THEN 1 ELSE -1 END) AS v
+                     FROM h64, range(0, 64) t(j) GROUP BY doc_id, j),
+               fp AS (SELECT doc_id,
+                             CAST(sum(CASE WHEN v > 0 AND j < 63 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+                             + CASE WHEN max(CASE WHEN j = 63 AND v > 0 THEN 1 ELSE 0 END) = 1
+                                    THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END AS simhash
+                      FROM v GROUP BY doc_id),
+               banded AS (SELECT doc_id, simhash, k, (simhash >> CAST(8 * k AS INTEGER)) & 255 AS byte
+                          FROM fp, range(0, 8) t(k)),
+               cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS h1, b.simhash AS h2
+                        FROM banded a JOIN banded b
+                          ON a.k = b.k AND a.byte = b.byte AND a.doc_id < b.doc_id)
+               SELECT d1, d2, bit_count(xor(h1, h2)) AS hamming FROM cand
+               WHERE bit_count(xor(h1, h2)) <= 3 ORDER BY d1, d2""")),
 
     // ---- Incremental ingest dedup: today's batch (doc_id % 4 = 0,
     // standing in for a crawl increment) deduped against the

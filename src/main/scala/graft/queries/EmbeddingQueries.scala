@@ -46,18 +46,22 @@ object EmbeddingQueries {
     // threshold WITHIN the stratum. Exact pairwise cosine is inherently
     // N² — bounding the audit to a fixed stratum is what makes "run the
     // exactness audit continuously" a scale-shaped statement (4% of the
-    // pair volume here; at 100 TB pick the rate to budget). The
-    // full-corpus audit stays available as Similarity.nearDupPairs on an
-    // unsampled frame (dev use); the production pair generators are q42
-    // / q63's bucketed paths.
+    // pair volume here; at 100 TB pick the rate to budget). offsetBp
+    // rotates WHICH stratum is audited: offsets spaced rateBp apart
+    // partition the id space (pinned in SketchSamplingSpec), so the
+    // recurring audit walks the corpus round-robin — this registration
+    // runs the second stratum of the 5-cycle. The full-corpus audit
+    // stays available as Similarity.nearDupPairs on an unsampled frame
+    // (dev use); the production pair generators are q42 / q63's
+    // bucketed paths.
     GraftQuery(
       "q41_embed_neardup",
       (s, d) => Similarity.nearDupPairs(
-          Sampling.uniform(vecs(s, d), col("id"), rateBp = 2000),
+          Sampling.uniform(vecs(s, d), col("id"), rateBp = 2000, offsetBp = 2000),
           minCosine = 0.35)
         .orderBy(col("d1"), col("d2")),
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-                          WHERE ${Portable.p60Sql("CAST(vec_id AS VARCHAR)")} % 10000 < 2000),
+                          WHERE (${Portable.p60Sql("CAST(vec_id AS VARCHAR)")} + 2000) % 10000 < 2000),
               n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
               SELECT d1, d2, cos_sim FROM
                 (SELECT a.vec_id AS d1, b.vec_id AS d2,
@@ -316,8 +320,10 @@ object EmbeddingQueries {
       (s, d) => {
         val prep = Similarity.prepare(t(s, d, "embeddings"), keep = Seq("label"))
         val scored = Similarity.centroidCosine(prep, col("label"))
+        // nulls-first pinned explicitly (degenerate zero-norm vectors
+        // yield NULL cosines; both engines must rank them identically)
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("grp")).orderBy(col("cos_centroid").asc, col("id"))
+          .partitionBy(col("grp")).orderBy(col("cos_centroid").asc_nulls_first, col("id"))
         scored.withColumn("r", row_number().over(w))
           .select(col("grp").as("label"), col("id").as("vec_id"),
             col("cos_centroid"), (col("r") <= 3).as("is_outlier"))
@@ -325,19 +331,21 @@ object EmbeddingQueries {
       },
       Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
               n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-              pos AS (SELECT label, i, avg(v[i]) AS c
-                      FROM e, range(1, 65) t(i) GROUP BY 1, 2),
+              pos AS (SELECT label, i, avg(x) AS c FROM
+                        (SELECT label, unnest(range(1, len(v) + 1)) AS i,
+                                unnest(v) AS x FROM e)
+                      GROUP BY 1, 2),
               cn AS (SELECT label, centroid,
                             sqrt(list_dot_product(centroid, centroid)) AS cnrm
                      FROM (SELECT label, list(c ORDER BY i) AS centroid
                            FROM pos GROUP BY 1)),
               sc AS (SELECT n.label, n.vec_id,
                             round(list_dot_product(n.v, cn.centroid)
-                                  / (n.nrm * cn.cnrm), 6) AS cos_centroid
+                                  / NULLIF(n.nrm * cn.cnrm, 0), 6) AS cos_centroid
                      FROM n JOIN cn ON n.label = cn.label)
               SELECT label, vec_id, cos_centroid,
                      (row_number() OVER (PARTITION BY label
-                        ORDER BY cos_centroid ASC, vec_id) <= 3) AS is_outlier
+                        ORDER BY cos_centroid ASC NULLS FIRST, vec_id) <= 3) AS is_outlier
               FROM sc ORDER BY label, vec_id"""))
   )
 }

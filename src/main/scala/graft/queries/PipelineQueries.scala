@@ -469,11 +469,15 @@ object PipelineQueries {
     // ---- vocabulary coverage curve (tokenizer-design telemetry): what
     // fraction of all token OCCURRENCES the top-N most frequent terms
     // cover, at N ∈ {10, 100, 1000}. The term-frequency aggregate is the
-    // scale work and it partial-aggregates on the term key; the ranking
-    // window then runs over the VOCAB (unique terms), which is orders of
-    // magnitude smaller than the corpus and bounded — the same
-    // single-task-over-a-bounded-frame defense as q86's recount. Ties
-    // (equal counts) break by term so the cut is engine-deterministic.
+    // scale work and it partial-aggregates on the term key; only the
+    // top max-N terms can ever contribute to the curve, so the cut is a
+    // distributed top-1000 (orderBy+limit = TakeOrderedAndProject:
+    // per-partition heads merged on the driver side of the exchange, no
+    // global sort) and the ranking window then runs over that
+    // constant-size frame — never over the full vocab, which on a
+    // web-scale corpus is billions of distinct tokens and would
+    // single-task an unpartitioned window. Ties (equal counts) break by
+    // term so the cut is engine-deterministic.
     GraftQuery(
       "q97_vocab_coverage",
       (s, d) => {
@@ -481,9 +485,13 @@ object PipelineQueries {
           .select(explode(Portable.tokens(col("text"))).as("term"))
           .filter(length(col("term")) > 0)
           .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        val top = tf.orderBy(col("c").desc, col("term")).limit(1000)
+        // window over the 1000-row top frame only — a deliberate
+        // single-task step over a constant-size input (the same defense
+        // Sampling.prioritySample uses for its k+1-row rank)
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("c").desc, col("term"))
-        val ranked = tf.select(col("c"), row_number().over(w).as("rk"))
+        val ranked = top.select(col("c"), row_number().over(w).as("rk"))
         val sizesDf = {
           import org.apache.spark.sql.Row
           import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
@@ -565,7 +573,7 @@ object PipelineQueries {
                      CAST(min(bin) AS BIGINT) AS qbin,
                      round((min(bin) + 1) * 5.0, 2) AS est
               FROM cdf, tot, (VALUES (0.25), (0.5), (0.9), (0.99)) v(q)
-              WHERE cum >= ceil(q * total)
+              WHERE cum >= ceil(CAST(q AS DOUBLE) * total)
               GROUP BY q ORDER BY q"""))
   )
 }

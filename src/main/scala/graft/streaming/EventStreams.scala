@@ -101,6 +101,52 @@ object EventStreams {
       keyCol: String): DataFrame =
     stream.join(corpusKeys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
 
+  /** foreachBatch body for incremental NEAR-dup-deduped ingestion — the
+    * streaming twin of the batch incremental dedup (q90): each
+    * micro-batch (the daily crawl) is MinHash-signed, its bands probed
+    * against the accumulated corpus signature store with
+    * [[graft.ops.Dedup.corpusCollisions]] (corpus side streams, exactly
+    * as in batch), survivors appended to `sinkDir` and their signatures
+    * appended to the store — so tomorrow's crawl dedups against
+    * everything kept today. State lives in the two parquet directories,
+    * never executor memory: the stream restarts from its checkpoint
+    * with the corpus intact, and the corpus side scales past RAM.
+    * Signature appends land in a per-batch subdirectory
+    * (`batch_<id>/`), so the append job never writes into files its own
+    * probe scan is reading; the store is read recursively. Within-batch
+    * self-dups are deliberately NOT dropped (q90's semantics is batch
+    * vs corpus); compose [[dedupStream]] upstream for those.
+    *
+    * Usage: `docs.writeStream.foreachBatch(ingestDedupBatch(sigDir,
+    * outDir) _).start()`. `broadcastBatch` as in corpusCollisions:
+    * leave true for crawl-sized batches, false for backfills. */
+  def ingestDedupBatch(corpusSigDir: String, sinkDir: String,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 16,
+      bandRows: Int = 4, broadcastBatch: Boolean = true)
+      (batch: DataFrame, batchId: Long): Unit = {
+    import graft.ops.Dedup
+    val spark = batch.sparkSession
+    val sigs = Dedup.minhashSignatures(
+      Dedup.shingles(batch, idCol = idCol, textCol = textCol), k).cache()
+    val storePath = new org.apache.hadoop.fs.Path(corpusSigDir)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val survivors =
+      if (fs.exists(storePath) && fs.listStatus(storePath).nonEmpty) {
+        val corpusSigs = spark.read
+          .option("recursiveFileLookup", "true").parquet(corpusSigDir)
+        val hits = Dedup.corpusCollisions(sigs, corpusSigs, bandRows, broadcastBatch)
+        batch.join(hits.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      } else batch
+    val kept = survivors.cache()
+    kept.write.mode("append").parquet(sinkDir)
+    // only survivors' signatures enter the store: a dropped near-dup must
+    // not shadow future docs that resemble it but not the kept original
+    sigs.join(kept.select(col(idCol).as("id")), "id")
+      .write.mode("overwrite").parquet(s"$corpusSigDir/batch_$batchId")
+    kept.unpersist()
+    sigs.unpersist()
+  }
+
   final case class EventRow(event_id: Long, user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

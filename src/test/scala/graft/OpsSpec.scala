@@ -227,6 +227,27 @@ class OpsSpec extends SparkSpec {
     assert(ids05.subsetOf(ids1.toSet) && ids05.size < ids1.size)
   }
 
+  test("Sampling: rate-spaced offsets partition the key space (audit rotation)") {
+    // the q41 rotation knob's contract: gates at rate r with offsets
+    // 0, r, 2r, ... (10000/r of them) are pairwise disjoint and their
+    // union is every key — a round-robin audit covers the corpus
+    val events = Tables(spark, sf, "events")
+    val strata = (0 until 5).map { i =>
+      graft.ops.Sampling.uniform(events, col("event_id"), rateBp = 2000,
+          offsetBp = i * 2000)
+        .select($"event_id").as[Long].collect().toSet
+    }
+    for (i <- strata.indices; j <- strata.indices if i < j)
+      assert(strata(i).intersect(strata(j)).isEmpty, s"strata $i and $j overlap")
+    val all = events.select($"event_id").as[Long].collect().toSet
+    assert(strata.reduce(_ union _) == all)
+    // offset 0 is the historical un-rotated gate (backwards compatible)
+    val legacy = events.filter(
+      pmod(graft.ops.Portable.p60(col("event_id").cast("string")), lit(10000)) < 2000)
+      .select($"event_id").as[Long].collect().toSet
+    assert(strata(0) == legacy)
+  }
+
   test("Sampling: stratified rates apply per stratum; unlisted strata drop") {
     val events = Tables(spark, sf, "events")
     val out = graft.ops.Sampling.stratified(events, col("event_id"), col("event_type"),

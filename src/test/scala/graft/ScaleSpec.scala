@@ -136,6 +136,36 @@ class ScaleSpec extends SparkSpec {
     assert(carried == plain && plain.nonEmpty)
   }
 
+  test("q97 ranks inside a distributed top-k, never the full vocab") {
+    // the vocab-coverage ranking must be TakeOrderedAndProject (per-
+    // partition heads, no global sort) with the single-task window
+    // running strictly above it — i.e. over the 1000-row cut, never over
+    // the unbounded distinct-term frame (billions of rows at web scale)
+    val df = graft.SparkEntry.queries("q97_vocab_coverage")(spark, sf)
+    // AdaptiveSparkPlanExec is a leaf wrapper (collect can't see through
+    // it) — assert on the initial physical plan it wraps
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val topK = plan.collect {
+      case tk: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => tk
+    }
+    assert(topK.nonEmpty, s"no TakeOrderedAndProject:\n${plan.toString.take(800)}")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the rank window to survive planning")
+    windows.foreach { w =>
+      val bounded = w.collectFirst {
+        case tk: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => tk
+        case gl: org.apache.spark.sql.execution.GlobalLimitExec => gl
+      }
+      assert(bounded.isDefined,
+        s"window runs over an unbounded frame:\n${w.toString.take(800)}")
+    }
+  }
+
   test("salted aggregation equals direct aggregation") {
     val ev = Tables(spark, sf, "events")
     val direct = ev.groupBy($"user_id").agg(count(lit(1)).as("n"))

@@ -135,6 +135,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestDedupBatch: streamed crawls == sequential batch incremental dedup") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.ops.Dedup
+    val docs = Tables(spark, sf, "documents").select($"doc_id", $"text")
+    val corpusDir = java.nio.file.Files.createTempDirectory("ingest_sigs").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("ingest_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest_ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(EventStreams.ingestDedupBatch(corpusDir, sinkDir) _)
+      .start()
+    try {
+      // three "daily crawls": one addData + processAllAvailable per day
+      // => one micro-batch per day
+      (0 until 3).foreach { day =>
+        val crawl = docs.filter(pmod($"doc_id", lit(3)) === day)
+          .as[(Long, String)].collect().toSeq
+        ms.addData(crawl: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.read.parquet(sinkDir)
+        .select($"doc_id").as[Long].collect().toSet
+      // sequential reference: the same three days through the BATCH
+      // incremental-dedup primitive, corpus store accumulating
+      // survivors' signatures exactly as the stream does
+      var store: Option[DataFrame] = None
+      val kept = scala.collection.mutable.Set[Long]()
+      (0 until 3).foreach { day =>
+        val crawl = docs.filter(pmod($"doc_id", lit(3)) === day)
+        val sigs = Dedup.minhashSignatures(Dedup.shingles(crawl), 16)
+        val hits = store match {
+          case Some(c) => Dedup.corpusCollisions(sigs, c)
+            .as[Long].collect().toSet
+          case None => Set.empty[Long]
+        }
+        val surv = crawl.select($"doc_id").as[Long].collect().toSet -- hits
+        kept ++= surv
+        val survSigs = sigs.filter($"id".isInCollection(surv))
+        store = Some(store.map(_.unionByName(survSigs)).getOrElse(survSigs)
+          .localCheckpoint())
+      }
+      assert(streamed == kept.toSet)
+      assert(streamed.nonEmpty)
+      // the signature store holds exactly the survivors
+      val storeIds = spark.read.option("recursiveFileLookup", "true")
+        .parquet(corpusDir).select($"id").as[Long].collect().toSet
+      val withSigs = Dedup.shingles(docs).select($"id").as[Long].collect().toSet
+      assert(storeIds == kept.toSet.intersect(withSigs))
+    } finally q.stop()
+  }
+
   test("runningTotals: stateful op accumulates per-user counts") {
     val events = Tables(spark, sf, "events")
       .selectExpr("event_id", "user_id", "event_type", "value")
