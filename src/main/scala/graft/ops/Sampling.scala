@@ -152,6 +152,27 @@ object Sampling {
         round(greatest(col("w"), col("tau")), 6).as("w_hat"))
   }
 
+  /** Epoch-based source UP-sampling — the other direction from
+    * [[mixByTokenBudget]]'s down-sampling: a high-quality source the mix
+    * calls for more-than-once-through (the "3.7 epochs of Wikipedia"
+    * idiom) is repeated `fullEpochs` times whole, plus a hash-gated
+    * `fracBp`/10000 partial epoch, every row tagged with its epoch
+    * index. Map-side only: the repeat is an explode over a constant
+    * sequence (no shuffle, no driver state), and the partial epoch
+    * reuses the deterministic gate, so WHICH rows make the fractional
+    * pass is stable across runs/engines/layouts — re-ingesting the
+    * corpus reproduces the same mix exactly. Callers wanting a TOKEN
+    * budget derive the epoch split with one aggregate:
+    * fullEpochs = budget div total, fracBp = (budget mod total) ·
+    * 10000 div total. */
+  def epochUpsample(df: DataFrame, key: Column, fullEpochs: Int, fracBp: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession) // p60
+    require(fullEpochs >= 0 && fracBp >= 0 && fracBp <= 10000,
+      s"bad epoch split: $fullEpochs full + $fracBp bp")
+    df.withColumn("epoch", explode(sequence(lit(0), lit(fullEpochs))))
+      .filter(col("epoch") < fullEpochs || hashGate(key, lit(fracBp)))
+  }
+
   /** Token-budget-aware mixing — how training mixes are actually
     * specified ("this many tokens of code, this many of web"), while
     * [[mix]] weights rows. Each source's gate rate is derived from its

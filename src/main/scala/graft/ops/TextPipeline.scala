@@ -152,6 +152,33 @@ object TextPipeline {
           - greatest(col("off"), col("seq_id") * seqLen)).as("n_tok"))
   }
 
+  /** Length-bucketed batching telemetry: group documents into token-
+    * length buckets of `widthTokens` and report, per bucket, the doc and
+    * token counts, the bucket's max length, and the padding waste if
+    * batches were formed within the bucket and padded to its max —
+    * the measurement that justifies length-bucketed batching for
+    * training/inference (vs padding everything to the global max, whose
+    * waste the caller gets by comparing against a width covering all
+    * lengths). One scan-side projection + one partial-aggregating
+    * groupBy on the bounded bucket key — no window, no N². Ratio
+    * rounded to 6dp for cross-engine hashing. */
+  def lengthBuckets(docs: DataFrame, widthTokens: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(widthTokens > 0, s"bucket width must be positive, got $widthTokens")
+    docs.select(size(Portable.tokens(col(textCol))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("bucket", expr(s"(n - 1) DIV $widthTokens"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        max(col("n")).as("max_len"))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"), col("max_len"),
+        (col("n_docs") * col("max_len") - col("n_tokens")).as("pad_tokens"),
+        round((col("n_docs") * col("max_len") - col("n_tokens")).cast("double")
+          / (col("n_docs") * col("max_len")), 6).as("pad_ratio"))
+  }
+
   /** Boilerplate share per document: tile each doc into non-overlapping
     * `blockTokens`-token blocks ([[chunk]] with stride = size), count the
     * blocks whose fingerprint recurs in >= `minDf` distinct documents

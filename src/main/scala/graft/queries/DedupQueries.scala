@@ -126,6 +126,14 @@ object DedupQueries {
     // 4x4; docs sharing any band value become candidates; each candidate
     // reports the minhash estimate and the exact Jaccard (verified only
     // over candidate docs — the full-corpus join never runs).
+    //
+    // Perf history (closes the r10 "2x bimodality" watch): after the r6
+    // keepSigs + broadcast-hint fix the plan is stable — r11 measured
+    // 2.6-2.8s at sf0.1 across three isolated JVMs (min-of-5 each) AND
+    // 2.8s inside the full-suite run. The r10 outlier (4.59s) did not
+    // reproduce under any repetition and predates zero code changes to
+    // this query; verified cause: session-level noise (GC/JIT), not the
+    // plan — same conclusion as the r8 q39 and r5 q37/q38 spikes.
     GraftQuery(
       "q36_minhash_lsh",
       (s, d) => {

@@ -574,6 +574,45 @@ object PipelineQueries {
                      round((min(bin) + 1) * 5.0, 2) AS est
               FROM cdf, tot, (VALUES (0.25), (0.5), (0.9), (0.99)) v(q)
               WHERE cum >= ceil(CAST(q AS DOUBLE) * total)
-              GROUP BY q ORDER BY q"""))
+              GROUP BY q ORDER BY q""")),
+
+    // ---- epoch-based source upsampling (the "3.7 epochs of the
+    // high-quality source" mixing idiom): every doc repeated for each
+    // full epoch plus a hash-gated half epoch, tagged with the epoch
+    // index. Map-side explode over a constant sequence — no shuffle, no
+    // driver state — and the fractional pass is the deterministic gate,
+    // so the mix replays identically across runs/engines/layouts.
+    GraftQuery(
+      "q102_epoch_upsample",
+      (s, d) => Sampling.epochUpsample(
+          t(s, d, "documents").select(col("doc_id"),
+            size(Portable.tokens(col("text"))).cast("long").as("n_tokens")),
+          key = col("doc_id"), fullEpochs = 2, fracBp = 5000)
+        .orderBy(col("epoch"), col("doc_id")),
+      Some(s"""SELECT doc_id,
+                      CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                      epoch
+               FROM documents, (VALUES (0), (1), (2)) e(epoch)
+               WHERE epoch < 2 OR ${p60("CAST(doc_id AS VARCHAR)")} % 10000 < 5000
+               ORDER BY epoch, doc_id""")),
+
+    // ---- length-bucketed batching telemetry: per 32-token length
+    // bucket, doc/token counts and the padding waste of batching within
+    // the bucket (pad to bucket max) — the numbers that justify
+    // length-bucketed batching against pad-to-global-max. Scan-side
+    // projection + one partial agg on the bounded bucket key.
+    GraftQuery(
+      "q103_length_buckets",
+      (s, d) => TextPipeline.lengthBuckets(t(s, d, "documents"), widthTokens = 32)
+        .orderBy(col("bucket")),
+      Some("""WITH tk AS (SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+                          FROM documents),
+              b AS (SELECT n, (n - 1) // 32 AS bucket FROM tk WHERE n > 0)
+              SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n) AS BIGINT) AS n_tokens,
+                     CAST(max(n) AS BIGINT) AS max_len,
+                     CAST(count(*) * max(n) - sum(n) AS BIGINT) AS pad_tokens,
+                     round((count(*) * max(n) - sum(n)) * 1.0 / (count(*) * max(n)), 6) AS pad_ratio
+              FROM b GROUP BY bucket ORDER BY bucket"""))
   )
 }

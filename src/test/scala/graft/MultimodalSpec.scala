@@ -30,6 +30,36 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
   }
 
+  test("decodePng: real JDK decode, band means match the drawn image") {
+    // generate the payload in-test (fixtures stay fake): 8x8 PNG, top
+    // half pure black, bottom half pure white
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if (y < 4) 0x000000 else 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    // luma bands: dim=4 over 8 rows -> 2 rows per band; black rows give
+    // 0, white rows give 255*299+255*587+255*114 = 255000 // 1000 = 255
+    val feats = Multimodal.decodePng(png, dim = 4).get
+    assert(feats.length == 4)
+    assert(feats(0) == 0f && feats(1) == 0f && feats(2) == 1f && feats(3) == 1f,
+      feats.toSeq.toString)
+    // dispatch: image/png routes to the real decoder, fake types to the
+    // stub, corrupt PNG payloads degrade to the stub instead of throwing
+    assert(Multimodal.decode(png, "image/png", 4).toSeq == feats.toSeq)
+    assert(Multimodal.decode(png, "application/x-fake-png", 4).toSeq ==
+      Multimodal.stubDecode(png, 4).toSeq)
+    val corrupt = png.take(10).toArray
+    assert(Multimodal.decode(corrupt, "image/png", 4).toSeq ==
+      Multimodal.stubDecode(corrupt, 4).toSeq)
+    // end-to-end through the batched Dataset plumbing
+    val ds = Seq(Multimodal.MediaRow(1L, "image", png, "image/png", png.length.toLong)).toDS()
+    val out = Multimodal.extractFeatures(ds, dim = 4, batchSize = 2).collect()
+    assert(out.length == 1 && out.head.features.toSeq == feats.toSeq)
+  }
+
   test("subsample keeps every Nth byte") {
     val sub = Multimodal.subsample(media, everyN = 4).collect()
     val orig = media.collect().map(r => r.media_id -> r.content).toMap

@@ -261,6 +261,39 @@ class OpsSpec extends SparkSpec {
     assert(byType("click") < allClicks / 10) // 5% stratum way down
   }
 
+  test("epochUpsample: full epochs whole, fractional epoch is the hash gate") {
+    val docs = Tables(spark, sf, "documents").select($"doc_id")
+    val n = docs.count()
+    val up = graft.ops.Sampling.epochUpsample(docs, col("doc_id"),
+      fullEpochs = 2, fracBp = 5000)
+    val byEpoch = up.groupBy($"epoch").count().as[(Int, Long)].collect().toMap
+    assert(byEpoch(0) == n && byEpoch(1) == n) // full passes intact
+    // fractional pass = exactly the uniform 50% gate's rows
+    val frac = up.filter($"epoch" === 2).select($"doc_id").as[Long].collect().toSet
+    val gate = graft.ops.Sampling.uniform(docs, col("doc_id"), 5000)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(frac == gate && frac.nonEmpty && frac.size < n)
+    // layout-independent (the replay guarantee)
+    val up2 = graft.ops.Sampling.epochUpsample(docs.repartition(7), col("doc_id"),
+      fullEpochs = 2, fracBp = 5000)
+      .select($"epoch", $"doc_id").as[(Int, Long)].collect().sorted.toSeq
+    assert(up2 == up.select($"epoch", $"doc_id").as[(Int, Long)].collect().sorted.toSeq)
+  }
+
+  test("lengthBuckets: bucket assignment and pad-waste arithmetic") {
+    val docs = Seq(
+      (1L, "a b c d e"),                      // 5 tokens  -> bucket 0
+      (2L, "a b c d e f g h i j"),            // 10 tokens -> bucket 0
+      (3L, ("x " * 40).trim)                  // 40 tokens -> bucket 1
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextPipeline.lengthBuckets(docs, widthTokens = 32)
+      .orderBy($"bucket")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq(
+      (0L, 2L, 15L, 10L, 5L, 0.25),   // pad to max 10: 2*10-15 = 5 wasted
+      (1L, 1L, 40L, 40L, 0L, 0.0)))
+  }
+
   test("Sampling.mix tags origins and respects weights") {
     val docs = Tables(spark, sf, "documents")
     val mixed = graft.ops.Sampling.mix(Seq(
