@@ -136,6 +136,21 @@ class ScaleSpec extends SparkSpec {
     assert(carried == plain && plain.nonEmpty)
   }
 
+  test("epochUpsample is shuffle-free; lengthBuckets pays exactly one exchange") {
+    // the ops' scale claims as plan properties: the epoch repeat is a
+    // map-side explode + filter off the scan (no exchange anywhere), and
+    // the bucket telemetry is one partial-aggregating groupBy (exactly
+    // one exchange, on the bounded bucket key)
+    val docs = Tables(spark, sf, "documents")
+    val upPlan = graft.ops.Sampling
+      .epochUpsample(docs.select(col("doc_id")), col("doc_id"), 2, 5000)
+      .queryExecution.executedPlan.toString
+    assert(!upPlan.contains("Exchange"), upPlan.take(500))
+    val lbPlan = graft.ops.TextPipeline.lengthBuckets(docs, widthTokens = 32)
+      .queryExecution.executedPlan.toString
+    assert(lbPlan.linesIterator.count(_.contains("Exchange")) == 1, lbPlan.take(800))
+  }
+
   test("q97 ranks inside a distributed top-k, never the full vocab") {
     // the vocab-coverage ranking must be TakeOrderedAndProject (per-
     // partition heads, no global sort) with the single-task window
