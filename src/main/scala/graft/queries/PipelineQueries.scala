@@ -532,8 +532,11 @@ object PipelineQueries {
     // edge of the first bin whose cumulative count reaches ceil(q·N);
     // error bounded by the bin width, here 5.0). The per-shard build is
     // a partial-aggregating groupBy; the merge touches only |bins| rows;
-    // the CDF window runs over the bounded bin domain (range/width
-    // rows), never the corpus. This is the keep-per-day-histograms,
+    // the CDF is a TWO-LEVEL prefix sum (Prefix.runningSum) because the
+    // bin count scales with the VALUE RANGE, not the corpus — a heavy-
+    // tailed metric makes "bounded bin domain" the same trap q97's
+    // "bounded vocab" was, so no single task ever sees more than one
+    // bucket of bins. This is the keep-per-day-histograms,
     // answer-global-percentiles-without-rescanning pattern.
     GraftQuery(
       "q98_quantile_sketch",
@@ -544,9 +547,8 @@ object PipelineQueries {
             floor(col("value") / 5).cast("long").as("bin"))
           .agg(count(lit(1)).as("n"))
         val merged = shardSketch.groupBy(col("bin")).agg(sum(col("n")).as("n"))
-        val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
-        val cdf = merged
-          .select(col("bin"), sum(col("n")).over(w).as("cum"))
+        val cdf = graft.ops.Prefix.runningSum(merged, "bin", "n")
+          .select(col("bin"), col("cum"))
           .crossJoin(broadcast(merged.agg(sum(col("n")).as("total"))))
         val qsDf = {
           import org.apache.spark.sql.Row

@@ -261,6 +261,26 @@ class OpsSpec extends SparkSpec {
     assert(byType("click") < allClicks / 10) // 5% stratum way down
   }
 
+  test("Prefix.runningSum == global-window cumulative, negative keys included") {
+    import org.apache.spark.sql.expressions.Window
+    // sparse, unordered, negative-through-positive keys; bucket width 4
+    // forces many buckets and exercises the offset join
+    val rows = Seq(-9L, -4L, -1L, 0L, 3L, 7L, 12L, 40L, 41L, 1000L)
+      .map(k => (k, k * 3 + 100)) // arbitrary values
+    val df = rows.toDF("k", "v").repartition(5)
+    val got = graft.ops.Prefix.runningSum(df, "k", "v", bucketWidth = 4L)
+      .select($"k", $"cum").as[(Long, Long)].collect().toMap
+    val expect = df
+      .withColumn("cum", sum($"v").over(Window.orderBy($"k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"k", $"cum").as[(Long, Long)].collect().toMap
+    assert(got == expect)
+    // the floor-div bucketing really splits negatives from positives
+    // (a truncate-toward-zero DIV would fold -3..3 into one bucket and
+    // break ordering across zero)
+    assert(got(-9L) == rows.filter(_._1 <= -9).map(_._2).sum)
+  }
+
   test("epochUpsample: full epochs whole, fractional epoch is the hash gate") {
     val docs = Tables(spark, sf, "documents").select($"doc_id")
     val n = docs.count()
