@@ -252,7 +252,12 @@ object EmbeddingQueries {
         // hash once at L_max keeping the table id, filter tbl < L per
         // curve point (vs re-hashing 1+2+4 = 7 table passes); exact
         // ground truth and the hashed frame are each computed once and
-        // cached across the three L evaluations.
+        // cached across the three L evaluations. Scale note: the cached
+        // hashed frame is L_max x the corpus — cache() is
+        // MEMORY_AND_DISK so it spills rather than OOMs, but a 100 TB
+        // recall audit would (a) run over a hash-gated query stratum
+        // (as here: id < 50) and (b) materialize the hashed corpus to
+        // parquet once if the sweep is re-run across days.
         // Assumption (matches every driver fixture: sf0.001-0.1 all hold
         // vec_ids 0..N-1 with N >= 50): the id < 50 query stratum is
         // nonempty. On an empty stratum this global agg would emit one
