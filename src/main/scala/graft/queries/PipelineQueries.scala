@@ -615,6 +615,107 @@ object PipelineQueries {
                      CAST(max(n) AS BIGINT) AS max_len,
                      CAST(count(*) * max(n) - sum(n) AS BIGINT) AS pad_tokens,
                      round((count(*) * max(n) - sum(n)) * 1.0 / (count(*) * max(n)), 6) AS pad_ratio
-              FROM b GROUP BY bucket ORDER BY bucket"""))
+              FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    // ---- the COMPLETE corpus-build pipeline, end to end: quality gate
+    // (>= 10 tokens) → benchmark decontamination (trigram overlap vs the
+    // doc_id % 97 = 0 eval set) → exact dedup (normalized fingerprint)
+    // → NEAR-dup canonical retention (df-capped shingle jaccard >= 0.1
+    // → connected components → best-token-count doc per component) →
+    // 256-token sequence packing of the survivors. Every stage is the
+    // library op the standalone queries already verify (q65, q81, q34,
+    // q83, q89) — this registration pins that they COMPOSE: each
+    // stage's survivors feed the next, one driver-checkable output. The
+    // plan is the stages' plans chained — scan-side gates, one shuffle
+    // per dedup family, the pointer-jumping CC loop, the two-level
+    // pack — nothing new at scale beyond what each piece already
+    // defends.
+    GraftQuery(
+      "q104_corpus_pipeline",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val quality = docs
+          .filter(size(Portable.tokens(col("text"))) >= 10)
+          .select(col("doc_id"), col("text"))
+        val train = quality.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        val clean = train.join(
+          TextPipeline.decontaminate(train, bench, n = 3)
+            .filter(!col("contaminated")).select(col("doc_id")), "doc_id")
+        // stage boundary: exact-dedup survivors feed three consumers
+        // (shingle pairs, scoring, the final join) — uncached, each
+        // re-evaluates the decontamination join + dedup groupBy.
+        // MEMORY_AND_DISK semantics; a production run would checkpoint
+        // survivors to parquet here for restartability anyway.
+        val exactKept = graft.ops.Dedup.exact(clean)
+          .select(col("doc_id"), col("text")).cache()
+        val comps = graft.ops.Dedup.connectedComponents(
+          graft.ops.Dedup.jaccardPairs(
+            graft.ops.Dedup.shingles(exactKept, maxShingleDf = 1000), minJaccard = 0.1)
+            .select(col("d1"), col("d2")))
+        val scored = exactKept.select(col("doc_id"),
+          size(Portable.tokens(col("text"))).as("score"))
+        val canon = graft.ops.Dedup.canonical(scored, comps)
+          .filter(col("keep")).select(col("doc_id"))
+        TextPipeline.pack(exactKept.join(canon, "doc_id"),
+            seqLen = 256, bucketWidth = 64)
+          .orderBy(col("doc_id"), col("seq_id"))
+      },
+      Some(s"""WITH RECURSIVE
+               toks AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+               wins AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                               FOR i IN range(1, len(w) - 1)]) AS s
+                        FROM toks WHERE len(w) >= 3),
+               bench AS (SELECT DISTINCT s FROM wins WHERE doc_id % 97 = 0),
+               contam AS (SELECT DISTINCT doc_id FROM wins JOIN bench USING (s)
+                          WHERE doc_id % 97 <> 0),
+               clean AS (SELECT doc_id, text, w FROM toks
+                         WHERE len(w) >= 10 AND doc_id % 97 <> 0
+                           AND doc_id NOT IN (SELECT doc_id FROM contam)),
+               nf AS (SELECT doc_id, text, w,
+                             ${p60(Portable.normTextSql("text"))} AS fp FROM clean),
+               ex AS (SELECT doc_id, text, w FROM nf
+                      WHERE doc_id = (SELECT min(doc_id) FROM nf n2 WHERE n2.fp = nf.fp)),
+               sh0 AS (SELECT DISTINCT doc_id, s FROM
+                       (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                               FOR i IN range(1, len(w) - 1)]) AS s
+                        FROM ex WHERE len(w) >= 3)),
+               sh AS (SELECT doc_id, s FROM
+                       (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0)
+                      WHERE df <= 1000),
+               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                         GROUP BY 1, 2),
+               pairs AS (SELECT d1, d2 FROM
+                           (SELECT d1, d2, round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+                            FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
+                         WHERE jaccard >= 0.1),
+               edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                         UNION ALL SELECT d2, d1 FROM pairs),
+               reach(node, r) AS (
+                 SELECT DISTINCT a, a FROM edges
+                 UNION
+                 SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+               comp AS (SELECT node AS id, min(r) AS component FROM reach GROUP BY node),
+               lab AS (SELECT ex.doc_id, coalesce(c.component, ex.doc_id) AS component,
+                              CAST(len(w) AS BIGINT) AS n
+                       FROM ex LEFT JOIN comp c ON c.id = ex.doc_id),
+               canon AS (SELECT doc_id, n FROM
+                           (SELECT doc_id, n, row_number() OVER (PARTITION BY component
+                              ORDER BY n DESC, doc_id) AS rn FROM lab)
+                         WHERE rn = 1),
+               o AS (SELECT doc_id, n,
+                            CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                              AS BIGINT) AS off
+                     FROM canon WHERE n > 0),
+               sp AS (SELECT doc_id, n, off,
+                             unnest(range(off // 256, (off + n - 1) // 256 + 1)) AS seq_id
+                      FROM o)
+               SELECT doc_id, seq_id,
+                      greatest(off, seq_id * 256) - seq_id * 256 AS pos,
+                      least(off + n, (seq_id + 1) * 256) - greatest(off, seq_id * 256) AS n_tok
+               FROM sp ORDER BY doc_id, seq_id"""))
   )
 }
