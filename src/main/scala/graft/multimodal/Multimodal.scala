@@ -88,9 +88,12 @@ object Multimodal {
     * blobs WILL be corrupt, and a bad row must degrade (caller falls
     * back to the stub) rather than kill the scan task. */
   def decodePng(content: Array[Byte], dim: Int): Option[Array[Float]] = {
+    // NonFatal, not just IOException: ImageIO surfaces crafted/corrupt
+    // headers as runtime exceptions too (negative dimensions, CMM
+    // errors), and one poisoned blob must not kill a corpus scan task
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null || img.getWidth == 0 || img.getHeight == 0) None
     else {
       val (wd, ht) = (img.getWidth, img.getHeight)
