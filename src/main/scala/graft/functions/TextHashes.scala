@@ -74,6 +74,37 @@ object TextHashOps {
   /** Salt suffix for the high-half token hash of [[simHash64]]. */
   private val HiSalt = UTF8String.fromString("#")
 
+  private val Space = UTF8String.fromString(" ")
+
+  /** Distinct word n-gram shingles of a token array, first-occurrence
+    * order — the one-pass twin of
+    * `array_distinct(transform(sequence(0, size(w)-n), i ->
+    * concat_ws(' ', w[i], ..., w[i+n-1])))`, which Spark evaluates as an
+    * INTERPRETED lambda chain per row (higher-order functions don't
+    * participate in whole-stage codegen). This projection fronts every
+    * shingle-family query (jaccard/minhash/LSH/components), so the
+    * interpreter overhead multiplies across the suite's hottest ops.
+    * Exact concat_ws semantics: null tokens are skipped inside a gram
+    * (split() never yields nulls, but the contract is preserved). */
+  def wordShingles(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    val out = new java.util.LinkedHashSet[UTF8String]
+    var i = 0
+    while (i + n <= m) {
+      val parts = new java.util.ArrayList[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        val t = tokens.getUTF8String(i + j)
+        if (t != null) parts.add(t)
+        j += 1
+      }
+      out.add(UTF8String.concatWs(Space, parts.toArray(new Array[UTF8String](0)): _*))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
   /** 64-bit SimHash — [[simHash32]] widened to 64 counters. The 64 bits
     * of per-token signal are two independent portable 32-bit hashes
     * zipped together: bits 0-31 from p60(token) % 2^32 (exactly the
@@ -109,6 +140,19 @@ object TextHashOps {
     while (j < 64) { if (v(j) > 0) fp |= (1L << j); j += 1 }
     fp
   }
+}
+
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  override def nullSafeEval(input: Any): Any =
+    TextHashOps.wordShingles(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.wordShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class RollingMin60(child: Expression) extends UnaryExpression {

@@ -23,14 +23,17 @@ object Dedup {
     */
   def shingles(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text", maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    // per-doc dedup is map-side (array_distinct before the explode) — the
-    // equivalent .distinct() costs a full shuffle of the exploded set
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // per-doc dedup is map-side (inside word_shingles, before the
+    // explode) — the equivalent .distinct() costs a full shuffle of the
+    // exploded set. word_shingles is the codegen one-pass twin of the
+    // transform+concat_ws+array_distinct chain it replaced: higher-order
+    // functions evaluate as interpreted lambdas per row, and this
+    // projection fronts the suite's whole shingle family.
     val base = docs
       .select(col(idCol).as("id"), Portable.tokens(col(textCol)).as("w"))
       .filter(size(col("w")) >= n)
-      .select(col("id"),
-        explode(array_distinct(expr(s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', ${
-          (0 until n).map(j => s"w[i+$j]").mkString(", ")}))"))).as("s"))
+      .select(col("id"), explode(expr(s"word_shingles(w, $n)")).as("s"))
     if (maxShingleDf == Int.MaxValue) base
     else {
       // df via hash aggregate + join-back: partial aggregation collapses a

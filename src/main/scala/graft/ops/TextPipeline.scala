@@ -284,13 +284,14 @@ object TextPipeline {
   def decontaminate(train: DataFrame, benchmark: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.functions._
-    val gram = (0 until n).map(j => s"w[i+$j]").mkString(", ")
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    // word_shingles: codegen one-pass distinct n-grams (see
+    // Dedup.shingles) — per-doc distinct before the explode also cuts
+    // the exploded volume both downstream distincts were paying for
     def grams(docs: DataFrame): DataFrame = docs
       .select(col(idCol).as("doc_id"), Portable.tokens(col(textCol)).as("w"))
       .filter(size(col("w")) >= n)
-      .select(col("doc_id"),
-        explode(expr(s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $gram))"))
-          .as("s"))
+      .select(col("doc_id"), explode(expr(s"word_shingles(w, $n)")).as("s"))
     val benchGrams = grams(benchmark).select(col("s")).distinct()
       .select(col("s"), lit(1).as("hit"))
     val shared = grams(train).distinct()

@@ -85,6 +85,26 @@ class OpsSpec extends SparkSpec {
     assert(viaMl == viaSql)
   }
 
+  test("word_shingles == transform+concat_ws+array_distinct, order included") {
+    // the codegen expression must be BIT-equal (values AND first-
+    // occurrence order) to the interpreted HOF chain it replaced, on
+    // real fixture text for n in {2, 3, 4}
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables(spark, sf, "documents")
+    for (n <- Seq(2, 3, 4)) {
+      val gram = (0 until n).map(j => s"w[i+$j]").mkString(", ")
+      val both = docs
+        .select($"doc_id", graft.ops.Portable.tokens($"text").as("w"))
+        .filter(size($"w") >= n)
+        .select($"doc_id",
+          expr(s"word_shingles(w, $n)").as("fast"),
+          expr(s"array_distinct(transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $gram)))")
+            .as("ref"))
+      assert(both.filter(expr("fast != ref")).count() == 0, s"n=$n diverged")
+      assert(both.count() > 0)
+    }
+  }
+
   test("simhash64: deterministic, full-width, banded pairs == brute force") {
     val docs = Tables(spark, sf, "documents")
     val fp = graft.ops.Dedup.simhash(docs, bits = 64).cache()
