@@ -160,8 +160,12 @@ object TextPipeline {
     * training/inference (vs padding everything to the global max, whose
     * waste the caller gets by comparing against a width covering all
     * lengths). One scan-side projection + one partial-aggregating
-    * groupBy on the bounded bucket key — no window, no N². Ratio
-    * rounded to 6dp for cross-engine hashing. */
+    * groupBy on the bounded bucket key — no window, no N². The waste
+    * share is exact-integer parts-per-million (floor division), not a
+    * rounded double: round-to-6dp of a dyadic rational whose 7th digit
+    * is an exact 5 (denominator a power of two — e.g. 4 docs padded to
+    * 32 gives /128) splits between Spark's HALF_UP and DuckDB's
+    * HALF_EVEN, while integer DIV is identical everywhere. */
   def lengthBuckets(docs: DataFrame, widthTokens: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -175,8 +179,8 @@ object TextPipeline {
         max(col("n")).as("max_len"))
       .select(col("bucket"), col("n_docs"), col("n_tokens"), col("max_len"),
         (col("n_docs") * col("max_len") - col("n_tokens")).as("pad_tokens"),
-        round((col("n_docs") * col("max_len") - col("n_tokens")).cast("double")
-          / (col("n_docs") * col("max_len")), 6).as("pad_ratio"))
+        expr("(n_docs * max_len - n_tokens) * 1000000 DIV (n_docs * max_len)")
+          .as("pad_ppm"))
   }
 
   /** Boilerplate share per document: tile each doc into non-overlapping

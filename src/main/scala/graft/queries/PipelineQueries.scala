@@ -614,7 +614,7 @@ object PipelineQueries {
                      CAST(sum(n) AS BIGINT) AS n_tokens,
                      CAST(max(n) AS BIGINT) AS max_len,
                      CAST(count(*) * max(n) - sum(n) AS BIGINT) AS pad_tokens,
-                     round((count(*) * max(n) - sum(n)) * 1.0 / (count(*) * max(n)), 6) AS pad_ratio
+                     CAST((count(*) * max(n) - sum(n)) * 1000000 // (count(*) * max(n)) AS BIGINT) AS pad_ppm
               FROM b GROUP BY bucket ORDER BY bucket""")),
 
     // ---- the COMPLETE corpus-build pipeline, end to end: quality gate

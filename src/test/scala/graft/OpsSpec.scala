@@ -328,10 +328,10 @@ class OpsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val out = graft.ops.TextPipeline.lengthBuckets(docs, widthTokens = 32)
       .orderBy($"bucket")
-      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
     assert(out.toSeq == Seq(
-      (0L, 2L, 15L, 10L, 5L, 0.25),   // pad to max 10: 2*10-15 = 5 wasted
-      (1L, 1L, 40L, 40L, 0L, 0.0)))
+      (0L, 2L, 15L, 10L, 5L, 250000L), // pad to max 10: 5/20 wasted = 250000 ppm
+      (1L, 1L, 40L, 40L, 0L, 0L)))
   }
 
   test("Sampling.mix tags origins and respects weights") {
