@@ -692,6 +692,37 @@ object RelationalQueries {
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n
-              FROM events GROUP BY event_type ORDER BY event_type"""))
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- T1 again, as a mergeable bounded-heap Aggregator instead of a
+    // window (graft.ops.GroupTopK — scale rationale there): map-side
+    // partial aggregation folds every input partition to ≤ k pairs per
+    // key BEFORE the exchange, so the shuffle is k·keys, not the full
+    // table, and a hot key cannot become a straggler sort. Same oracle
+    // as q04 — the two formulations cross-check each other.
+    GraftQuery(
+      "q105_topk_aggregator",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+          .as[(Long, Double, Long)]
+          .groupByKey(_._1)
+          .mapValues(r => (r._2, r._3))
+          .agg(new graft.ops.GroupTopK(3).toColumn.name("top"))
+          .flatMap { case (custkey, top) =>
+            top.iterator.zipWithIndex.map { case ((price, okey), i) =>
+              (custkey, okey, price, i + 1)
+            }
+          }
+          .toDF("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+                FROM orders) WHERE rn <= 3
+              ORDER BY o_custkey, rn"""))
   )
 }
