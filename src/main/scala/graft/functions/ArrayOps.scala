@@ -152,6 +152,9 @@ object GraftFunctions {
       "word_shingles", exprs => WordShingles(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zorder2", exprs => ZOrder2(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int]), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sign_lsh", exprs => SignLsh(exprs(0),
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int],
         if (exprs.length > 3) exprs(3).eval().asInstanceOf[Int] else 0),

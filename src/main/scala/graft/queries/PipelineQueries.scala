@@ -716,6 +716,40 @@ object PipelineQueries {
                SELECT doc_id, seq_id,
                       greatest(off, seq_id * 256) - seq_id * 256 AS pos,
                       least(off + n, (seq_id + 1) * 256) - greatest(off, seq_id * 256) AS n_tok
-               FROM sp ORDER BY doc_id, seq_id"""))
+               FROM sp ORDER BY doc_id, seq_id""")),
+
+    // ---- Z-order (Morton) layout audit: bucket the corpus on two
+    // pruning dimensions (length bucket × source-hash bucket), interleave
+    // them into the Morton key (graft.functions.ZOrder2 — the key
+    // Delta/Iceberg sort by for OPTIMIZE ZORDER), assign fixed-width
+    // z-ranges as "files" (zkey >> 10: 64 files of 1024 z-cells = 32×32
+    // rectangles), and report each file's bounding box + row count — the
+    // min/max skipping stats a scan would prune with. Everything is a
+    // scan-side projection except one partial agg on the bounded file id;
+    // at 100 TB the real layout step is repartitionByRange(zkey) + write,
+    // and THIS query is its audit: tight per-file boxes on both dims ⇒
+    // two-sided range predicates prune to O(matching cells) files.
+    GraftQuery(
+      "q106_zorder_layout",
+      (s, d) => t(s, d, "documents")
+        .select(
+          expr("least(CAST(255 AS BIGINT), n_chars div 64)").as("xb"),
+          pmod(expr("p60(source)"), lit(256L)).as("yb"))
+        .withColumn("file_id", expr("zorder2(xb, yb, 8) div 1024"))
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("xb")).as("x_min"), max(col("xb")).as("x_max"),
+          min(col("yb")).as("y_min"), max(col("yb")).as("y_max"))
+        .orderBy(col("file_id")),
+      Some(s"""WITH b AS (SELECT least(255, n_chars // 64) AS xb,
+                                 ${p60("source")} % 256 AS yb
+                          FROM documents),
+               z AS (SELECT xb, yb,
+                            ${graft.functions.ZOrder2.interleaveSql("xb", "yb", 8)} // 1024 AS file_id
+                     FROM b)
+               SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+                      min(xb) AS x_min, max(xb) AS x_max,
+                      min(yb) AS y_min, max(yb) AS y_max
+               FROM z GROUP BY file_id ORDER BY file_id"""))
   )
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.ZOrder2
+
+/** The Morton key must be an exact bit interleave (round-trippable), the
+  * codegen expression must agree with a naive per-bit reference, and the
+  * layout query's locality claim must hold: fixed-width z-ranges cover
+  * bounded rectangles, never full-width stripes. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naive(x: Long, y: Long, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("interleave matches the per-bit reference over the 8-bit domain") {
+    for (x <- 0L until 256L; y <- 0L until 256L)
+      assert(ZOrder2.interleave(x, y, 8) == naive(x, y, 8), s"($x,$y)")
+    // 16-bit spot checks including the mask edges
+    for ((x, y) <- Seq((0L, 65535L), (65535L, 0L), (65535L, 65535L), (12345L, 54321L)))
+      assert(ZOrder2.interleave(x, y, 16) == naive(x, y, 16), s"($x,$y)")
+  }
+
+  test("de-interleave round-trips: even bits are x, odd bits are y") {
+    def unspread(z0: Long): Long = {
+      var z = z0 & 0x55555555L
+      z = (z | (z >> 1)) & 0x33333333L
+      z = (z | (z >> 2)) & 0x0f0f0f0fL
+      z = (z | (z >> 4)) & 0x00ff00ffL
+      (z | (z >> 8)) & 0xffffL
+    }
+    for (x <- Seq(0L, 1L, 200L, 255L); y <- Seq(0L, 7L, 128L, 255L)) {
+      val z = ZOrder2.interleave(x, y, 8)
+      assert(unspread(z) == x && unspread(z >> 1) == y)
+    }
+  }
+
+  test("codegen expression equals the Scala function on a real frame") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = (0L until 1000L).map(i => (i % 97, (i * 31) % 256)).toDF("x", "y")
+    val got = rows.select(col("x"), col("y"), expr("zorder2(x, y, 8)").as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z == ZOrder2.interleave(x, y, 8)) }
+  }
+
+  test("q106: every 1024-cell z-range is a 32x32 rectangle, not a stripe") {
+    val boxes = SparkEntry.queries("q106_zorder_layout")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(boxes.nonEmpty)
+    boxes.foreach { case (fid, n, xmin, xmax, ymin, ymax) =>
+      assert(n > 0)
+      // zkey div 1024 fixes bits 10..15 of the key = the high 3 bits of
+      // each dimension, so both sides of the box span at most 2^5 cells
+      assert(xmax - xmin < 32, s"file $fid x-range [$xmin,$xmax]")
+      assert(ymax - ymin < 32, s"file $fid y-range [$ymin,$ymax]")
+    }
+  }
+}
