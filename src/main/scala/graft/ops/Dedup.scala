@@ -326,5 +326,51 @@ object Dedup {
       .select(col("component"), col("doc_id"), col("score"), col("keep"))
   }
 
+  /** Content-defined chunking: split each document into token spans at
+    * content-determined boundaries and fingerprint every span — the
+    * distributed approximation of suffix-array exact-substring dedup
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): repeated passages shared across documents produce the
+    * SAME chunk fingerprints regardless of where they sit in each doc,
+    * because boundaries depend only on local content (a token t ends a
+    * chunk iff p60(t) % avgTokens == 0), so an insertion upstream
+    * shifts nothing downstream — the CDC property rsync/restic chunk
+    * with, applied to tokens instead of bytes.
+    *
+    * Emits (doc_id, fp, n_tok) — one row per chunk. The whole split is
+    * ONE scan-side projection (higher-order functions over the token
+    * array: boundary positions → spans → fingerprints) followed by an
+    * explode; no shuffle happens until the caller aggregates
+    * fingerprints, so at 100 TB the cost is the scan plus one exchange
+    * of (fp, doc_id) pairs — same shape as [[exact]], at chunk
+    * granularity. Expected chunk length is `avgTokens` (geometric, like
+    * byte-CDC); the final span is always flushed even without a
+    * boundary token.
+    */
+  def cdcChunks(docs: DataFrame, avgTokens: Int = 16, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col(idCol).as("doc_id"), Portable.tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) > 0)
+      // boundary positions (1-based, always including the last token),
+      // deduplicated in case the last token is itself a boundary
+      .withColumn("ends", expr(
+        s"""array_sort(array_distinct(concat(
+              filter(transform(w, (t, i) ->
+                       CASE WHEN p60(t) % $avgTokens = 0 THEN i + 1 END),
+                     x -> x IS NOT NULL),
+              array(size(w)))))"""))
+      .select(col("doc_id"), explode(expr(
+        """transform(ends, (e, j) ->
+             struct(
+               p60(concat_ws(' ',
+                 slice(w, CASE WHEN j = 0 THEN 1 ELSE ends[j - 1] + 1 END,
+                          e - (CASE WHEN j = 0 THEN 0 ELSE ends[j - 1] END)))) AS fp,
+               CAST(e - (CASE WHEN j = 0 THEN 0 ELSE ends[j - 1] END) AS BIGINT) AS n_tok))"""))
+        .as("c"))
+      .select(col("doc_id"), col("c.fp").as("fp"), col("c.n_tok").as("n_tok"))
+  }
+
   private[graft] def spark(df: DataFrame): SparkSession = df.sparkSession
 }

@@ -463,6 +463,42 @@ object DedupQueries {
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_batch,
                      CAST(sum(CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_known_dup,
                      true AS no_false_negatives, true AS fp_rate_ok
-              FROM documents WHERE doc_id % 4 = 0"""))
+              FROM documents WHERE doc_id % 4 = 0""")),
+
+    // ---- substring-level dedup via content-defined chunking
+    // (Dedup.cdcChunks — scale rationale and the CDC shift-resistance
+    // argument there): fingerprint ~16-token content-defined spans, then
+    // surface every span shared by >= 2 documents — the repeated-passage
+    // inventory suffix-array dedup would find, as one scan + one
+    // exchange of (fp, doc) pairs + a distributed top-50
+    // (TakeOrderedAndProject, never a global sort).
+    GraftQuery(
+      "q107_cdc_chunk_dedup",
+      (s, d) => graft.ops.Dedup.cdcChunks(t(s, d, "documents"), avgTokens = 16)
+        .groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("n_tok")).as("n_tok"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("fp"))
+        .limit(50),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                             FROM documents),
+               b AS (SELECT doc_id, w,
+                            list_sort(list_distinct([i FOR i IN range(1, len(w) + 1)
+                              IF ${Portable.p60Sql("w[i]")} % 16 = 0 OR i = len(w)])) AS ends
+                     FROM toks WHERE len(w) > 0),
+               ch AS (SELECT doc_id,
+                             unnest([${Portable.p60Sql(
+                               "array_to_string(w[CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END : ends[j]], ' ')")}
+                                     FOR j IN range(1, len(ends) + 1)]) AS fp,
+                             unnest([ends[j] - (CASE WHEN j = 1 THEN 0 ELSE ends[j-1] END)
+                                     FOR j IN range(1, len(ends) + 1)]) AS n_tok
+                      FROM b)
+               SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                      CAST(count(*) AS BIGINT) AS n_occ,
+                      CAST(min(n_tok) AS BIGINT) AS n_tok
+               FROM ch GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+               ORDER BY n_docs DESC, n_occ DESC, fp LIMIT 50"""))
   )
 }
