@@ -28,4 +28,29 @@ object Skew {
       .agg(sum(value).as("partial_s"))
       .groupBy(col("k"))
       .agg(sum(col("partial_s")).as("s"))
+
+  /** Salted equi-join for a skewed fact side: the fact table joins on
+    * (key, salt) where salt spreads each hot key's rows over
+    * `saltBuckets` sub-partitions, and the (small-but-not-broadcastable)
+    * build side is replicated once per salt value via a literal-range
+    * explode. Result is row-identical to `fact.join(dim, key)`; only the
+    * shuffle layout changes — the hot key's billions of rows land on
+    * `saltBuckets` tasks instead of one. This is the manual fallback for
+    * the cases AQE's skew-join split can't touch: a skewed key inside a
+    * shuffle whose stats AQE never sees (cached frames), or a build side
+    * Spark refuses to broadcast but the cluster could replicate k-fold.
+    *
+    * `factSalt` must be a deterministic per-row expression (an id
+    * column, not rand()) so retried tasks resalt identically — at scale
+    * a nondeterministic salt breaks exactly-once shuffle semantics under
+    * stage retry (a re-executed map task would route rows differently
+    * than the fetch that already succeeded).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      factSalt: Column, saltBuckets: Int = 16): DataFrame = {
+    val salted = fact.withColumn("_salt", pmod(factSalt, lit(saltBuckets)).cast("int"))
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
 }

@@ -723,6 +723,29 @@ object RelationalQueries {
                        row_number() OVER (PARTITION BY o_custkey
                                           ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
                 FROM orders) WHERE rn <= 3
-              ORDER BY o_custkey, rn"""))
+              ORDER BY o_custkey, rn""")),
+
+    // ---- manual salted join (graft.ops.Skew.saltedJoin — when and why
+    // there): orders as the skewed fact side salted on o_orderkey,
+    // customer replicated 8x as the build side, joined on
+    // (custkey, salt). The oracle is the PLAIN join — salting must be
+    // invisible in the result, visible only in the shuffle layout
+    // (SkewSpec pins the (key, salt) partitioning and row-identity).
+    GraftQuery(
+      "q108_salted_join",
+      (s, d) => {
+        val joined = graft.ops.Skew.saltedJoin(
+          t(s, d, "orders").withColumnRenamed("o_custkey", "custkey"),
+          t(s, d, "customer").withColumnRenamed("c_custkey", "custkey"),
+          key = "custkey", factSalt = col("o_orderkey"), saltBuckets = 8)
+        joined.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("revenue"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+                     round(sum(o_totalprice), 2) AS revenue
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }

@@ -196,6 +196,41 @@ class ScaleSpec extends SparkSpec {
     saltedSum.foreach { case (k, s) => assert(math.abs(s - directSum(k)) < 1e-6) }
   }
 
+  test("salted join is row-identical to the direct join, shuffles on (key, salt)") {
+    val orders = Tables(spark, sf, "orders").withColumnRenamed("o_custkey", "custkey")
+    val cust = Tables(spark, sf, "customer").withColumnRenamed("c_custkey", "custkey")
+    val direct = orders.join(cust, "custkey")
+      .select($"o_orderkey", $"c_mktsegment").as[(Long, String)].collect().sorted.toSeq
+    val salted = Skew.saltedJoin(orders, cust, "custkey", factSalt = $"o_orderkey", saltBuckets = 8)
+      .select($"o_orderkey", $"c_mktsegment").as[(Long, String)].collect().sorted.toSeq
+    assert(salted == direct)
+    // with broadcast off, the join must partition on BOTH key and salt —
+    // that composite key is the whole point (hot key spread over 8 tasks).
+    // AQE off for the assertion: its inputPlan predates EnsureRequirements,
+    // so exchanges only appear in the non-adaptive executedPlan
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = Skew.saltedJoin(orders, cust, "custkey", factSalt = $"o_orderkey", saltBuckets = 8)
+        .queryExecution.executedPlan
+      val hashParts = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.outputPartitioning match {
+            case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+              h.expressions.map(_.sql).mkString(",")
+          }
+      }
+      assert(hashParts.nonEmpty && hashParts.forall(p =>
+          p.contains("custkey") && p.contains("_salt")),
+        s"join exchanges not salted: $hashParts")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     val out = java.nio.file.Files.createTempDirectory("dedup_out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("dedup_ckpt").toString
