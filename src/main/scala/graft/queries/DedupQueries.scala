@@ -499,6 +499,45 @@ object DedupQueries {
                       CAST(count(*) AS BIGINT) AS n_occ,
                       CAST(min(n_tok) AS BIGINT) AS n_tok
                FROM ch GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
-               ORDER BY n_docs DESC, n_occ DESC, fp LIMIT 50"""))
+               ORDER BY n_docs DESC, n_occ DESC, fp LIMIT 50""")),
+
+    // ---- cross-source duplication matrix: the q35 near-dup pairs
+    // mapped to their sources — which corpora copy from which, the
+    // provenance question behind source weighting and crawl-overlap
+    // audits. The pair frame is candidate-bounded (inverted-index join,
+    // never |docs|²); the two source lookups shuffle on doc id; the
+    // final agg is bounded by |sources|² — every stage inherits q35's
+    // scale argument. Source pair is unordered (least/greatest), so A→B
+    // and B→A collapse into one cell.
+    GraftQuery(
+      "q109_source_overlap",
+      (s, d) => {
+        val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+        Dedup.jaccardPairs(docShingles(s, d), minJaccard = 0.1)
+          .select(col("d1"), col("d2"))
+          .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+          .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+          .select(least(col("s1"), col("s2")).as("src_a"),
+            greatest(col("s1"), col("s2")).as("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some(s"""WITH $shinglesSql,
+               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                         GROUP BY 1, 2),
+               pr AS (SELECT d1, d2 FROM
+                        (SELECT d1, d2, round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+                         FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+                                    JOIN sizes s2 ON d2 = s2.doc_id)
+                      WHERE jaccard >= 0.1)
+               SELECT least(a.source, b.source) AS src_a,
+                      greatest(a.source, b.source) AS src_b,
+                      CAST(count(*) AS BIGINT) AS n_pairs
+               FROM pr JOIN documents a ON pr.d1 = a.doc_id
+                       JOIN documents b ON pr.d2 = b.doc_id
+               GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
