@@ -244,6 +244,46 @@ object MLQueries {
                      ['image','audio','video','text'][CAST(doc_id % 4 AS INTEGER) + 1] AS modality,
                      16 AS dim,
                      string_agg(CAST(q AS VARCHAR), ':' ORDER BY j) AS features_str
-              FROM fx GROUP BY 1, 2, 3 ORDER BY media_id"""))
+              FROM fx GROUP BY 1, 2, 3 ORDER BY media_id""")),
+
+    // ---- model-based quality filter (graft.pipelines.QualityClassifier
+    // — the fastText/LR distillation stage; scale shape there). Raw
+    // probabilities are float model output, so the driver row is the
+    // invariant reduction: coverage (every tokenizable doc scored), the
+    // weak-label positive count (recomputed independently by the
+    // oracle from the q31 feature definitions), probability range, and
+    // two quality gates — pred/label agreement ≥ 0.85 (a linear model
+    // approximates the sharp two-threshold corner, it cannot carve it
+    // exactly) and AUC ≥ 0.9.
+    // The AUC evaluate() is a driver-side scalar of a distributed
+    // computation (model metrics, not data) — same category as the CC
+    // convergence count.
+    GraftQuery(
+      "q110_quality_classifier",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = graft.pipelines.QualityClassifier.fit(docs)
+        val scoredFull = graft.pipelines.QualityClassifier
+          .scoreWithRaw(docs, model).cache()
+        val auc = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+          .setLabelCol("label").setRawPredictionCol("probability")
+          .setMetricName("areaUnderROC").evaluate(scoredFull)
+        scoredFull
+          .agg(
+            count(lit(1)).as("n_scored"),
+            sum(col("label")).cast("long").as("n_pos"),
+            (min(col("prob")) >= 0.0 && max(col("prob")) <= 1.0).as("probs_in_range"),
+            (avg(when(col("pred") === col("label"), 1.0).otherwise(0.0)) >= 0.85)
+              .as("agreement_ok"))
+          .withColumn("auc_ok", lit(auc >= 0.9))
+      },
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_scored,
+                      CAST(sum(CASE WHEN n_tokens >= 40 AND stop_ratio <= 0.10
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                      true AS probs_in_range, true AS agreement_ok, true AS auc_ok
+               FROM (SELECT len(w) AS n_tokens,
+                            len(list_filter(w, t -> t IN (${TextQueries.stopListSql}))) * 1.0 / len(w) AS stop_ratio
+                     FROM (SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents)
+                     WHERE len(w) > 0)"""))
   )
 }

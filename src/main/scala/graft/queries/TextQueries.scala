@@ -17,6 +17,8 @@ object TextQueries {
 
   private val stopwords = graft.ops.TextPipeline.QualityStopwords
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+  // the same quoted list for oracles in other query modules (q110)
+  private[queries] def stopListSql: String = stopList
 
   // language marker tokens for the n-gram-heuristic language ID
   private val markers = Seq(

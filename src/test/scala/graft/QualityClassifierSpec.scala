@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipelines.QualityClassifier
+import graft.queries.Tables
+
+/** The LR quality distillation must separate its own weak labels (that
+  * is what distillation means), score every tokenizable doc, and keep
+  * the sampled-fit path (the 100 TB posture) consistent with the
+  * full-fit path. */
+class QualityClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, sf, "documents")
+
+  test("scores cover every tokenizable doc; probabilities are calibrated-range") {
+    val model = QualityClassifier.fit(docs)
+    val scored = QualityClassifier.score(docs, model).cache()
+    val nFeatures = QualityClassifier.featurize(docs).count()
+    assert(scored.count() == nFeatures)
+    val (pmin, pmax) = scored.agg(min($"prob"), max($"prob"))
+      .as[(Double, Double)].head()
+    assert(pmin >= 0.0 && pmax <= 1.0)
+    // both classes must actually occur in the fixture for AUC to mean anything
+    val nPos = scored.filter($"label" === 1.0).count()
+    assert(nPos > 0 && nPos < nFeatures, s"degenerate labels: $nPos of $nFeatures")
+  }
+
+  test("AUC >= 0.9 against the weak labels; agreement >= 0.85") {
+    val model = QualityClassifier.fit(docs)
+    val scored = QualityClassifier.scoreWithRaw(docs, model).cache()
+    val auc = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("probability")
+      .setMetricName("areaUnderROC").evaluate(scored)
+    assert(auc >= 0.9, s"AUC $auc")
+    val agree = scored.agg(avg(when($"pred" === $"label", 1.0).otherwise(0.0)))
+      .as[Double].head()
+    assert(agree >= 0.85, s"agreement $agree")
+  }
+
+  test("hash-gated sampled fit scores the FULL corpus and stays useful") {
+    val model = QualityClassifier.fit(docs, fitSampleBp = 3000)
+    val scored = QualityClassifier.scoreWithRaw(docs, model).cache()
+    assert(scored.count() == QualityClassifier.featurize(docs).count())
+    val auc = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("probability")
+      .setMetricName("areaUnderROC").evaluate(scored)
+    assert(auc >= 0.85, s"sampled-fit AUC $auc")
+  }
+}
