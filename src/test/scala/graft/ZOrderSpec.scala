@@ -51,6 +51,39 @@ class ZOrderSpec extends SparkSpec {
     got.foreach { case (x, y, z) => assert(z == ZOrder2.interleave(x, y, 8)) }
   }
 
+  test("z-ordered write: the SECOND dimension prunes files; an x-sort cannot") {
+    graft.functions.GraftFunctions.register(spark)
+    // synthetic uniform grid so the geometry is exact: 64x64 cells, 16 rows each
+    val rows = (0 until 65536).map { i =>
+      val x = (i / 16) / 64; val y = (i / 16) % 64
+      (i.toLong, x.toLong, y.toLong)
+    }
+    val df = rows.toDF("id", "xb", "yb")
+      .withColumn("zkey", expr("zorder2(xb, yb, 6)"))
+    // fraction of files a scan with predicate yb IN [0, 15] must read,
+    // judging each file by its min/max stats (what parquet row-group /
+    // file skipping does)
+    def matchFraction(dir: String, sorted: org.apache.spark.sql.DataFrame): Double = {
+      sorted.write.mode("overwrite").option("maxRecordsPerFile", 4096).parquet(dir)
+      val stats = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min($"yb").as("ymin"), max($"yb").as("ymax"))
+      stats.agg(avg(when($"ymin" <= 15 && $"ymax" >= 0, 1.0).otherwise(0.0)))
+        .as[Double].head()
+    }
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    // z-sorted: 4096-row files are one or two adjacent 16x16 z-blocks
+    // (range boundaries are sampled, so a file can straddle), y-span <= 32
+    val zFrac = matchFraction(s"$base/z",
+      df.repartitionByRange(4, $"zkey").sortWithinPartitions($"zkey"))
+    // naive layout: sorted by x only — every file spans all 64 y cells,
+    // so a y-only predicate prunes NOTHING
+    val nFrac = matchFraction(s"$base/naive",
+      df.repartitionByRange(4, $"xb").sortWithinPartitions($"xb"))
+    assert(nFrac == 1.0, s"x-sorted layout should match every file, got $nFrac")
+    assert(zFrac <= 0.5, s"z-ordered layout should prune >= half the files, got $zFrac")
+  }
+
   test("q106: every 1024-cell z-range is a 32x32 rectangle, not a stripe") {
     val boxes = SparkEntry.queries("q106_zorder_layout")(spark, sf)
       .as[(Long, Long, Long, Long, Long, Long)].collect()
