@@ -231,7 +231,43 @@ object TextQueries {
               FROM bi JOIN uni u1 ON u1.x = bi.x
                       JOIN uni u2 ON u2.x = bi.y, nu, nb
               WHERE cxy >= 5
-              ORDER BY pmi DESC, bi.x, bi.y LIMIT 20"""))
+              ORDER BY pmi DESC, bi.x, bi.y LIMIT 20""")),
+
+    // ---- tokenizer fertility by language: chars per BPE-ish token and
+    // tokens per whitespace word, per declared lang — the
+    // tokenizer-efficiency numbers that decide vocab allocation across
+    // languages (a lang with high chars/token is being under-served by
+    // the vocab). Scan-side projections + one partial agg on the bounded
+    // lang key; ratios computed AFTER the aggregate and rounded, so the
+    // division order is engine-identical.
+    GraftQuery(
+      "q111_token_fertility",
+      (s, d) => t(s, d, "documents")
+        .select(col("lang"),
+          col("n_chars"),
+          size(Portable.tokens(col("text"))).cast("long").as("n_words"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+            .cast("long").as("n_bpe"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          sum(col("n_words")).as("words"),
+          sum(col("n_bpe")).as("bpe_tokens"))
+        .select(col("lang"), col("n_docs"), col("chars"), col("words"), col("bpe_tokens"),
+          round(col("chars").cast("double") / col("bpe_tokens"), 6).as("chars_per_token"),
+          round(col("bpe_tokens").cast("double") / col("words"), 6).as("fertility"))
+        .orderBy(col("lang")),
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS chars,
+                     CAST(sum(n_words) AS BIGINT) AS words,
+                     CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+                     round(sum(n_chars) * 1.0 / sum(n_bpe), 6) AS chars_per_token,
+                     round(sum(n_bpe) * 1.0 / sum(n_words), 6) AS fertility
+              FROM (SELECT lang, n_chars,
+                           len(string_split_regex(trim(text), '\s+')) AS n_words,
+                           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe
+                    FROM documents)
+              GROUP BY lang ORDER BY lang"""))
   )
 
   /** Spark-SQL fragment of [[Portable.p60]] for use inside `expr` lambdas
