@@ -190,6 +190,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quality model scores a document STREAM identically to batch") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // fit once on the batch corpus, then score the same docs arriving as
+    // a file stream — the "score the crawl as it lands" deployment: LR
+    // scoring is a scan-side projection, so the streaming plan is the
+    // batch plan with a streaming source, no state at all
+    val docs = Tables(spark, sf, "documents")
+    val model = graft.pipelines.QualityClassifier.fit(docs)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+    val q = graft.pipelines.QualityClassifier.score(stream, model)
+      .writeStream.format("memory").queryName("quality_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("quality_out")
+        .select($"doc_id", $"label", round($"prob", 9), $"pred")
+        .as[(Long, Double, Double, Double)].collect().toSet
+      val batch = graft.pipelines.QualityClassifier.score(docs, model)
+        .select($"doc_id", $"label", round($"prob", 9), $"pred")
+        .as[(Long, Double, Double, Double)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("runningTotals: stateful op accumulates per-user counts") {
     val events = Tables(spark, sf, "events")
       .selectExpr("event_id", "user_id", "event_type", "value")
