@@ -538,6 +538,53 @@ object DedupQueries {
                       CAST(count(*) AS BIGINT) AS n_pairs
                FROM pr JOIN documents a ON pr.d1 = a.doc_id
                        JOIN documents b ON pr.d2 = b.doc_id
-               GROUP BY 1, 2 ORDER BY 1, 2"""))
+               GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- the drop signal built on q107: per document, what fraction of
+    // its tokens sit in chunks that also appear in OTHER documents —
+    // the cross-doc twin of q80's within-doc dup-span ratio, and the
+    // number a curation gate thresholds ("drop docs >50% recycled").
+    // Chunk sharing is computed per fingerprint with countDistinct(doc)
+    // (one bounded exchange on fp), joined back to the chunk rows (a
+    // second exchange on fp), then one partial agg per doc — no window,
+    // no N². Exact-integer ppm (the q103 pattern) keeps the ratio
+    // engine-portable without double division.
+    GraftQuery(
+      "q112_chunk_dup_ratio",
+      (s, d) => {
+        val chunks = graft.ops.Dedup.cdcChunks(t(s, d, "documents"), avgTokens = 16)
+        val sharing = chunks.groupBy(col("fp"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+        chunks.join(sharing, "fp")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("n_tok")).as("n_tokens"),
+            sum(when(col("n_docs") >= 2, col("n_tok")).otherwise(0L)).as("dup_tokens"))
+          .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+            expr("dup_tokens * 1000000 div n_tokens").as("dup_ppm"))
+          .filter(col("dup_tokens") > 0)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                             FROM documents),
+               b AS (SELECT doc_id, w,
+                            list_sort(list_distinct([i FOR i IN range(1, len(w) + 1)
+                              IF ${Portable.p60Sql("w[i]")} % 16 = 0 OR i = len(w)])) AS ends
+                     FROM toks WHERE len(w) > 0),
+               ch AS (SELECT doc_id,
+                             unnest([${Portable.p60Sql(
+                               "array_to_string(w[CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END : ends[j]], ' ')")}
+                                     FOR j IN range(1, len(ends) + 1)]) AS fp,
+                             unnest([ends[j] - (CASE WHEN j = 1 THEN 0 ELSE ends[j-1] END)
+                                     FOR j IN range(1, len(ends) + 1)]) AS n_tok
+                      FROM b),
+               sh2 AS (SELECT fp, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY fp)
+               SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                      CAST(sum(CASE WHEN n_docs >= 2 THEN n_tok ELSE 0 END) AS BIGINT) AS dup_tokens,
+                      CAST(sum(CASE WHEN n_docs >= 2 THEN n_tok ELSE 0 END) * 1000000
+                           // sum(n_tok) AS BIGINT) AS dup_ppm
+               FROM ch JOIN sh2 USING (fp)
+               GROUP BY doc_id
+               HAVING sum(CASE WHEN n_docs >= 2 THEN n_tok ELSE 0 END) > 0
+               ORDER BY doc_id"""))
   )
 }
