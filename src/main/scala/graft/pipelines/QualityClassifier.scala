@@ -60,9 +60,14 @@ object QualityClassifier {
       if (fitSampleBp >= 10000) feats
       else feats.filter(
         pmod(Portable.p60(col("doc_id").cast("string")), lit(10000)) < fitSampleBp)
-    new LogisticRegression()
+    val m = new LogisticRegression()
       .setMaxIter(50).setRegParam(0.01).setStandardization(true)
       .fit(assembler.transform(train))
+    // drop the training summary: it pins the fitting SparkSession (whose
+    // ObservationManager is not serializable), and a model captured in a
+    // scoring task closure must serialize — copy() carries the summary
+    // over, so detach it via the bridge
+    org.apache.spark.ml.GraftMlBridge.stripSummary(m)
   }
 
   private val p1: UserDefinedFunction = udf((v: Vector) => v(1))

@@ -351,6 +351,72 @@ object EmbeddingQueries {
               SELECT label, vec_id, cos_centroid,
                      (row_number() OVER (PARTITION BY label
                         ORDER BY cos_centroid ASC NULLS FIRST, vec_id) <= 3) AS is_outlier
+              FROM sc ORDER BY label, vec_id""")),
+
+    // ---- the embedding-side curation pipeline, composed end to end
+    // (the q104 pattern for vectors): LSH near-dup pairs → connected
+    // components → canonical retention (min vec_id per component) →
+    // per-label centroid cosine + bottom-3 outlier flag over the
+    // SURVIVORS. Each stage is the op its standalone query verifies
+    // (q63, q96); this registration pins that they compose — dedup
+    // changes the centroids, so the outlier set differs from q96's, and
+    // the oracle recomputes the whole chain independently. Scale shape
+    // inherits the pieces: bucketed pairs (never N²), O(log d) pointer-
+    // jumping CC, broadcast centroids, scan-side scoring.
+    GraftQuery(
+      "q113_embedding_pipeline",
+      (s, d) => {
+        val prep = Similarity.prepare(t(s, d, "embeddings"), keep = Seq("label"))
+        val dropped = graft.ops.Dedup.connectedComponents(
+            Similarity.lshNearDupPairs(vecs(s, d), minCosine = 0.35)
+              .select(col("d1"), col("d2")))
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as("drop_id"))
+        val surv = prep.join(dropped, prep("id") === dropped("drop_id"), "left_anti")
+        val scored = Similarity.centroidCosine(surv, col("label"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp")).orderBy(col("cos_centroid").asc_nulls_first, col("id"))
+        scored.withColumn("r", row_number().over(w))
+          .select(col("grp").as("label"), col("id").as("vec_id"),
+            col("cos_centroid"), (col("r") <= 3).as("is_outlier"))
+          .orderBy(col("label"), col("vec_id"))
+      },
+      Some("""WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+              bk AS (SELECT vec_id, v, nrm,
+                       CAST(list_sum([CASE WHEN list_sum([v[dm] * CAST((CAST(1103515245 AS BIGINT) * (p * 64 + dm) + 12345) % 2001 - 1000 AS DOUBLE)
+                                                          FOR dm IN range(1, 65)]) > 0
+                                           THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END
+                                      FOR p IN range(0, 6)]) AS BIGINT) AS bucket
+                     FROM n),
+              pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+                        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+                        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35),
+              edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                        UNION ALL SELECT d2, d1 FROM pairs),
+              reach(node, r) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT e2.b, reach.r FROM reach JOIN edges e2 ON e2.a = reach.node),
+              comp AS (SELECT node AS id, min(r) AS component FROM reach GROUP BY node),
+              drp AS (SELECT id FROM comp WHERE id <> component),
+              surv AS (SELECT vec_id, label, v, nrm FROM n
+                       WHERE vec_id NOT IN (SELECT id FROM drp)),
+              pos AS (SELECT label, i, avg(x) AS c FROM
+                        (SELECT label, unnest(range(1, len(v) + 1)) AS i,
+                                unnest(v) AS x FROM surv)
+                      GROUP BY 1, 2),
+              cn AS (SELECT label, centroid,
+                            sqrt(list_dot_product(centroid, centroid)) AS cnrm
+                     FROM (SELECT label, list(c ORDER BY i) AS centroid
+                           FROM pos GROUP BY 1)),
+              sc AS (SELECT s2.label, s2.vec_id,
+                            round(list_dot_product(s2.v, cn.centroid)
+                                  / NULLIF(s2.nrm * cn.cnrm, 0), 6) AS cos_centroid
+                     FROM surv s2 JOIN cn ON s2.label = cn.label)
+              SELECT label, vec_id, cos_centroid,
+                     (row_number() OVER (PARTITION BY label
+                        ORDER BY cos_centroid ASC NULLS FIRST, vec_id) <= 3) AS is_outlier
               FROM sc ORDER BY label, vec_id"""))
   )
 }
