@@ -552,7 +552,12 @@ object DedupQueries {
     GraftQuery(
       "q112_chunk_dup_ratio",
       (s, d) => {
+        // consumed twice (sharing agg + join back): cached here; a 100 TB
+        // run would persist the chunk frame to parquet instead (it is
+        // ~|corpus tokens|/16 rows — disk-scale, not RAM-scale) or accept
+        // the second scan, the same trade centroidCosine documents
         val chunks = graft.ops.Dedup.cdcChunks(t(s, d, "documents"), avgTokens = 16)
+          .cache()
         val sharing = chunks.groupBy(col("fp"))
           .agg(countDistinct(col("doc_id")).as("n_docs"))
         chunks.join(sharing, "fp")
