@@ -28,7 +28,8 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    toleranceMicros: Option[Long] = None) extends BinaryNode {
+    toleranceMicros: Option[Long] = None,
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -43,6 +44,7 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     toleranceMicros: Option[Long],
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -85,32 +87,61 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
 
       val rBuf = rIter.buffered
-      var lastMatch: InternalRow = null
-      var lastMatchKey: InternalRow = null
-      var lastMatchTime = 0L
 
-      lIter.map { lRow =>
-        val lKey = lKeyProj(lRow)
-        val lT = lTimeProj(lRow).copy()
-        // consume right rows that are (a) on earlier keys or (b) on this
-        // key with time <= left time; the latest such row is the match
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val rKey = rKeyProj(rBuf.head)
-          val cmp = keyOrd.compare(rKey, lKey)
-          if (cmp < 0) { rBuf.next() }
-          else if (cmp == 0 && timeOrd.compare(rTimeProj(rBuf.head), lT) <= 0) {
-            lastMatchKey = rKey.copy()
-            lastMatchTime = rTimeProj(rBuf.head).getLong(0)
-            lastMatch = rBuf.next().copy()
-          } else advancing = false
+      if (forward) {
+        // forward direction: for each left row, the EARLIEST right row
+        // with rightTime >= leftTime on the key. Left times ascend, so
+        // right rows skipped here (key behind, or time strictly before
+        // this left time) are dead for every later left row too — the
+        // match is simply the right head after advancing, and it is NOT
+        // consumed (the same right row may be the next-event for several
+        // left rows).
+        lIter.map { lRow =>
+          val lKey = lKeyProj(lRow)
+          val lT = lTimeProj(lRow).copy()
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rKey = rKeyProj(rBuf.head)
+            val cmp = keyOrd.compare(rKey, lKey)
+            if (cmp < 0) { rBuf.next() }
+            else if (cmp == 0 && timeOrd.compare(rTimeProj(rBuf.head), lT) < 0) { rBuf.next() }
+            else advancing = false
+          }
+          val matched = rBuf.hasNext &&
+            keyOrd.compare(rKeyProj(rBuf.head), lKey) == 0 &&
+            // tolerance bound: match must not be further ahead than the
+            // window (long-backed time types only)
+            tol.forall(t => rTimeProj(rBuf.head).getLong(0) - lT.getLong(0) <= t)
+          resultProj(joined(lRow, if (matched) rBuf.head else nullRight))
         }
-        val matched = lastMatch != null && lastMatchKey != null &&
-          keyOrd.compare(lastMatchKey, lKey) == 0 &&
-          // tolerance bound: match must not be older than the window
-          // (long-backed time types only: timestamp micros / long)
-          tol.forall(t => lT.getLong(0) - lastMatchTime <= t)
-        resultProj(joined(lRow, if (matched) lastMatch else nullRight))
+      } else {
+        var lastMatch: InternalRow = null
+        var lastMatchKey: InternalRow = null
+        var lastMatchTime = 0L
+
+        lIter.map { lRow =>
+          val lKey = lKeyProj(lRow)
+          val lT = lTimeProj(lRow).copy()
+          // consume right rows that are (a) on earlier keys or (b) on this
+          // key with time <= left time; the latest such row is the match
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rKey = rKeyProj(rBuf.head)
+            val cmp = keyOrd.compare(rKey, lKey)
+            if (cmp < 0) { rBuf.next() }
+            else if (cmp == 0 && timeOrd.compare(rTimeProj(rBuf.head), lT) <= 0) {
+              lastMatchKey = rKey.copy()
+              lastMatchTime = rTimeProj(rBuf.head).getLong(0)
+              lastMatch = rBuf.next().copy()
+            } else advancing = false
+          }
+          val matched = lastMatch != null && lastMatchKey != null &&
+            keyOrd.compare(lastMatchKey, lKey) == 0 &&
+            // tolerance bound: match must not be older than the window
+            // (long-backed time types only: timestamp micros / long)
+            tol.forall(t => lT.getLong(0) - lastMatchTime <= t)
+          resultProj(joined(lRow, if (matched) lastMatch else nullRight))
+        }
       }
     }
   }
@@ -148,8 +179,8 @@ object PushFilterThroughAsOfJoin
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -164,11 +195,16 @@ object AsOfJoin {
   /** @param toleranceMicros reject matches older than this many
     *   microseconds before the left time (pandas merge_asof tolerance);
     *   None = unbounded lookback. Time columns must be long-backed
-    *   (timestamp / long) when a tolerance is set. */
+    *   (timestamp / long) when a tolerance is set.
+    * @param forward pandas merge_asof direction='forward': match the
+    *   EARLIEST right row with rightTime >= leftTime instead of the
+    *   latest at-or-before; tolerance then bounds the look-AHEAD. Same
+    *   single-pass merge, same O(1) state. */
   def asOf(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -186,7 +222,7 @@ object AsOfJoin {
           s"asOf: column '$name' not in [${plan.output.map(_.name).mkString(", ")}]"))
     val plan = AsOfJoinPlan(lPlan, rPlan,
       Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
-      attr(lPlan, leftTime), attr(rPlan, rightTime), toleranceMicros)
+      attr(lPlan, leftTime), attr(rPlan, rightTime), toleranceMicros, forward)
     GraftSqlBridge.ofRows(spark, plan)
   }
 }

@@ -746,6 +746,39 @@ object RelationalQueries {
       Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
                      round(sum(o_totalprice), 2) AS revenue
               FROM orders JOIN customer ON o_custkey = c_custkey
-              GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- the custom as-of join, FORWARD direction (merge_asof
+    // direction='forward'): for each signup, the user's first purchase
+    // at-or-after it — time-to-conversion, the mirror of q25's
+    // last-signup-before-purchase. Same custom operator, same
+    // co-partitioned single pass; the forward match is the right head
+    // after advancing (never consumed — one purchase can be the next
+    // event for several signups). Tie on equal ts resolves to the
+    // earliest, which the oracle's min() reproduces.
+    GraftQuery(
+      "q114_asof_forward",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        graft.plans.AsOfJoin.asOf(signups, purchases,
+            "user_id", "p_user", "ts", "p_ts", forward = true)
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("next_purchase_s"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+              strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+              strftime(next_purchase, '%Y-%m-%d %H:%M:%S') AS next_purchase_s
+              FROM (SELECT g.event_id, g.user_id, g.ts, min(p.ts) AS next_purchase
+                    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') g
+                    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+                      ON p.user_id = g.user_id AND p.ts >= g.ts
+                    GROUP BY 1, 2, 3)
+              ORDER BY event_id"""))
   )
 }

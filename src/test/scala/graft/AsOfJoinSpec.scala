@@ -58,6 +58,57 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(3L) == None)      // match exists but is stale -> null-extended
   }
 
+  test("asOf forward: earliest right >= left time; shared match; look-ahead tolerance") {
+    val signups = Seq(
+      (1L, 10L, ts("2024-01-01 09:00:00")), // next purchase 09:30
+      (2L, 10L, ts("2024-01-01 09:10:00")), // SAME next purchase 09:30 (not consumed)
+      (3L, 10L, ts("2024-01-01 11:00:00")), // exact-time match 11:00 included
+      (4L, 10L, ts("2024-01-01 12:00:00")), // nothing after -> null
+      (5L, 20L, ts("2024-01-01 09:00:00"))  // key 20 has no purchases -> null
+    ).toDF("id", "key", "t")
+    val purchases = Seq(
+      (10L, ts("2024-01-01 08:00:00"), 0.5), // before everything: skipped
+      (10L, ts("2024-01-01 09:30:00"), 1.0),
+      (10L, ts("2024-01-01 11:00:00"), 2.0)
+    ).toDF("pkey", "pt", "amount")
+    val out = AsOfJoin.asOf(signups, purchases, "key", "pkey", "t", "pt",
+        forward = true)
+      .select($"id", $"amount")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) == Some(1.0))
+    assert(out(2L) == Some(1.0)) // one purchase serves two signups
+    assert(out(3L) == Some(2.0)) // rightTime == leftTime is a match
+    assert(out(4L) == None)
+    assert(out(5L) == None)
+
+    val halfHour = 1800L * 1000000
+    val bounded = AsOfJoin.asOf(signups, purchases, "key", "pkey", "t", "pt",
+        toleranceMicros = Some(halfHour), forward = true)
+      .select($"id", $"amount")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(bounded(1L) == Some(1.0)) // 30 min ahead: at bound, inclusive
+    assert(bounded(2L) == Some(1.0)) // 20 min ahead
+    assert(bounded(5L) == None)
+  }
+
+  test("asOf forward agrees with the min-over-later-rows formulation on events") {
+    val ev = graft.queries.Tables(spark, sf, "events")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+    val viaOp = AsOfJoin.asOf(signups, purchases, "user_id", "p_user", "ts", "p_ts",
+        forward = true)
+      .select($"event_id", $"p_ts")
+      .as[(Long, Option[Timestamp])].collect().toMap
+    val viaJoin = signups.join(purchases,
+        $"user_id" === $"p_user" && $"p_ts" >= $"ts", "left")
+      .groupBy($"event_id").agg(min($"p_ts").as("p_ts"))
+      .as[(Long, Option[Timestamp])].collect().toMap
+    assert(viaOp.nonEmpty && viaOp == viaJoin)
+    assert(viaOp.values.exists(_.isDefined))
+  }
+
   test("PushFilterThroughAsOfJoin pushes left-only predicates below the join") {
     val trades = Seq((1L, 10L, ts("2024-01-01 10:00:00")),
       (2L, 20L, ts("2024-01-01 11:00:00"))).toDF("id", "key", "t")
