@@ -750,6 +750,69 @@ object PipelineQueries {
                SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
                       min(xb) AS x_min, max(xb) AS x_max,
                       min(yb) AS y_min, max(yb) AS y_max
-               FROM z GROUP BY file_id ORDER BY file_id"""))
+               FROM z GROUP BY file_id ORDER BY file_id""")),
+
+    // ---- distribution drift per source: PSI (population stability
+    // index) of each source's stop-ratio histogram against the whole
+    // corpus — the monitoring number that flags a crawl whose quality
+    // profile shifted (PSI >= 0.2 is the classic "investigate"
+    // threshold). Binning is a scan-side projection; every aggregate is
+    // over (source × 10 bins) — bounded regardless of corpus size; the
+    // full grid is materialized (sources × bins cross join) so empty
+    // bins participate via +1 Laplace smoothing instead of vanishing.
+    // ln with the identical operation shape both engines, round 6dp
+    // (the q99 convention).
+    GraftQuery(
+      "q115_source_drift",
+      (s, d) => {
+        val binned = t(s, d, "documents")
+          .select(col("source"), Portable.tokens(col("text")).as("w"))
+          .filter(size(col("w")) > 0)
+          .select(col("source"),
+            least(lit(9), floor(
+              expr(s"size(filter(w, t -> t IN (${TextQueries.stopListSql})))")
+                .cast("double") / size(col("w")) * 10).cast("int")).as("bin"))
+        val bins = binned.sparkSession.range(0, 10)
+          .select(col("id").cast("int").as("bin"))
+        val full = binned.select(col("source")).distinct().crossJoin(bins)
+        val perSrc = binned.groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n_sb"))
+        val srcTot = binned.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+        val perBin = binned.groupBy(col("bin")).agg(count(lit(1)).as("n_b"))
+        full
+          .join(perSrc, Seq("source", "bin"), "left").na.fill(0L, Seq("n_sb"))
+          .join(srcTot, "source")
+          .join(perBin, Seq("bin"), "left").na.fill(0L, Seq("n_b"))
+          .crossJoin(broadcast(binned.agg(count(lit(1)).as("n"))))
+          .select(col("source"), col("n_s"),
+            ((col("n_sb") + 1).cast("double") / (col("n_s") + 10)).as("p"),
+            ((col("n_b") + 1).cast("double") / (col("n") + 10)).as("q"))
+          .groupBy(col("source"))
+          .agg(max(col("n_s")).as("n_docs"),
+            round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH b AS (SELECT source,
+                                 least(9, CAST(floor(
+                                   len(list_filter(w, t -> t IN (${TextQueries.stopListSql}))) * 1.0
+                                   / len(w) * 10) AS INTEGER)) AS bin
+                          FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS w
+                                FROM documents)
+                          WHERE len(w) > 0),
+               grid AS (SELECT DISTINCT source, r.range AS bin FROM b, range(0, 10) r),
+               ps AS (SELECT source, bin, count(*) AS n_sb FROM b GROUP BY 1, 2),
+               st AS (SELECT source, count(*) AS n_s FROM b GROUP BY 1),
+               pb AS (SELECT bin, count(*) AS n_b FROM b GROUP BY 1),
+               n AS (SELECT count(*) AS n FROM b)
+               SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+                      round(sum((p - q) * ln(p / q)), 6) AS psi
+               FROM (SELECT grid.source, st.n_s,
+                            (coalesce(ps.n_sb, 0) + 1) * 1.0 / (st.n_s + 10) AS p,
+                            (coalesce(pb.n_b, 0) + 1) * 1.0 / (n.n + 10) AS q
+                     FROM grid
+                     LEFT JOIN ps ON ps.source = grid.source AND ps.bin = grid.bin
+                     JOIN st ON st.source = grid.source
+                     LEFT JOIN pb ON pb.bin = grid.bin, n)
+               GROUP BY source ORDER BY source"""))
   )
 }
