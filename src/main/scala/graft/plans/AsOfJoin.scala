@@ -29,7 +29,9 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     toleranceMicros: Option[Long] = None,
-    forward: Boolean = false) extends BinaryNode {
+    direction: String = "backward") extends BinaryNode {
+  require(Seq("backward", "forward", "nearest").contains(direction),
+    s"unknown as-of direction: $direction")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -44,7 +46,7 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     toleranceMicros: Option[Long],
-    forward: Boolean,
+    direction: String,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -88,7 +90,7 @@ case class AsOfJoinExec(
 
       val rBuf = rIter.buffered
 
-      if (forward) {
+      if (direction == "forward") {
         // forward direction: for each left row, the EARLIEST right row
         // with rightTime >= leftTime on the key. Left times ascend, so
         // right rows skipped here (key behind, or time strictly before
@@ -113,6 +115,48 @@ case class AsOfJoinExec(
             // window (long-backed time types only)
             tol.forall(t => rTimeProj(rBuf.head).getLong(0) - lT.getLong(0) <= t)
           resultProj(joined(lRow, if (matched) rBuf.head else nullRight))
+        }
+      } else if (direction == "nearest") {
+        // nearest: the backward rolling state and the forward head are
+        // BOTH available after the same advance loop (rows at or before
+        // the left time are consumed into the rolling state, leaving the
+        // head strictly after it), so picking the closer of the two stays
+        // one pass with O(1) state. Ties go backward (the pandas
+        // convention); tolerance bounds both directions.
+        var lastMatch: InternalRow = null
+        var lastMatchKey: InternalRow = null
+        var lastMatchTime = 0L
+
+        lIter.map { lRow =>
+          val lKey = lKeyProj(lRow)
+          val lT = lTimeProj(lRow).copy()
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rKey = rKeyProj(rBuf.head)
+            val cmp = keyOrd.compare(rKey, lKey)
+            if (cmp < 0) { rBuf.next() }
+            else if (cmp == 0 && timeOrd.compare(rTimeProj(rBuf.head), lT) <= 0) {
+              lastMatchKey = rKey.copy()
+              lastMatchTime = rTimeProj(rBuf.head).getLong(0)
+              lastMatch = rBuf.next().copy()
+            } else advancing = false
+          }
+          val lMicros = lT.getLong(0)
+          val backOk = lastMatch != null && lastMatchKey != null &&
+            keyOrd.compare(lastMatchKey, lKey) == 0 &&
+            tol.forall(t => lMicros - lastMatchTime <= t)
+          val fwdOk = rBuf.hasNext &&
+            keyOrd.compare(rKeyProj(rBuf.head), lKey) == 0 &&
+            tol.forall(t => rTimeProj(rBuf.head).getLong(0) - lMicros <= t)
+          val pick =
+            if (backOk && fwdOk) {
+              val backDelta = lMicros - lastMatchTime
+              val fwdDelta = rTimeProj(rBuf.head).getLong(0) - lMicros
+              if (backDelta <= fwdDelta) lastMatch else rBuf.head
+            } else if (backOk) lastMatch
+            else if (fwdOk) rBuf.head
+            else nullRight
+          resultProj(joined(lRow, pick))
         }
       } else {
         var lastMatch: InternalRow = null
@@ -179,8 +223,8 @@ object PushFilterThroughAsOfJoin
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol, fwd) =>
-      AsOfJoinExec(lk, rk, lt, rt, tol, fwd, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol, dir) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, dir, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -204,7 +248,27 @@ object AsOfJoin {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       toleranceMicros: Option[Long] = None,
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false): DataFrame =
+    asOfDirection(left, right, leftKey, rightKey, leftTime, rightTime,
+      toleranceMicros, if (forward) "forward" else "backward")
+
+  /** merge_asof direction='nearest': the closer of the latest-at-or-
+    * before and earliest-at-or-after right row, ties backward. The
+    * nearest pick needs BOTH time comparisons in microseconds, so time
+    * columns must be long-backed (timestamp / long) even without a
+    * tolerance. */
+  def asOfNearest(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      toleranceMicros: Option[Long] = None): DataFrame =
+    asOfDirection(left, right, leftKey, rightKey, leftTime, rightTime,
+      toleranceMicros, "nearest")
+
+  private def asOfDirection(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      toleranceMicros: Option[Long],
+      direction: String): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -222,7 +286,7 @@ object AsOfJoin {
           s"asOf: column '$name' not in [${plan.output.map(_.name).mkString(", ")}]"))
     val plan = AsOfJoinPlan(lPlan, rPlan,
       Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
-      attr(lPlan, leftTime), attr(rPlan, rightTime), toleranceMicros, forward)
+      attr(lPlan, leftTime), attr(rPlan, rightTime), toleranceMicros, direction)
     GraftSqlBridge.ofRows(spark, plan)
   }
 }

@@ -779,6 +779,39 @@ object RelationalQueries {
                     LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
                       ON p.user_id = g.user_id AND p.ts >= g.ts
                     GROUP BY 1, 2, 3)
-              ORDER BY event_id"""))
+              ORDER BY event_id""")),
+
+    // ---- the custom as-of join, NEAREST direction: each signup matched
+    // to the user's closest purchase on either side of it (ties
+    // backward, the pandas convention). Backward state and forward head
+    // coexist in the same single pass (AsOfJoin.scala — the advance
+    // loop's invariant), so nearest costs exactly what backward does:
+    // O(|L|+|R|) per co-partition, O(1) state. The oracle ranks every
+    // (signup, purchase) pair by absolute delta with the same tie order.
+    GraftQuery(
+      "q116_asof_nearest",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        graft.plans.AsOfJoin.asOfNearest(signups, purchases,
+            "user_id", "p_user", "ts", "p_ts")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("nearest_purchase_s"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+              strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+              strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS nearest_purchase_s
+              FROM (SELECT g.event_id, g.user_id, g.ts, p.ts AS p_ts,
+                           row_number() OVER (PARTITION BY g.event_id
+                             ORDER BY abs(epoch_us(p.ts) - epoch_us(g.ts)), p.ts) AS rn
+                    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') g
+                    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+                      ON p.user_id = g.user_id)
+              WHERE rn = 1 ORDER BY event_id"""))
   )
 }

@@ -109,6 +109,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(viaOp.values.exists(_.isDefined))
   }
 
+  test("asOf nearest: closer side wins, ties go backward, tolerance bounds both") {
+    val signups = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // back 09:00 (60m) vs fwd 10:30 (30m) -> fwd
+      (2L, 10L, ts("2024-01-01 11:30:00")), // back 10:30 (60m) vs fwd 12:30 (60m) -> tie -> back
+      (3L, 10L, ts("2024-01-01 23:00:00")), // only back (12:30, 10.5 h)
+      (4L, 20L, ts("2024-01-01 10:00:00"))  // no purchases on key -> null
+    ).toDF("id", "key", "t")
+    val purchases = Seq(
+      (10L, ts("2024-01-01 09:00:00"), 1.0),
+      (10L, ts("2024-01-01 10:30:00"), 2.0),
+      (10L, ts("2024-01-01 12:30:00"), 3.0)
+    ).toDF("pkey", "pt", "amount")
+    val out = AsOfJoin.asOfNearest(signups, purchases, "key", "pkey", "t", "pt")
+      .select($"id", $"amount")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) == Some(2.0))
+    assert(out(2L) == Some(2.0)) // equal deltas -> backward (10:30)
+    assert(out(3L) == Some(3.0))
+    assert(out(4L) == None)
+
+    val hour = 3600L * 1000000
+    val bounded = AsOfJoin.asOfNearest(signups, purchases, "key", "pkey", "t", "pt",
+        toleranceMicros = Some(hour))
+      .select($"id", $"amount")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(bounded(1L) == Some(2.0))
+    assert(bounded(2L) == Some(2.0)) // both at the bound: inclusive, tie backward
+    assert(bounded(3L) == None)      // nearest exists but outside the window
+  }
+
   test("PushFilterThroughAsOfJoin pushes left-only predicates below the join") {
     val trades = Seq((1L, 10L, ts("2024-01-01 10:00:00")),
       (2L, 20L, ts("2024-01-01 11:00:00"))).toDF("id", "key", "t")
