@@ -772,18 +772,23 @@ object PipelineQueries {
             least(lit(9), floor(
               expr(s"size(filter(w, t -> t IN (${TextQueries.stopListSql})))")
                 .cast("double") / size(col("w")) * 10).cast("int")).as("bin"))
+        // ONE corpus-scale aggregate: (source × bin) counts are the
+        // sufficient statistic — row totals, bin totals, the grand total
+        // and the full grid all derive from this tiny (|sources|×10)
+        // frame, so the corpus is scanned exactly once however many
+        // views the PSI needs
+        val perSrc = binned.groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n_sb")).cache()
         val bins = binned.sparkSession.range(0, 10)
           .select(col("id").cast("int").as("bin"))
-        val full = binned.select(col("source")).distinct().crossJoin(bins)
-        val perSrc = binned.groupBy(col("source"), col("bin"))
-          .agg(count(lit(1)).as("n_sb"))
-        val srcTot = binned.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
-        val perBin = binned.groupBy(col("bin")).agg(count(lit(1)).as("n_b"))
+        val full = perSrc.select(col("source")).distinct().crossJoin(bins)
+        val srcTot = perSrc.groupBy(col("source")).agg(sum(col("n_sb")).as("n_s"))
+        val perBin = perSrc.groupBy(col("bin")).agg(sum(col("n_sb")).as("n_b"))
         full
           .join(perSrc, Seq("source", "bin"), "left").na.fill(0L, Seq("n_sb"))
           .join(srcTot, "source")
           .join(perBin, Seq("bin"), "left").na.fill(0L, Seq("n_b"))
-          .crossJoin(broadcast(binned.agg(count(lit(1)).as("n"))))
+          .crossJoin(broadcast(perSrc.agg(sum(col("n_sb")).as("n"))))
           .select(col("source"), col("n_s"),
             ((col("n_sb") + 1).cast("double") / (col("n_s") + 10)).as("p"),
             ((col("n_b") + 1).cast("double") / (col("n") + 10)).as("q"))

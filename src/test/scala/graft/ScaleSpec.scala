@@ -181,6 +181,23 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q115 PSI reads the corpus exactly once (sufficient-statistic shape)") {
+    val plan = graft.SparkEntry.queries("q115_source_drift")(spark, sf)
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    // the (source x bin) count frame is cached and feeds every view:
+    // srcTot, perBin, the grid and the grand total must all derive from
+    // it, not from re-scanning documents. InMemoryTableScan appears per
+    // consumer; FileSourceScan must appear exactly once (inside the
+    // cached subtree's first materialization).
+    assert(scans.size <= 1, s"PSI re-scans the corpus: ${scans.size} file scans")
+  }
+
   test("salted aggregation equals direct aggregation") {
     val ev = Tables(spark, sf, "events")
     val direct = ev.groupBy($"user_id").agg(count(lit(1)).as("n"))
