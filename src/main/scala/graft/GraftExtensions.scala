@@ -38,6 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("simhash64", es => SimHash64(es.head)))
     ext.injectFunction(fn("word_shingles", es => WordShingles(es(0),
       es(1).eval().asInstanceOf[Int])))
+    ext.injectFunction(fn("zorder2", es => ZOrder2(es(0), es(1),
+      es(2).eval().asInstanceOf[Int])))
     ext.injectFunction(fn("sign_lsh", es => SignLsh(es(0),
       es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int],
       if (es.length > 3) es(3).eval().asInstanceOf[Int] else 0)))

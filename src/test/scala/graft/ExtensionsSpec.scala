@@ -32,6 +32,8 @@ class ExtensionsSpec extends SparkSpec {
       assert(s2.sql("SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
         .head().getDouble(0) == 11.0)
       assert(s2.sql("SELECT p60('abc') AS h").head().getLong(0) == 648541476951500027L)
+      assert(s2.sql("SELECT zorder2(3L, 5L, 8) AS z").head().getLong(0) ==
+        graft.functions.ZOrder2.interleave(3L, 5L, 8))
       // the as-of plan goes through the INJECTED strategy: build the
       // logical node directly (AsOfJoin.asOf would self-register via
       // spark.experimental — exactly the path this config replaces) and
