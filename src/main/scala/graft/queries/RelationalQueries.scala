@@ -812,6 +812,57 @@ object RelationalQueries {
                     FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') g
                     LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
                       ON p.user_id = g.user_id)
-              WHERE rn = 1 ORDER BY event_id"""))
+              WHERE rn = 1 ORDER BY event_id""")),
+
+    // ---- CSV source, driver-visible (S-family breadth: the JSON source
+    // is spec-covered, this one round-trips through REAL csv files):
+    // write an events projection as CSV, read it back with an explicit
+    // schema, aggregate. Doubles survive exactly (Spark writes
+    // shortest-roundtrip decimal); the oracle aggregates the parquet
+    // directly, so any CSV parse drift is a hash mismatch. The write is
+    // a dev/driver-scale fixture op — the point under test is the csv
+    // READ path (schema application, type coercion), which at 100 TB is
+    // the usual ingest format for third-party drops.
+    GraftQuery(
+      "q117_csv_roundtrip",
+      (s, d) => {
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_csv_${math.abs(d.hashCode)}").getAbsolutePath
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").option("header", "true").csv(dir)
+        s.read
+          .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+          .option("header", "true").csv(dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("user_id")).as("user_sum"),
+            round(sum(col("value")), 4).as("value_sum"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(user_id) AS BIGINT) AS user_sum,
+                     round(sum(value), 4) AS value_sum
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- JSON functions round-trip, in-plan (the S1 semantics without
+    // a filesystem): each document serialized with to_json and parsed
+    // back with from_json against an explicit schema — the
+    // escape/parse cycle third-party JSONL ingest relies on. The oracle
+    // reads the ORIGINAL columns, so the query only hashes equal if the
+    // round trip is lossless for every doc (quotes, backslashes,
+    // non-ASCII and all). Pure scan-side projection.
+    GraftQuery(
+      "q118_json_roundtrip",
+      (s, d) => t(s, d, "documents")
+        .select(from_json(
+            to_json(struct(col("doc_id"), col("text"), col("lang"), col("n_chars"))),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT")).as("j"))
+        .select(col("j.doc_id").as("doc_id"), length(col("j.text")).as("text_len"),
+          col("j.lang").as("lang"), col("j.n_chars").as("n_chars"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, length(text) AS text_len, lang, n_chars
+              FROM documents ORDER BY doc_id"""))
   )
 }
