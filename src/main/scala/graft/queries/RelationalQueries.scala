@@ -863,6 +863,39 @@ object RelationalQueries {
           col("j.lang").as("lang"), col("j.n_chars").as("n_chars"))
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id, length(text) AS text_len, lang, n_chars
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    // ---- schema evolution across ingest batches: an early crawl batch
+    // lands without the lang column, a later one with it; the unified
+    // read applies mergeSchema + recursiveFileLookup and the missing
+    // column null-extends — the accreting-corpus reality of a pipeline
+    // that adds annotation columns over time. The oracle recomputes the
+    // per-batch split from the base table, so the merged read is only
+    // hash-equal if null-extension and type unification are exact.
+    GraftQuery(
+      "q119_schema_evolution",
+      (s, d) => {
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_evo_${math.abs(d.hashCode)}").getAbsolutePath
+        val docs = t(s, d, "documents")
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$dir/batch1")
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id"), col("n_chars"), col("lang"))
+          .write.mode("overwrite").parquet(s"$dir/batch2")
+        s.read
+          .option("mergeSchema", "true").option("recursiveFileLookup", "true")
+          .parquet(dir)
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("lang")).as("n_with_lang"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("n_chars")).as("chars_total"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_lang,
+                     CAST(count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END) AS BIGINT) AS n_langs,
+                     CAST(sum(n_chars) AS BIGINT) AS chars_total
+              FROM documents"""))
   )
 }
