@@ -14,4 +14,9 @@ object GraftSqlBridge {
     * behind ColumnNode in Spark 4). */
   def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Column over a hand-built Catalyst expression (the inverse of
+    * [[expr]]; the public Column(expr) constructor is gone in Spark 4). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

@@ -72,16 +72,37 @@ class ZOrderSpec extends SparkSpec {
         .as[Double].head()
     }
     val base = java.nio.file.Files.createTempDirectory("zorder").toString
-    // z-sorted: 4096-row files are one or two adjacent 16x16 z-blocks
+    // z-sorted via the library op (range exchange + within-partition
+    // sort): 4096-row files are one or two adjacent 16x16 z-blocks
     // (range boundaries are sampled, so a file can straddle), y-span <= 32
     val zFrac = matchFraction(s"$base/z",
-      df.repartitionByRange(4, $"zkey").sortWithinPartitions($"zkey"))
+      graft.ops.Layout.zorder(df.drop("zkey"), $"xb", $"yb", bits = 6, numRanges = 4))
     // naive layout: sorted by x only — every file spans all 64 y cells,
     // so a y-only predicate prunes NOTHING
     val nFrac = matchFraction(s"$base/naive",
       df.repartitionByRange(4, $"xb").sortWithinPartitions($"xb"))
     assert(nFrac == 1.0, s"x-sorted layout should match every file, got $nFrac")
     assert(zFrac <= 0.5, s"z-ordered layout should prune >= half the files, got $zFrac")
+  }
+
+  test("Layout.zorder: key equals the SQL expression, plan is a range exchange") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = (0L until 500L).map(i => (i, i % 37, (i * 7) % 53)).toDF("id", "xb", "yb")
+    val viaCol = df.select($"id", graft.ops.Layout.zorderKey($"xb", $"yb", 8).as("z"))
+      .as[(Long, Long)].collect().toMap
+    val viaSql = df.select($"id", expr("zorder2(xb, yb, 8)").as("z"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaCol == viaSql && viaCol.nonEmpty)
+    val plan = graft.ops.Layout.zorder(df, $"xb", $"yb", bits = 8, numRanges = 4)
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val range = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => e
+    }
+    assert(range.nonEmpty, s"no range exchange:\n${plan.toString.take(500)}")
   }
 
   test("q106: every 1024-cell z-range is a 32x32 rectangle, not a stripe") {
