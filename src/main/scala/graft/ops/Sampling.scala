@@ -173,6 +173,19 @@ object Sampling {
       .filter(col("epoch") < fullEpochs || hashGate(key, lit(fracBp)))
   }
 
+  /** Deterministic epoch shuffle: the seeded pseudo-random permutation a
+    * training run reads the corpus in. The shuffle key is the portable
+    * hash of (seed, key), so the order is reproducible across runs,
+    * engines and partitionings — restartable training without
+    * materializing a permutation table — and each seed (epoch) yields an
+    * independent order. Returns the frame with a `shuffle_key` column;
+    * `.orderBy(shuffle_key, key)` is a range exchange + local sort when
+    * materialized (the writer path), never a single-task window — at
+    * 100 TB this is exactly repartitionByRange on the hash. The key
+    * tiebreak makes the order total even under hash collisions. */
+  def epochShuffleKey(key: Column, seed: Int): Column =
+    Portable.p60(concat_ws(":", lit(seed.toString), key.cast("string")))
+
   /** Token-budget-aware mixing — how training mixes are actually
     * specified ("this many tokens of code, this many of web"), while
     * [[mix]] weights rows. Each source's gate rate is derived from its

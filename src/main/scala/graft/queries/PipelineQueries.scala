@@ -818,6 +818,38 @@ object PipelineQueries {
                      LEFT JOIN ps ON ps.source = grid.source AND ps.bin = grid.bin
                      JOIN st ON st.source = grid.source
                      LEFT JOIN pb ON pb.bin = grid.bin, n)
-               GROUP BY source ORDER BY source"""))
+               GROUP BY source ORDER BY source""")),
+
+    // ---- deterministic epoch shuffle (Sampling.epochShuffleKey): the
+    // seeded permutation a training run reads the corpus in, as a pure
+    // hash of (seed, doc_id) — reproducible across runs, engines and
+    // partitionings, one independent order per seed, restartable without
+    // a materialized permutation table. The registered head-of-epoch cut
+    // is orderBy+limit (TakeOrderedAndProject — per-partition heads,
+    // never a global sort); the full-epoch writer path is
+    // repartitionByRange on the same key. Both seeds emitted so the
+    // oracle pins that different epochs produce different orders.
+    GraftQuery(
+      "q120_epoch_shuffle",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"))
+        def head(seed: Int) = docs
+          .withColumn("shuffle_key", Sampling.epochShuffleKey(col("doc_id"), seed))
+          .orderBy(col("shuffle_key"), col("doc_id"))
+          .limit(20)
+          .withColumn("seed", lit(seed))
+        head(7).unionAll(head(8))
+          .select(col("seed"), col("doc_id"), col("shuffle_key"))
+          .orderBy(col("seed"), col("shuffle_key"), col("doc_id"))
+      },
+      Some(s"""WITH k AS (SELECT seed, doc_id,
+                      ${p60("seed || ':' || CAST(doc_id AS VARCHAR)")} AS shuffle_key
+                    FROM documents, (VALUES ('7'), ('8')) s(seed)),
+               h AS (SELECT CAST(seed AS INTEGER) AS seed, doc_id, shuffle_key,
+                            row_number() OVER (PARTITION BY seed
+                              ORDER BY shuffle_key, doc_id) AS rn
+                     FROM k)
+               SELECT seed, doc_id, shuffle_key FROM h WHERE rn <= 20
+               ORDER BY seed, shuffle_key, doc_id"""))
   )
 }
