@@ -267,7 +267,51 @@ object TextQueries {
                            len(string_split_regex(trim(text), '\s+')) AS n_words,
                            len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe
                     FROM documents)
-              GROUP BY lang ORDER BY lang"""))
+              GROUP BY lang ORDER BY lang""")),
+
+    // ---- declared-vs-detected language confusion matrix: q32's marker
+    // detector against the corpus's own lang column — the mislabel
+    // audit that decides whether a source's language metadata can be
+    // trusted (off-diagonal mass = docs whose declared lang the
+    // detector disputes). Scan-side scoring, one partial agg on the
+    // bounded (declared, predicted) key.
+    GraftQuery(
+      "q121_lang_confusion",
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), Portable.tokens(col("text")).as("w"))
+        val scored = markers.foldLeft(base) { case (df, (lang, ms)) =>
+          val list = ms.map(m => s"'$m'").mkString(", ")
+          df.withColumn(s"${lang}_n", expr(s"size(filter(w, t -> t IN ($list)))"))
+        }
+        scored
+          .withColumn("predicted",
+            when(col("en_n") >= greatest(col("de_n"), col("es_n"), col("fr_n")) && col("en_n") > 0, "en")
+              .when(col("de_n") >= greatest(col("es_n"), col("fr_n")) && col("de_n") > 0, "de")
+              .when(col("es_n") >= col("fr_n") && col("es_n") > 0, "es")
+              .when(col("fr_n") > 0, "fr")
+              .otherwise("unknown"))
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("predicted"))
+      },
+      Some {
+        val scoreCols = markers.map { case (lang, ms) =>
+          val list = ms.map(m => s"'$m'").mkString(", ")
+          s"len(list_filter(w, t -> t IN ($list))) AS ${lang}_n"
+        }.mkString(",\n                       ")
+        s"""SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n_docs FROM
+              (SELECT lang,
+                      CASE WHEN en_n >= greatest(de_n, es_n, fr_n) AND en_n > 0 THEN 'en'
+                           WHEN de_n >= greatest(es_n, fr_n) AND de_n > 0 THEN 'de'
+                           WHEN es_n >= fr_n AND es_n > 0 THEN 'es'
+                           WHEN fr_n > 0 THEN 'fr'
+                           ELSE 'unknown' END AS predicted
+               FROM (SELECT lang, $scoreCols
+                     FROM (SELECT lang, string_split_regex(trim(text), '\\s+') AS w
+                           FROM documents)))
+            GROUP BY lang, predicted ORDER BY lang, predicted"""
+      })
   )
 
   /** Spark-SQL fragment of [[Portable.p60]] for use inside `expr` lambdas
