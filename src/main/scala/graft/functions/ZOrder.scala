@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -56,9 +56,15 @@ object ZOrder2 {
 }
 
 case class ZOrder2(left: Expression, right: Expression, bits: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
   require(bits > 0 && bits <= 16, s"bits must be in 1..16, got $bits")
 
+  // declare LONG inputs so the analyzer inserts casts for int/short
+  // arguments: without this the interpreted path's asInstanceOf[Long]
+  // throws on a java.lang.Integer while codegen silently widens —
+  // inconsistent eval modes for the same expression
+  // (return type inferred — AbstractDataType is private[sql] in Spark 4)
+  override def inputTypes = Seq(LongType, LongType)
   override def dataType: DataType = LongType
   override def prettyName: String = "zorder2"
 

@@ -78,16 +78,18 @@ object Multimodal {
     }
   }
 
-  /** REAL decoder branch for PNG payloads via the JDK's built-in
-    * javax.imageio reader — the one raster codec every JVM ships, so no
-    * external dependency. Feature j = mean 8-bit luma (BT.601 integer
-    * weights 299/587/114) over the j-th horizontal band of the decoded
-    * image, scaled to [0,1] — the classic pooled-intensity descriptor,
-    * and the same (dim-length float array) contract as [[stubDecode]].
+  /** REAL decoder branch for raster-image payloads via the JDK's
+    * built-in javax.imageio readers — PNG, JPEG, GIF and BMP all ship in
+    * every JVM, so no external dependency (`ImageIO.read` sniffs the
+    * container from the byte stream, so one entry point covers all
+    * four). Feature j = mean 8-bit luma (BT.601 integer weights
+    * 299/587/114) over the j-th horizontal band of the decoded image,
+    * scaled to [0,1] — the classic pooled-intensity descriptor, and the
+    * same (dim-length float array) contract as [[stubDecode]].
     * Returns None when ImageIO cannot parse the payload: at 100 TB some
     * blobs WILL be corrupt, and a bad row must degrade (caller falls
     * back to the stub) rather than kill the scan task. */
-  def decodePng(content: Array[Byte], dim: Int): Option[Array[Float]] = {
+  def decodeImage(content: Array[Byte], dim: Int): Option[Array[Float]] = {
     // NonFatal, not just IOException: ImageIO surfaces crafted/corrupt
     // headers as runtime exceptions too (negative dimensions, CMM
     // errors), and one poisoned blob must not kill a corpus scan task
@@ -121,12 +123,13 @@ object Multimodal {
   }
 
   /** Content-type dispatch: a real decoder where the JVM has a codec
-    * (PNG today — the other modalities remain honest stubs, this
-    * container ships no audio/video codecs), deterministic stub
-    * everywhere else, including unparseable image payloads. */
+    * (every image-prefixed type javax.imageio can sniff: PNG, JPEG,
+    * GIF, BMP — audio/video remain honest stubs, this container ships
+    * no such codecs), deterministic stub everywhere else, including
+    * unparseable image payloads. */
   def decode(content: Array[Byte], contentType: String, dim: Int): Array[Float] =
-    if (contentType == "image/png")
-      decodePng(content, dim).getOrElse(stubDecode(content, dim))
+    if (contentType.startsWith("image/"))
+      decodeImage(content, dim).getOrElse(stubDecode(content, dim))
     else stubDecode(content, dim)
 
   /** Feature extraction over media rows, batched per partition. The

@@ -25,10 +25,14 @@ object Layout {
     * `numRanges` sizes the exchange (one writer task per range). */
   def zorder(df: DataFrame, x: Column, y: Column, bits: Int = 16,
       numRanges: Int = 200): DataFrame = {
-    val keyed = df.withColumn("_zkey", zorderKey(x, y, bits))
+    // collision-free working column: a frame that already carries a
+    // "_zkey" must not have it silently clobbered and dropped
+    val zkey = Iterator.from(0).map(i => if (i == 0) "_zkey" else s"_zkey$i")
+      .dropWhile(df.columns.contains).next()
+    val keyed = df.withColumn(zkey, zorderKey(x, y, bits))
     keyed
-      .repartitionByRange(numRanges, col("_zkey"))
-      .sortWithinPartitions(col("_zkey"))
-      .drop("_zkey")
+      .repartitionByRange(numRanges, col(zkey))
+      .sortWithinPartitions(col(zkey))
+      .drop(zkey)
   }
 }

@@ -38,6 +38,34 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** [[cosineTopK]] re-planned through the mergeable
+    * [[graft.ops.GroupTopK]] Aggregator instead of a window: the cosine
+    * pair frame folds map-side to ≤ k (cos, nid) pairs per query BEFORE
+    * the exchange, so the shuffle carries k·|Q| rows instead of the full
+    * |Q|×N pair frame and a hot query (one vector near everything) can't
+    * become a straggler sort. Same rows, same (cos DESC, nid ASC) tie
+    * order — the reversed Ordering[Long] makes the SMALLER neighbor id
+    * win ties, matching the window's `orderBy(desc, nid)`. */
+  def cosineTopKAgg(prepared: DataFrame, queryFilter: Column, k: Int): DataFrame = {
+    val spark = prepared.sparkSession
+    import spark.implicits._
+    val q = prepared.filter(queryFilter)
+      .select(col("id").as("qid"), col("v").as("va"), col("nrm").as("qn"))
+    val x = prepared.select(col("id").as("nid"), col("v").as("vb"), col("nrm").as("nn"))
+    implicit val tieAsc: Ordering[Long] = Ordering.Long.reverse
+    q.join(x, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(expr("array_dot(va, vb)") / (col("qn") * col("nn")), 6).as("cos_sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._3, r._2))
+      .agg(new graft.ops.GroupTopK[Long](k).toColumn.name("top"))
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case ((cos, nid), i) => (qid, nid, cos, i + 1) }
+      }
+      .toDF("qid", "nid", "cos_sim", "rn")
+  }
+
   /** All pairs id1 < id2 with cosine >= threshold (the near-dup audit
     * path; run [[annTopK]] at scale). */
   def nearDupPairs(prepared: DataFrame, minCosine: Double): DataFrame = {

@@ -15,16 +15,28 @@ object Skew {
 
   /** Salted count: groupBy(key) count, executed as
     * groupBy(key, salt) -> groupBy(key). Result is identical to the
-    * direct aggregation; only the shuffle layout changes. */
-  def saltedCount(df: DataFrame, key: Column, saltBuckets: Int = 16): DataFrame =
-    df.groupBy(key.as("k"), (rand(42) * saltBuckets).cast("int").as("salt"))
+    * direct aggregation; only the shuffle layout changes.
+    *
+    * `salt` must be a deterministic per-row expression (an id column,
+    * `hash(...)` over stable columns — NOT rand()). Under stage retry a
+    * recomputed map task must emit the same (key, salt) partials as the
+    * attempt whose shuffle blocks were already fetched; a
+    * nondeterministic salt (even a seeded rand(), which is
+    * order-dependent after an upstream shuffle) would route the same
+    * row to a different sub-key on retry and double-count or drop it —
+    * the SPARK-23207 failure family. Same contract as `saltedJoin`'s
+    * `factSalt`. */
+  def saltedCount(df: DataFrame, key: Column, salt: Column, saltBuckets: Int = 16): DataFrame =
+    df.groupBy(key.as("k"), pmod(salt, lit(saltBuckets)).cast("int").as("salt"))
       .agg(count(lit(1)).as("partial_n"))
       .groupBy(col("k"))
       .agg(sum(col("partial_n")).as("n"))
 
-  /** Salted sum over a value column, same two-stage shape. */
-  def saltedSum(df: DataFrame, key: Column, value: Column, saltBuckets: Int = 16): DataFrame =
-    df.groupBy(key.as("k"), (rand(42) * saltBuckets).cast("int").as("salt"))
+  /** Salted sum over a value column, same two-stage shape and the same
+    * deterministic-salt contract as [[saltedCount]]. */
+  def saltedSum(df: DataFrame, key: Column, value: Column, salt: Column,
+      saltBuckets: Int = 16): DataFrame =
+    df.groupBy(key.as("k"), pmod(salt, lit(saltBuckets)).cast("int").as("salt"))
       .agg(sum(value).as("partial_s"))
       .groupBy(col("k"))
       .agg(sum(col("partial_s")).as("s"))

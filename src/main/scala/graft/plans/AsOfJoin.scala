@@ -284,9 +284,26 @@ object AsOfJoin {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"asOf: column '$name' not in [${plan.output.map(_.name).mkString(", ")}]"))
+    val lTimeE = attr(lPlan, leftTime)
+    val rTimeE = attr(rPlan, rightTime)
+    // backward/forward without tolerance only ORDER times (any ordered
+    // type works); nearest and any tolerance SUBTRACT them via
+    // getLong(0), which reads garbage for non-long-backed types (string,
+    // decimal, int-backed date) instead of failing — enforce here, at
+    // plan construction, where the user sees a real error message
+    if (direction == "nearest" || toleranceMicros.isDefined) {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      for (e <- Seq(lTimeE, rTimeE)) {
+        val ok = e.dataType == LongType || e.dataType == TimestampType ||
+          e.dataType == TimestampNTZType
+        require(ok, s"asOf: direction='nearest' and tolerance need a " +
+          s"long-backed time column (timestamp / long); got ${e.dataType} " +
+          s"for '${e.sql}'")
+      }
+    }
     val plan = AsOfJoinPlan(lPlan, rPlan,
       Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
-      attr(lPlan, leftTime), attr(rPlan, rightTime), toleranceMicros, direction)
+      lTimeE, rTimeE, toleranceMicros, direction)
     GraftSqlBridge.ofRows(spark, plan)
   }
 }

@@ -417,6 +417,28 @@ object EmbeddingQueries {
               SELECT label, vec_id, cos_centroid,
                      (row_number() OVER (PARTITION BY label
                         ORDER BY cos_centroid ASC NULLS FIRST, vec_id) <= 3) AS is_outlier
-              FROM sc ORDER BY label, vec_id"""))
+              FROM sc ORDER BY label, vec_id""")),
+
+    // ---- q40 re-answered through the mergeable GroupTopK Aggregator
+    // (Similarity.cosineTopKAgg — scale rationale there): the cosine
+    // pair frame folds to k rows per query map-side, so the top-k
+    // exchange is k·|Q| rows instead of |Q|×N — the q105-vs-q04 cross-
+    // check dropped onto the similarity path, with a STRING-free but
+    // reversed-tie instantiation proving the generic Aggregator. Oracle
+    // = q40's SQL verbatim; the two formulations must hash identically.
+    GraftQuery(
+      "q122_topk_agg_cosine",
+      (s, d) => Similarity.cosineTopKAgg(vecs(s, d), col("id") < 20, k = 5)
+        .orderBy(col("qid"), col("rn")),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+              p AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+                           round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) AS cos_sim
+                    FROM n q JOIN n x ON q.vec_id < 20 AND x.vec_id <> q.vec_id)
+              SELECT qid, nid, cos_sim, rn FROM
+                (SELECT qid, nid, cos_sim,
+                        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rn
+                 FROM p)
+              WHERE rn <= 5 ORDER BY qid, rn"""))
   )
 }

@@ -50,3 +50,34 @@ object Tables {
     from_json(col("props"),
       org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")
 }
+
+/** Scratch dirs for the queries whose point under test is a WRITE→READ
+  * round trip (q117 CSV, q119 mergeSchema, q125 z-order): keyed on the
+  * SANITIZED full dataset path — not its hashCode, which collides across
+  * different paths and stays negative through math.abs at Int.MinValue —
+  * so concurrent runs over different datasets never race overwrite-vs-
+  * read on the same files, repeated runs over the same dataset reuse one
+  * dir instead of accreting, and a JVM shutdown hook removes whatever
+  * this run touched (bench can run twice back to back, no orphans). */
+object Scratch {
+  private val roots = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[java.io.File, java.lang.Boolean]())
+  private lazy val hookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      roots.forEach(deleteRecursively(_))))
+    true
+  }
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+  def dir(prefix: String, datasetDir: String): String = {
+    require(hookInstalled)
+    val safe = new java.io.File(datasetDir).getAbsolutePath
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"), s"${prefix}_$safe")
+    roots.add(f)
+    f.getAbsolutePath
+  }
+}

@@ -718,6 +718,75 @@ object PipelineQueries {
                       least(off + n, (seq_id + 1) * 256) - greatest(off, seq_id * 256) AS n_tok
                FROM sp ORDER BY doc_id, seq_id""")),
 
+    // ---- the q104 funnel instrumented with Telemetry.observed (the
+    // zero-extra-pass monitoring idiom, until now spec-only): per-stage
+    // survivor counts ride the ONE action that materializes the final
+    // stage — CollectMetrics nodes are accumulator-backed and survive
+    // the optimizer, so quality/decontaminated/exact-dedup counts cost
+    // no re-scan (contrast: three separate stage .count()s would read
+    // the corpus three more times — at 100 TB, the difference between
+    // monitoring and tripling the bill). The emitted frame is the
+    // driver-side metric row reshaped; the oracle recomputes each
+    // stage's predicate as an independent SQL count.
+    GraftQuery(
+      "q124_funnel_observe",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        // observe semantics: a CollectMetrics node accumulates once per
+        // EXECUTION of its subtree, and decontaminate / Dedup.exact each
+        // consume their input twice (self-referencing joins). So the
+        // observed frames form a strictly LINEAR spine — base → clean
+        // survivors → exact survivors, each consumed exactly once — and
+        // the stage decisions (contaminated ids, dedup keep set) come in
+        // as un-observed side branches joined onto the spine.
+        val base = docs.filter(size(Portable.tokens(col("text"))) >= 10)
+          .select(col("doc_id"), col("text"))
+        val train = base.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        val cleanIds = TextPipeline.decontaminate(train, bench, n = 3)
+          .filter(!col("contaminated")).select(col("doc_id"))
+        val exactIds = graft.ops.Dedup.exact(train.join(cleanIds, "doc_id"))
+          .select(col("doc_id"))
+        val (quality, qObs) = graft.ops.Telemetry.observed(
+          base, "q124_quality", count(lit(1)).as("rows"))
+        val (clean, cObs) = graft.ops.Telemetry.observed(
+          quality.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+            .select(col("doc_id")).join(cleanIds, "doc_id"),
+          "q124_clean", count(lit(1)).as("rows"))
+        val (exact, eObs) = graft.ops.Telemetry.observed(
+          clean.join(exactIds, "doc_id"),
+          "q124_exact", count(lit(1)).as("rows"))
+        // the one deliberate action: materializes the final stage and,
+        // with it, every spine observation in the same pass
+        exact.foreach((_: org.apache.spark.sql.Row) => ())
+        def n(o: org.apache.spark.sql.Observation): Long =
+          o.get.apply("rows").asInstanceOf[Long]
+        Seq(("1_quality", n(qObs)), ("2_decontaminated", n(cObs)),
+            ("3_exact_dedup", n(eObs)))
+          .toDF("stage", "n_rows").orderBy(col("stage"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+               wins AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                               FOR i IN range(1, len(w) - 1)]) AS s
+                        FROM toks WHERE len(w) >= 3),
+               bench AS (SELECT DISTINCT s FROM wins WHERE doc_id % 97 = 0),
+               contam AS (SELECT DISTINCT doc_id FROM wins JOIN bench USING (s)
+                          WHERE doc_id % 97 <> 0),
+               q AS (SELECT doc_id FROM toks WHERE len(w) >= 10),
+               clean AS (SELECT doc_id FROM toks
+                         WHERE len(w) >= 10 AND doc_id % 97 <> 0
+                           AND doc_id NOT IN (SELECT doc_id FROM contam)),
+               ex AS (SELECT count(DISTINCT ${p60(Portable.normTextSql("text"))}) AS n
+                      FROM documents JOIN clean USING (doc_id))
+               SELECT stage, n_rows FROM (
+                 SELECT '1_quality' AS stage, CAST(count(*) AS BIGINT) AS n_rows FROM q
+                 UNION ALL
+                 SELECT '2_decontaminated', CAST(count(*) AS BIGINT) FROM clean
+                 UNION ALL
+                 SELECT '3_exact_dedup', CAST(n AS BIGINT) FROM ex)
+               ORDER BY stage""")),
+
     // ---- Z-order (Morton) layout audit: bucket the corpus on two
     // pruning dimensions (length bucket × source-hash bucket), interleave
     // them into the Morton key (graft.functions.ZOrder2 — the key
@@ -751,6 +820,44 @@ object PipelineQueries {
                       min(xb) AS x_min, max(xb) AS x_max,
                       min(yb) AS y_min, max(yb) AS y_max
                FROM z GROUP BY file_id ORDER BY file_id""")),
+
+    // ---- the WRITE side of z-order, driver-visible (q106 audits the
+    // key's geometry; ZOrderSpec proves file pruning on real parquet
+    // min/max; THIS pins data integrity through the layout op): docs
+    // bucketed on (length, source-hash), Layout.zorder → parquet with
+    // bounded file size → read back under the two-sided range predicate
+    // the layout exists to serve. The oracle computes the same predicate
+    // on the base table, so any row lost/duplicated/mangled by the
+    // range-exchange + sortWithinPartitions + write + read cycle is a
+    // hash mismatch. (File-count pruning stays spec-side: range
+    // boundaries are sampled, so WHICH files match is not cross-engine
+    // deterministic — row content is.)
+    GraftQuery(
+      "q125_zorder_roundtrip",
+      (s, d) => {
+        val dir = Scratch.dir("graft_zorder", d)
+        val docs = t(s, d, "documents").select(
+          col("doc_id"), col("n_chars"),
+          expr("least(CAST(15 AS BIGINT), n_chars div 32)").as("xb"),
+          pmod(expr("p60(source)"), lit(16L)).as("yb"))
+        graft.ops.Layout.zorder(docs, col("xb"), col("yb"), bits = 4, numRanges = 8)
+          .write.mode("overwrite").option("maxRecordsPerFile", 64).parquet(dir)
+        s.read.parquet(dir)
+          .filter(col("xb").between(4, 9) && col("yb").between(4, 11))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("doc_id")).as("n_distinct"),
+            sum(col("n_chars")).as("chars_total"),
+            sum(col("doc_id")).as("id_sum"))
+      },
+      Some(s"""WITH b AS (SELECT doc_id, n_chars,
+                                 least(15, n_chars // 32) AS xb,
+                                 ${p60("source")} % 16 AS yb
+                          FROM documents)
+               SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                      CAST(sum(n_chars) AS BIGINT) AS chars_total,
+                      CAST(sum(doc_id) AS BIGINT) AS id_sum
+               FROM b WHERE xb BETWEEN 4 AND 9 AND yb BETWEEN 4 AND 11""")),
 
     // ---- distribution drift per source: PSI (population stability
     // index) of each source's stop-ratio histogram against the whole

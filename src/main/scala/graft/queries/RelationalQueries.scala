@@ -709,7 +709,7 @@ object RelationalQueries {
           .as[(Long, Double, Long)]
           .groupByKey(_._1)
           .mapValues(r => (r._2, r._3))
-          .agg(new graft.ops.GroupTopK(3).toColumn.name("top"))
+          .agg(new graft.ops.GroupTopK[Long](3).toColumn.name("top"))
           .flatMap { case (custkey, top) =>
             top.iterator.zipWithIndex.map { case ((price, okey), i) =>
               (custkey, okey, price, i + 1)
@@ -814,6 +814,43 @@ object RelationalQueries {
                       ON p.user_id = g.user_id)
               WHERE rn = 1 ORDER BY event_id""")),
 
+    // ---- nearest + tolerance, the last pandas merge_asof combination
+    // (direction='nearest', tolerance=...): q116's closest-purchase
+    // match, but only within ±6h of the signup — outside the window the
+    // right side null-extends. The plan already carried both knobs
+    // (AsOfJoinPlan.toleranceMicros bounds BOTH directions of the
+    // nearest pick); this registration makes the combination driver-
+    // visible. Same single co-partitioned pass, same O(1) state; the
+    // oracle is q116's ranked-pairs SQL with the abs-delta cap moved
+    // into the join predicate so unmatched signups keep their null row.
+    GraftQuery(
+      "q123_asof_nearest_tolerance",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        graft.plans.AsOfJoin.asOfNearest(signups, purchases,
+            "user_id", "p_user", "ts", "p_ts",
+            toleranceMicros = Some(6L * 3600 * 1000000))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("nearest_purchase_s"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+              strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+              strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS nearest_purchase_s
+              FROM (SELECT g.event_id, g.user_id, g.ts, p.ts AS p_ts,
+                           row_number() OVER (PARTITION BY g.event_id
+                             ORDER BY abs(epoch_us(p.ts) - epoch_us(g.ts)), p.ts) AS rn
+                    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') g
+                    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+                      ON p.user_id = g.user_id
+                     AND abs(epoch_us(p.ts) - epoch_us(g.ts)) <= 21600000000)
+              WHERE rn = 1 ORDER BY event_id""")),
+
     // ---- CSV source, driver-visible (S-family breadth: the JSON source
     // is spec-covered, this one round-trips through REAL csv files):
     // write an events projection as CSV, read it back with an explicit
@@ -826,8 +863,7 @@ object RelationalQueries {
     GraftQuery(
       "q117_csv_roundtrip",
       (s, d) => {
-        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_csv_${math.abs(d.hashCode)}").getAbsolutePath
+        val dir = Scratch.dir("graft_csv", d)
         t(s, d, "events")
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
           .write.mode("overwrite").option("header", "true").csv(dir)
@@ -875,8 +911,7 @@ object RelationalQueries {
     GraftQuery(
       "q119_schema_evolution",
       (s, d) => {
-        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_evo_${math.abs(d.hashCode)}").getAbsolutePath
+        val dir = Scratch.dir("graft_evo", d)
         val docs = t(s, d, "documents")
         docs.filter(pmod(col("doc_id"), lit(2)) === 0)
           .select(col("doc_id"), col("n_chars"))

@@ -30,19 +30,23 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
   }
 
-  test("decodePng: real JDK decode, band means match the drawn image") {
-    // generate the payload in-test (fixtures stay fake): 8x8 PNG, top
-    // half pure black, bottom half pure white
+  /** 8x8 test image, top half pure black, bottom half pure white,
+    * encoded in-test (fixtures stay fake) as the given ImageIO format. */
+  private def halfAndHalf(format: String): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(8, 8,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until 8; x <- 0 until 8)
       img.setRGB(x, y, if (y < 4) 0x000000 else 0xffffff)
     val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", baos)
-    val png = baos.toByteArray
+    javax.imageio.ImageIO.write(img, format, baos)
+    baos.toByteArray
+  }
+
+  test("decodeImage: real JDK decode, band means match the drawn image") {
+    val png = halfAndHalf("png")
     // luma bands: dim=4 over 8 rows -> 2 rows per band; black rows give
     // 0, white rows give 255*299+255*587+255*114 = 255000 // 1000 = 255
-    val feats = Multimodal.decodePng(png, dim = 4).get
+    val feats = Multimodal.decodeImage(png, dim = 4).get
     assert(feats.length == 4)
     assert(feats(0) == 0f && feats(1) == 0f && feats(2) == 1f && feats(3) == 1f,
       feats.toSeq.toString)
@@ -58,6 +62,27 @@ class MultimodalSpec extends SparkSpec {
     val ds = Seq(Multimodal.MediaRow(1L, "image", png, "image/png", png.length.toLong)).toDS()
     val out = Multimodal.extractFeatures(ds, dim = 4, batchSize = 2).collect()
     assert(out.length == 1 && out.head.features.toSeq == feats.toSeq)
+  }
+
+  test("decodeImage: JPEG, GIF and BMP decode through the same path") {
+    // GIF and BMP are lossless for a 2-color image: exact band means
+    for (fmt <- Seq("gif" -> "image/gif", "bmp" -> "image/bmp")) {
+      val (name, ctype) = fmt
+      val bytes = halfAndHalf(name)
+      val feats = Multimodal.decodeImage(bytes, dim = 4).get
+      assert(feats.toSeq == Seq(0f, 0f, 1f, 1f), s"$name: ${feats.toSeq}")
+      assert(Multimodal.decode(bytes, ctype, 4).toSeq == feats.toSeq)
+    }
+    // JPEG is lossy (DCT ringing at the edge): bands near 0 / near 1
+    val jpg = halfAndHalf("jpg")
+    val jf = Multimodal.decodeImage(jpg, dim = 4).get
+    assert(jf(0) < 0.15f && jf(1) < 0.25f && jf(2) > 0.75f && jf(3) > 0.85f,
+      jf.toSeq.toString)
+    assert(Multimodal.decode(jpg, "image/jpeg", 4).toSeq == jf.toSeq)
+    // a content-type claiming image but holding garbage degrades to stub
+    val junk = Array.fill[Byte](24)(0x5a)
+    assert(Multimodal.decode(junk, "image/jpeg", 4).toSeq ==
+      Multimodal.stubDecode(junk, 4).toSeq)
   }
 
   test("subsample keeps every Nth byte") {

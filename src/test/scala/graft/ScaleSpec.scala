@@ -202,12 +202,15 @@ class ScaleSpec extends SparkSpec {
     val ev = Tables(spark, sf, "events")
     val direct = ev.groupBy($"user_id").agg(count(lit(1)).as("n"))
       .as[(Long, Long)].collect().toMap
-    val salted = Skew.saltedCount(ev, $"user_id")
+    // salt = deterministic per-row id: retried map tasks resalt
+    // identically, so the two-stage partials are retry-safe (the
+    // contract Skew's scaladoc states; rand() here would violate it)
+    val salted = Skew.saltedCount(ev, $"user_id", salt = $"event_id")
       .as[(Long, Long)].collect().toMap
     assert(salted == direct)
     val directSum = ev.groupBy($"user_id").agg(sum($"value").as("s"))
       .as[(Long, Double)].collect().toMap
-    val saltedSum = Skew.saltedSum(ev, $"user_id", $"value")
+    val saltedSum = Skew.saltedSum(ev, $"user_id", $"value", salt = $"event_id")
       .as[(Long, Double)].collect().toMap
     assert(saltedSum.keySet == directSum.keySet)
     saltedSum.foreach { case (k, s) => assert(math.abs(s - directSum(k)) < 1e-6) }
