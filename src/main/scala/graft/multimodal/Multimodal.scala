@@ -122,14 +122,79 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder branch for PCM audio containers via the JDK's
+    * built-in javax.sound.sampled readers — WAV, AIFF and AU all ship
+    * in every JVM (the java.desktop module), no external dependency.
+    * Feature j = mean absolute amplitude (full scale = 1.0) over the
+    * j-th temporal band, channels averaged per frame — the classic
+    * pooled-envelope descriptor, same (dim-length float array) contract
+    * as [[stubDecode]]/[[decodeImage]]. Only integer PCM (8/16-bit,
+    * signed/unsigned, either endianness) is decoded; compressed
+    * encodings and corrupt payloads return None so the caller degrades
+    * to the stub instead of killing a 100 TB scan task. */
+  def decodeAudio(content: Array[Byte], dim: Int): Option[Array[Float]] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (ais == null) return None
+    try {
+      val fmt = ais.getFormat
+      val bits = fmt.getSampleSizeInBits
+      val ch = fmt.getChannels
+      val signed = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+      if (!(signed || unsigned) || (bits != 8 && bits != 16) || ch < 1) return None
+      val bytes = ais.readAllBytes()
+      val bytesPerSample = bits / 8
+      val frameBytes = bytesPerSample * ch
+      val nFrames = bytes.length / frameBytes
+      if (nFrames == 0) return None
+      val sums = new Array[Double](dim)
+      val counts = new Array[Long](dim)
+      var i = 0
+      while (i < nFrames) {
+        val band = math.min((i.toLong * dim / nFrames).toInt, dim - 1)
+        var c = 0
+        var acc = 0.0
+        while (c < ch) {
+          val off = i * frameBytes + c * bytesPerSample
+          val s =
+            if (bits == 8) {
+              if (signed) bytes(off).toDouble / 128.0
+              else ((bytes(off) & 0xff) - 128).toDouble / 128.0
+            } else {
+              val v =
+                if (fmt.isBigEndian) ((bytes(off) << 8) | (bytes(off + 1) & 0xff)).toShort
+                else ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+              val base = if (unsigned) ((v & 0xffff) - 32768).toShort else v
+              base.toDouble / 32768.0
+            }
+          acc += math.abs(s)
+          c += 1
+        }
+        sums(band) += acc / ch
+        counts(band) += 1
+        i += 1
+      }
+      Some(Array.tabulate(dim) { j =>
+        if (counts(j) == 0) 0f else (sums(j) / counts(j)).toFloat
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally ais.close()
+  }
+
   /** Content-type dispatch: a real decoder where the JVM has a codec
     * (every image-prefixed type javax.imageio can sniff: PNG, JPEG,
-    * GIF, BMP — audio/video remain honest stubs, this container ships
-    * no such codecs), deterministic stub everywhere else, including
-    * unparseable image payloads. */
+    * GIF, BMP — and every PCM audio container javax.sound reads: WAV,
+    * AIFF, AU; video remains an honest stub, this container ships no
+    * video codec), deterministic stub everywhere else, including
+    * unparseable payloads. */
   def decode(content: Array[Byte], contentType: String, dim: Int): Array[Float] =
     if (contentType.startsWith("image/"))
       decodeImage(content, dim).getOrElse(stubDecode(content, dim))
+    else if (contentType.startsWith("audio/"))
+      decodeAudio(content, dim).getOrElse(stubDecode(content, dim))
     else stubDecode(content, dim)
 
   /** Feature extraction over media rows, batched per partition. The

@@ -748,6 +748,31 @@ object RelationalQueries {
               FROM orders JOIN customer ON o_custkey = c_custkey
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // ---- two-stage salted aggregation (graft.ops.Skew.saltedCount /
+    // saltedSum): events grouped on event_type — a handful of keys each
+    // owning ~a quarter of the table, the textbook hot-key aggregation —
+    // spread over (key, salt=event_id%16) partials first, then combined.
+    // The salt is a deterministic per-row id, so retried map tasks
+    // resalt identically (the stage-retry contract in Skew's doc; a
+    // rand() salt here is the SPARK-23207 double-count family). The
+    // oracle is the PLAIN one-stage aggregate — salting must be
+    // invisible in values, visible only in shuffle layout. Sum rounded:
+    // the two-stage fp addition order differs from the oracle's.
+    GraftQuery(
+      "q126_salted_agg",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val cnt = graft.ops.Skew.saltedCount(ev, col("event_type"), salt = col("event_id"))
+          .select(col("k").as("event_type"), col("n").as("n_events"))
+        val sm = graft.ops.Skew.saltedSum(ev, col("event_type"), col("value"),
+            salt = col("event_id"))
+          .select(col("k").as("event_type"), round(col("s"), 2).as("value_sum"))
+        cnt.join(sm, "event_type").orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                     round(sum(value), 2) AS value_sum
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ---- the custom as-of join, FORWARD direction (merge_asof
     // direction='forward'): for each signup, the user's first purchase
     // at-or-after it — time-to-conversion, the mirror of q25's

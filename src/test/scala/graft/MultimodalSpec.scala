@@ -85,6 +85,50 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.stubDecode(junk, 4).toSeq)
   }
 
+  /** 16-bit mono PCM at 8 kHz, first half silence, second half a
+    * ±16384 square wave (|amplitude| = exactly 0.5 of full scale),
+    * encoded in-test as the given javax.sound container type. */
+  private def halfSilentAudio(tpe: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    val n = 800
+    val pcm = new Array[Byte](n * 2)
+    for (i <- n / 2 until n) {
+      val v: Short = if (i % 8 < 4) 16384 else -16384
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = (v >> 8).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, tpe, baos)
+    baos.toByteArray
+  }
+
+  test("decodeAudio: WAV and AIFF decode, band envelopes match the signal") {
+    import javax.sound.sampled.AudioFileFormat
+    // WAV is little-endian PCM, AIFF big-endian — covers both branches
+    for (tpe <- Seq(AudioFileFormat.Type.WAVE, AudioFileFormat.Type.AIFF)) {
+      val bytes = halfSilentAudio(tpe)
+      val feats = Multimodal.decodeAudio(bytes, dim = 4).get
+      // bands 0-1 silence = 0.0; bands 2-3 square wave: |±16384|/32768
+      // = 0.5 exactly, every sample, so the band mean is exact
+      assert(feats.toSeq == Seq(0f, 0f, 0.5f, 0.5f), s"$tpe: ${feats.toSeq}")
+    }
+    val wav = halfSilentAudio(AudioFileFormat.Type.WAVE)
+    // dispatch: audio/wav routes to the real decoder, fake types and
+    // corrupt payloads degrade to the stub instead of throwing
+    assert(Multimodal.decode(wav, "audio/wav", 4).toSeq == Seq(0f, 0f, 0.5f, 0.5f))
+    assert(Multimodal.decode(wav, "application/x-fake-wav", 4).toSeq ==
+      Multimodal.stubDecode(wav, 4).toSeq)
+    val corrupt = wav.take(12).toArray
+    assert(Multimodal.decode(corrupt, "audio/wav", 4).toSeq ==
+      Multimodal.stubDecode(corrupt, 4).toSeq)
+    // end-to-end through the batched Dataset plumbing
+    val ds = Seq(Multimodal.MediaRow(7L, "audio", wav, "audio/wav", wav.length.toLong)).toDS()
+    val out = Multimodal.extractFeatures(ds, dim = 4, batchSize = 2).collect()
+    assert(out.length == 1 && out.head.features.toSeq == Seq(0f, 0f, 0.5f, 0.5f))
+  }
+
   test("subsample keeps every Nth byte") {
     val sub = Multimodal.subsample(media, everyN = 4).collect()
     val orig = media.collect().map(r => r.media_id -> r.content).toMap
