@@ -264,8 +264,36 @@ object AsOfJoin {
     asOfDirection(left, right, leftKey, rightKey, leftTime, rightTime,
       toleranceMicros, "nearest")
 
+  /** Multi-key variants (pandas merge_asof `by=[...]`): identical
+    * semantics with the match scoped to EQUAL COMPOSITE keys. The plan
+    * already carries Seq keys — co-partitioning, the (keys..., time)
+    * sort and the advance loop's lexicographic key comparison are all
+    * arity-generic — so this is pure API surface. */
+  def asOfKeys(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      toleranceMicros: Option[Long] = None,
+      forward: Boolean = false): DataFrame =
+    asOfDirection(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      toleranceMicros, if (forward) "forward" else "backward")
+
+  def asOfKeysNearest(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      toleranceMicros: Option[Long] = None): DataFrame =
+    asOfDirection(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      toleranceMicros, "nearest")
+
   private def asOfDirection(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      toleranceMicros: Option[Long],
+      direction: String): DataFrame =
+    asOfDirection(left, right, Seq(leftKey), Seq(rightKey), leftTime, rightTime,
+      toleranceMicros, direction)
+
+  private def asOfDirection(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String,
       toleranceMicros: Option[Long],
       direction: String): DataFrame = {
@@ -278,6 +306,8 @@ object AsOfJoin {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
     }
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"asOf: key arity mismatch (${leftKeys.size} left vs ${rightKeys.size} right)")
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def attr(plan: LogicalPlan, name: String): Expression =
@@ -302,7 +332,7 @@ object AsOfJoin {
       }
     }
     val plan = AsOfJoinPlan(lPlan, rPlan,
-      Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
+      leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
       lTimeE, rTimeE, toleranceMicros, direction)
     GraftSqlBridge.ofRows(spark, plan)
   }

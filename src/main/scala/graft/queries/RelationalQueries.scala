@@ -582,6 +582,44 @@ object RelationalQueries {
                AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
               GROUP BY 1 ORDER BY o_orderpriority""")),
 
+    // ---- KEYLESS interval join via binning (graft.ops.RangeJoin —
+    // scale rationale there): q21's range predicate rides an equi key,
+    // but a pure point-in-interval join (promo windows × shipments, no
+    // shared key) Spark can only plan as broadcast-NLJ/cartesian. The
+    // binned form quantizes ship days into 7-day bins, explodes each
+    // window onto the bins it overlaps (~2), and equi-joins on the bin —
+    // a plain shuffled join at any scale. Every qualifying pair meets in
+    // exactly one bin (the point's), so no dedup; the oracle is the
+    // naive BETWEEN join the binning must be indistinguishable from.
+    GraftQuery(
+      "q127_range_join_binned",
+      (s, d) => {
+        val epoch = lit("1992-01-01")
+        val wins = t(s, d, "orders")
+          .filter(pmod(col("o_orderkey"), lit(997)) === 0)
+          .select(col("o_orderkey").as("window_id"),
+            datediff(to_date(col("o_orderdate")), epoch).cast("long").as("w_lo"),
+            (datediff(to_date(col("o_orderdate")), epoch) + 7).cast("long").as("w_hi"))
+        val points = t(s, d, "lineitem")
+          .select(datediff(to_date(col("l_shipdate")), epoch).cast("long").as("ship_day"),
+            col("l_extendedprice"))
+        graft.ops.RangeJoin.pointInInterval(points, col("ship_day"),
+            wins, col("w_lo"), col("w_hi"), binWidth = 7)
+          .groupBy(col("window_id"))
+          .agg(count(lit(1)).as("n_ships"),
+            round(sum(col("l_extendedprice")), 2).as("revenue"))
+          .orderBy(col("window_id"))
+      },
+      Some("""SELECT window_id, CAST(count(*) AS BIGINT) AS n_ships,
+                     round(sum(l_extendedprice), 2) AS revenue
+              FROM (SELECT o_orderkey AS window_id,
+                           date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS w_lo
+                    FROM orders WHERE o_orderkey % 997 = 0) w
+              JOIN (SELECT date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS ship_day,
+                           l_extendedprice FROM lineitem) p
+                ON p.ship_day BETWEEN w.w_lo AND w.w_lo + 7
+              GROUP BY 1 ORDER BY window_id""")),
+
     // ---- Pivot (conditional aggregation matrix): events per user x type.
     GraftQuery(
       "q22_pivot",

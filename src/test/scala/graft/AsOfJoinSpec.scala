@@ -37,6 +37,41 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(4L) == None)      // key 30 has no quotes -> nulls
   }
 
+  test("asOfKeys: composite keys scope the match (pandas by=[...])") {
+    // same venue-less key would cross-match; the (key, venue) composite
+    // must keep venues apart — including a venue that exists only on one
+    // side (null result, not a cross-venue leak)
+    val trades = Seq(
+      (1L, 10L, "A", ts("2024-01-01 10:00:00")),
+      (2L, 10L, "B", ts("2024-01-01 10:00:00")),
+      (3L, 10L, "C", ts("2024-01-01 10:00:00"))
+    ).toDF("id", "key", "venue", "t")
+    val quotes = Seq(
+      (10L, "A", ts("2024-01-01 09:00:00"), 1.0),
+      (10L, "A", ts("2024-01-01 09:45:00"), 1.5),
+      (10L, "B", ts("2024-01-01 09:30:00"), 2.0)
+    ).toDF("qkey", "qvenue", "qt", "price")
+    val out = AsOfJoin.asOfKeys(trades, quotes,
+        Seq("key", "venue"), Seq("qkey", "qvenue"), "t", "qt")
+      .select($"id", $"price")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) == Some(1.5)) // latest A quote, not B's
+    assert(out(2L) == Some(2.0))
+    assert(out(3L) == None)      // venue C: no quotes, null not A/B leak
+    // agreement with the single-key form on a synthesized composite col
+    val single = AsOfJoin.asOf(
+      trades.withColumn("ck", concat_ws("|", $"key", $"venue")),
+      quotes.withColumn("qck", concat_ws("|", $"qkey", $"qvenue")),
+      "ck", "qck", "t", "qt")
+      .select($"id", $"price")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out == single)
+    // arity mismatch is rejected at construction
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOfKeys(trades, quotes, Seq("key", "venue"), Seq("qkey"), "t", "qt")
+    }
+  }
+
   test("asOf tolerance: stale matches null out, fresh ones survive") {
     val trades = Seq(
       (1L, 10L, ts("2024-01-01 10:00:00")), // quote 09:30 -> 30 min old: fresh

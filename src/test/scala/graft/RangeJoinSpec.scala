@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.RangeJoin
+
+/** The binned keyless interval join must be row-identical to the naive
+  * BETWEEN join at every bin width, and its plan must be an equi-join on
+  * the bin — never the broadcast-NLJ/cartesian Spark falls back to for a
+  * keyless range predicate. */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naive(points: org.apache.spark.sql.DataFrame,
+      intervals: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    points.join(intervals, col("p").between(col("lo"), col("hi")))
+      .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSeq.sorted
+
+  test("binned == naive BETWEEN join, at several widths, random fixtures") {
+    val pGen = Gen.listOfN(120, Gen.zip(Gen.chooseNum(0L, 400L)))
+    val iGen = Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 380L), Gen.chooseNum(0L, 60L)))
+    (0 until 10).foreach { seed =>
+      val ps = pGen(Gen.Parameters.default, Seed(seed.toLong)).get
+        .zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      val ivs = iGen(Gen.Parameters.default, Seed(seed.toLong + 1000)).get
+        .zipWithIndex.map { case ((lo, span), i) =>
+          // seed a few degenerate cases: empty (hi < lo) intervals must
+          // match nothing, single-point (hi == lo) must match exactly
+          if (i % 7 == 0) (1000L + i, lo, lo - 1) else (1000L + i, lo, lo + span)
+        }
+      val points = ps.toDF("pid", "p")
+      val intervals = ivs.toDF("iid", "lo", "hi")
+      val expected = naive(points, intervals)
+      for (w <- Seq(1L, 7L, 64L, 1000L)) {
+        val got = RangeJoin.pointInInterval(points, col("p"), intervals,
+            col("lo"), col("hi"), binWidth = w)
+          .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSeq.sorted
+        assert(got == expected, s"seed=$seed width=$w")
+      }
+    }
+  }
+
+  test("each qualifying pair appears exactly once (no bin-overlap dupes)") {
+    // one long interval spanning many bins; every contained point must
+    // match it exactly once even though the interval explodes onto ~20 bins
+    val points = (0L until 200L).map(i => (i, i)).toDF("pid", "p")
+    val intervals = Seq((1L, 10L, 190L)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, col("p"), intervals,
+        col("lo"), col("hi"), binWidth = 10)
+      .groupBy(col("pid")).count().filter(col("count") =!= 1)
+    assert(got.isEmpty, "a (point, interval) pair matched in more than one bin")
+  }
+
+  test("plan is an equi-join on the bin, never NLJ/cartesian") {
+    val points = (0L until 1000L).map(i => (i, i % 500)).toDF("pid", "p")
+    val intervals = (0L until 50L).map(i => (i, i * 10, i * 10 + 15)).toDF("iid", "lo", "hi")
+    val joined = RangeJoin.pointInInterval(points, col("p"), intervals,
+      col("lo"), col("hi"), binWidth = 10)
+    val plan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val bad = plan.collect {
+      case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(bad.isEmpty, s"keyless range join fell back to ${bad.map(_.nodeName)}")
+    // and the naive formulation DOES fall back — the contrast the op exists for
+    val naivePlan = points.join(intervals, col("p").between(col("lo"), col("hi")))
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val nlj = naivePlan.collect {
+      case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(nlj.nonEmpty, "expected the naive keyless range join to plan as NLJ")
+  }
+
+  test("working column name dodges existing _bin columns") {
+    val points = Seq((1L, 5L, 99L)).toDF("pid", "p", "_bin")
+    val intervals = Seq((10L, 0L, 10L)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, col("p"), intervals,
+      col("lo"), col("hi"), binWidth = 4)
+    assert(got.columns.count(_ == "_bin") == 1, "caller's _bin column clobbered")
+    assert(got.select(col("_bin")).as[Long].collect().toSeq == Seq(99L))
+  }
+}
