@@ -50,4 +50,33 @@ object RangeJoin {
     p.join(iv, p(bin) === iv(bin) && point >= start && point <= end)
       .drop(bin)
   }
+
+  /** All (a, b) interval pairs that OVERLAP (`aLo <= bHi && bLo <= aHi`,
+    * closed intervals) — the keyless session-concurrency /
+    * reservation-conflict join, same binning scheme. The exactly-once
+    * trick differs from [[pointInInterval]]: two overlapping intervals
+    * share EVERY bin their intersection touches, so emitting on plain
+    * bin equality would duplicate pairs. Each pair is emitted only in
+    * the FIRST bin of its intersection — `bin == floor(max(aLo, bLo) /
+    * width)` — a bin both sides cover by definition, so exactly one
+    * surviving row per qualifying pair, no post-join dedup (a distinct
+    * over the pair frame would be a second corpus-wide shuffle).
+    * Column names must be disjoint across the two frames. */
+  def intervalOverlap(a: DataFrame, aLo: Column, aHi: Column,
+      b: DataFrame, bLo: Column, bHi: Column,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val taken = (a.columns ++ b.columns).toSet
+    val bin = Iterator.from(0).map(i => if (i == 0) "_bin" else s"_bin$i")
+      .dropWhile(taken.contains).next()
+    def binOf(c: Column): Column = floor(c / binWidth).cast("long")
+    val ae = a.filter(aLo <= aHi)
+      .withColumn(bin, explode(sequence(binOf(aLo), binOf(aHi))))
+    val be = b.filter(bLo <= bHi)
+      .withColumn(bin, explode(sequence(binOf(bLo), binOf(bHi))))
+    ae.join(be,
+        ae(bin) === be(bin) && aLo <= bHi && bLo <= aHi &&
+          ae(bin) === binOf(greatest(aLo, bLo)))
+      .drop(bin)
+  }
 }

@@ -620,6 +620,42 @@ object RelationalQueries {
                 ON p.ship_day BETWEEN w.w_lo AND w.w_lo + 7
               GROUP BY 1 ORDER BY window_id""")),
 
+    // ---- keyless INTERVAL-OVERLAP join (RangeJoin.intervalOverlap —
+    // the session-concurrency shape): which 15-day promo windows ran
+    // concurrently, and for how many days. Both sides explode onto
+    // their bins; a pair is emitted only in the FIRST bin of its
+    // intersection, so the result needs no dedup shuffle (the
+    // correctness trap of bin schemes — see the op's doc). The oracle
+    // is the naive self-join on the overlap predicate.
+    GraftQuery(
+      "q128_interval_overlap",
+      (s, d) => {
+        val epoch = lit("1992-01-01")
+        def wins(idCol: String, loCol: String, hiCol: String) =
+          t(s, d, "orders")
+            .filter(pmod(col("o_orderkey"), lit(97)) === 0)
+            .select(col("o_orderkey").as(idCol),
+              datediff(to_date(col("o_orderdate")), epoch).cast("long").as(loCol),
+              (datediff(to_date(col("o_orderdate")), epoch) + 14).cast("long").as(hiCol))
+        graft.ops.RangeJoin.intervalOverlap(
+            wins("a_id", "a_lo", "a_hi"), col("a_lo"), col("a_hi"),
+            wins("b_id", "b_lo", "b_hi"), col("b_lo"), col("b_hi"),
+            binWidth = 14)
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            (least(col("a_hi"), col("b_hi")) -
+              greatest(col("a_lo"), col("b_lo")) + 1).as("overlap_days"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH w AS (SELECT o_orderkey AS id,
+                      date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS lo
+               FROM orders WHERE o_orderkey % 97 = 0)
+              SELECT a.id AS a_id, b.id AS b_id,
+                     CAST(least(a.lo + 14, b.lo + 14) - greatest(a.lo, b.lo) + 1 AS BIGINT) AS overlap_days
+              FROM w a JOIN w b
+                ON a.id < b.id AND a.lo <= b.lo + 14 AND b.lo <= a.lo + 14
+              ORDER BY a_id, b_id""")),
+
     // ---- Pivot (conditional aggregation matrix): events per user x type.
     GraftQuery(
       "q22_pivot",

@@ -79,6 +79,45 @@ class RangeJoinSpec extends SparkSpec {
     assert(nlj.nonEmpty, "expected the naive keyless range join to plan as NLJ")
   }
 
+  test("intervalOverlap == naive overlap join, several widths, random fixtures") {
+    val gen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 300L), Gen.chooseNum(0L, 80L)))
+    (0 until 8).foreach { seed =>
+      val as = gen(Gen.Parameters.default, Seed(seed.toLong)).get
+        .zipWithIndex.map { case ((lo, span), i) =>
+          if (i % 9 == 0) (i.toLong, lo, lo - 1) // degenerate: matches nothing
+          else (i.toLong, lo, lo + span)
+        }
+      val bs = gen(Gen.Parameters.default, Seed(seed.toLong + 500)).get
+        .zipWithIndex.map { case ((lo, span), i) => (100L + i, lo, lo + span) }
+      val a = as.toDF("aid", "alo", "ahi")
+      val b = bs.toDF("bid", "blo", "bhi")
+      // naive baseline restricted to WELL-FORMED intervals: for an empty
+      // [lo, lo-1] the bare predicate can still evaluate true, but the
+      // op's contract is SET overlap — empty intervals intersect nothing
+      val expected = a.filter(col("alo") <= col("ahi"))
+        .join(b.filter(col("blo") <= col("bhi")),
+          col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+        .select(col("aid"), col("bid")).as[(Long, Long)].collect().toSeq.sorted
+      for (w <- Seq(1L, 13L, 100L, 1000L)) {
+        val got = RangeJoin.intervalOverlap(a, col("alo"), col("ahi"),
+            b, col("blo"), col("bhi"), binWidth = w)
+          .select(col("aid"), col("bid")).as[(Long, Long)].collect().toSeq.sorted
+        assert(got == expected, s"seed=$seed width=$w")
+      }
+    }
+  }
+
+  test("intervalOverlap: pairs sharing MANY bins still appear exactly once") {
+    // two long intervals overlapping across ~20 bins; plain bin-equality
+    // joining would emit the pair once per shared bin
+    val a = Seq((1L, 0L, 200L)).toDF("aid", "alo", "ahi")
+    val b = Seq((2L, 50L, 250L), (3L, 190L, 400L)).toDF("bid", "blo", "bhi")
+    val got = RangeJoin.intervalOverlap(a, col("alo"), col("ahi"),
+        b, col("blo"), col("bhi"), binWidth = 10)
+      .select(col("aid"), col("bid")).as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 2L), (1L, 3L)))
+  }
+
   test("working column name dodges existing _bin columns") {
     val points = Seq((1L, 5L, 99L)).toDF("pid", "p", "_bin")
     val intervals = Seq((10L, 0L, 10L)).toDF("iid", "lo", "hi")
