@@ -147,6 +147,28 @@ object EventStreams {
     sigs.unpersist()
   }
 
+  /** Per-type top-k events by value via the mergeable
+    * [[graft.ops.GroupTopK]] Aggregator — the streaming face of the
+    * skew-proof top-k: the SAME typed aggregator runs under the
+    * streaming state store (its merge is what incremental micro-batch
+    * aggregation calls), so per-key state is bounded at k pairs forever,
+    * stream or batch. Ties break event_id-DESC (the reference tuple
+    * order). Complete/update output modes; works identically on a batch
+    * frame. */
+  def topEventsByType(events: DataFrame, k: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_type"), col("value"), col("event_id"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new graft.ops.GroupTopK[Long](k).toColumn.name("top"))
+      .toDF("event_type", "top")
+      .select(col("event_type"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("event_type"), (col("i") + 1).as("rn"),
+        col("e._2").as("event_id"), col("e._1").as("value"))
+  }
+
   final case class EventRow(event_id: Long, user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

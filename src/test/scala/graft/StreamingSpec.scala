@@ -27,6 +27,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topEventsByType: GroupTopK aggregator streaming == batch") {
+    // the typed mergeable aggregator must produce the identical top-k
+    // under the streaming state store (incremental merges) as in one
+    // batch pass — the bounded-state claim, exercised end to end
+    val stream = EventStreams.readEventsStream(spark, sf)
+    val q = EventStreams.topEventsByType(stream, k = 5)
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("topk_out")
+        .as[(String, Int, Long, Double)].collect().toSet
+      val batch = EventStreams.topEventsByType(Tables(spark, sf, "events"), k = 5)
+        .as[(String, Int, Long, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // every type contributes exactly k rows ranked 1..k
+      streamed.groupBy(_._1).foreach { case (t, rows) =>
+        assert(rows.map(_._2).toSeq.sorted == (1 to 5), t)
+      }
+    } finally q.stop()
+  }
+
   test("dedupAgainstStatic: stream-static anti-join == batch, stateless") {
     import org.apache.spark.sql.functions._
     // "corpus" already holds the click/view fingerprints; only the rest
