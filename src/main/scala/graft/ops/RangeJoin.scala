@@ -28,6 +28,20 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Floor division in EXACT long arithmetic: `floor(c / w)` via double
+    * division silently mis-bins values beyond 2^53 (epoch-nanos
+    * timestamps are ~2^60), and Spark's long `/` is double-backed too.
+    * `(c - pmod(c, w)) div w` stays integral end to end: the pmod shift
+    * makes the numerator an exact multiple, so truncating IntegralDivide
+    * IS floor division, negatives included. */
+  private def floorDiv(c: Column, w: Long): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    val shifted = c.cast("long") - pmod(c.cast("long"), lit(w))
+    GraftSqlBridge.column(IntegralDivide(
+      GraftSqlBridge.expr(shifted), GraftSqlBridge.expr(lit(w)))).cast("long")
+  }
+
   /** All (point, interval) pairs with `start <= point <= end`, as the
     * two frames' columns side by side — the keyless analogue of
     * `points.join(intervals, point.between(start, end))` with a
@@ -42,7 +56,7 @@ object RangeJoin {
     val taken = (points.columns ++ intervals.columns).toSet
     val bin = Iterator.from(0).map(i => if (i == 0) "_bin" else s"_bin$i")
       .dropWhile(taken.contains).next()
-    def binOf(c: Column): Column = floor(c / binWidth).cast("long")
+    def binOf(c: Column): Column = floorDiv(c, binWidth)
     val p = points.withColumn(bin, binOf(point))
     val iv = intervals
       .filter(start <= end)
@@ -69,7 +83,7 @@ object RangeJoin {
     val taken = (a.columns ++ b.columns).toSet
     val bin = Iterator.from(0).map(i => if (i == 0) "_bin" else s"_bin$i")
       .dropWhile(taken.contains).next()
-    def binOf(c: Column): Column = floor(c / binWidth).cast("long")
+    def binOf(c: Column): Column = floorDiv(c, binWidth)
     val ae = a.filter(aLo <= aHi)
       .withColumn(bin, explode(sequence(binOf(aLo), binOf(aHi))))
     val be = b.filter(bLo <= bHi)

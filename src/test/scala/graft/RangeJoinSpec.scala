@@ -118,6 +118,30 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Seq((1L, 2L), (1L, 3L)))
   }
 
+  test("binning is exact beyond 2^53 (epoch-nanos magnitudes)") {
+    // floor(x / w) through double division mis-bins here: these points
+    // differ by 1 at ~2^60, far below double's ULP at that magnitude.
+    // The op must still separate in-interval from out-of-interval.
+    val base = 1L << 60
+    val points = Seq((1L, base), (2L, base + 1), (3L, base - 1), (4L, base + 1000))
+      .toDF("pid", "p")
+    val intervals = Seq((10L, base, base + 1)).toDF("iid", "lo", "hi")
+    // negative domain too: floor-div (not truncation) must bin -1 into
+    // the -1 bin so the [-5, -1] interval still meets it
+    val negP = Seq((5L, -1L)).toDF("pid", "p")
+    val negI = Seq((20L, -5L, -1L)).toDF("iid", "lo", "hi")
+    for (w <- Seq(7L, 1000000L)) {
+      val got = RangeJoin.pointInInterval(points, col("p"), intervals,
+          col("lo"), col("hi"), binWidth = w)
+        .select(col("pid")).as[Long].collect().toSeq.sorted
+      assert(got == Seq(1L, 2L), s"width=$w")
+      val gotNeg = RangeJoin.pointInInterval(negP, col("p"), negI,
+          col("lo"), col("hi"), binWidth = w)
+        .select(col("pid")).as[Long].collect().toSeq
+      assert(gotNeg == Seq(5L), s"neg width=$w")
+    }
+  }
+
   test("working column name dodges existing _bin columns") {
     val points = Seq((1L, 5L, 99L)).toDF("pid", "p", "_bin")
     val intervals = Seq((10L, 0L, 10L)).toDF("iid", "lo", "hi")
