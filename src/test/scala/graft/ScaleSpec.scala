@@ -214,6 +214,33 @@ class ScaleSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(saltedSum.keySet == directSum.keySet)
     saltedSum.foreach { case (k, s) => assert(math.abs(s - directSum(k)) < 1e-6) }
+    // plan shape: the FIRST aggregation stage must group on (key, salt)
+    // — that composite partial key is the whole point (hot key spread
+    // over saltBuckets partials before any exchange sees it)
+    val plan = Skew.saltedCount(ev, $"user_id", salt = $"event_id")
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val aggs = plan.collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+    }
+    assert(aggs.exists(_.groupingExpressions.size == 2),
+      s"no (key, salt) first-stage aggregate in:\n$plan")
+  }
+
+  test("q122 aggregator top-k plans ObjectHashAggregate, no Window (cosine path)") {
+    val plan = SparkEntry.queries("q122_topk_agg_cosine")(spark, sf)
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val windows = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, "q122 must not plan a Window — that's q40's formulation")
+    val objAgg = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(objAgg.size >= 2, s"expected partial+final ObjectHashAggregate, got ${objAgg.size}")
   }
 
   test("salted join is row-identical to the direct join, shuffles on (key, salt)") {
