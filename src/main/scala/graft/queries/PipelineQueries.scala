@@ -859,6 +859,44 @@ object PipelineQueries {
                       CAST(sum(doc_id) AS BIGINT) AS id_sum
                FROM b WHERE xb BETWEEN 4 AND 9 AND yb BETWEEN 4 AND 11""")),
 
+    // ---- winsorization (percentile clipping): per-type p01/p99 value
+    // bounds, values clipped into [p01, p99], then the cleaned stats —
+    // the standard outlier-hygiene step before a numeric column feeds
+    // training or a drift monitor (one corrupted 1e12 reading must not
+    // own the mean). Exact interpolated percentiles here because they
+    // are oracle-checkable (the q28 convention, matching DuckDB
+    // quantile_cont); at 100 TB swap the bounds source for the q98
+    // mergeable quantile sketch — the clip plumbing (tiny bounds frame
+    // broadcast back, scan-side greatest/least) is identical. The
+    // bounds frame is |types| rows; the clip pass is one scan.
+    GraftQuery(
+      "q129_winsorize",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val pct = ev.groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.01)").as("p01"),
+            expr("percentile(value, 0.99)").as("p99"))
+        ev.join(broadcast(pct), "event_type")
+          .select(col("event_type"),
+            greatest(col("p01"), least(col("p99"), col("value"))).as("v"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("v")), 6).as("mean_winsorized"),
+            round(min(col("v")), 6).as("v_min"),
+            round(max(col("v")), 6).as("v_max"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH p AS (SELECT event_type,
+                                quantile_cont(value, 0.01) AS p01,
+                                quantile_cont(value, 0.99) AS p99
+                         FROM events GROUP BY 1)
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     round(avg(greatest(p01, least(p99, value))), 6) AS mean_winsorized,
+                     round(min(greatest(p01, least(p99, value))), 6) AS v_min,
+                     round(max(greatest(p01, least(p99, value))), 6) AS v_max
+              FROM events JOIN p USING (event_type)
+              GROUP BY event_type ORDER BY event_type""")),
+
     // ---- distribution drift per source: PSI (population stability
     // index) of each source's stop-ratio histogram against the whole
     // corpus — the monitoring number that flags a crawl whose quality
