@@ -129,6 +129,36 @@ class MultimodalSpec extends SparkSpec {
     assert(out.length == 1 && out.head.features.toSeq == Seq(0f, 0f, 0.5f, 0.5f))
   }
 
+  test("decodeAudio: stereo channels average; 8-bit unsigned PCM decodes") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def encode(pcm: Array[Byte], fmt: AudioFormat, frames: Int): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+        AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    // stereo 16-bit: L = full-scale-half square, R = silence -> per-frame
+    // channel mean is 0.25 everywhere
+    val n = 400
+    val stereo = new Array[Byte](n * 4)
+    for (i <- 0 until n) {
+      val v: Short = if (i % 2 == 0) 16384 else -16384
+      stereo(4 * i) = (v & 0xff).toByte
+      stereo(4 * i + 1) = (v >> 8).toByte
+      // right channel stays 0
+    }
+    val st = Multimodal.decodeAudio(
+      encode(stereo, new AudioFormat(8000f, 16, 2, true, false), n), dim = 4).get
+    assert(st.toSeq == Seq(0.25f, 0.25f, 0.25f, 0.25f), st.toSeq.toString)
+    // 8-bit WAV is UNSIGNED by spec: 128 = silence, 192/64 = ±0.5
+    val mono8 = Array.tabulate[Byte](n)(i =>
+      if (i < n / 2) 128.toByte else if (i % 2 == 0) 192.toByte else 64.toByte)
+    val m8 = Multimodal.decodeAudio(
+      encode(mono8, new AudioFormat(8000f, 8, 1, false, false), n), dim = 4).get
+    assert(m8.toSeq == Seq(0f, 0f, 0.5f, 0.5f), m8.toSeq.toString)
+  }
+
   test("subsample keeps every Nth byte") {
     val sub = Multimodal.subsample(media, everyN = 4).collect()
     val orig = media.collect().map(r => r.media_id -> r.content).toMap
