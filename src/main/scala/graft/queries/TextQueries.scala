@@ -311,7 +311,54 @@ object TextQueries {
                      FROM (SELECT lang, string_split_regex(trim(text), '\\s+') AS w
                            FROM documents)))
             GROUP BY lang, predicted ORDER BY lang, predicted"""
-      })
+      }),
+
+    // ---- one BPE merge step, driver-checkable (graft.ops.Bpe — the
+    // "train the tokenizer on the corpus" op; scale rationale there:
+    // one corpus-scale word count, then everything runs vocab-sized):
+    // count symbol pairs over the symbolized vocabulary, pick the
+    // argmax merge (ties lexicographic — the determinism the whole
+    // training run depends on), APPLY it with the greedy
+    // non-overlapping rule, and emit the post-merge top-10 pair counts.
+    // The oracle replays the identical step in SQL — the greedy
+    // left-to-right application as a per-word recursive CTE walk — so a
+    // divergence in counting, tie order, or application shows up as a
+    // hash mismatch. The full training loop (Bpe.train) iterates
+    // exactly this step; BpeSpec pins the classic multi-merge sequence.
+    GraftQuery(
+      "q130_bpe_merge_step",
+      (s, d) => {
+        val words = graft.ops.Bpe.wordCorpus(t(s, d, "documents"))
+        // the chosen merge is a SCALAR decision — the one justified
+        // driver collect per iteration (same pattern as CC convergence)
+        val m = graft.ops.Bpe.topPair(words).get
+        graft.ops.Bpe.pairCounts(graft.ops.Bpe.applyMergeDF(words, m.a, m.b))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(10)
+      },
+      Some("""WITH RECURSIVE
+              toks AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents),
+              wf AS (SELECT word, count(*) AS freq FROM toks WHERE word <> '' GROUP BY 1),
+              syms AS (SELECT word, freq, list_append(string_split(word, ''), '</w>') AS s FROM wf),
+              p1 AS (SELECT pr.a AS a, pr.b AS b, sum(freq) AS cnt
+                     FROM (SELECT freq, unnest([{'a': s[i], 'b': s[i+1]} FOR i IN range(1, len(s))]) AS pr
+                           FROM syms) GROUP BY 1, 2),
+              mrg AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+              walk(word, freq, s, i, out) AS (
+                SELECT word, freq, s, 1, CAST([] AS VARCHAR[]) FROM syms
+                UNION ALL
+                SELECT w.word, w.freq, w.s,
+                       CASE WHEN w.i < len(w.s) AND w.s[w.i] = m.a AND w.s[w.i+1] = m.b
+                            THEN w.i + 2 ELSE w.i + 1 END,
+                       CASE WHEN w.i < len(w.s) AND w.s[w.i] = m.a AND w.s[w.i+1] = m.b
+                            THEN list_append(w.out, m.a || m.b)
+                            ELSE list_append(w.out, w.s[w.i]) END
+                FROM walk w CROSS JOIN mrg m WHERE w.i <= len(w.s)),
+              merged AS (SELECT word, freq, out AS s FROM walk WHERE i = len(s) + 1),
+              p2 AS (SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS cnt
+                     FROM (SELECT freq, unnest([{'a': s[i], 'b': s[i+1]} FOR i IN range(1, len(s))]) AS pr
+                           FROM merged) GROUP BY 1, 2)
+              SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 10"""))
   )
 
   /** Spark-SQL fragment of [[Portable.p60]] for use inside `expr` lambdas
