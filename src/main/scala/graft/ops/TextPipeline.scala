@@ -365,4 +365,51 @@ object TextPipeline {
     }
     c => f(c)
   }
+
+  /** Corpus-level span scrubbing (the paragraph-dedup curation step of
+    * public LLM-data pipelines: drop PASSAGES that recur across
+    * documents — navigation boilerplate, license blocks, templated
+    * intros — and keep the rest of each document, rather than dropping
+    * whole documents the way doc-level dedup does). Documents are cut
+    * into fixed non-overlapping `window`-token spans; spans occurring in
+    * >= `minDocs` DISTINCT documents are removed; survivors reassemble
+    * in order into `clean_text`, with kept/dropped span counts so the
+    * removal volume is monitored, not silent.
+    *
+    * Scale shape: one scan-side windowing (HOF, no per-row UDF), one
+    * doc-frequency aggregate keyed on the span (map-side combined; the
+    * hot boilerplate span IS the frequent key, and it arrives
+    * pre-combined per map task), one join back, and one per-document
+    * reassembly aggregate whose state is the document's own spans —
+    * bounded by document length, never corpus-wide. The span key could
+    * be fingerprinted (p60) to cut exchange bytes at 100 TB; the raw
+    * span key keeps the op collision-free and the plan identical. */
+  def scrubSharedSpans(docs: DataFrame, windowTokens: Int = 10, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(windowTokens > 0 && minDocs > 1, s"windowTokens=$windowTokens minDocs=$minDocs")
+    val spans = docs
+      .select(col(idCol).as("doc_id"), Portable.tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(w) - 1) div $windowTokens)," +
+          s" i -> array_join(slice(w, i * $windowTokens + 1, $windowTokens), ' '))")))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "span")
+    val shared = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("span"))
+    val kept = spans.join(shared, Seq("span"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(idx, span)))," +
+          " e -> e.span), ' ')").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    totals.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
 }

@@ -358,7 +358,45 @@ object TextQueries {
               p2 AS (SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS cnt
                      FROM (SELECT freq, unnest([{'a': s[i], 'b': s[i+1]} FOR i IN range(1, len(s))]) AS pr
                            FROM merged) GROUP BY 1, 2)
-              SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 10"""))
+              SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 10""")),
+
+    // ---- corpus-level span scrubbing (TextPipeline.scrubSharedSpans —
+    // the paragraph-dedup curation step: drop PASSAGES recurring across
+    // >= 2 documents, keep the rest of each doc, reassemble). The
+    // synthetic corpus's exact/near-dup doc families make the drop path
+    // real: their aligned 10-token windows recur verbatim and get
+    // scrubbed, while unique docs pass through intact. Output carries
+    // the reassembled clean_text itself (any span mis-kept, mis-dropped
+    // or mis-ORDERED in reassembly is a hash mismatch) plus the
+    // kept/dropped telemetry.
+    GraftQuery(
+      "q131_span_scrub",
+      (s, d) => graft.ops.TextPipeline
+        .scrubSharedSpans(t(s, d, "documents"), windowTokens = 10, minDocs = 2)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                            FROM documents),
+              spans AS (SELECT doc_id, i AS idx,
+                               array_to_string(w[i*10+1 : i*10+10], ' ') AS span
+                        FROM (SELECT doc_id, w,
+                                     unnest(range(0, (len(w) - 1) // 10 + 1)) AS i
+                              FROM toks WHERE len(w) > 0)),
+              shared AS (SELECT span FROM
+                           (SELECT span, count(DISTINCT doc_id) AS ndocs
+                            FROM spans GROUP BY 1)
+                         WHERE ndocs >= 2),
+              kept AS (SELECT doc_id,
+                              string_agg(span, ' ' ORDER BY idx) AS clean_text,
+                              count(*) AS n_kept
+                       FROM spans WHERE span NOT IN (SELECT span FROM shared)
+                       GROUP BY doc_id),
+              totals AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1)
+              SELECT t.doc_id,
+                     coalesce(k.clean_text, '') AS clean_text,
+                     CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+                     CAST(t.n_spans - coalesce(k.n_kept, 0) AS BIGINT) AS n_dropped
+              FROM totals t LEFT JOIN kept k USING (doc_id)
+              ORDER BY t.doc_id"""))
   )
 
   /** Spark-SQL fragment of [[Portable.p60]] for use inside `expr` lambdas
