@@ -36,6 +36,44 @@ object Sampling {
     df.filter(hashGate(key, lit(rateBp), lit(offsetBp)))
   }
 
+  /** α=1/2 temperature-mixing rates per source — the standard
+    * source/language rebalancing of multilingual corpus work (sample
+    * source s with probability ∝ n_s^α; α<1 upweights small sources,
+    * α=1 is proportional, α=0 uniform). With α=1/2 the post-sample
+    * expected token mass per source is ∝ sqrt(n_s): rate_bp_s =
+    * min(10000, 10000·isqrt(n_min)/isqrt(n_s)), so the SMALLEST source
+    * is kept whole and larger sources downsample by the sqrt ratio.
+    * All arithmetic is exact at corpus magnitudes on both engines:
+    * isqrt = floor(sqrt(bigint)) is exact for n ≤ 2^52 (IEEE sqrt is
+    * correctly rounded and the k²−1 boundary needs k ~ 2^26 to bite),
+    * and the quotient is floored from an exact-integer-valued double.
+    * One aggregate over (source) rows — the rates frame is |sources|
+    * and broadcasts. */
+  def sqrtTempRates(docs: DataFrame, sourceCol: Column, nTokensCol: Column): DataFrame = {
+    val bySource = docs.groupBy(sourceCol.as("source"))
+      .agg(sum(nTokensCol).as("n_tokens"))
+      .withColumn("isq", floor(sqrt(col("n_tokens"))).cast("long"))
+    val minIsq = bySource.agg(min(col("isq")).as("min_isq"))
+    bySource.crossJoin(broadcast(minIsq))
+      .select(col("source"), col("n_tokens"),
+        least(lit(10000L),
+          floor(lit(10000L) * col("min_isq") / col("isq")).cast("long")).as("rate_bp"))
+  }
+
+  /** The α=1/2 temperature sample itself: [[sqrtTempRates]] broadcast
+    * back onto the corpus, gated per document by the usual hash ring —
+    * scan-side filter, reproducible across runs/engines/partitionings
+    * like every gate in this module. */
+  def sqrtTempSample(docs: DataFrame, idCol: Column, sourceCol: Column,
+      nTokensCol: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession) // p60
+    val rates = sqrtTempRates(docs, sourceCol, nTokensCol)
+      .select(col("source").as("_ts_source"), col("rate_bp"))
+    docs.join(broadcast(rates), sourceCol === col("_ts_source"))
+      .filter(hashGate(idCol, col("rate_bp")))
+      .drop("_ts_source", "rate_bp")
+  }
+
   /** Stratified deterministic sample: per-stratum rates in basis points,
     * unlisted strata fall back to `defaultBp` (0 = drop). This is the
     * "data mixing" primitive of LLM corpus assembly: down-weight the

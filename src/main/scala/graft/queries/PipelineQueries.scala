@@ -859,6 +859,57 @@ object PipelineQueries {
                       CAST(sum(doc_id) AS BIGINT) AS id_sum
                FROM b WHERE xb BETWEEN 4 AND 9 AND yb BETWEEN 4 AND 11""")),
 
+    // ---- α=1/2 temperature source mixing (Sampling.sqrtTempRates /
+    // sqrtTempSample — the multilingual-corpus rebalancing convention:
+    // sample ∝ n^α so small sources stop drowning; α=1/2 keeps the
+    // smallest source whole and downsamples the rest by the sqrt
+    // ratio). Rates are exact integer basis points (isqrt + floored
+    // quotient — see the op's exactness argument), the gate is the
+    // standard p60 hash ring. Two corpus passes inherent (stats, then
+    // gate); rates themselves are a |sources|-row broadcast. The extra
+    // stats join here is presentation (in/kept side by side).
+    GraftQuery(
+      "q132_temperature_mix",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(Portable.tokens(col("text"))).cast("long").as("n_toks"))
+        val in = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs_in"), sum(col("n_toks")).as("n_tokens_in"))
+        val rates = Sampling.sqrtTempRates(docs, col("source"), col("n_toks"))
+          .select(col("source"), col("rate_bp"))
+        val kept = docs.join(broadcast(rates), "source")
+          .filter(Sampling.hashGate(col("doc_id"), col("rate_bp")))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_toks")).as("n_tokens_kept"))
+        in.join(rates, "source").join(kept, Seq("source"), "left")
+          .select(col("source"), col("n_docs_in"), col("n_tokens_in"),
+            col("rate_bp"),
+            coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+            coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source,
+                      CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks
+               FROM documents),
+               st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_in,
+                             CAST(sum(n_toks) AS BIGINT) AS n_tokens_in,
+                             CAST(floor(sqrt(CAST(sum(n_toks) AS DOUBLE))) AS BIGINT) AS isq
+                      FROM d GROUP BY 1),
+               r AS (SELECT source, n_docs_in, n_tokens_in,
+                            least(10000, (10000 * (SELECT min(isq) FROM st)) // isq) AS rate_bp
+                     FROM st),
+               k AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+                            CAST(sum(d.n_toks) AS BIGINT) AS n_tokens_kept
+                     FROM d JOIN r USING (source)
+                     WHERE ${p60("CAST(doc_id AS VARCHAR)")} % 10000 < rate_bp
+                     GROUP BY 1)
+               SELECT r.source, r.n_docs_in, r.n_tokens_in,
+                      CAST(r.rate_bp AS BIGINT) AS rate_bp,
+                      CAST(coalesce(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+                      CAST(coalesce(k.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept
+               FROM r LEFT JOIN k USING (source) ORDER BY source""")),
+
     // ---- winsorization (percentile clipping): per-type p01/p99 value
     // bounds, values clipped into [p01, p99], then the cleaned stats —
     // the standard outlier-hygiene step before a numeric column feeds
