@@ -233,6 +233,47 @@ object TextPipeline {
         round(-avg(col("logp")), 6).as("avg_neg_logprob"))
   }
 
+  /** Bigram add-one LM quality score — the next rung above
+    * [[unigramLogProb]] toward the CCNet-style perplexity filter: train
+    * bigram counts on the corpus, score every document by mean
+    * conditional negative log-probability with Laplace smoothing,
+    * p(w2|w1) = (c(w1,w2) + 1) / (c_hist(w1) + V). The history count
+    * c_hist(w1) = Σ_w2 c(w1,w2) makes the smoothed conditional a true
+    * distribution; V is the corpus-wide distinct-token count (the
+    * smoothing vocabulary). Degenerate generation loops score
+    * suspiciously LOW (their bigrams dominate the corpus), incoherent
+    * token salad scores high — both tails are curation signals.
+    *
+    * Scale shape: bigram extraction is a scan-side HOF; the count
+    * frames are distinct-bigram- and vocab-sized (map-side combined);
+    * scoring joins key on grams — the inverted-index orientation, no
+    * per-doc LM vector ever materialized. The bigram frame is cached
+    * because counts and scoring both read it (the BM25 precedent);
+    * long-lived callers clear the cache between corpora. */
+  def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val bi = docs
+      .select(col(idCol).as("id"), Portable.tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("id"), explode(expr(
+        "transform(slice(w, 1, size(w) - 1)," +
+          " (s, i) -> struct(s AS w1, element_at(w, i + 2) AS w2))")).as("p"))
+      .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .cache()
+    val cb = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cu = bi.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocab = docs.select(explode(Portable.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .agg(countDistinct(col("term")).as("v"))
+    bi.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(log((col("cb") + lit(1.0)) / (col("cu") + col("v")))), 6)
+          .as("avg_neg_logprob"))
+  }
+
   /** Cross-document duplicated-span ratio — the exact-substring-dedup
     * signal of LLM corpus prep (the "how much of this document appears
     * verbatim elsewhere" measure; documents above a threshold get their

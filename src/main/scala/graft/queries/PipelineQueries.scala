@@ -201,6 +201,31 @@ object PipelineQueries {
               FROM toks JOIN lm USING (term)
               GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- bigram add-one LM quality score (TextPipeline.bigramLogProb —
+    // rationale and scale shape there): q69's unigram LM upgraded to
+    // conditional bigram probabilities with Laplace smoothing — the
+    // CCNet-style perplexity filter one rung up. Counting, smoothing and
+    // the history normalization are all integer-exact; only the final
+    // ln/avg is floating, rounded 6dp (the q69/q99 convention).
+    GraftQuery(
+      "q133_bigram_lm",
+      (s, d) => TextPipeline.bigramLogProb(t(s, d, "documents"))
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("avg_neg_logprob"))
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+              bi AS (SELECT doc_id, pr.a AS w1, pr.b AS w2
+                     FROM (SELECT doc_id, unnest([{'a': w[i], 'b': w[i+1]} FOR i IN range(1, len(w))]) AS pr
+                           FROM toks WHERE len(w) >= 2)),
+              cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+              cu AS (SELECT w1, count(*) AS cu FROM bi GROUP BY 1),
+              v AS (SELECT count(DISTINCT term) AS v FROM
+                      (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents)
+                    WHERE term <> '')
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     round(-avg(ln((cb + 1.0) / (cu + v))), 6) AS avg_neg_logprob
+              FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+              GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- PII scrubbing over log-shaped lines: redact the user id,
     // count redactions (null users redact nothing — the negative case
     // rides along). Patterns stay in the Java∩RE2 regex dialect.
