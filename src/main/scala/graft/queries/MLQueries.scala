@@ -94,6 +94,51 @@ object MLQueries {
               FROM events WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL
               GROUP BY 1, 2 ORDER BY user_id, item""")),
 
+    // ---- PageRank over the W2 mention graph (graft.ops.Graph — scale
+    // rationale there): user→item edges from the interaction build,
+    // namespaced so the two id spaces can't collide, 3 fixed iterations
+    // with proper dangling-mass redistribution. Every node's rank is
+    // emitted (no top-k cut — near-equal float ranks must not decide
+    // row membership), rounded 6dp; the oracle unrolls the identical
+    // three iterations in SQL, teleport, dangling term and all, so an
+    // off-by-one in the iteration structure is a hash mismatch.
+    GraftQuery(
+      "q134_pagerank",
+      (s, d) => {
+        val inter = MentionRecommender.interactions(t(s, d, "events"))
+        val edges = inter.select(
+          concat(lit("u:"), col("user_id")).as("src"),
+          concat(lit("i:"), col("item")).as("dst"))
+        graft.ops.Graph.pageRank(edges, iters = 3)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+          .orderBy(col("node"))
+      },
+      Some {
+        def iter(k: Int, prev: String): String =
+          s"""d$k AS (SELECT coalesce(sum(r.rank), 0) AS dsum FROM $prev r
+                      LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL),
+              c$k AS (SELECT e.dst AS node, sum(r.rank / o.deg) AS in_sum
+                      FROM $prev r JOIN outdeg o ON r.node = o.src
+                      JOIN e ON e.src = r.node GROUP BY 1),
+              r$k AS (SELECT nd.node,
+                             0.15 / (SELECT n FROM nn)
+                               + 0.85 * (coalesce(c$k.in_sum, 0)
+                                         + (SELECT dsum FROM d$k) / (SELECT n FROM nn)) AS rank
+                      FROM nodes nd LEFT JOIN c$k ON nd.node = c$k.node)"""
+        s"""WITH e AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+                              'i:' || CAST(props->>'k' AS VARCHAR) AS dst
+                       FROM events
+                       WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
+            r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+            ${iter(1, "r0")},
+            ${iter(2, "r1")},
+            ${iter(3, "r2")}
+            SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"""
+      }),
+
     // ---- W2 ALS top-5 (M6+M7; reference params, seed 0). Float factors
     // aren't oracle-expressible; invariants in ALSSpec.
     GraftQuery(
