@@ -62,4 +62,54 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle counts and local clustering coefficient over an
+    * undirected simple graph (edges in either orientation; self-loops
+    * and parallels dropped) — the community-structure primitive next to
+    * components and PageRank.
+    *
+    * The wedge enumeration uses the DEGREE-ORDERED orientation (the
+    * classic "forward" algorithm, Schank & Wagner 2005): every edge
+    * points toward its (degree, id)-larger endpoint, wedges are pairs
+    * of out-neighbors, and the closing edge is oriented the same way so
+    * the lookup is a direct equi-join. That orientation caps every
+    * node's out-degree at O(√m), bounding total wedges at O(m^1.5)
+    * REGARDLESS of skew — under a naive id-ordering one celebrity hub
+    * with a million neighbors enumerates 10^12 wedges; degree-ordering
+    * structurally forbids it. Each triangle is found exactly once (at
+    * its (degree, id)-smallest vertex), so per-node attribution is a
+    * plain explode of the three corners — no dedup shuffle. */
+  def triangleStats(edges: DataFrame, aCol: String = "u1", bCol: String = "u2"): DataFrame = {
+    val e0 = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = e0.select(col("a").as("node")).union(e0.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val keyed = e0
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+    val or = keyed.select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst"), col("db").as("ddeg")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("ddeg")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.ddeg").as("ddeg"))
+      .cache()
+    val wedges = or.as("uv").join(or.as("uw"),
+        col("uv.src") === col("uw.src") &&
+          struct(col("uv.ddeg"), col("uv.dst")) < struct(col("uw.ddeg"), col("uw.dst")))
+      .select(col("uv.src").as("x"), col("uv.dst").as("v"), col("uw.dst").as("w"))
+    val tri = wedges.join(
+      or.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - lit(1))), 6)).as("clustering"))
+  }
 }

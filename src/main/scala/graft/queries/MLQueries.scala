@@ -139,6 +139,55 @@ object MLQueries {
             SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"""
       }),
 
+    // ---- triangles + local clustering over the co-interaction
+    // similarity graph (Graph.triangleStats — degree-ordered "forward"
+    // enumeration, O(m^1.5) wedges regardless of hubs; rationale
+    // there): users are adjacent when the Jaccard of their item sets is
+    // >= 0.45 (the edge build REUSES Dedup.jaccardPairs on the
+    // (user, item) frame — the inverted-index join, never users²), then
+    // per-user triangle membership and clustering coefficient. The
+    // oracle recomputes edges and counts triangles with the plain
+    // id-ordered 3-way join — a DIFFERENT enumeration order that must
+    // land on the identical per-node counts.
+    GraftQuery(
+      "q135_triangles",
+      (s, d) => {
+        val items = MentionRecommender.interactions(t(s, d, "events"))
+          .select(col("user_id").as("id"), col("item").as("s"))
+        val edges = graft.ops.Dedup.jaccardPairs(items, minJaccard = 0.45)
+          .select(col("d1").as("u1"), col("d2").as("u2"))
+        graft.ops.Graph.triangleStats(edges).orderBy(col("node"))
+      },
+      Some("""WITH i AS (SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item
+                         FROM events
+                         WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL),
+              sz AS (SELECT user_id, count(*) AS n FROM i GROUP BY 1),
+              ov AS (SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS c
+                     FROM i a JOIN i b ON a.item = b.item AND a.user_id < b.user_id
+                     GROUP BY 1, 2),
+              e AS (SELECT u1, u2 FROM
+                      (SELECT u1, u2, round(c * 1.0 / (s1.n + s2.n - c), 6) AS j
+                       FROM ov JOIN sz s1 ON u1 = s1.user_id
+                               JOIN sz s2 ON u2 = s2.user_id)
+                    WHERE j >= 0.45),
+              deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+                        (SELECT u1 AS node FROM e UNION ALL SELECT u2 FROM e)
+                      GROUP BY 1),
+              tri AS (SELECT ab.u1 AS x, ab.u2 AS y, bc.u2 AS z
+                      FROM e ab JOIN e bc ON ab.u2 = bc.u1
+                      JOIN e ac ON ac.u1 = ab.u1 AND ac.u2 = bc.u2),
+              pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM
+                       (SELECT x AS node FROM tri
+                        UNION ALL SELECT y FROM tri
+                        UNION ALL SELECT z FROM tri) GROUP BY 1)
+              SELECT d.node, d.degree,
+                     CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+                     CASE WHEN d.degree >= 2
+                          THEN round(2.0 * coalesce(pn.n_triangles, 0)
+                                     / (d.degree * (d.degree - 1)), 6)
+                          END AS clustering
+              FROM deg d LEFT JOIN pn USING (node) ORDER BY d.node""")),
+
     // ---- W2 ALS top-5 (M6+M7; reference params, seed 0). Float factors
     // aren't oracle-expressible; invariants in ALSSpec.
     GraftQuery(

@@ -29,6 +29,41 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r("a") - 0.2875) < 1e-12, r.toString)
   }
 
+  test("triangleStats: golden graph (triangle + pendant) and a 4-clique") {
+    // triangle 1-2-3 plus pendant 3-4
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("u1", "u2")
+    val r = Graph.triangleStats(e)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), Option(x.get(3)))).toMap
+    assert(r(1L) == ((2L, 1L, Some(1.0))))
+    assert(r(2L) == ((2L, 1L, Some(1.0))))
+    assert(r(3L) == ((3L, 1L, Some(0.333333))))
+    assert(r(4L) == ((1L, 0L, None))) // degree 1: coefficient undefined
+    // 4-clique: 4 triangles total, each node in 3, coefficient 1
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)).toDF("u1", "u2")
+    val rk = Graph.triangleStats(k4).collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(rk.forall(_ == ((3L, 3L, 1.0))), rk.toSeq.toString)
+  }
+
+  test("triangleStats matches a naive id-ordered count on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 3) {
+      val edges = (0 until 120).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter { case (a, b) => a != b }.toDF("u1", "u2")
+      val canon = edges.select(least($"u1", $"u2").as("a"), greatest($"u1", $"u2").as("b"))
+        .distinct()
+      val naive = canon.as("ab")
+        .join(canon.as("bc"), col("ab.b") === col("bc.a"))
+        .join(canon.as("ac"),
+          col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+        .count()
+      val got = Graph.triangleStats(edges)
+        .agg(sum($"n_triangles")).as[Long].head()
+      assert(got == 3 * naive, s"got=$got naive=$naive") // each triangle counted at 3 corners
+    }
+  }
+
   test("rank mass is conserved on the real mention graph") {
     val inter = graft.pipelines.MentionRecommender.interactions(
       graft.queries.Tables(spark, sf, "events"))
