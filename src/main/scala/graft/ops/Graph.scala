@@ -33,6 +33,11 @@ object Graph {
       checkpointEvery: Int = 5): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    // the iterative-access exception to the "bounded caches only"
+    // policy: every iteration re-reads edges and nodes, so they persist
+    // (Dataset cache = MEMORY_AND_DISK — spills, never OOMs); the
+    // production alternative for edges past cluster disk is a one-time
+    // checkpoint to parquet, same access pattern
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().cache()
     val nodes = e.select(col("src").as("node"))
@@ -95,6 +100,9 @@ object Graph {
           .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("ddeg")))
           .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.ddeg").as("ddeg"))
+      // persisted because the wedge self-join and the closure join both
+      // read it (MEMORY_AND_DISK — spills); edge-sized, the same
+      // iterative-access exception as pageRank's edge cache
       .cache()
     val wedges = or.as("uv").join(or.as("uw"),
         col("uv.src") === col("uw.src") &&
