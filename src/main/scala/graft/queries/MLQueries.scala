@@ -139,37 +139,42 @@ object MLQueries {
             SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"""
       }),
 
-    // ---- triangles + local clustering over the co-interaction
-    // similarity graph (Graph.triangleStats — degree-ordered "forward"
-    // enumeration, O(m^1.5) wedges regardless of hubs; rationale
-    // there): users are adjacent when the Jaccard of their item sets is
-    // >= 0.45 (the edge build REUSES Dedup.jaccardPairs on the
-    // (user, item) frame — the inverted-index join, never users²), then
-    // per-user triangle membership and clustering coefficient. The
-    // oracle recomputes edges and counts triangles with the plain
-    // id-ordered 3-way join — a DIFFERENT enumeration order that must
-    // land on the identical per-node counts.
+    // ---- triangles + local clustering over the co-engagement graph
+    // (Graph.triangleStats — degree-ordered "forward" enumeration,
+    // O(m^1.5) wedges regardless of hubs; rationale there): users are
+    // adjacent when they touched the SAME item within the SAME hour —
+    // temporally-correlated affinity, not mere shared taste. The
+    // composite (item, hour) blocking key is what makes the edge build
+    // scale: blocking on the item alone puts every item's full user
+    // base in one block (users² pairs per item — 26M intermediates at
+    // sf0.1 on this 100-item domain); adding the hour bounds each
+    // block at concurrent-users size, cutting pair volume ~380× here
+    // and keeping it proportional to genuine co-activity at any scale.
+    // The oracle recounts triangles with the plain id-ordered 3-way
+    // join — a different enumeration order than the degree-ordered
+    // library path, forced to land on identical per-node counts.
     GraftQuery(
       "q135_triangles",
       (s, d) => {
-        val items = MentionRecommender.interactions(t(s, d, "events"))
-          .select(col("user_id").as("id"), col("item").as("s"))
-        val edges = graft.ops.Dedup.jaccardPairs(items, minJaccard = 0.45)
-          .select(col("d1").as("u1"), col("d2").as("u2"))
+        val i = t(s, d, "events")
+          .filter(col("user_id").isNotNull && Tables.propsItem.isNotNull)
+          .select(col("user_id"), Tables.propsItem.as("item"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .distinct()
+        val edges = i.select(col("user_id").as("u1"), col("item"), col("hr"))
+          .join(i.select(col("user_id").as("u2"), col("item"), col("hr")),
+            Seq("item", "hr"))
+          .filter(col("u1") < col("u2"))
+          .select(col("u1"), col("u2"))
         graft.ops.Graph.triangleStats(edges).orderBy(col("node"))
       },
-      Some("""WITH i AS (SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item
+      Some("""WITH i AS (SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item,
+                                date_trunc('hour', ts) AS hr
                          FROM events
                          WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL),
-              sz AS (SELECT user_id, count(*) AS n FROM i GROUP BY 1),
-              ov AS (SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS c
-                     FROM i a JOIN i b ON a.item = b.item AND a.user_id < b.user_id
-                     GROUP BY 1, 2),
-              e AS (SELECT u1, u2 FROM
-                      (SELECT u1, u2, round(c * 1.0 / (s1.n + s2.n - c), 6) AS j
-                       FROM ov JOIN sz s1 ON u1 = s1.user_id
-                               JOIN sz s2 ON u2 = s2.user_id)
-                    WHERE j >= 0.45),
+              e AS (SELECT DISTINCT a.user_id AS u1, b.user_id AS u2
+                    FROM i a JOIN i b
+                      ON a.item = b.item AND a.hr = b.hr AND a.user_id < b.user_id),
               deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
                         (SELECT u1 AS node FROM e UNION ALL SELECT u2 FROM e)
                       GROUP BY 1),
