@@ -58,6 +58,16 @@ class BpeSpec extends SparkSpec {
       "b", "est", "est</w>"))
   }
 
+  test("training runs correctly across the localCheckpoint boundary") {
+    // checkpointEvery=2 with 6 merges crosses the lineage-flattening
+    // boundary three times; the merge sequence must be identical to an
+    // uncheckpointed run (checkpointing is an execution detail)
+    val (a, _) = Bpe.train(classicDocs, numMerges = 6, checkpointEvery = 2)
+    val (b, _) = Bpe.train(classicDocs, numMerges = 6, checkpointEvery = 100)
+    assert(a == b)
+    assert(a.length == 6)
+  }
+
   test("train stops early when no pair reaches minCount") {
     // all words unique singletons: every pair count is 1 < minCount=2
     val docs = Seq("ab", "cd", "ef").toDF("text")

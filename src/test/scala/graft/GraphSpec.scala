@@ -20,6 +20,15 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r("a") - 0.5) < 1e-12 && math.abs(r("b") - 0.5) < 1e-12)
   }
 
+  test("iterating across the localCheckpoint boundary preserves the fixed point") {
+    // checkpointEvery=2 over 6 iterations crosses the boundary three
+    // times; the cycle's fixed point must survive each re-materialization
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val r = Graph.pageRank(e, iters = 6, checkpointEvery = 2)
+      .as[(String, Double)].collect().toMap
+    r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12, r.toString))
+  }
+
   test("dangling node redistributes: one hand-computed iteration") {
     // a -> b, b dangling. r0 = (.5, .5); dsum = .5
     // b: .15/2 + .85*(.5 + .25) = .7125 ; a: .075 + .85*.25 = .2875

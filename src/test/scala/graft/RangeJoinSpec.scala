@@ -142,6 +142,22 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlap also plans an equi-join on the bin, never NLJ") {
+    val a = (0L until 300L).map(i => (i, i * 3, i * 3 + 20)).toDF("aid", "alo", "ahi")
+    val b = (0L until 300L).map(i => (500 + i, i * 2, i * 2 + 9)).toDF("bid", "blo", "bhi")
+    val plan = RangeJoin.intervalOverlap(a, col("alo"), col("ahi"),
+        b, col("blo"), col("bhi"), binWidth = 16)
+      .queryExecution.executedPlan match {
+      case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => ad.inputPlan
+      case p => p
+    }
+    val bad = plan.collect {
+      case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(bad.isEmpty, s"overlap join fell back to ${bad.map(_.nodeName)}")
+  }
+
   test("working column name dodges existing _bin columns") {
     val points = Seq((1L, 5L, 99L)).toDF("pid", "p", "_bin")
     val intervals = Seq((10L, 0L, 10L)).toDF("iid", "lo", "hi")
