@@ -30,7 +30,7 @@ object Graph {
     * mass stays exactly 1 up to float addition. */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
       srcCol: String = "src", dstCol: String = "dst",
-      checkpointEvery: Int = 5): DataFrame = {
+      checkpointEvery: Int = 1): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     // the iterative-access exception to the "bounded caches only"
@@ -62,6 +62,12 @@ object Graph {
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("in_sum"), lit(0.0)) + col("dsum") / n)).as("rank"))
+      // materialize EVERY iteration by default: each round reads `ranks`
+      // TWICE (the dangling aggregate and the contribution join), so an
+      // un-materialized round doubles its predecessor's recompute — 2^k
+      // nesting by iteration k, the classic iterative-DataFrame trap
+      // (checkpointEvery > 1 is only for graphs where a lazy round is
+      // cheaper than a node-frame write)
       if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint(eager = true)
       i += 1
     }
