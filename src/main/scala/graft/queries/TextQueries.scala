@@ -360,6 +360,56 @@ object TextQueries {
                            FROM merged) GROUP BY 1, 2)
               SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 10""")),
 
+    // ---- the trained-tokenizer state applied back over the corpus:
+    // after q130's merge step, every document's BPE token count (words
+    // joined to the merged vocabulary, symbol counts summed) — the
+    // per-document fertility of the tokenizer-in-training, the number
+    // that drives q103-style batching and q85-style token budgeting.
+    // Scan-side explode + a vocab-keyed join (vocab-sized build side)
+    // + one per-doc aggregate. Oracle = q130's recursive greedy-walk
+    // CTEs with one join back onto the per-doc word multiset.
+    GraftQuery(
+      "q136_bpe_fertility",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val words = graft.ops.Bpe.wordCorpus(docs)
+        val m = graft.ops.Bpe.topPair(words).get
+        val merged = graft.ops.Bpe.applyMergeDF(words, m.a, m.b)
+        docs.select(col("doc_id"),
+            explode(Portable.tokens(col("text"))).as("word"))
+          .filter(col("word") =!= "")
+          .join(merged.select(col("word"), size(col("syms")).as("n_syms")), "word")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE
+              toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+              wf AS (SELECT word, count(*) AS freq FROM
+                       (SELECT unnest(w) AS word FROM toks)
+                     WHERE word <> '' GROUP BY 1),
+              syms AS (SELECT word, freq, list_append(string_split(word, ''), '</w>') AS s FROM wf),
+              p1 AS (SELECT pr.a AS a, pr.b AS b, sum(freq) AS cnt
+                     FROM (SELECT freq, unnest([{'a': s[i], 'b': s[i+1]} FOR i IN range(1, len(s))]) AS pr
+                           FROM syms) GROUP BY 1, 2),
+              mrg AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+              walk(word, s, i, out) AS (
+                SELECT word, s, 1, CAST([] AS VARCHAR[]) FROM syms
+                UNION ALL
+                SELECT w.word, w.s,
+                       CASE WHEN w.i < len(w.s) AND w.s[w.i] = m.a AND w.s[w.i+1] = m.b
+                            THEN w.i + 2 ELSE w.i + 1 END,
+                       CASE WHEN w.i < len(w.s) AND w.s[w.i] = m.a AND w.s[w.i+1] = m.b
+                            THEN list_append(w.out, m.a || m.b)
+                            ELSE list_append(w.out, w.s[w.i]) END
+                FROM walk w CROSS JOIN mrg m WHERE w.i <= len(w.s)),
+              merged AS (SELECT word, len(out) AS n_syms FROM walk WHERE i = len(s) + 1),
+              docw AS (SELECT doc_id, unnest(w) AS word FROM toks)
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                     CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
+              FROM docw JOIN merged USING (word)
+              GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- corpus-level span scrubbing (TextPipeline.scrubSharedSpans —
     // the paragraph-dedup curation step: drop PASSAGES recurring across
     // >= 2 documents, keep the rest of each doc, reassemble). The
