@@ -475,4 +475,45 @@ class OpsSpec extends SparkSpec {
     assert(scores(1L) > scores(2L)) // doc 1 has the rare term + more tf
     assert(scores.values.forall(_ > 0))
   }
+
+  test("scrubSharedSpans: shared span dropped, unique spans reassemble in order") {
+    // 12-token docs at window 4 -> 3 spans each; docs 1 and 2 share
+    // their MIDDLE span verbatim, doc 3 is all-unique
+    val shared = "x1 x2 x3 x4"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 $shared b1 b2 b3 b4"),
+      (2L, s"c1 c2 c3 c4 $shared d1 d2 d3 d4"),
+      (3L, "e1 e2 e3 e4 f1 f2 f3 f4 g1 g2 g3 g4")
+    ).toDF("doc_id", "text")
+    val out = TextPipeline.scrubSharedSpans(docs, windowTokens = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("a1 a2 a3 a4 b1 b2 b3 b4", 2L, 1L)))
+    assert(out(2L) == (("c1 c2 c3 c4 d1 d2 d3 d4", 2L, 1L)))
+    assert(out(3L) == (("e1 e2 e3 e4 f1 f2 f3 f4 g1 g2 g3 g4", 3L, 0L)))
+  }
+
+  test("sqrtTempRates: smallest source whole, rates fall with sqrt of size") {
+    val docs = Seq.tabulate(700) { i =>
+      val src = if (i < 100) "s100" else if (i < 300) "s200" else "s400"
+      (i.toLong, src, 10L) // 10 tokens each -> totals 1000/2000/4000
+    }.toDF("doc_id", "source", "n_toks")
+    val rates = graft.ops.Sampling
+      .sqrtTempRates(docs, col("source"), col("n_toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // isqrt: 31, 44, 63 -> rates 10000, 10000*31/44=7045, 10000*31/63=4920
+    assert(rates("s100") == 10000L)
+    assert(rates("s200") == 7045L)
+    assert(rates("s400") == 4920L)
+  }
+
+  test("bigramLogProb: hand-computed smoothed conditional on a tiny corpus") {
+    // two identical docs "a b": c(a,b)=2, c_hist(a)=2, V=2
+    // p(b|a) = (2+1)/(2+2) = 0.75 -> nll = -ln(0.75) = 0.287682 (6dp)
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextPipeline.bigramLogProb(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((1L, 0.287682)))
+    assert(out(2L) == ((1L, 0.287682)))
+  }
 }
