@@ -32,4 +32,15 @@ object Telemetry {
     val obs = Observation(name)
     (df.observe(obs, first, rest: _*), obs)
   }
+
+  /** The STREAMING face: `Observation` refuses streams (one metric row
+    * per micro-batch, no single value to block on), so streaming
+    * callers attach by name and read each batch's row from
+    * `StreamingQueryProgress.observedMetrics(name)` (via
+    * `query.recentProgress` or a StreamingQueryListener) — per-batch
+    * counters for the cost of the pass the stream already pays. Works
+    * on batch frames too (metrics then surface in QueryExecution
+    * listeners rather than an Observation handle). */
+  def observedStream(df: DataFrame, name: String, first: Column, rest: Column*): DataFrame =
+    df.observe(name, first, rest: _*)
 }

@@ -50,6 +50,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("observed metrics ride a streaming query's progress events") {
+    import org.apache.spark.sql.functions._
+    // the streaming face of Telemetry.observed: per-micro-batch metric
+    // rows surface through StreamingQueryProgress.observedMetrics (the
+    // batch-side Observation.get never fires for streams — exactly what
+    // the Telemetry scaladoc directs callers to)
+    val stream = EventStreams.readEventsStream(spark, sf)
+    val observed = graft.ops.Telemetry.observedStream(stream,
+      "stream_gate", count(lit(1)).as("rows_in"))
+    val q = EventStreams.hourlyByType(observed)
+      .writeStream.format("memory").queryName("obs_stream_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val totalIn = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("stream_gate")))
+        .map(_.getLong(0)).sum
+      val expect = Tables(spark, sf, "events").count()
+      assert(totalIn == expect, s"observed $totalIn of $expect rows")
+    } finally q.stop()
+  }
+
   test("dedupAgainstStatic: stream-static anti-join == batch, stateless") {
     import org.apache.spark.sql.functions._
     // "corpus" already holds the click/view fingerprints; only the rest
