@@ -935,6 +935,72 @@ object PipelineQueries {
                       CAST(coalesce(k.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept
                FROM r LEFT JOIN k USING (source) ORDER BY source""")),
 
+    // ---- the ROUND'S new curation ops composed end to end (the q104
+    // pattern for this family): span scrub (q131's passage dedup, kept
+    // docs only) → α=1/2 temperature mixing over the CLEANED token mass
+    // (q132's exact-integer rates on post-scrub counts — mixing after
+    // cleaning, the real pipeline order) → 256-token sequence packing
+    // of the survivors (q89's two-level pack). Each stage is the
+    // already-verified library op; this registration pins that they
+    // compose — scrubbing changes the token mass that sets the mix
+    // rates, mixing changes which docs pack, and the oracle recomputes
+    // the whole chain independently.
+    GraftQuery(
+      "q137_curation_pipeline",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val clean = TextPipeline.scrubSharedSpans(docs, windowTokens = 10, minDocs = 2)
+          .filter(col("n_kept") > 0)
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .select(col("doc_id"), col("source"), col("clean_text"),
+            size(Portable.tokens(col("clean_text"))).cast("long").as("n_toks"))
+        val rates = Sampling.sqrtTempRates(clean, col("source"), col("n_toks"))
+          .select(col("source"), col("rate_bp"))
+        val mixed = clean.join(broadcast(rates), "source")
+          .filter(Sampling.hashGate(col("doc_id"), col("rate_bp")))
+        TextPipeline.pack(mixed, seqLen = 256, bucketWidth = 64,
+            textCol = "clean_text")
+          .orderBy(col("doc_id"), col("seq_id"))
+      },
+      Some(s"""WITH toks0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                              FROM documents),
+               spans AS (SELECT doc_id, i AS idx,
+                                array_to_string(w[i*10+1 : i*10+10], ' ') AS span,
+                                len(w[i*10+1 : i*10+10]) AS sp_n
+                         FROM (SELECT doc_id, w,
+                                      unnest(range(0, (len(w) - 1) // 10 + 1)) AS i
+                               FROM toks0 WHERE len(w) > 0)),
+               shared AS (SELECT span FROM
+                            (SELECT span, count(DISTINCT doc_id) AS ndocs
+                             FROM spans GROUP BY 1)
+                          WHERE ndocs >= 2),
+               kept AS (SELECT doc_id, CAST(sum(sp_n) AS BIGINT) AS n
+                        FROM spans WHERE span NOT IN (SELECT span FROM shared)
+                        GROUP BY doc_id),
+               src AS (SELECT k.doc_id, d.source, k.n
+                       FROM kept k JOIN documents d USING (doc_id)),
+               st AS (SELECT source,
+                             CAST(floor(sqrt(CAST(sum(n) AS DOUBLE))) AS BIGINT) AS isq
+                      FROM src GROUP BY 1),
+               r AS (SELECT source,
+                            least(10000, (10000 * (SELECT min(isq) FROM st)) // isq) AS rate_bp
+                     FROM st),
+               mixed AS (SELECT s2.doc_id, s2.n
+                         FROM src s2 JOIN r USING (source)
+                         WHERE ${p60("CAST(doc_id AS VARCHAR)")} % 10000 < rate_bp),
+               o AS (SELECT doc_id, n,
+                            CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                              AS BIGINT) AS off
+                     FROM mixed WHERE n > 0),
+               sp AS (SELECT doc_id, n, off,
+                             unnest(range(off // 256, (off + n - 1) // 256 + 1)) AS seq_id
+                      FROM o)
+               SELECT doc_id, seq_id,
+                      greatest(off, seq_id * 256) - seq_id * 256 AS pos,
+                      least(off + n, (seq_id + 1) * 256) - greatest(off, seq_id * 256) AS n_tok
+               FROM sp ORDER BY doc_id, seq_id""")),
+
     // ---- winsorization (percentile clipping): per-type p01/p99 value
     // bounds, values clipped into [p01, p99], then the cleaned stats —
     // the standard outlier-hygiene step before a numeric column feeds
