@@ -74,6 +74,53 @@ object Graph {
     ranks
   }
 
+  /** Synchronous label propagation (community detection — the Raghavan
+    * et al. 2007 algorithm, public): every node starts labeled with its
+    * own id; each round, every node adopts the most frequent label
+    * among its NEIGHBORS, ties to the smallest label. Unlike
+    * [[Dedup.connectedComponents]] (which answers "connected at all?"),
+    * LPA's majority rule finds the DENSE regions inside a component.
+    * Fixed iteration count + deterministic tie-break keep runs
+    * reproducible and oracle-replayable (classic LPA's random order is
+    * exactly what a distributed engine can't promise).
+    *
+    * Scale shape per round: one edge-keyed join labels→neighbors, one
+    * (node, label) map-side-combined count, and one per-node argmax
+    * window whose partition is bounded by the node's DISTINCT neighbor
+    * labels (≤ degree, shrinking as communities form) — never
+    * corpus-wide. Labels materialize every round (the same
+    * consumed-twice/lineage discipline as [[pageRank]]). */
+  def labelPropagation(edges: DataFrame, iters: Int,
+      aCol: String = "u1", bCol: String = "u2",
+      checkpointEvery: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e0 = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val und = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      .cache() // iterative-access exception, as in pageRank
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var i = 1
+    while (i <= iters) {
+      val counts = und
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("cnt").desc, col("label").asc)
+      labels = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label"))
+      if (i % checkpointEvery == 0) labels = labels.localCheckpoint(eager = true)
+      i += 1
+    }
+    labels
+  }
+
   /** Per-node triangle counts and local clustering coefficient over an
     * undirected simple graph (edges in either orientation; self-loops
     * and parallels dropped) — the community-structure primitive next to

@@ -193,6 +193,60 @@ object MLQueries {
                           END AS clustering
               FROM deg d LEFT JOIN pn USING (node) ORDER BY d.node""")),
 
+    // ---- label-propagation communities over the same co-engagement
+    // graph as q135 (Graph.labelPropagation — synchronous, min-label
+    // ties, fixed 3 rounds; rationale there): where connected
+    // components answer "touching at all?", the majority vote splits a
+    // component into its dense social clusters. Emitted per node with
+    // the community size joined on; the oracle unrolls the identical
+    // three rounds (count → row_number argmax) in SQL.
+    GraftQuery(
+      "q138_label_propagation",
+      (s, d) => {
+        val i = t(s, d, "events")
+          .filter(col("user_id").isNotNull && Tables.propsItem.isNotNull)
+          .select(col("user_id"), Tables.propsItem.as("item"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .distinct()
+        val edges = i.select(col("user_id").as("u1"), col("item"), col("hr"))
+          .join(i.select(col("user_id").as("u2"), col("item"), col("hr")),
+            Seq("item", "hr"))
+          .filter(col("u1") < col("u2"))
+          .select(col("u1"), col("u2"))
+        val labels = graft.ops.Graph.labelPropagation(edges, iters = 3)
+        labels.join(
+            labels.groupBy(col("label")).agg(count(lit(1)).as("community_size")),
+            "label")
+          .select(col("node"), col("label"), col("community_size"))
+          .orderBy(col("node"))
+      },
+      Some {
+        def round(k: Int, prev: String): String =
+          s"""c$k AS (SELECT u.src AS node, l.label, count(*) AS cnt
+                      FROM und u JOIN $prev l ON u.dst = l.node GROUP BY 1, 2),
+              l$k AS (SELECT node, label FROM
+                        (SELECT node, label, row_number() OVER (PARTITION BY node
+                           ORDER BY cnt DESC, label) AS rn FROM c$k)
+                      WHERE rn = 1)"""
+        s"""WITH i AS (SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item,
+                              date_trunc('hour', ts) AS hr
+                       FROM events
+                       WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL),
+            e AS (SELECT DISTINCT a.user_id AS u1, b.user_id AS u2
+                  FROM i a JOIN i b
+                    ON a.item = b.item AND a.hr = b.hr AND a.user_id < b.user_id),
+            und AS (SELECT u1 AS src, u2 AS dst FROM e
+                    UNION ALL SELECT u2, u1 FROM e),
+            l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+            ${round(1, "l0")},
+            ${round(2, "l1")},
+            ${round(3, "l2")}
+            SELECT l3.node, l3.label, cs.community_size
+            FROM l3 JOIN (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+                          FROM l3 GROUP BY 1) cs USING (label)
+            ORDER BY l3.node"""
+      }),
+
     // ---- W2 ALS top-5 (M6+M7; reference params, seed 0). Float factors
     // aren't oracle-expressible; invariants in ALSSpec.
     GraftQuery(

@@ -73,6 +73,35 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation: two cliques joined by one bridge separate") {
+    // cliques {1,2,3} and {10,11,12}, bridge 3-10: the majority vote
+    // keeps the two cliques in DIFFERENT communities despite the
+    // bridge (which label each carries depends on the tie dynamics —
+    // hand-traced, the right clique converges on the bridge-imported
+    // label 3 — so assert the partition, not the label values)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (3L, 10L)).toDF("u1", "u2")
+    val r = Graph.labelPropagation(e, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).map(r).distinct.size == 1, r.toString)
+    assert(Seq(10L, 11L, 12L).map(r).distinct.size == 1, r.toString)
+    assert(r(1L) != r(10L), r.toString)
+  }
+
+  test("labelPropagation: deterministic across checkpoint cadence and 0 iters") {
+    val rnd = new scala.util.Random(11)
+    val e = (0 until 80).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }.toDF("u1", "u2")
+    val a = Graph.labelPropagation(e, iters = 4, checkpointEvery = 1)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.labelPropagation(e, iters = 4, checkpointEvery = 100)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    // 0 iterations: everyone keeps their own label
+    val z = Graph.labelPropagation(e, iters = 0).as[(Long, Long)].collect()
+    assert(z.forall { case (n, l) => n == l })
+  }
+
   test("rank mass is conserved on the real mention graph") {
     val inter = graft.pipelines.MentionRecommender.interactions(
       graft.queries.Tables(spark, sf, "events"))
