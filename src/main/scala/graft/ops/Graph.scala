@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Distributed graph analytics beyond [[Dedup.connectedComponents]]:
@@ -23,6 +25,29 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** O(1)-state (cnt DESC, label ASC) argmax over (cnt, label) longs —
+    * the LPA winner rule as a typed Aggregator so the per-node vote
+    * plans as an ObjectHashAggregate (hash-based, map-side combined,
+    * the [[GroupTopK]] machinery) rather than the SortAggregate that
+    * `min(struct(-cnt, label))` falls to (struct aggregation buffers
+    * aren't hash-supported) or a row_number window whose per-node
+    * partition a celebrity hub's degree would bound. Counts stay
+    * integral end to end — no Double score, no 2^53 precision cliff.
+    * Zero buffer is (cnt = -1) — real counts are >= 1, and groups only
+    * exist for nodes with at least one labeled neighbor, so the
+    * sentinel never escapes finish(). */
+  private[ops] final class MajorityVote
+      extends Aggregator[(Long, Long), (Long, Long), Long] {
+    @inline private def best(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+      if (a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)) a else b
+    override def zero: (Long, Long) = (-1L, Long.MaxValue)
+    override def reduce(b: (Long, Long), x: (Long, Long)): (Long, Long) = best(b, x)
+    override def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) = best(a, b)
+    override def finish(b: (Long, Long)): Long = b._2
+    override def bufferEncoder: Encoder[(Long, Long)] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Long] = ExpressionEncoder()
+  }
+
   /** PageRank over directed edges (src, dst): returns (node, rank) for
     * every node appearing as source or destination. Parallel edges are
     * collapsed (simple-graph semantics). Dangling nodes (no out-edges)
@@ -44,7 +69,11 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct().cache()
     // the graph's node count — a scalar, needed in the teleport term
     val n = nodes.count().toDouble
+    // node-sized and read TWICE per iteration (the dangling anti-join
+    // and the contribution join); without the cache each read re-runs
+    // the groupBy over the edge frame every round
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
+      .cache()
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     var i = 1
     while (i <= iters) {
@@ -85,15 +114,19 @@ object Graph {
     * exactly what a distributed engine can't promise).
     *
     * Scale shape per round: one edge-keyed join labels→neighbors, one
-    * (node, label) map-side-combined count, and one per-node argmax
-    * window whose partition is bounded by the node's DISTINCT neighbor
-    * labels (≤ degree, shrinking as communities form) — never
-    * corpus-wide. Labels materialize every round (the same
-    * consumed-twice/lineage discipline as [[pageRank]]). */
+    * (node, label) map-side-combined count, and a per-node argmax as a
+    * HASH AGGREGATE — the O(1)-state [[MajorityVote]] Aggregator picks
+    * the (cnt DESC, label ASC) winner with map-side partial combine
+    * and no sort, so a celebrity hub with millions of distinct
+    * neighbor labels is reduced incrementally instead of materialized
+    * and sorted inside one window partition (the straggler shape
+    * [[GroupTopK]]'s scaladoc warns about). Labels materialize every
+    * round (the same consumed-twice/lineage discipline as
+    * [[pageRank]]). Node ids must be long-typed (they double as
+    * labels inside the integer-exact vote buffer). */
   def labelPropagation(edges: DataFrame, iters: Int,
       aCol: String = "u1", bCol: String = "u2",
       checkpointEvery: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val e0 = edges.select(col(aCol).as("a"), col(bCol).as("b"))
       .filter(col("a") =!= col("b"))
@@ -110,11 +143,13 @@ object Graph {
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("node"))
-        .orderBy(col("cnt").desc, col("label").asc)
-      labels = counts.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("label"))
+      // per-node (cnt DESC, label ASC) winner via the MajorityVote
+      // hash aggregate — see the class scaladoc for why not a window
+      // (hub straggler) and not min(struct) (SortAggregate fallback)
+      val mv = udaf(new MajorityVote)
+      labels = counts
+        .groupBy(col("node"))
+        .agg(mv(col("cnt"), col("label")).as("label"))
       if (i % checkpointEvery == 0) labels = labels.localCheckpoint(eager = true)
       i += 1
     }

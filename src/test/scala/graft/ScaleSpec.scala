@@ -243,6 +243,35 @@ class ScaleSpec extends SparkSpec {
     assert(objAgg.size >= 2, s"expected partial+final ObjectHashAggregate, got ${objAgg.size}")
   }
 
+  test("label-propagation argmax is a hash aggregate, no Window (q138 path)") {
+    // the per-round winner selection must be min(struct(-cnt, label)) —
+    // a hash aggregate with map-side combine — not a row_number window
+    // whose per-node partition a celebrity hub's degree would bound.
+    // checkpointEvery > iters keeps the full iteration lineage in ONE
+    // inspectable plan (q138's default eagerly materializes per round,
+    // which would hide the iteration subplans from this assert)
+    val edges = Tables(spark, sf, "events")
+      .filter($"user_id".isNotNull)
+      .select($"user_id".as("u1"), ($"user_id" % 7).as("u2"))
+    val plan = graft.ops.Graph.labelPropagation(edges, iters = 2, checkpointEvery = 3)
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val windows = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, "LPA must not plan a Window — argmax must be a hash aggregate")
+    // the MajorityVote argmax itself must be the hash-based object
+    // aggregate (partial + final per round), not a SortAggregate
+    val objAgg = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(objAgg.size >= 4, s"expected partial+final ObjectHashAggregate per round, got ${objAgg.size}")
+    val sortAgg = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }
+    assert(sortAgg.isEmpty, s"LPA argmax fell back to SortAggregate:\n${sortAgg.headOption}")
+  }
+
   test("salted join is row-identical to the direct join, shuffles on (key, salt)") {
     val orders = Tables(spark, sf, "orders").withColumnRenamed("o_custkey", "custkey")
     val cust = Tables(spark, sf, "customer").withColumnRenamed("c_custkey", "custkey")
