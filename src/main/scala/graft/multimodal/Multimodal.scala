@@ -7,12 +7,19 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` columns with typed metadata, processed
   * partition-parallel in fixed-size batches.
   *
-  * The decode step is a STUB — this container ships no image/audio
-  * codecs — implemented as a deterministic fake (features derived from
-  * the payload bytes), clearly marked below. Everything around it is
-  * real and tested: the schema, the binary column handling, the
-  * mapPartitions batch shape, and the partition-parallel execution —
-  * i.e. exactly the plumbing a real decoder would drop into.
+  * Decode coverage: image and audio are REAL via the JDK's built-in
+  * codecs — [[decodeImage]] reads PNG/JPEG/GIF/BMP through
+  * javax.imageio, [[decodeAudio]] reads WAV/AIFF/AU integer PCM through
+  * javax.sound.sampled — no external dependency. Video remains an
+  * honest STUB ([[stubDecode]], deterministic features from the payload
+  * bytes; this container ships no video codec), and the stub also
+  * serves as the corrupt-payload fallback for the real branches.
+  * The surrounding plumbing — schema, binary column handling, the
+  * mapPartitions batch shape, partition-parallel execution — is shared
+  * by all branches and tested; the decode round trip itself is
+  * driver-visible as q139 (generated PNG/WAV blobs → parquet →
+  * [[extractFeatures]] → integer-quantized band stats vs a literal
+  * oracle).
   *
   * Scale design: payloads never leave executors; mapPartitions keeps the
   * per-task working set to `batchSize` rows (decoders are memory-hungry);

@@ -53,12 +53,16 @@ object Tables {
 
 /** Scratch dirs for the queries whose point under test is a WRITE→READ
   * round trip (q117 CSV, q119 mergeSchema, q125 z-order): keyed on the
-  * SANITIZED full dataset path — not its hashCode, which collides across
-  * different paths and stays negative through math.abs at Int.MinValue —
-  * so concurrent runs over different datasets never race overwrite-vs-
-  * read on the same files, repeated runs over the same dataset reuse one
-  * dir instead of accreting, and a JVM shutdown hook removes whatever
-  * this run touched (bench can run twice back to back, no orphans). */
+  * sanitized, truncated dataset path PLUS the hex SHA-256 of the raw
+  * absolute path — sanitization alone collapses distinct paths that
+  * differ only in squashed characters (`/data/sf0.1` vs `/data_sf0.1`)
+  * onto one name, quietly reintroducing the concurrent-run
+  * overwrite-vs-read race this class exists to eliminate, and unbounded
+  * path length can exceed filename limits; the digest disambiguates
+  * collision-free while the truncated prefix keeps the dir name
+  * human-readable. Repeated runs over the same dataset reuse one dir
+  * instead of accreting, and a JVM shutdown hook removes whatever this
+  * run touched (bench can run twice back to back, no orphans). */
 object Scratch {
   private val roots = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[java.io.File, java.lang.Boolean]())
@@ -74,9 +78,12 @@ object Scratch {
   }
   def dir(prefix: String, datasetDir: String): String = {
     require(hookInstalled)
-    val safe = new java.io.File(datasetDir).getAbsolutePath
-      .replaceAll("[^A-Za-z0-9._-]", "_")
-    val f = new java.io.File(System.getProperty("java.io.tmpdir"), s"${prefix}_$safe")
+    val abs = new java.io.File(datasetDir).getAbsolutePath
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val safe = abs.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(40)
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"${prefix}_${safe}_$digest")
     roots.add(f)
     f.getAbsolutePath
   }

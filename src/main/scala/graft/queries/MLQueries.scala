@@ -399,6 +399,81 @@ object MLQueries {
                      string_agg(CAST(q AS VARCHAR), ':' ORDER BY j) AS features_str
               FROM fx GROUP BY 1, 2, 3 ORDER BY media_id""")),
 
+    // ---- REAL decode, driver-visible (q117's scratch round-trip
+    // pattern): deterministic PNG and WAV blobs are GENERATED in code —
+    // image m is 16×16 with constant gray 10+60m+40j on horizontal band
+    // j; audio m is 256 frames of a ±2048·(1+m+j) square wave on
+    // temporal band j — written to a scratch parquet, read back, and
+    // pushed through Multimodal.extractFeatures' real decodeImage /
+    // decodeAudio dispatch (PNG via javax.imageio, WAV via
+    // javax.sound.sampled — no stub on this path). Band j of image m
+    // must decode to luma g/255 (BT.601 integer weights on r=g=b are
+    // exactly g), band j of audio m to mean |s| = a/32768 (a is a
+    // multiple of 2048, so the float is exact: (1+m+j)/16); the oracle
+    // recomputes those integers from the same pattern constants in
+    // literal SQL — no hardcoded feature values, and every gray was
+    // chosen with its 10⁶-scaled fraction ≥ 0.049 from a rounding
+    // boundary, an order of magnitude above float32's 0.003 worst-case
+    // representation error here, so HALF_UP vs HALF_EVEN cannot
+    // diverge. A hash mismatch here means the real decoders changed.
+    GraftQuery(
+      "q139_multimodal_decode",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val pngs = (0 until 3).map { m =>
+          val img = new java.awt.image.BufferedImage(16, 16,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until 16; x <- 0 until 16) {
+            val g = 10 + 60 * m + 40 * (y / 4)
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val b = bos.toByteArray
+          Multimodal.MediaRow(101L + m, "image", b, "image/png", b.length.toLong)
+        }
+        val wavs = (0 until 3).map { m =>
+          val nFrames = 256
+          val pcm = new Array[Byte](nFrames * 2)
+          for (i <- 0 until nFrames) {
+            val a = 2048 * (1 + m + i / 64)
+            val v = (if (i % 2 == 0) a else -a).toShort
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          val b = bos.toByteArray
+          Multimodal.MediaRow(201L + m, "audio", b, "audio/x-wav", b.length.toLong)
+        }
+        val scratch = Scratch.dir("q139", d)
+        (pngs ++ wavs).toDS().write.mode("overwrite").parquet(scratch)
+        val media = s.read.parquet(scratch).as[Multimodal.MediaRow]
+        Multimodal.extractFeatures(media, dim = 4, batchSize = 8).toDF()
+          .select(col("media_id"), col("modality"), col("dim"),
+            expr("array_join(transform(features, " +
+              "x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS STRING)), ':')")
+              .as("features_str"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH img AS (SELECT m, j, 10 + 60*m + 40*j AS g
+                           FROM range(0,3) t1(m) CROSS JOIN range(0,4) t2(j)),
+                   aud AS (SELECT m, j, (1 + m + j) * 62500 AS q
+                           FROM range(0,3) t1(m) CROSS JOIN range(0,4) t2(j)),
+                   allq AS (SELECT 101 + m AS media_id, 'image' AS modality, j,
+                                   CAST(round(g * 1000000.0 / 255) AS BIGINT) AS q
+                            FROM img
+                            UNION ALL
+                            SELECT 201 + m, 'audio', j, CAST(q AS BIGINT) FROM aud)
+              SELECT media_id, modality, 4 AS dim,
+                     string_agg(CAST(q AS VARCHAR), ':' ORDER BY j) AS features_str
+              FROM allq GROUP BY 1, 2 ORDER BY media_id""")),
+
     // ---- model-based quality filter (graft.pipelines.QualityClassifier
     // — the fastText/LR distillation stage; scale shape there). Raw
     // probabilities are float model output, so the driver row is the
