@@ -446,7 +446,80 @@ object TextQueries {
                      CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
                      CAST(t.n_spans - coalesce(k.n_kept, 0) AS BIGINT) AS n_dropped
               FROM totals t LEFT JOIN kept k USING (doc_id)
-              ORDER BY t.doc_id"""))
+              ORDER BY t.doc_id""")),
+
+    // ---- the full multi-merge training LOOP, driver-checkable (q130
+    // pins ONE merge step; this pins FIVE chained ones — selection,
+    // tie order, greedy application and re-count all compounding, so
+    // any iteration-structure drift diverges by step 5). Emits the
+    // merge list in application order with selection-time counts, plus
+    // the post-training top-10 pair counts. The oracle unrolls the
+    // identical five iterations with the q134 iter() technique applied
+    // to q130's recursive greedy-walk CTE — five chained
+    // count→argmax→walk blocks in SQL; each m$k is MATERIALIZED
+    // because DuckDB otherwise inlines the twice-referenced chain
+    // (next walk + next pair count) and re-evaluates it 2^k times —
+    // the SQL twin of the iterative-DataFrame recompute trap
+    // pageRank's localCheckpoint discipline exists for. Spark-side
+    // cost stays the documented shape: one corpus-scale word count,
+    // then vocab-sized iterations with a single-row driver argmax.
+    GraftQuery(
+      "q140_bpe_train",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val (merges, words) = graft.ops.Bpe.train(
+          t(s, d, "documents"), numMerges = 5, checkpointEvery = 2)
+        val mergeRows = merges.zipWithIndex
+          .map { case (m, i) => ("merge", i + 1, m.a, m.b, m.cnt) }
+          .toDF("kind", "step", "a", "b", "cnt")
+        val finalPairs = graft.ops.Bpe.pairCounts(words)
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(10)
+          .select(lit("pair").as("kind"), lit(0).as("step"),
+            col("a"), col("b"), col("cnt"))
+        mergeRows.union(finalPairs)
+          .orderBy(col("kind"), col("step"), col("cnt").desc, col("a"), col("b"))
+      },
+      Some {
+        def iter(k: Int, prev: String): String =
+          s"""p$k AS (SELECT pr.a AS a, pr.b AS b, sum(freq) AS cnt
+                      FROM (SELECT freq, unnest([{'a': s[i], 'b': s[i+1]} FOR i IN range(1, len(s))]) AS pr
+                            FROM $prev) GROUP BY 1, 2),
+              mrg$k AS (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p$k
+                        ORDER BY cnt DESC, a, b LIMIT 1),
+              walk$k(word, freq, s, i, out) AS (
+                SELECT word, freq, s, 1, CAST([] AS VARCHAR[]) FROM $prev
+                UNION ALL
+                SELECT w.word, w.freq, w.s,
+                       CASE WHEN w.i < len(w.s) AND w.s[w.i] = m.a AND w.s[w.i+1] = m.b
+                            THEN w.i + 2 ELSE w.i + 1 END,
+                       CASE WHEN w.i < len(w.s) AND w.s[w.i] = m.a AND w.s[w.i+1] = m.b
+                            THEN list_append(w.out, m.a || m.b)
+                            ELSE list_append(w.out, w.s[w.i]) END
+                FROM walk$k w CROSS JOIN mrg$k m WHERE w.i <= len(w.s)),
+              m$k AS MATERIALIZED (SELECT word, freq, out AS s FROM walk$k WHERE i = len(s) + 1)"""
+        s"""WITH RECURSIVE
+            toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents),
+            wf AS (SELECT word, count(*) AS freq FROM toks WHERE word <> '' GROUP BY 1),
+            m0 AS MATERIALIZED (SELECT word, freq, list_append(string_split(word, ''), '</w>') AS s FROM wf),
+            ${iter(1, "m0")},
+            ${iter(2, "m1")},
+            ${iter(3, "m2")},
+            ${iter(4, "m3")},
+            ${iter(5, "m4")},
+            p6 AS (SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS cnt
+                   FROM (SELECT freq, unnest([{'a': s[i], 'b': s[i+1]} FOR i IN range(1, len(s))]) AS pr
+                         FROM m5) GROUP BY 1, 2)
+            SELECT kind, step, a, b, cnt FROM (
+              SELECT 'merge' AS kind, 1 AS step, a, b, cnt FROM mrg1
+              UNION ALL SELECT 'merge', 2, a, b, cnt FROM mrg2
+              UNION ALL SELECT 'merge', 3, a, b, cnt FROM mrg3
+              UNION ALL SELECT 'merge', 4, a, b, cnt FROM mrg4
+              UNION ALL SELECT 'merge', 5, a, b, cnt FROM mrg5
+              UNION ALL SELECT 'pair', 0, a, b, cnt FROM
+                (SELECT a, b, cnt FROM p6 ORDER BY cnt DESC, a, b LIMIT 10))
+            ORDER BY kind, step, cnt DESC, a, b"""
+      })
   )
 
   /** Spark-SQL fragment of [[Portable.p60]] for use inside `expr` lambdas
