@@ -80,6 +80,13 @@ object RangeJoin {
       b: DataFrame, bLo: Column, bHi: Column,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // enforce the documented disjointness, mirroring the binWidth
+    // check: an overlap (easy to hit in a self-join whose caller
+    // forgot to re-alias) otherwise surfaces as an ambiguous-reference
+    // analysis error — or silently mis-resolved bound columns
+    val shared = a.columns.toSet.intersect(b.columns.toSet)
+    require(shared.isEmpty,
+      s"column names must be disjoint across the two frames; shared: ${shared.mkString(", ")}")
     val taken = (a.columns ++ b.columns).toSet
     val bin = Iterator.from(0).map(i => if (i == 0) "_bin" else s"_bin$i")
       .dropWhile(taken.contains).next()

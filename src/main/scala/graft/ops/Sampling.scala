@@ -48,10 +48,19 @@ object Sampling {
     * correctly rounded and the k²−1 boundary needs k ~ 2^26 to bite),
     * and the quotient is floored from an exact-integer-valued double.
     * One aggregate over (source) rows — the rates frame is |sources|
-    * and broadcasts. */
+    * and broadcasts.
+    *
+    * Empty-source policy: sources whose token mass is zero (or NULL)
+    * are EXCLUDED from the rates frame — and therefore dropped by
+    * [[sqrtTempSample]]'s inner join. Without the guard a zero-mass
+    * source is catastrophic, not merely wrong: its isq=0 becomes
+    * min_isq=0, flooring every OTHER source's rate to 0, while its own
+    * rate is NULL (Spark division by zero), so the entire corpus
+    * silently samples to empty. */
   def sqrtTempRates(docs: DataFrame, sourceCol: Column, nTokensCol: Column): DataFrame = {
     val bySource = docs.groupBy(sourceCol.as("source"))
       .agg(sum(nTokensCol).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
       .withColumn("isq", floor(sqrt(col("n_tokens"))).cast("long"))
     val minIsq = bySource.agg(min(col("isq")).as("min_isq"))
     bySource.crossJoin(broadcast(minIsq))

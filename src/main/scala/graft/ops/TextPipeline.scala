@@ -248,8 +248,12 @@ object TextPipeline {
     * frames are distinct-bigram- and vocab-sized (map-side combined);
     * scoring joins key on grams — the inverted-index orientation, no
     * per-doc LM vector ever materialized. The bigram frame is cached
-    * because counts and scoring both read it (the BM25 precedent);
-    * long-lived callers clear the cache between corpora. */
+    * because counts and scoring both read it (the BM25 precedent), and
+    * UNPERSISTED before returning: the doc-sized score frame is
+    * eagerly materialized (localCheckpoint — it is orders of magnitude
+    * smaller than the bigram stream), so the cache's lifetime is
+    * scoped to this call instead of accreting executor storage across
+    * a long-lived session until a global clearCache. */
   def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -261,17 +265,20 @@ object TextPipeline {
           " (s, i) -> struct(s AS w1, element_at(w, i + 2) AS w2))")).as("p"))
       .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .cache()
-    val cb = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    val cu = bi.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
-    val vocab = docs.select(explode(Portable.tokens(col(textCol))).as("term"))
-      .filter(col("term") =!= "")
-      .agg(countDistinct(col("term")).as("v"))
-    bi.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
-      .crossJoin(broadcast(vocab))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(-avg(log((col("cb") + lit(1.0)) / (col("cu") + col("v")))), 6)
-          .as("avg_neg_logprob"))
+    try {
+      val cb = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      val cu = bi.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+      val vocab = docs.select(explode(Portable.tokens(col(textCol))).as("term"))
+        .filter(col("term") =!= "")
+        .agg(countDistinct(col("term")).as("v"))
+      bi.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(-avg(log((col("cb") + lit(1.0)) / (col("cu") + col("v")))), 6)
+            .as("avg_neg_logprob"))
+        .localCheckpoint(eager = true)
+    } finally bi.unpersist(blocking = false): Unit
   }
 
   /** Cross-document duplicated-span ratio — the exact-substring-dedup

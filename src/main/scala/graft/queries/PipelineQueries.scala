@@ -893,6 +893,9 @@ object PipelineQueries {
     // standard p60 hash ring. Two corpus passes inherent (stats, then
     // gate); rates themselves are a |sources|-row broadcast. The extra
     // stats join here is presentation (in/kept side by side).
+    // Zero-token sources are excluded from the rates frame (the op's
+    // empty-source policy — one zero-mass source would otherwise floor
+    // every rate to 0); both oracles mirror it with HAVING.
     GraftQuery(
       "q132_temperature_mix",
       (s, d) => {
@@ -920,7 +923,8 @@ object PipelineQueries {
                st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_in,
                              CAST(sum(n_toks) AS BIGINT) AS n_tokens_in,
                              CAST(floor(sqrt(CAST(sum(n_toks) AS DOUBLE))) AS BIGINT) AS isq
-                      FROM d GROUP BY 1),
+                      FROM d GROUP BY 1
+                      HAVING sum(n_toks) > 0),
                r AS (SELECT source, n_docs_in, n_tokens_in,
                             least(10000, (10000 * (SELECT min(isq) FROM st)) // isq) AS rate_bp
                      FROM st),
@@ -981,7 +985,8 @@ object PipelineQueries {
                        FROM kept k JOIN documents d USING (doc_id)),
                st AS (SELECT source,
                              CAST(floor(sqrt(CAST(sum(n) AS DOUBLE))) AS BIGINT) AS isq
-                      FROM src GROUP BY 1),
+                      FROM src GROUP BY 1
+                      HAVING sum(n) > 0),
                r AS (SELECT source,
                             least(10000, (10000 * (SELECT min(isq) FROM st)) // isq) AS rate_bp
                      FROM st),

@@ -507,6 +507,22 @@ class OpsSpec extends SparkSpec {
     assert(rates("s400") == 4920L)
   }
 
+  test("sqrtTempRates: zero-token source is excluded, others keep their rates") {
+    // without the n_tokens > 0 guard the zero source's isq=0 becomes
+    // min_isq=0, flooring every other rate to 0 and making its own
+    // rate NULL — the whole corpus silently samples to empty
+    val docs = Seq(
+      (1L, "empty", 0L), (2L, "empty", 0L),
+      (3L, "s100", 100L), (4L, "s400", 400L)
+    ).toDF("doc_id", "source", "n_toks")
+    val rates = graft.ops.Sampling
+      .sqrtTempRates(docs, col("source"), col("n_toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(!rates.contains("empty"))
+    assert(rates("s100") == 10000L) // isqrt 10 vs 20
+    assert(rates("s400") == 5000L)
+  }
+
   test("bigramLogProb: hand-computed smoothed conditional on a tiny corpus") {
     // two identical docs "a b": c(a,b)=2, c_hist(a)=2, V=2
     // p(b|a) = (2+1)/(2+2) = 0.75 -> nll = -ln(0.75) = 0.287682 (6dp)

@@ -118,6 +118,17 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Seq((1L, 2L), (1L, 3L)))
   }
 
+  test("intervalOverlap rejects overlapping column names up front") {
+    // the documented disjointness, now enforced: a forgotten re-alias
+    // in a self-join must fail fast, not mis-resolve bound columns
+    val a = Seq((1L, 0L, 10L)).toDF("id", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(a, col("lo"), col("hi"),
+        a, col("lo"), col("hi"), binWidth = 10)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
   test("binning is exact beyond 2^53 (epoch-nanos magnitudes)") {
     // floor(x / w) through double division mis-bins here: these points
     // differ by 1 at ~2^60, far below double's ULP at that magnitude.
