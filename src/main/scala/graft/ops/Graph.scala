@@ -103,6 +103,64 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank: teleport mass goes to a SEED set instead of
+    * uniformly everywhere — the "related to these items" ranking
+    * (Haveliwala 2002, topic-sensitive PageRank; public algorithm).
+    * `seeds` is a one-column frame of node ids; teleport probability is
+    * uniform over the seeds present in the graph (seeds that never
+    * appear as an edge endpoint are ignored — they could receive no
+    * inbound mass anyway). Dangling mass also redistributes over the
+    * seed distribution, the standard personalized formulation, so total
+    * rank mass stays 1 and non-seed-reachable nodes decay to exactly 0.
+    *
+    * Scale shape is [[pageRank]]'s (two keyed shuffles + a scalar per
+    * iteration) plus one broadcast-sized left join building the
+    * per-node teleport column — seeds are query-sized, never
+    * corpus-sized. */
+  def personalizedPageRank(edges: DataFrame, iters: Int, seeds: DataFrame,
+      damping: Double = 0.85, srcCol: String = "src", dstCol: String = "dst",
+      checkpointEvery: Int = 1): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().cache()
+    val sd = seeds.toDF("node").distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(broadcast(sd.withColumn("is_seed", lit(true))), Seq("node"), "left")
+      .cache()
+    val k = nodes.filter(col("is_seed")).count().toDouble
+    require(k > 0, "no seed appears in the graph")
+    // per-node teleport probability: 1/k on seeds, 0 elsewhere — a
+    // column on the cached node frame, not a per-iteration join
+    val withTele = nodes.select(col("node"),
+      when(col("is_seed"), lit(1.0 / k)).otherwise(lit(0.0)).as("tele"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
+      .cache() // read twice per iteration, as in pageRank
+    var ranks = withTele.select(col("node"), col("tele").as("rank"))
+    var i = 1
+    while (i <= iters) {
+      val dangling = ranks.join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dsum"))
+      val inbound = ranks.join(outdeg, ranks("node") === outdeg("src"))
+        .select(col("src"), (col("rank") / col("deg")).as("share"))
+        .join(e, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("share")).as("in_sum"))
+      ranks = withTele.join(inbound, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit(1.0 - damping) * col("tele") + lit(damping) *
+            (coalesce(col("in_sum"), lit(0.0)) + col("dsum") * col("tele")))
+            .as("rank"))
+      // materialize every iteration: ranks is consumed twice per round
+      // (the 2^k recompute trap — see pageRank)
+      if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint(eager = true)
+      i += 1
+    }
+    ranks
+  }
+
   /** Synchronous label propagation (community detection — the Raghavan
     * et al. 2007 algorithm, public): every node starts labeled with its
     * own id; each round, every node adopts the most frequent label

@@ -74,6 +74,45 @@ object InvariantQueries {
       Some("""SELECT event_type, true AS within_bound FROM events
               GROUP BY event_type ORDER BY event_type""")),
 
+    // ---- q129 companion: winsorization on the 100 TB-practical bounds
+    // source — approx_percentile (a mergeable KLL-style sketch, one
+    // pass, no full sort) instead of q129's exact interpolated
+    // percentiles. Sketch values aren't oracle-expressible, so this is
+    // the q77-style band check: each approx bound must land inside the
+    // exact [p-0.5%, p+0.5%] RANK band (accuracy 10000 → rank error
+    // 1e-4·N, fifty times tighter than the band), and the fraction the
+    // approx bounds actually clip stays ≤ 5% (expected ~2%). The clip
+    // plumbing — tiny bounds frame broadcast back, scan-side
+    // greatest/least — is identical to q129's.
+    GraftQuery(
+      "q142_winsorize_approx_band",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val bounds = ev.groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            expr("approx_percentile(value, array(0.01, 0.99), 10000)").as("ap"),
+            expr("percentile(value, array(0.005, 0.015, 0.985, 0.995))").as("ep"))
+          .select(col("event_type"), col("n"),
+            col("ap")(0).as("p01a"), col("ap")(1).as("p99a"),
+            (col("ap")(0) >= col("ep")(0) && col("ap")(0) <= col("ep")(1))
+              .as("p01_in_band"),
+            (col("ap")(1) >= col("ep")(2) && col("ap")(1) <= col("ep")(3))
+              .as("p99_in_band"))
+        ev.join(broadcast(bounds), "event_type")
+          .select(col("event_type"), col("n"),
+            col("p01_in_band"), col("p99_in_band"),
+            when(col("value") < col("p01a") || col("value") > col("p99a"), 1.0)
+              .otherwise(0.0).as("clipped"))
+          .groupBy(col("event_type"), col("n"),
+            col("p01_in_band"), col("p99_in_band"))
+          .agg((avg(col("clipped")) <= 0.05).as("clip_frac_ok"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              true AS p01_in_band, true AS p99_in_band, true AS clip_frac_ok
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ---- q45 companion: IVF results are genuine. Per query: exactly k
     // candidates came back, every reported cosine recomputes bit-equal
     // from the raw vectors, and none exceeds the exact top-1 cosine (an

@@ -139,6 +139,59 @@ object MLQueries {
             SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"""
       }),
 
+    // ---- personalized PageRank over the same mention graph
+    // (Graph.personalizedPageRank — topic-sensitive teleport to a seed
+    // set, the "related to these users" ranking): seeds are the users
+    // with id < 3 present in the graph, teleport uniform over them,
+    // dangling mass redistributed over the SEED distribution (so
+    // seed-unreachable nodes decay to exactly 0 — structurally
+    // different output from q134's uniform teleport, which keeps every
+    // node positive). Oracle unrolls the same three iterations with
+    // the per-node teleport term swapped in.
+    GraftQuery(
+      "q141_personalized_pagerank",
+      (s, d) => {
+        val inter = MentionRecommender.interactions(t(s, d, "events"))
+        val edges = inter.select(
+          concat(lit("u:"), col("user_id")).as("src"),
+          concat(lit("i:"), col("item")).as("dst"))
+        val seeds = inter.filter(col("user_id") < 3)
+          .select(concat(lit("u:"), col("user_id")).as("node")).distinct()
+        graft.ops.Graph.personalizedPageRank(edges, iters = 3, seeds = seeds)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+          .orderBy(col("node"))
+      },
+      Some {
+        def iter(k: Int, prev: String): String =
+          s"""d$k AS (SELECT coalesce(sum(r.rank), 0) AS dsum FROM $prev r
+                      LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL),
+              c$k AS (SELECT e.dst AS node, sum(r.rank / o.deg) AS in_sum
+                      FROM $prev r JOIN outdeg o ON r.node = o.src
+                      JOIN e ON e.src = r.node GROUP BY 1),
+              r$k AS (SELECT t.node,
+                             0.15 * t.tele
+                               + 0.85 * (coalesce(c$k.in_sum, 0)
+                                         + (SELECT dsum FROM d$k) * t.tele) AS rank
+                      FROM tele t LEFT JOIN c$k ON t.node = c$k.node)"""
+        s"""WITH e AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+                              'i:' || CAST(props->>'k' AS VARCHAR) AS dst
+                       FROM events
+                       WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            sk AS (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS k FROM e
+                   WHERE src IN ('u:0', 'u:1', 'u:2')),
+            tele AS (SELECT node,
+                            CASE WHEN node IN ('u:0', 'u:1', 'u:2')
+                                 THEN 1.0 / (SELECT k FROM sk) ELSE 0.0 END AS tele
+                     FROM nodes),
+            outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
+            r0 AS (SELECT node, tele AS rank FROM tele),
+            ${iter(1, "r0")},
+            ${iter(2, "r1")},
+            ${iter(3, "r2")}
+            SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"""
+      }),
+
     // ---- triangles + local clustering over the co-engagement graph
     // (Graph.triangleStats — degree-ordered "forward" enumeration,
     // O(m^1.5) wedges regardless of hubs; rationale there): users are
