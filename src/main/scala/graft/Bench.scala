@@ -89,6 +89,13 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.valuesIterator
           .foreach(_.unpersist(blocking = false))
+        // opt-in full GC between queries (SPARK_GRAFT_BENCH_GC=1): the
+        // unpersist above only DROPS references — reclamation waits for
+        // whenever the JVM collects, so query N+1 can pay query N's
+        // garbage as a mid-run pause. Kept opt-in: the r13 experiment
+        // (COVERAGE.md bench watch) showed it shaves the tail spikes
+        // but adds ~0.1s/query of forced-collection cost on the median.
+        if (sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")) System.gc()
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val ok = runs.filter(_._2.isEmpty)

@@ -103,6 +103,61 @@ object Graph {
     ranks
   }
 
+  /** Edge-weighted PageRank: contributions split ∝ edge weight instead
+    * of 1/out-degree — rank(src)·w(src,dst)/Σ_d w(src,d) — the natural
+    * fit when edges carry interaction counts (a user who mentioned an
+    * item 50 times should push 50× the mass of a one-off). Duplicate
+    * (src, dst) edges are weight-SUMMED (the multigraph reading, unlike
+    * [[pageRank]]'s simple-graph distinct); non-positive and null
+    * weights are dropped (they would corrupt the out-mass denominator —
+    * a zero-weight edge is "no edge", a negative one is undefined).
+    * Nodes whose out-edges were all dropped become dangling and
+    * redistribute uniformly, exactly as unweighted dangling nodes do.
+    *
+    * Scale shape identical to [[pageRank]]: the weight-sum denominator
+    * replaces the degree count in the same node-sized cached frame; two
+    * keyed shuffles + one scalar aggregate per iteration. */
+  def weightedPageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+      srcCol: String = "src", dstCol: String = "dst", weightCol: String = "weight",
+      checkpointEvery: Int = 1): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("double").as("w"))
+      .filter(col("w") > 0) // also drops null weights
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val n = nodes.count().toDouble
+    // node-sized out-mass denominator, read twice per iteration (the
+    // dangling anti-join and the contribution join) — cached like
+    // pageRank's outdeg
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wout")).cache()
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var i = 1
+    while (i <= iters) {
+      val dangling = ranks.join(outw, ranks("node") === outw("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dsum"))
+      val inbound = ranks.join(outw, ranks("node") === outw("src"))
+        .select(col("src"), col("rank"), col("wout"))
+        .join(e, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") * col("w") / col("wout")).as("in_sum"))
+      ranks = nodes.join(inbound, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("in_sum"), lit(0.0)) + col("dsum") / n)).as("rank"))
+      // materialize every iteration: consumed twice per round (the 2^k
+      // recompute trap — see pageRank)
+      if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint(eager = true)
+      i += 1
+    }
+    ranks
+  }
+
   /** Personalized PageRank: teleport mass goes to a SEED set instead of
     * uniformly everywhere — the "related to these items" ranking
     * (Haveliwala 2002, topic-sensitive PageRank; public algorithm).

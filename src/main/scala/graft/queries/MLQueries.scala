@@ -139,6 +139,54 @@ object MLQueries {
             SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"""
       }),
 
+    // ---- edge-weighted PageRank over the mention graph, weight =
+    // interaction count (Graph.weightedPageRank — mass splits ∝ how
+    // often the user mentioned the item, not uniformly across items
+    // touched once): same three unrolled iterations as q134, with the
+    // oracle's 1/deg contribution replaced by w/Σw. Where q134 asks
+    // "how central", this asks "how central, counting intensity" — on
+    // the same graph the two rankings measurably differ, which is the
+    // point of registering both.
+    GraftQuery(
+      "q143_weighted_pagerank",
+      (s, d) => {
+        val inter = MentionRecommender.interactions(t(s, d, "events"))
+        val edges = inter.select(
+          concat(lit("u:"), col("user_id")).as("src"),
+          concat(lit("i:"), col("item")).as("dst"),
+          col("y").cast("double").as("weight"))
+        graft.ops.Graph.weightedPageRank(edges, iters = 3)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+          .orderBy(col("node"))
+      },
+      Some {
+        def iter(k: Int, prev: String): String =
+          s"""d$k AS (SELECT coalesce(sum(r.rank), 0) AS dsum FROM $prev r
+                      LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL),
+              c$k AS (SELECT e.dst AS node, sum(r.rank * e.w / o.wout) AS in_sum
+                      FROM $prev r JOIN outw o ON r.node = o.src
+                      JOIN e ON e.src = r.node GROUP BY 1),
+              r$k AS (SELECT nd.node,
+                             0.15 / (SELECT n FROM nn)
+                               + 0.85 * (coalesce(c$k.in_sum, 0)
+                                         + (SELECT dsum FROM d$k) / (SELECT n FROM nn)) AS rank
+                      FROM nodes nd LEFT JOIN c$k ON nd.node = c$k.node)"""
+        s"""WITH e AS (SELECT 'u:' || CAST(user_id AS VARCHAR) AS src,
+                              'i:' || CAST(props->>'k' AS VARCHAR) AS dst,
+                              CAST(count(*) AS DOUBLE) AS w
+                       FROM events
+                       WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL
+                       GROUP BY 1, 2),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            outw AS (SELECT src, sum(w) AS wout FROM e GROUP BY 1),
+            r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+            ${iter(1, "r0")},
+            ${iter(2, "r1")},
+            ${iter(3, "r2")}
+            SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"""
+      }),
+
     // ---- personalized PageRank over the same mention graph
     // (Graph.personalizedPageRank — topic-sensitive teleport to a seed
     // set, the "related to these users" ranking): seeds are the users
