@@ -269,6 +269,58 @@ object Graph {
     labels
   }
 
+  /** k-core membership by bounded-round peeling (Seidman 1983; the
+    * distributed "peel degree-deficient nodes in rounds" formulation —
+    * Montresor et al. 2013): each round drops every node whose CURRENT
+    * degree in the surviving subgraph is < k, until no node drops or
+    * `maxRounds` is hit. Returns the surviving (node, degree) frame —
+    * degree as of the final subgraph. The k-core is the standard
+    * "dense enough to matter" filter a notch simpler than
+    * [[triangleStats]]: spam rings and celebrity hubs survive high-k
+    * cores, drive-by edges don't.
+    *
+    * Fixed `maxRounds` (like [[pageRank]]'s fixed iterations) keeps the
+    * result deterministic and oracle-replayable even when peeling
+    * hasn't converged; synchronous rounds mean the result is
+    * partition-order-independent. Convergence detection would be the
+    * CC-loop count() — callers who need the true core pass maxRounds
+    * generous (peeling converges in O(diameter)-ish rounds in
+    * practice; every round strictly shrinks the node set or stops).
+    *
+    * Scale shape per round: one degree aggregate over the surviving
+    * edge frame (map-side combined, node-keyed) and two semi-joins
+    * filtering edges to surviving endpoints — all edge/node-sized,
+    * nothing corpus-wide on the driver; edges materialize per round
+    * (the same consumed-twice/lineage discipline as [[pageRank]]). */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int,
+      aCol: String = "u1", bCol: String = "u2"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
+    var e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var r = 1
+    while (r <= maxRounds) {
+      val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      val keep = deg.filter(col("degree") >= k).select(col("node"))
+      e = e
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        // e is consumed twice next round (degree agg + both semi-joins
+        // share it) — materialize to avoid the 2^k recompute nesting
+        .localCheckpoint(eager = true)
+      r += 1
+    }
+    // degrees of the subgraph as left after exactly maxRounds peels —
+    // no trailing filter, so the oracle replays the identical rounds
+    e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Per-node triangle counts and local clustering coefficient over an
     * undirected simple graph (edges in either orientation; self-loops
     * and parallels dropped) — the community-structure primitive next to

@@ -294,6 +294,55 @@ object MLQueries {
                           END AS clustering
               FROM deg d LEFT JOIN pn USING (node) ORDER BY d.node""")),
 
+    // ---- 3-core of the co-engagement graph (Graph.kCore — bounded
+    // synchronous peeling: drop degree<3 nodes in rounds, 4 rounds
+    // here): the "dense enough to matter" membership filter next to
+    // q135's triangles and q138's communities — drive-by co-engagement
+    // edges peel away, the stable cohort survives with its core-subgraph
+    // degrees. Oracle unrolls the identical four peels; each surviving
+    // edge frame is MATERIALIZED (the q140 lesson — DuckDB re-inlines
+    // twice-referenced chain links 2^k times otherwise).
+    GraftQuery(
+      "q144_kcore",
+      (s, d) => {
+        val i = t(s, d, "events")
+          .filter(col("user_id").isNotNull && Tables.propsItem.isNotNull)
+          .select(col("user_id"), Tables.propsItem.as("item"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .distinct()
+        val edges = i.select(col("user_id").as("u1"), col("item"), col("hr"))
+          .join(i.select(col("user_id").as("u2"), col("item"), col("hr")),
+            Seq("item", "hr"))
+          .filter(col("u1") < col("u2"))
+          .select(col("u1"), col("u2"))
+        graft.ops.Graph.kCore(edges, k = 3, maxRounds = 4)
+          .orderBy(col("node"))
+      },
+      Some {
+        def peel(r: Int, prev: String): String =
+          s"""d$r AS (SELECT node, count(*) AS degree FROM
+                        (SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev)
+                      GROUP BY 1),
+              k$r AS (SELECT node FROM d$r WHERE degree >= 3),
+              e$r AS MATERIALIZED (SELECT p.a, p.b FROM $prev p
+                                   JOIN k$r ka ON p.a = ka.node
+                                   JOIN k$r kb ON p.b = kb.node)"""
+        s"""WITH i AS (SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item,
+                              date_trunc('hour', ts) AS hr
+                       FROM events
+                       WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL),
+            e0 AS MATERIALIZED (SELECT DISTINCT a.user_id AS a, b.user_id AS b
+                  FROM i a JOIN i b
+                    ON a.item = b.item AND a.hr = b.hr AND a.user_id < b.user_id),
+            ${peel(1, "e0")},
+            ${peel(2, "e1")},
+            ${peel(3, "e2")},
+            ${peel(4, "e3")}
+            SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+              (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
+            GROUP BY 1 ORDER BY node"""
+      }),
+
     // ---- label-propagation communities over the same co-engagement
     // graph as q135 (Graph.labelPropagation — synchronous, min-label
     // ties, fixed 3 rounds; rationale there): where connected

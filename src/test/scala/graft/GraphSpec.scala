@@ -168,6 +168,29 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 1.0) < 1e-12)
   }
 
+  test("kCore: 4-clique survives k=3, pendant chain peels away") {
+    val clique = for (x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d")
+      if x < y) yield (x, y)
+    val e = (clique ++ Seq(("d", "e"), ("e", "f"))).toDF("u1", "u2")
+    val r = Graph.kCore(e, k = 3, maxRounds = 4)
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L), r.toString)
+  }
+
+  test("kCore: path peels from the endpoints inward, round by round") {
+    // a-b-c-d at k=2: round 1 drops a,d (degree 1), leaving b-c;
+    // round 2 drops b,c — empty. Bounded rounds expose each stage.
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("u1", "u2")
+    val one = Graph.kCore(e, k = 2, maxRounds = 1)
+      .as[(String, Long)].collect().toMap
+    assert(one == Map("b" -> 1L, "c" -> 1L), one.toString)
+    assert(Graph.kCore(e, k = 2, maxRounds = 2).count() == 0)
+    // 0 rounds: the simple-graph degrees, untouched
+    val zero = Graph.kCore(e, k = 2, maxRounds = 0)
+      .as[(String, Long)].collect().toMap
+    assert(zero == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
+  }
+
   test("personalizedPageRank: seeds absent from the graph are rejected") {
     val e = Seq(("a", "b")).toDF("src", "dst")
     val ex = intercept[IllegalArgumentException] {
