@@ -397,6 +397,135 @@ object MLQueries {
             ORDER BY l3.node"""
       }),
 
+    // ---- the graph module composed (the q137 pattern for this
+    // family): ONE co-engagement edge build, cached, feeds all four
+    // algorithms — undirected PageRank (both orientations), label
+    // propagation, 3-core membership, triangle/clustering stats —
+    // joined into a per-node profile. This is how a real feature
+    // pipeline consumes the module (the edge build is the corpus-scale
+    // cost; the algorithms are graph-sized and amortize it), and the
+    // oracle recomputes the whole profile independently: any drift in
+    // ANY of the four, or in how they compose on the shared frame, is
+    // a hash mismatch. Depths are 2 rounds each — composition proof,
+    // not convergence.
+    GraftQuery(
+      "q145_graph_profile",
+      (s, d) => {
+        val i = t(s, d, "events")
+          .filter(col("user_id").isNotNull && Tables.propsItem.isNotNull)
+          .select(col("user_id"), Tables.propsItem.as("item"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .distinct()
+        val edges = i.select(col("user_id").as("u1"), col("item"), col("hr"))
+          .join(i.select(col("user_id").as("u2"), col("item"), col("hr")),
+            Seq("item", "hr"))
+          .filter(col("u1") < col("u2"))
+          .select(col("u1"), col("u2"))
+          .cache() // one edge build, four consumers
+        val und = edges.select(col("u1").as("src"), col("u2").as("dst"))
+          .union(edges.select(col("u2").as("src"), col("u1").as("dst")))
+        // ~10s at sf0.1 is fixed per-job scheduler overhead (~40 small
+        // jobs across the four algorithms), not data volume — measured:
+        // lazy rounds (checkpointEvery > iters) change nothing. At
+        // cluster scale the same composition amortizes the one
+        // corpus-scale edge build; the per-round jobs are graph-sized.
+        val pr = graft.ops.Graph.pageRank(und, iters = 2)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+        val lpa = graft.ops.Graph.labelPropagation(edges, iters = 2)
+        val lsz = lpa.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+        val core = graft.ops.Graph.kCore(edges, k = 3, maxRounds = 2)
+          .select(col("node"), lit(true).as("in_3core"))
+        graft.ops.Graph.triangleStats(edges)
+          .join(pr, "node")
+          .join(lpa, "node").join(lsz, "label")
+          .join(core, Seq("node"), "left")
+          .select(col("node"), col("degree"), col("n_triangles"),
+            col("clustering"), col("rank"), col("label"),
+            col("community_size"),
+            coalesce(col("in_3core"), lit(false)).as("in_3core"))
+          .orderBy(col("node"))
+      },
+      Some {
+        def prIter(k: Int, prev: String): String =
+          s"""d$k AS (SELECT coalesce(sum(r.rank), 0) AS dsum FROM $prev r
+                      LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL),
+              c$k AS (SELECT u.dst AS node, sum(r.rank / o.deg) AS in_sum
+                      FROM $prev r JOIN outdeg o ON r.node = o.src
+                      JOIN und u ON u.src = r.node GROUP BY 1),
+              r$k AS (SELECT nd.node,
+                             0.15 / (SELECT n FROM nn)
+                               + 0.85 * (coalesce(c$k.in_sum, 0)
+                                         + (SELECT dsum FROM d$k) / (SELECT n FROM nn)) AS rank
+                      FROM nodes nd LEFT JOIN c$k ON nd.node = c$k.node)"""
+        def lpaRound(k: Int, prev: String): String =
+          s"""lc$k AS (SELECT u.src AS node, l.label, count(*) AS cnt
+                       FROM und u JOIN $prev l ON u.dst = l.node GROUP BY 1, 2),
+              l$k AS MATERIALIZED (SELECT node, label FROM
+                        (SELECT node, label, row_number() OVER (PARTITION BY node
+                           ORDER BY cnt DESC, label) AS rn FROM lc$k)
+                      WHERE rn = 1)"""
+        def peel(r: Int, prev: String): String =
+          s"""kd$r AS (SELECT node, count(*) AS degree FROM
+                         (SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev)
+                       GROUP BY 1),
+              kk$r AS (SELECT node FROM kd$r WHERE degree >= 3),
+              ke$r AS MATERIALIZED (SELECT p.a, p.b FROM $prev p
+                                    JOIN kk$r ka ON p.a = ka.node
+                                    JOIN kk$r kb ON p.b = kb.node)"""
+        s"""WITH i AS (SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item,
+                              date_trunc('hour', ts) AS hr
+                       FROM events
+                       WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL),
+            e AS MATERIALIZED (SELECT DISTINCT a.user_id AS a, b.user_id AS b
+                  FROM i a JOIN i b
+                    ON a.item = b.item AND a.hr = b.hr AND a.user_id < b.user_id),
+            und AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+                                 UNION ALL SELECT b, a FROM e),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+                      (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+                    GROUP BY 1),
+            nodes AS (SELECT src AS node FROM und UNION SELECT dst FROM und),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM und GROUP BY 1),
+            r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+            ${prIter(1, "r0")},
+            ${prIter(2, "r1")},
+            l0 AS (SELECT node, node AS label FROM nodes),
+            ${lpaRound(1, "l0")},
+            ${lpaRound(2, "l1")},
+            lsz AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+                    FROM l2 GROUP BY 1),
+            ${peel(1, "e")},
+            ${peel(2, "ke1")},
+            core AS (SELECT DISTINCT node FROM
+                       (SELECT a AS node FROM ke2 UNION ALL SELECT b FROM ke2)),
+            tri AS (SELECT ab.u1 AS x, ab.u2 AS y, bc.u2 AS z
+                    FROM (SELECT a AS u1, b AS u2 FROM e) ab
+                    JOIN (SELECT a AS u1, b AS u2 FROM e) bc ON ab.u2 = bc.u1
+                    JOIN (SELECT a AS u1, b AS u2 FROM e) ac
+                      ON ac.u1 = ab.u1 AND ac.u2 = bc.u2),
+            pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM
+                     (SELECT x AS node FROM tri
+                      UNION ALL SELECT y FROM tri
+                      UNION ALL SELECT z FROM tri) GROUP BY 1)
+            SELECT d.node, d.degree,
+                   CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+                   CASE WHEN d.degree >= 2
+                        THEN round(2.0 * coalesce(pn.n_triangles, 0)
+                                   / (d.degree * (d.degree - 1)), 6)
+                        END AS clustering,
+                   round(r2.rank, 6) AS rank,
+                   l2.label, lsz.community_size,
+                   (core.node IS NOT NULL) AS in_3core
+            FROM deg d
+            JOIN r2 ON d.node = r2.node
+            JOIN l2 ON d.node = l2.node
+            JOIN lsz ON l2.label = lsz.label
+            LEFT JOIN pn ON d.node = pn.node
+            LEFT JOIN core ON d.node = core.node
+            ORDER BY d.node"""
+      }),
+
     // ---- W2 ALS top-5 (M6+M7; reference params, seed 0). Float factors
     // aren't oracle-expressible; invariants in ALSSpec.
     GraftQuery(
