@@ -226,6 +226,64 @@ object PipelineQueries {
               FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
               GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- CCNet-style perplexity bucketing (Wenzek et al. 2020 — the
+    // public head/middle/tail split): q133's bigram-LM score cut at
+    // per-LANGUAGE terciles (a global cut would just re-discover the
+    // language mix — the whole point of per-lang buckets), emitting
+    // per-(lang, bucket) doc counts, token mass and mean score. This is
+    // the selection stage between LM scoring and sampling: train mostly
+    // on head+middle, keep a tail slice for diversity. Terciles are
+    // exact interpolated percentiles over the 6dp-rounded scores (both
+    // engines bucket identical values — the q129 bounds convention);
+    // cut frame is |langs| rows, broadcast back; one extra scan.
+    GraftQuery(
+      "q146_perplexity_buckets",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val scored = TextPipeline.bigramLogProb(docs)
+          .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+        val cuts = scored.groupBy(col("lang"))
+          .agg(expr("percentile(avg_neg_logprob, array(0.25D, 0.75D))").as("c"))
+          .select(col("lang"), col("c")(0).as("c1"), col("c")(1).as("c2"))
+        scored.join(broadcast(cuts), "lang")
+          .withColumn("bucket",
+            when(col("avg_neg_logprob") <= col("c1"), "head")
+              .when(col("avg_neg_logprob") <= col("c2"), "middle")
+              .otherwise("tail"))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_bigrams")).as("n_bigrams_total"),
+            round(avg(col("avg_neg_logprob")), 6).as("mean_nll"))
+          .orderBy(col("lang"), col("bucket"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+              bi AS (SELECT doc_id, pr.a AS w1, pr.b AS w2
+                     FROM (SELECT doc_id, unnest([{'a': w[i], 'b': w[i+1]} FOR i IN range(1, len(w))]) AS pr
+                           FROM toks WHERE len(w) >= 2)),
+              cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+              cu AS (SELECT w1, count(*) AS cu FROM bi GROUP BY 1),
+              v AS (SELECT count(DISTINCT term) AS v FROM
+                      (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents)
+                    WHERE term <> ''),
+              scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                                round(-avg(ln((cb + 1.0) / (cu + v))), 6) AS nll
+                         FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+                         GROUP BY doc_id),
+              sl AS (SELECT s.doc_id, s.n_bigrams, s.nll, d.lang
+                     FROM scored s JOIN documents d USING (doc_id)),
+              cuts AS (SELECT lang, quantile_cont(nll, 0.25) AS c1,
+                              quantile_cont(nll, 0.75) AS c2
+                       FROM sl GROUP BY 1)
+              SELECT lang,
+                     CASE WHEN nll <= c1 THEN 'head'
+                          WHEN nll <= c2 THEN 'middle'
+                          ELSE 'tail' END AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams_total,
+                     round(avg(nll), 6) AS mean_nll
+              FROM sl JOIN cuts USING (lang)
+              GROUP BY 1, 2 ORDER BY lang, bucket""")),
+
     // ---- PII scrubbing over log-shaped lines: redact the user id,
     // count redactions (null users redact nothing — the negative case
     // rides along). Patterns stay in the Java∩RE2 regex dialect.
