@@ -28,11 +28,13 @@ object Prefix {
   def runningSum(df: DataFrame, keyCol: String, valueCol: String,
       bucketWidth: Long = 1024L): DataFrame = {
     require(bucketWidth > 0, s"bucket width must be positive, got $bucketWidth")
-    // floor-div (not DIV, which truncates toward zero and would fold
-    // keys -width+1..width-1 into one out-of-order bucket); double math
-    // is exact for |key| < 2^52 / width
-    val withB = df.withColumn("__pb",
-      floor(col(keyCol) / lit(bucketWidth.toDouble)).cast("long"))
+    // exact integer floor division ([[RangeJoin.floorDiv]] — the
+    // pmod-shift + IntegralDivide form): floor semantics across zero so
+    // range contiguity holds for negative keys, and exact at ANY long
+    // magnitude — the previous floor(key / width.toDouble) mis-binned
+    // keys past 2^52/width, the epoch-nanos domain this op's CDF and
+    // offset callers actually live in
+    val withB = df.withColumn("__pb", RangeJoin.floorDiv(col(keyCol), bucketWidth))
     val localWin = Window.partitionBy(col("__pb")).orderBy(col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = withB.withColumn("__lcum", sum(col(valueCol)).over(localWin))

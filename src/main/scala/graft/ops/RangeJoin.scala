@@ -34,7 +34,7 @@ object RangeJoin {
     * `(c - pmod(c, w)) div w` stays integral end to end: the pmod shift
     * makes the numerator an exact multiple, so truncating IntegralDivide
     * IS floor division, negatives included. */
-  private def floorDiv(c: Column, w: Long): Column = {
+  private[ops] def floorDiv(c: Column, w: Long): Column = {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.IntegralDivide
     val shifted = c.cast("long") - pmod(c.cast("long"), lit(w))

@@ -301,6 +301,20 @@ class OpsSpec extends SparkSpec {
     assert(got(-9L) == rows.filter(_._1 <= -9).map(_._2).sum)
   }
 
+  test("Prefix.runningSum is exact past 2^53 (epoch-nanos keys)") {
+    // adjacent keys at ~2^60 differ by 1 — far below double's ULP
+    // there, so the old floor(key / width.toDouble) bucketing folded
+    // them unpredictably; the integer floor-div must keep them ordered
+    val base = 1L << 60
+    val rows = Seq(base - 1, base, base + 1, base + 5000)
+      .map(k => (k, 10L))
+    val df = rows.toDF("k", "v").repartition(3)
+    val got = graft.ops.Prefix.runningSum(df, "k", "v", bucketWidth = 1024L)
+      .select($"k", $"cum").as[(Long, Long)].collect().toMap
+    assert(got == Map((base - 1) -> 10L, base -> 20L,
+      (base + 1) -> 30L, (base + 5000) -> 40L), got.toString)
+  }
+
   test("epochUpsample: full epochs whole, fractional epoch is the hash gate") {
     val docs = Tables(spark, sf, "documents").select($"doc_id")
     val n = docs.count()
