@@ -548,6 +548,27 @@ object MLQueries {
               event_type, count(*) AS n, round(sum(value), 2) AS total_value
               FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
 
+    // ---- Sliding (hopping) windows on the batch frame (the q56
+    // pattern: same function drives readStream — watermark applies only
+    // there). Every event lands in exactly windowLen/hop = 4 windows
+    // whose starts are the four 15-min marks at or before ts; the
+    // oracle materializes that membership arithmetic directly
+    // (hop-aligned epoch minus k·900s, k in 0..3) — any disagreement in
+    // Spark's window expansion is a hash mismatch.
+    GraftQuery(
+      "q147_sliding_window",
+      (s, d) => EventStreams.slidingByType(t(s, d, "events"))
+        .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("win_start"), col("event_type")),
+      Some("""SELECT strftime(make_timestamp((hs - k*900) * 1000000), '%Y-%m-%d %H:%M:%S') AS win_start,
+                     event_type, count(*) AS n, round(sum(value), 2) AS total_value
+              FROM (SELECT event_type, value,
+                           CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS hs,
+                           unnest(range(0, 4)) AS k
+                    FROM events)
+              GROUP BY 1, 2 ORDER BY win_start, event_type""")),
+
     // ---- The stream-stream interval join on its batch twin (the
     // streaming variant with watermark-bounded state is specced in
     // StreamingSpec; same function, same semantics).

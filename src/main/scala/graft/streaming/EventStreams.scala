@@ -53,6 +53,22 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** Sliding (hopping) 1-hour windows every 15 minutes per event type —
+    * the smoothing twin of [[hourlyByType]]'s tumbling hour (a spike at
+    * :59 splits across adjacent tumbling windows; the hop sees it whole
+    * in four overlapping ones). Each event lands in exactly
+    * windowLen/hop windows; Spark expands that membership scan-side
+    * (its generated window filter), so the aggregate is one map-side
+    * combined groupBy on a 4×-inflated but still bounded key space —
+    * no self-join, no state beyond the watermark horizon when
+    * streaming. */
+  def slidingByType(events: DataFrame): DataFrame =
+    withWm(events)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
   /** Session windows per user: a session closes after 30 min of
     * inactivity. State is bounded by the watermark. */
   def sessionize(events: DataFrame): DataFrame =

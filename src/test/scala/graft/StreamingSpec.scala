@@ -27,6 +27,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingByType: hopping windows streaming (complete mode) == batch") {
+    val stream = EventStreams.readEventsStream(spark, sf)
+    val q = EventStreams.slidingByType(stream)
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_out")
+        .select($"win_start", $"event_type", $"n", $"total_value")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      val batch = EventStreams.slidingByType(Tables(spark, sf, "events"))
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // every tumbling hour of q56 is one of the 4-hop windows; the hop
+      // family is strictly larger
+      val tumbling = EventStreams.hourlyByType(Tables(spark, sf, "events")).count()
+      assert(batch.size > tumbling)
+    } finally q.stop()
+  }
+
   test("topEventsByType: GroupTopK aggregator streaming == batch") {
     // the typed mergeable aggregator must produce the identical top-k
     // under the streaming state store (incremental merges) as in one
