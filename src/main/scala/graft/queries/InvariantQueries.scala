@@ -113,6 +113,48 @@ object InvariantQueries {
               true AS p01_in_band, true AS p99_in_band, true AS clip_frac_ok
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ---- Count-min sketch point estimates within bound (Spark's
+    // built-in stat.countMinSketch — Cormode & Muthukrishnan 2005;
+    // the point-frequency companion to q86's Misra-Gries heavy
+    // hitters): the sketch build is the distributed pass (mergeable
+    // per-partition sketches, fixed depth×width state — the 100 TB
+    // shape); the driver then probes only the exact top-20 tokens —
+    // sketch-sized scalar work, the justified collect. CMS guarantees
+    // estimate >= true always, and <= true + eps·N with confidence
+    // 0.99; both checked per token against exact counts the oracle
+    // recomputes independently.
+    GraftQuery(
+      "q148_cms_bound",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val toks = t(s, d, "documents")
+          .select(explode(graft.ops.Portable.tokens(col("text"))).as("tk"))
+          .filter(col("tk") =!= "").cache()
+        try {
+          val eps = 0.0005
+          val cms = toks.stat.countMinSketch("tk", eps = eps,
+            confidence = 0.99, seed = 42)
+          val n = toks.count()
+          val top = toks.groupBy(col("tk")).agg(count(lit(1)).as("c"))
+            .orderBy(col("c").desc, col("tk")).limit(20)
+            .as[(String, Long)].collect()
+          val slack = math.ceil(eps * n).toLong
+          top.toSeq.map { case (tk, c) =>
+            val est = cms.estimateCount(tk)
+            (tk, c, est >= c, est <= c + slack)
+          }.toDF("tk", "exact_cnt", "lower_ok", "upper_ok")
+            .orderBy(col("tk"))
+        } finally toks.unpersist(blocking = false): Unit
+      },
+      Some("""WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tk
+                            FROM documents),
+              top AS (SELECT tk, CAST(count(*) AS BIGINT) AS exact_cnt
+                      FROM toks WHERE tk <> ''
+                      GROUP BY 1 ORDER BY exact_cnt DESC, tk LIMIT 20)
+              SELECT tk, exact_cnt, true AS lower_ok, true AS upper_ok
+              FROM top ORDER BY tk""")),
+
     // ---- q45 companion: IVF results are genuine. Per query: exactly k
     // candidates came back, every reported cosine recomputes bit-equal
     // from the raw vectors, and none exceeds the exact top-1 cosine (an
