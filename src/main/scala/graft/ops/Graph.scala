@@ -241,6 +241,19 @@ object Graph {
       aCol: String = "u1", bCol: String = "u2",
       checkpointEvery: Int = 1): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    // the MajorityVote udaf votes over (cnt: long, label: long) longs,
+    // so node ids must be integral (ids double as labels; the returned
+    // label column is bigint after round 1 — see scaladoc). Validate up
+    // front so a string-id graph fails with the contract spelled out
+    // instead of an encoder/cast analysis error inside round 1.
+    locally {
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+      edges.select(col(aCol), col(bCol)).schema.fields.foreach { f =>
+        require(Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType),
+          s"labelPropagation node column '${f.name}' must be an integral type " +
+            s"(ids double as MajorityVote labels), got ${f.dataType.simpleString}")
+      }
+    }
     val e0 = edges.select(col(aCol).as("a"), col(bCol).as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))

@@ -121,8 +121,10 @@ object InvariantQueries {
     // shape); the driver then probes only the exact top-20 tokens —
     // sketch-sized scalar work, the justified collect. CMS guarantees
     // estimate >= true always, and <= true + eps·N with confidence
-    // 0.99; both checked per token against exact counts the oracle
-    // recomputes independently.
+    // 0.99 PER PROBE; the lower bound is checked per token, the upper
+    // as a >=19-of-20-probes gate (probabilistic, so robust to data
+    // regeneration), both against exact counts the oracle recomputes
+    // independently.
     GraftQuery(
       "q148_cms_bound",
       (s, d) => {
@@ -140,9 +142,18 @@ object InvariantQueries {
             .orderBy(col("c").desc, col("tk")).limit(20)
             .as[(String, Long)].collect()
           val slack = math.ceil(eps * n).toLong
-          top.toSeq.map { case (tk, c) =>
-            val est = cms.estimateCount(tk)
-            (tk, c, est >= c, est <= c + slack)
+          // lower_ok is a hard CMS guarantee (est >= true, always).
+          // The eps·N upper bound is only 99%-confidence PER PROBE, so
+          // a dataset regeneration could legitimately push one probe
+          // over without any code bug; gate on >= 19 of the 20 probes
+          // in bound (P[>=2 misses] ~ 1.7% even at the worst-case 1%
+          // per-probe miss rate) rather than per-probe strictness.
+          val probes = top.toSeq.map { case (tk, c) =>
+            (tk, c, cms.estimateCount(tk))
+          }
+          val nInBound = probes.count { case (_, c, est) => est <= c + slack }
+          probes.map { case (tk, c, est) =>
+            (tk, c, est >= c, nInBound >= 19)
           }.toDF("tk", "exact_cnt", "lower_ok", "upper_ok")
             .orderBy(col("tk"))
         } finally toks.unpersist(blocking = false): Unit

@@ -189,8 +189,9 @@ object MLQueries {
 
     // ---- personalized PageRank over the same mention graph
     // (Graph.personalizedPageRank — topic-sensitive teleport to a seed
-    // set, the "related to these users" ranking): seeds are the users
-    // with id < 3 present in the graph, teleport uniform over them,
+    // set, the "related to these users" ranking): seeds are users
+    // {0, 1, 2} present in the graph (isin — literally the oracle's
+    // IN ('u:0','u:1','u:2') set), teleport uniform over them,
     // dangling mass redistributed over the SEED distribution (so
     // seed-unreachable nodes decay to exactly 0 — structurally
     // different output from q134's uniform teleport, which keeps every
@@ -203,7 +204,7 @@ object MLQueries {
         val edges = inter.select(
           concat(lit("u:"), col("user_id")).as("src"),
           concat(lit("i:"), col("item")).as("dst"))
-        val seeds = inter.filter(col("user_id") < 3)
+        val seeds = inter.filter(col("user_id").isin(0, 1, 2))
           .select(concat(lit("u:"), col("user_id")).as("node")).distinct()
         graft.ops.Graph.personalizedPageRank(edges, iters = 3, seeds = seeds)
           .select(col("node"), round(col("rank"), 6).as("rank"))

@@ -228,11 +228,12 @@ object PipelineQueries {
 
     // ---- CCNet-style perplexity bucketing (Wenzek et al. 2020 — the
     // public head/middle/tail split): q133's bigram-LM score cut at
-    // per-LANGUAGE terciles (a global cut would just re-discover the
+    // per-LANGUAGE quartile cuts — a 25/50/25 head/middle/tail split at
+    // the 0.25/0.75 percentiles (a global cut would just re-discover the
     // language mix — the whole point of per-lang buckets), emitting
     // per-(lang, bucket) doc counts, token mass and mean score. This is
     // the selection stage between LM scoring and sampling: train mostly
-    // on head+middle, keep a tail slice for diversity. Terciles are
+    // on head+middle, keep a tail slice for diversity. The cuts are
     // exact interpolated percentiles over the 6dp-rounded scores (both
     // engines bucket identical values — the q129 bounds convention);
     // cut frame is |langs| rows, broadcast back; one extra scan.
@@ -283,6 +284,57 @@ object PipelineQueries {
                      round(avg(nll), 6) AS mean_nll
               FROM sl JOIN cuts USING (lang)
               GROUP BY 1, 2 ORDER BY lang, bucket""")),
+
+    // ---- q146's 100 TB face: the same CCNet head/middle/tail
+    // selection with the cuts taken from approx_percentile — a
+    // mergeable KLL-style sketch whose per-group state is bounded by
+    // the accuracy parameter, where q146's exact `percentile` buffers
+    // every distinct 6dp-rounded score per language (a dominant
+    // language at 100× is a hundreds-of-MB single aggregation buffer).
+    // Sketch cut VALUES aren't oracle-expressible, so this is the
+    // q142/q77 band-invariant convention: each approx cut must land
+    // inside the exact ±5% RANK band (languages here are 64-218 docs,
+    // so the band is a handful of ranks — still ~500× the sketch's
+    // 1e-4·N rank-error guarantee at accuracy 10000; at production
+    // group sizes the same check tightens to ±0.5% like q142), and the
+    // head/tail fractions the approx cuts actually select must sit
+    // within 0.08 of the nominal 0.25. The bucketing plumbing — |langs|
+    // cut rows broadcast back, scan-side CASE — is identical to q146's.
+    GraftQuery(
+      "q149_perplexity_buckets_approx",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val scored = TextPipeline.bigramLogProb(docs)
+          .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+        val bounds = scored.groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            expr("approx_percentile(avg_neg_logprob, array(0.25D, 0.75D), 10000)").as("ap"),
+            expr("percentile(avg_neg_logprob, array(0.20D, 0.30D, 0.70D, 0.80D))").as("ep"))
+          .select(col("lang"), col("n_docs"),
+            col("ap")(0).as("c1"), col("ap")(1).as("c2"),
+            (col("ap")(0) >= col("ep")(0) && col("ap")(0) <= col("ep")(1))
+              .as("c1_in_band"),
+            (col("ap")(1) >= col("ep")(2) && col("ap")(1) <= col("ep")(3))
+              .as("c2_in_band"))
+        scored.join(broadcast(bounds), "lang")
+          .select(col("lang"), col("n_docs"),
+            col("c1_in_band"), col("c2_in_band"),
+            when(col("avg_neg_logprob") <= col("c1"), 1.0).otherwise(0.0).as("is_head"),
+            when(col("avg_neg_logprob") > col("c2"), 1.0).otherwise(0.0).as("is_tail"))
+          .groupBy(col("lang"), col("n_docs"),
+            col("c1_in_band"), col("c2_in_band"))
+          .agg(
+            (abs(avg(col("is_head")) - 0.25) <= 0.08).as("head_frac_ok"),
+            (abs(avg(col("is_tail")) - 0.25) <= 0.08).as("tail_frac_ok"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                     true AS c1_in_band, true AS c2_in_band,
+                     true AS head_frac_ok, true AS tail_frac_ok
+              FROM documents
+              WHERE len(string_split_regex(trim(text), '\s+')) >= 2
+              GROUP BY lang ORDER BY lang""")),
 
     // ---- PII scrubbing over log-shaped lines: redact the user id,
     // count redactions (null users redact nothing — the negative case

@@ -244,9 +244,11 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("label-propagation argmax is a hash aggregate, no Window (q138 path)") {
-    // the per-round winner selection must be min(struct(-cnt, label)) —
-    // a hash aggregate with map-side combine — not a row_number window
-    // whose per-node partition a celebrity hub's degree would bound.
+    // the per-round winner selection must be the MajorityVote udaf —
+    // an ObjectHashAggregate with map-side combine — not a row_number
+    // window whose per-node partition a celebrity hub's degree would
+    // bound, and not min(struct(...)), which falls back to
+    // SortAggregate (struct buffers aren't hash-supported).
     // checkpointEvery > iters keeps the full iteration lineage in ONE
     // inspectable plan (q138's default eagerly materializes per round,
     // which would hide the iteration subplans from this assert)
