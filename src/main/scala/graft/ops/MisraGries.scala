@@ -87,4 +87,34 @@ object MisraGries {
       .filter(col("cnt") * (k + 1) > col("n_total"))
       .select(col("tk"), col("cnt"))
   }
+
+  /** [[heavyHitters]] per group: every (group, item) whose count within
+    * the group satisfies cnt·(k+1) > n_group, with its exact count —
+    * same two-pass construction, with the sketch keyed on the group.
+    * Per-group state stays ≤ k counters (the map-side combine ships ≤ k
+    * entries per (partition, group)), so a billion-group fact table
+    * costs k·|groups| state TOTAL where the exact one-pass groupBy
+    * shuffles the full (group × item) cross — the n² blowup this sketch
+    * family exists to avoid. Candidates are group-scoped: the recount
+    * join is on (group, item), and thresholds use each group's own n. */
+  def heavyHittersPerGroup(items: DataFrame, groupCol: Column,
+      itemCol: Column, k: Int): DataFrame = {
+    val mg = udaf(new MisraGries(k))
+    // null group = "no group", null item = "no item" — dropped for the
+    // same MapType/threshold reasons as the global form
+    val its = items
+      .select(groupCol.cast("string").as("grp"), itemCol.cast("string").as("tk"))
+      .filter(col("grp").isNotNull && col("tk").isNotNull)
+    val cand = its.groupBy(col("grp"))
+      .agg(mg(col("tk")).as("sketch"), count(lit(1)).as("n_total"))
+      .select(col("grp"), explode(map_keys(col("sketch"))).as("tk"),
+        col("n_total"))
+    // candidate side is ≤ k rows per group — broadcastable far past the
+    // point the raw item stream is
+    its.join(broadcast(cand), Seq("grp", "tk"))
+      .groupBy(col("grp"), col("tk"), col("n_total"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (k + 1) > col("n_total"))
+      .select(col("grp"), col("tk"), col("cnt"))
+  }
 }

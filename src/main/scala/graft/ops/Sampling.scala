@@ -233,6 +233,53 @@ object Sampling {
   def epochShuffleKey(key: Column, seed: Int): Column =
     Portable.p60(concat_ws(":", lit(seed.toString), key.cast("string")))
 
+  /** Deterministic negative sampling (the word2vec/ALS contrastive-pair
+    * build, hash-gated like everything here): for each user in `inter`,
+    * up to `k` items the user did NOT interact with, picked by hashing
+    * (user, slot) into a dense item dictionary. The candidate stream is
+    * |users|·`oversample` rows (linear, never the |users|×|items|
+    * cross); the dictionary is |items| rows and broadcast — item
+    * vocabularies are dwarfed by interaction tables wherever negative
+    * sampling is meaningful; the positives anti-join is the one
+    * interaction-sized shuffle. A user whose positives swallow the
+    * whole oversample window yields fewer than `k` negatives —
+    * deterministically so; callers widen `oversample` for pathological
+    * users (P[miss] decays geometrically in it).
+    *
+    * The dictionary index is a row_number over a GLOBAL sort — a
+    * single-task window, fine precisely because it runs on the
+    * |items|-sized dictionary, never on data-sized frames (the
+    * production form materializes the dictionary once and reuses it
+    * across epochs). Emits (user, neg_rank 1..k, item). */
+  def negativeSample(inter: DataFrame, userCol: Column, itemCol: Column,
+      k: Int, oversample: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(oversample >= k, s"oversample must be >= k, got $oversample < $k")
+    graft.functions.GraftFunctions.register(inter.sparkSession) // p60
+    val pos = inter.select(userCol.as("user"), itemCol.as("item")).distinct()
+    val dict = pos.select(col("item")).distinct()
+      .withColumn("idx",
+        row_number().over(Window.orderBy(col("item"))).cast("long") - 1)
+    // dictionary size — a scalar, needed inside the hash-to-index mod
+    val m = dict.count()
+    pos.select(col("user")).distinct()
+      .select(col("user"),
+        explode(sequence(lit(0), lit(oversample - 1))).as("slot"))
+      .withColumn("idx", pmod(
+        Portable.p60(concat_ws(":", col("user").cast("string"),
+          col("slot").cast("string"))), lit(m)))
+      .join(broadcast(dict), "idx")
+      .join(pos, Seq("user", "item"), "left_anti")
+      // two slots can hash to the same item: keep the earliest slot so
+      // the per-user rank order is total and collision-free
+      .groupBy(col("user"), col("item")).agg(min(col("slot")).as("slot"))
+      .withColumn("neg_rank", row_number()
+        .over(Window.partitionBy(col("user")).orderBy(col("slot"))))
+      .filter(col("neg_rank") <= k)
+      .select(col("user"), col("neg_rank"), col("item"))
+  }
+
   /** Token-budget-aware mixing — how training mixes are actually
     * specified ("this many tokens of code, this many of web"), while
     * [[mix]] weights rows. Each source's gate rate is derived from its

@@ -591,5 +591,38 @@ object DedupQueries {
                GROUP BY doc_id
                HAVING sum(CASE WHEN n_docs >= 2 THEN n_tok ELSE 0 END) > 0
                ORDER BY doc_id"""))
+  ) ++ Seq(
+
+    // ---- blocked fuzzy matching (graft.ops.FuzzyJoin — the record-
+    // linkage construction; scale shape and the recall-vs-blocking
+    // trade there): near-match doc pairs where the first 40 normalized
+    // chars are within edit distance 5, candidates generated only
+    // inside a 12-char-prefix block — ~6k compared pairs at sf0.1 where
+    // the unblocked all-pairs is ~4.4M. Levenshtein catches the
+    // single-character edits MinHash/SimHash shingle methods are
+    // blindest to (q35-q38's complement, not their twin). The oracle
+    // runs the identical blocked join in SQL; the spec pins the
+    // semantic claims (within-block exactness, cross-block miss).
+    GraftQuery(
+      "q153_fuzzy_blocked_pairs",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"),
+          lower(trim(col("text"))).as("nt"))
+        graft.ops.FuzzyJoin.blockedPairs(docs, col("doc_id"),
+            substring(col("nt"), 1, 12), substring(col("nt"), 1, 40),
+            maxDist = 5)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            col("dist"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH b AS (SELECT doc_id,
+                                substr(lower(trim(text)), 1, 12) AS blk,
+                                substr(lower(trim(text)), 1, 40) AS cmp
+                         FROM documents)
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                     levenshtein(x.cmp, y.cmp) AS dist
+              FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
+              WHERE levenshtein(x.cmp, y.cmp) <= 5
+              ORDER BY doc_a, doc_b"""))
   )
 }

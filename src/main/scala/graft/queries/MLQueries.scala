@@ -814,5 +814,50 @@ object MLQueries {
                             len(list_filter(w, t -> t IN (${TextQueries.stopListSql}))) * 1.0 / len(w) AS stop_ratio
                      FROM (SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents)
                      WHERE len(w) > 0)"""))
+  ) ++ Seq(
+
+    // ---- deterministic negative sampling for contrastive training
+    // (Sampling.negativeSample — scale shape there): 5 hash-picked
+    // non-interacted items per user from the q52 interaction matrix,
+    // the pair generator feeding the ALS/word2vec-style objectives.
+    // Both engines replay the identical p60 slot walk — the oracle is
+    // the same dictionary/slot/anti-join construction in SQL, so the
+    // hash-equality claim is "negatives are a pure function of the
+    // data", the restartability property that matters for resumed
+    // training.
+    GraftQuery(
+      "q151_negative_sampling",
+      (s, d) => graft.ops.Sampling.negativeSample(
+          MentionRecommender.interactions(t(s, d, "events")),
+          col("user_id"), col("item"), k = 5, oversample = 15)
+        .select(col("user").as("user_id"), col("neg_rank"), col("item"))
+        .orderBy(col("user_id"), col("neg_rank")),
+      Some(s"""WITH inter AS (SELECT user_id, CAST(props->>'k' AS INT) AS item
+                              FROM events
+                              WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL
+                              GROUP BY 1, 2),
+               dict AS (SELECT item,
+                               row_number() OVER (ORDER BY item) - 1 AS idx
+                        FROM (SELECT DISTINCT item FROM inter)),
+               m AS (SELECT count(*) AS m FROM dict),
+               slots AS (SELECT user_id, unnest(range(0, 15)) AS slot
+                         FROM (SELECT DISTINCT user_id FROM inter)),
+               cand AS (SELECT s.user_id, s.slot, d.item
+                        FROM slots s CROSS JOIN m
+                        JOIN dict d ON d.idx =
+                          ${graft.ops.Portable.p60Sql(
+                            "(s.user_id::VARCHAR || ':' || s.slot::VARCHAR)")} % m.m),
+               neg0 AS (SELECT c.user_id, c.item, min(c.slot) AS slot
+                        FROM cand c
+                        LEFT JOIN inter i
+                          ON c.user_id = i.user_id AND c.item = i.item
+                        WHERE i.user_id IS NULL
+                        GROUP BY 1, 2),
+               ranked AS (SELECT user_id, item,
+                                 row_number() OVER (PARTITION BY user_id
+                                                    ORDER BY slot) AS neg_rank
+                          FROM neg0)
+               SELECT user_id, neg_rank, item FROM ranked
+               WHERE neg_rank <= 5 ORDER BY user_id, neg_rank"""))
   )
 }

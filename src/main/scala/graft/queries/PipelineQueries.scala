@@ -501,6 +501,36 @@ object PipelineQueries {
               GROUP BY tk, n_total HAVING count(*) * 41 > n_total
               ORDER BY tk""")),
 
+    // ---- q86's per-group form (MisraGries.heavyHittersPerGroup —
+    // state math there): frequent tokens PER LANGUAGE, each group
+    // thresholded against its own n. The per-(partition, group) state
+    // is <= k counters, so the sketch pass ships k·|langs| entries
+    // where the exact one-pass groupBy shuffles every (lang, token)
+    // pair — the bounded-state-per-group shape every per-domain /
+    // per-source frequency monitor needs at corpus scale. k=30 puts
+    // the threshold at n/31 ≈ 3.2%, under each language's top-token
+    // mass (3.7-4.1% across SFs), so the result is nonempty at every
+    // driver SF. Exactness claim same as q86: superset guarantee +
+    // broadcast recount.
+    GraftQuery(
+      "q154_heavy_hitters_per_lang",
+      (s, d) => MisraGries.heavyHittersPerGroup(
+          t(s, d, "documents").select(col("lang"),
+            explode(Portable.tokens(col("text"))).as("tk")),
+          col("lang"), col("tk"), k = 30)
+        .select(col("grp").as("lang"), col("tk"), col("cnt"))
+        .orderBy(col("lang"), col("tk")),
+      Some("""WITH tok AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tk
+                           FROM documents),
+              n AS (SELECT lang, count(*) AS n_total FROM tok
+                    WHERE tk IS NOT NULL GROUP BY 1)
+              SELECT tok.lang, tk, CAST(count(*) AS BIGINT) AS cnt
+              FROM tok JOIN n USING (lang)
+              WHERE tk IS NOT NULL
+              GROUP BY tok.lang, tk, n_total
+              HAVING count(*) * 31 > n_total
+              ORDER BY lang, tk""")),
+
     // ---- priority sampling (Duffield–Lund–Thorup): 100 documents
     // weighted by token count, each with its Horvitz–Thompson estimation
     // weight ŵ = max(w, τ). The uniform draw is a dyadic rational from
@@ -1152,6 +1182,53 @@ object PipelineQueries {
                      round(min(greatest(p01, least(p99, value))), 6) AS v_min,
                      round(max(greatest(p01, least(p99, value))), 6) AS v_max
               FROM events JOIN p USING (event_type)
+              GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- robust outlier detection via MAD (median absolute deviation
+    // — the Hampel/robust-statistics identifier; the breakdown-point
+    // upgrade over q129's percentile clips and any mean±kσ rule, which
+    // the outliers themselves drag): per event type, flag values
+    // outside median ± 3·MAD and report the flagged count and rate.
+    // Two grouped percentile passes (the median, then the median of
+    // absolute deviations — MAD is not one-pass decomposable) + one
+    // |types|-row broadcast back; at 100 TB both medians swap to the
+    // q142 approx_percentile sketch with the same plumbing. Medians
+    // are exact interpolated percentiles — integer-position arithmetic
+    // both engines (the q28/q129 convention), so the flags are exact,
+    // not band-checked.
+    GraftQuery(
+      "q155_mad_outliers",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val med = ev.groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.5D)").as("med"))
+        val mad = ev.join(broadcast(med), "event_type")
+          .groupBy(col("event_type"), col("med"))
+          .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+        ev.join(broadcast(mad), "event_type")
+          .select(col("event_type"), col("med"), col("mad"),
+            (abs(col("value") - col("med")) > col("mad") * 3).cast("long")
+              .as("is_out"))
+          .groupBy(col("event_type"), col("med"), col("mad"))
+          .agg(count(lit(1)).as("n"), sum(col("is_out")).as("n_out"))
+          .select(col("event_type"), col("n"), col("n_out"),
+            round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+            round(col("n_out").cast("double") / col("n"), 6).as("out_rate"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                           FROM events GROUP BY 1),
+              mad AS (SELECT event_type, any_value(med) AS med,
+                             quantile_cont(abs(value - med), 0.5) AS mad
+                      FROM events JOIN med USING (event_type) GROUP BY event_type)
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN abs(value - med) > mad * 3
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+                     round(any_value(med), 6) AS med,
+                     round(any_value(mad), 6) AS mad,
+                     round(sum(CASE WHEN abs(value - med) > mad * 3
+                               THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS out_rate
+              FROM events JOIN mad USING (event_type)
               GROUP BY event_type ORDER BY event_type""")),
 
     // ---- distribution drift per source: PSI (population stability

@@ -1030,6 +1030,68 @@ object RelationalQueries {
                      CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_lang,
                      CAST(count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END) AS BIGINT) AS n_langs,
                      CAST(sum(n_chars) AS BIGINT) AS chars_total
-              FROM documents"""))
+              FROM documents""")),
+
+    // ---- incremental aggregate maintenance (graft.ops.Incremental —
+    // scale rationale and the insert-only contract there): the events
+    // table split into three "arrival batches" (pmod 3 on event_id — a
+    // deterministic stand-in for daily partitions), each folded to
+    // per-type partial state INDEPENDENTLY, states merged, finals
+    // derived from the merged state alone. The oracle recomputes the
+    // same aggregates from the full table in one scan — hash-equality
+    // IS the materialized-view maintenance claim: merging batch states
+    // loses nothing vs rescanning history. Merge input is 3·|types|
+    // rows; no batch ever sees another batch's raw rows.
+    GraftQuery(
+      "q150_incremental_agg",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val batches = (0 to 2).map(b =>
+          graft.ops.Incremental.partial(
+            ev.filter(pmod(col("event_id"), lit(3)) === b),
+            col("event_type"), col("value")))
+        graft.ops.Incremental.finish(graft.ops.Incremental.merge(batches))
+          .select(col("key").as("event_type"), col("cnt"),
+            round(col("sum"), 6).as("total"),
+            round(col("vmin"), 6).as("vmin"),
+            round(col("vmax"), 6).as("vmax"),
+            round(col("mean"), 6).as("mean"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+                     CAST(count(value) AS BIGINT) AS cnt,
+                     round(sum(value), 6) AS total,
+                     round(min(value), 6) AS vmin,
+                     round(max(value), 6) AS vmax,
+                     round(avg(value), 6) AS mean
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- time-grid resample + forward fill (graft.ops.Resample —
+    // scale shape and the few-long-keys caveat there): per event type,
+    // hourly value sums on the COMPLETE hour grid between the type's
+    // first and last event, gaps carried forward pandas-ffill style and
+    // flagged. Rounding happens before the fill, so a filled hour is a
+    // bit-copy of the emitted hour it repeats — both engines fill from
+    // identical values.
+    GraftQuery(
+      "q152_resample_ffill",
+      (s, d) => graft.ops.Resample
+        .hourlyFfill(t(s, d, "events"), "event_type", "ts", "value")
+        .orderBy(col("event_type"), col("h")),
+      Some("""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                                     round(sum(value), 6) AS v
+                              FROM events GROUP BY 1, 2),
+              span AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+                       FROM hourly GROUP BY 1),
+              grid AS (SELECT event_type,
+                              unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                       FROM span),
+              j AS (SELECT g.event_type, g.h, v
+                    FROM grid g LEFT JOIN hourly USING (event_type, h))
+              SELECT event_type, h,
+                     last_value(v IGNORE NULLS)
+                       OVER (PARTITION BY event_type ORDER BY h) AS v_ff,
+                     v IS NULL AS is_gap
+              FROM j ORDER BY event_type, h"""))
   )
 }

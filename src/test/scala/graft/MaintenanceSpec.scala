@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.ops.{FuzzyJoin, Incremental, Resample}
+
+/** Value specs for the round-14 maintenance/linkage operators:
+  * incremental aggregate upkeep, time-grid forward fill, blocked fuzzy
+  * matching. Each pins the semantic claim its query's oracle can only
+  * check end-to-end. */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // ---- Incremental -------------------------------------------------
+
+  private val rows = Seq(
+    ("a", Some(1.0)), ("a", Some(5.0)), ("a", None),
+    ("b", Some(-2.0)), ("b", Some(4.0)),
+    ("c", None)) // all-null key: cnt 0, mean null
+
+  test("Incremental: merged batch states == single full aggregation") {
+    val df = rows.toDF("k", "v")
+    val full = Incremental.finish(
+      Incremental.merge(Seq(Incremental.partial(df, $"k", $"v"))))
+    // three arbitrary batches, merged
+    val batches = Seq(
+      df.filter(crc32($"k".cast("string")) % 3 === 0),
+      df.filter(crc32($"k".cast("string")) % 3 === 1),
+      df.filter(crc32($"k".cast("string")) % 3 === 2))
+      .map(Incremental.partial(_, $"k", $"v"))
+    val inc = Incremental.finish(Incremental.merge(batches))
+    val a = full.orderBy("key").collect().toSeq
+    val b = inc.orderBy("key").collect().toSeq
+    assert(a == b)
+  }
+
+  test("Incremental: merge is associative — regrouping batches keeps the state") {
+    val df = rows.toDF("k", "v")
+    val p = (0 to 2).map(i => Incremental.partial(
+      df.filter(crc32($"k".cast("string")) % 3 === i), $"k", $"v"))
+    val flat = Incremental.merge(p)
+    val nested = Incremental.merge(Seq(Incremental.merge(p.take(2)), p(2)))
+    assert(flat.orderBy("key").collect().toSeq ==
+      nested.orderBy("key").collect().toSeq)
+  }
+
+  test("Incremental: null-only key has cnt 0 and null mean, min/max null") {
+    val out = Incremental.finish(Incremental.merge(Seq(
+      Incremental.partial(rows.toDF("k", "v"), $"k", $"v"))))
+      .filter($"key" === "c").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("cnt") == 0L)
+    assert(r.isNullAt(r.fieldIndex("mean")))
+    assert(r.isNullAt(r.fieldIndex("vmin")) && r.isNullAt(r.fieldIndex("vmax")))
+  }
+
+  // ---- Resample ----------------------------------------------------
+
+  test("Resample.hourlyFfill: complete grid, gaps carry last value, flags exact") {
+    val ev = Seq(
+      ("k", ts("2024-01-01 00:10:00"), 1.0),
+      ("k", ts("2024-01-01 00:40:00"), 2.0),
+      // 01:00 and 02:00 silent
+      ("k", ts("2024-01-01 03:05:00"), 7.0)
+    ).toDF("t", "ts", "value")
+    val out = Resample.hourlyFfill(ev, "t", "ts", "value")
+      .orderBy("h").collect()
+    assert(out.map(_.getAs[Timestamp]("h")) === Array(
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"),
+      ts("2024-01-01 02:00:00"), ts("2024-01-01 03:00:00")))
+    assert(out.map(_.getAs[Double]("v_ff")).toSeq == Seq(3.0, 3.0, 3.0, 7.0))
+    assert(out.map(_.getAs[Boolean]("is_gap")).toSeq ==
+      Seq(false, true, true, false))
+  }
+
+  test("Resample.hourlyFfill: keys fill independently, single-hour key is one row") {
+    val ev = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1.0),
+      ("a", ts("2024-01-01 02:00:00"), 5.0),
+      ("b", ts("2024-01-01 10:00:00"), 9.0)
+    ).toDF("t", "ts", "value")
+    val out = Resample.hourlyFfill(ev, "t", "ts", "value")
+    assert(out.count() == 4) // a: 3 grid hours, b: 1
+    val aGap = out.filter($"t" === "a" && $"is_gap").collect()
+    assert(aGap.map(_.getAs[Double]("v_ff")).toSeq == Seq(1.0))
+    assert(out.filter($"t" === "b").collect()
+      .map(r => (r.getAs[Double]("v_ff"), r.getAs[Boolean]("is_gap"))).toSeq ==
+      Seq((9.0, false)))
+  }
+
+  // ---- FuzzyJoin ---------------------------------------------------
+
+  test("FuzzyJoin.blockedPairs: within-block results == naive all-pairs within block") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamme"), // dist 1 from doc 1
+      (3L, "alpha zeta entirely other"), // same 5-prefix block, far
+      (4L, "omega beta gamma") // other block, dist small vs 1 — must be missed
+    ).toDF("id", "s")
+    val got = FuzzyJoin.blockedPairs(docs, $"id",
+        substring($"s", 1, 5), $"s", maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 1)))
+    // the cross-block miss is the documented recall bound: 1-4 differ
+    // only in the first word yet are never compared
+    val unblocked = FuzzyJoin.blockedPairs(docs, $"id",
+        lit(1), $"s", maxDist = 6)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    assert(unblocked.contains((1L, 4L)))
+  }
+
+  test("FuzzyJoin.blockedPairs: maxDist boundary inclusive, id order canonical") {
+    val docs = Seq((5L, "aaaa"), (2L, "aaab"), (9L, "aabb")).toDF("id", "s")
+    val got = FuzzyJoin.blockedPairs(docs, $"id", lit(1), $"s", maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((2L, 5L, 1), (2L, 9L, 1)))
+  }
+}

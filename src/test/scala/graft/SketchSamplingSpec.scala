@@ -73,6 +73,52 @@ class SketchSamplingSpec extends SparkSpec {
     }
   }
 
+  test("heavyHittersPerGroup == per-group exhaustive; groups don't bleed") {
+    // two groups with DIFFERENT hot items and different sizes: a group-
+    // blind sketch would flag g1's hot items in g2 or dilute thresholds
+    val g1 = stream(3, 3000).map(("g1", _))
+    val g2 = (stream(4, 800) ++ Seq.fill(400)("only2")).map(("g2", _))
+    val df = (g1 ++ g2).toDF("grp", "tk").repartition(5)
+    for (k <- Seq(3, 10)) {
+      val got = MisraGries.heavyHittersPerGroup(df, col("grp"), col("tk"), k)
+        .as[(String, String, Long)].collect()
+        .map { case (g, tk, c) => (g, tk) -> c }.toMap
+      val want = (g1 ++ g2).groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case ((g, _), c) =>
+          c * (k + 1) > (if (g == "g1") g1.size else g2.size)
+        }.toMap
+      assert(got == want, s"k=$k: got $got want $want")
+    }
+    // null group / null item rows vanish rather than forming groups
+    val withNulls = spark.createDataset(
+      Seq((Option("g"), Option("x")), (None: Option[String], Option("x")),
+        (Option("g"), None: Option[String]))).toDF("grp", "tk")
+    val res = MisraGries.heavyHittersPerGroup(withNulls, col("grp"), col("tk"), 4)
+      .as[(String, String, Long)].collect().toSet
+    assert(res == Set(("g", "x", 1L)))
+  }
+
+  test("negativeSample: disjoint from positives, deterministic, ranks total") {
+    val inter = samples(Gen.zip(Gen.choose(0L, 40L), Gen.choose(0, 25)), 400)
+      .toDF("u", "it")
+    val a = Sampling.negativeSample(inter, col("u"), col("it"), k = 4, oversample = 12)
+    val rows = a.as[(Long, Int, Int)].collect()
+    val pos = inter.as[(Long, Int)].collect().toSet
+    // no sampled negative is a positive
+    rows.foreach { case (u, _, it) => assert(!pos.contains((u, it)), s"($u,$it)") }
+    // per user: ranks are 1..n without holes, items distinct
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq, s"user $u ranks")
+      assert(rs.map(_._3).distinct.length == rs.length, s"user $u dup item")
+      assert(rs.length <= 4)
+    }
+    // pure function of the data: a second build and a repartitioned
+    // build both reproduce the sample bit-for-bit
+    val b = Sampling.negativeSample(inter.repartition(7), col("u"), col("it"),
+      k = 4, oversample = 12).as[(Long, Int, Int)].collect()
+    assert(rows.sorted.toSeq == b.sorted.toSeq)
+  }
+
   /** Independent brute-force priority: same dyadic-rational formula,
     * computed via java MessageDigest rather than the Spark expression. */
   private def bruteP60(s: String): Long = {
