@@ -282,6 +282,115 @@ object Graph {
     labels
   }
 
+  /** Connected components over undirected edges — the graph module's
+    * first-class face of the proven min-label/pointer-jumping loop in
+    * [[Dedup.connectedComponents]] (same iteration, same O(log diameter)
+    * convergence and per-round localCheckpoint discipline; scale
+    * rationale there). Graph callers get (node, component) with
+    * component = the smallest reachable node id, without importing a
+    * dedup module for a graph primitive. Nodes with no edges don't
+    * appear (a graph is its edge set here); left-join the node universe
+    * for singleton components, exactly as [[Dedup.canonical]] does. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+      aCol: String = "u1", bCol: String = "u2"): DataFrame =
+    Dedup.connectedComponents(
+        edges.select(col(aCol).as("d1"), col(bCol).as("d2")), maxIter)
+      .select(col("id").as("node"), col("component"))
+
+  /** Modularity of a node partition (Newman & Girvan 2004 — the
+    * standard "is this community structure better than random?" score):
+    * per community c, the term e_c/m − (d_c/2m)², where e_c = edges
+    * with both endpoints in c, d_c = degree sum over c's nodes, m =
+    * total undirected edges; Q is the sum over communities. Returned
+    * per-COMMUNITY (label, n_nodes, internal_edges, degree_sum,
+    * q_term) so callers can rank communities by contribution and an
+    * oracle can check every term — the scalar Q is `sum(q_term)`.
+    *
+    * This is the quality metric for [[labelPropagation]]'s output:
+    * LPA emits a partition, modularity says whether it found structure
+    * (Q near 0 = no better than random edge placement).
+    *
+    * Scale shape: edges canonicalize in one pass; the e_c count is the
+    * edge frame joined to the label frame on BOTH endpoints (two keyed
+    * shuffles) filtered to label-equal, hash-aggregated per label; d_c
+    * is a node-sized join + hash aggregate. m and nothing else is a
+    * scalar. No windows, no driver state beyond the one scalar. */
+  def modularity(edges: DataFrame, labels: DataFrame,
+      aCol: String = "u1", bCol: String = "u2",
+      nodeCol: String = "node", labelCol: String = "label"): DataFrame = {
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .cache() // read three times: m, degrees, endpoint-label join
+    val m = e.count().toDouble // the one scalar (like pageRank's n)
+    require(m > 0, "modularity is undefined on an empty edge set")
+    val lab = labels.select(col(nodeCol).as("node"), col(labelCol).as("label"))
+    val internal = e
+      .join(lab.select(col("node").as("a"), col("label").as("la")), "a")
+      .join(lab.select(col("node").as("b"), col("label").as("lb")), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val byLabel = deg.join(lab, "node")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("degree")).as("degree_sum"))
+    byLabel.join(internal, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("degree_sum"),
+        round(coalesce(col("internal_edges"), lit(0L)) / lit(m)
+          - pow(col("degree_sum") / lit(2.0 * m), 2), 6).as("q_term"))
+  }
+
+  /** Per-(node, landmark) shortest hop distances from a seed set, by
+    * synchronous min-distance propagation (distributed BFS — the
+    * landmark/reachability feature builder: "how far is every user from
+    * each of these anchor accounts?"). Seeds not present in the graph
+    * are ignored (no edge can reach them); pairs beyond `maxHops` are
+    * absent rather than ∞, so the output is exactly the ≤ maxHops
+    * reachability relation over an undirected view of the edges.
+    *
+    * Scale shape per hop: one edge-keyed join (current distances →
+    * neighbors) and one (node, seed) min-aggregate, map-side combined;
+    * the distance frame is bounded by nodes × |seeds| — seeds are
+    * query-sized (landmarks), never corpus-sized. Distances only ever
+    * shrink, so the fixed `maxHops` rounds are deterministic and
+    * oracle-replayable (the [[pageRank]] convention); the frame
+    * materializes every round (consumed twice: the union and the
+    * propagation join — the 2^k recompute trap). */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      aCol: String = "u1", bCol: String = "u2"): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e0 = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val und = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      .cache() // iterative-access exception, as in pageRank
+    val nodes = und.select(col("src").as("node")).distinct()
+    var dist = nodes
+      .join(broadcast(seeds.toDF("seed")), col("node") === col("seed"), "inner")
+      .select(col("node"), col("seed"), lit(0L).as("dist"))
+      .localCheckpoint(eager = true)
+    var h = 1
+    while (h <= maxHops) {
+      val prop = dist
+        .join(und, dist("node") === und("src"))
+        .select(col("dst").as("node"), col("seed"), (col("dist") + 1).as("dist"))
+      dist = dist.union(prop)
+        .groupBy(col("node"), col("seed"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = true)
+      h += 1
+    }
+    und.unpersist()
+    dist
+  }
+
   /** k-core membership by bounded-round peeling (Seidman 1983; the
     * distributed "peel degree-deficient nodes in rounds" formulation —
     * Montresor et al. 2013): each round drops every node whose CURRENT

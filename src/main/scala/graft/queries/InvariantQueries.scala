@@ -356,6 +356,56 @@ object InvariantQueries {
               FROM events GROUP BY event_type
               UNION ALL
               SELECT '_union', CAST(count(DISTINCT user_id) AS BIGINT), true FROM events
-              ORDER BY event_type"""))
+              ORDER BY event_type""")),
+
+    // ---- q148's shard-merge face (the q98/q91 convention for this
+    // sketch): Count-min sketches built INDEPENDENTLY over four
+    // disjoint document shards, merged with mergeInPlace, must equal
+    // the single-pass global build — not approximately: CMS cells are
+    // plain counter sums and the (depth, width, seed) hash family is
+    // identical across shards, so merge-then-estimate is bit-equal to
+    // build-then-estimate on every probe. That exactness IS the 100 TB
+    // claim — per-partition/per-day sketches union into the corpus
+    // sketch without a rescan. Probes are the exact top-20 tokens
+    // (sketch-sized driver work, the q148 justified collect); the
+    // merged sketch must also keep the est >= true lower-bound hard
+    // guarantee. Oracle pins the exact counts and the two invariant
+    // flags.
+    GraftQuery(
+      "q159_cms_shard_merge",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), explode(graft.ops.Portable.tokens(col("text"))).as("tk"))
+          .filter(col("tk") =!= "").cache()
+        try {
+          val eps = 0.0005
+          // four disjoint shards by doc id — each sketch sees only its
+          // shard's tokens, as per-day ingest sketches would
+          val shards = (0 until 4).map { i =>
+            toks.filter(pmod(col("doc_id"), lit(4)) === i)
+              .stat.countMinSketch("tk", eps = eps, confidence = 0.99, seed = 42)
+          }
+          val merged = shards.reduce { (a, b) => a.mergeInPlace(b); a }
+          val global = toks.stat.countMinSketch("tk", eps = eps,
+            confidence = 0.99, seed = 42)
+          val top = toks.groupBy(col("tk")).agg(count(lit(1)).as("c"))
+            .orderBy(col("c").desc, col("tk")).limit(20)
+            .select(col("tk"), col("c")).as[(String, Long)].collect()
+          top.toSeq.map { case (tk, c) =>
+            val m = merged.estimateCount(tk)
+            (tk, c, m == global.estimateCount(tk), m >= c)
+          }.toDF("tk", "exact_cnt", "merged_eq_global", "merged_lower_ok")
+            .orderBy(col("tk"))
+        } finally toks.unpersist(blocking = false): Unit
+      },
+      Some("""WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tk
+                            FROM documents),
+              top AS (SELECT tk, CAST(count(*) AS BIGINT) AS exact_cnt
+                      FROM toks WHERE tk <> ''
+                      GROUP BY 1 ORDER BY exact_cnt DESC, tk LIMIT 20)
+              SELECT tk, exact_cnt, true AS merged_eq_global, true AS merged_lower_ok
+              FROM top ORDER BY tk"""))
   )
 }

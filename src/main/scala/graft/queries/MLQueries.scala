@@ -436,14 +436,20 @@ object MLQueries {
         val lsz = lpa.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
         val core = graft.ops.Graph.kCore(edges, k = 3, maxRounds = 2)
           .select(col("node"), lit(true).as("in_3core"))
+        // components via the Graph-module API (the Dedup loop's
+        // first-class graph face) — every profiled node has an edge,
+        // so the join is total
+        val cc = graft.ops.Graph.connectedComponents(edges)
         graft.ops.Graph.triangleStats(edges)
           .join(pr, "node")
           .join(lpa, "node").join(lsz, "label")
           .join(core, Seq("node"), "left")
+          .join(cc, "node")
           .select(col("node"), col("degree"), col("n_triangles"),
             col("clustering"), col("rank"), col("label"),
             col("community_size"),
-            coalesce(col("in_3core"), lit(false)).as("in_3core"))
+            coalesce(col("in_3core"), lit(false)).as("in_3core"),
+            col("component"))
           .orderBy(col("node"))
       },
       Some {
@@ -482,6 +488,16 @@ object MLQueries {
                     ON a.item = b.item AND a.hr = b.hr AND a.user_id < b.user_id),
             und AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
                                  UNION ALL SELECT b, a FROM e),
+            -- transitive closure scoped INSIDE this one CTE: a
+            -- clause-level WITH RECURSIVE flips how DuckDB evaluates the
+            -- sibling non-recursive CTEs (observed: the r2 pagerank
+            -- frame fans out 150 -> 2608 rows under it)
+            comp AS (
+              WITH RECURSIVE reach(node, r) AS (
+                SELECT DISTINCT src, src FROM und
+                UNION
+                SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.node)
+              SELECT node, min(r) AS component FROM reach GROUP BY 1),
             deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
                       (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
                     GROUP BY 1),
@@ -517,13 +533,15 @@ object MLQueries {
                         END AS clustering,
                    round(r2.rank, 6) AS rank,
                    l2.label, lsz.community_size,
-                   (core.node IS NOT NULL) AS in_3core
+                   (core.node IS NOT NULL) AS in_3core,
+                   comp.component
             FROM deg d
             JOIN r2 ON d.node = r2.node
             JOIN l2 ON d.node = l2.node
             JOIN lsz ON l2.label = lsz.label
             LEFT JOIN pn ON d.node = pn.node
             LEFT JOIN core ON d.node = core.node
+            JOIN comp ON d.node = comp.node
             ORDER BY d.node"""
       }),
 
@@ -858,6 +876,127 @@ object MLQueries {
                                                     ORDER BY slot) AS neg_rank
                           FROM neg0)
                SELECT user_id, neg_rank, item FROM ranked
-               WHERE neg_rank <= 5 ORDER BY user_id, neg_rank"""))
+               WHERE neg_rank <= 5 ORDER BY user_id, neg_rank""")),
+
+    // ---- modularity of the q138 LPA partition (Graph.modularity —
+    // Newman-Girvan Q, the quality metric LPA was missing: communities
+    // alone say nothing about whether the split beats random edge
+    // placement). Same co-engagement graph and 3 LPA rounds as q138;
+    // per-community terms e_c/m − (d_c/2m)² are emitted so the oracle
+    // checks EVERY term (Q = sum(q_term) is one more aggregate away).
+    // The oracle re-runs the q138 label unroll, then recomputes every
+    // modularity ingredient — internal-edge counts, degree sums, m —
+    // independently in SQL.
+    GraftQuery(
+      "q156_modularity",
+      (s, d) => {
+        val i = t(s, d, "events")
+          .filter(col("user_id").isNotNull && Tables.propsItem.isNotNull)
+          .select(col("user_id"), Tables.propsItem.as("item"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .distinct()
+        val edges = i.select(col("user_id").as("u1"), col("item"), col("hr"))
+          .join(i.select(col("user_id").as("u2"), col("item"), col("hr")),
+            Seq("item", "hr"))
+          .filter(col("u1") < col("u2"))
+          .select(col("u1"), col("u2"))
+          .cache() // feeds both LPA and the modularity terms
+        val labels = graft.ops.Graph.labelPropagation(edges, iters = 3)
+        graft.ops.Graph.modularity(edges, labels)
+          .orderBy(col("label"))
+      },
+      Some {
+        def round(k: Int, prev: String): String =
+          s"""c$k AS (SELECT u.src AS node, l.label, count(*) AS cnt
+                      FROM und u JOIN $prev l ON u.dst = l.node GROUP BY 1, 2),
+              l$k AS MATERIALIZED (SELECT node, label FROM
+                        (SELECT node, label, row_number() OVER (PARTITION BY node
+                           ORDER BY cnt DESC, label) AS rn FROM c$k)
+                      WHERE rn = 1)"""
+        s"""WITH i AS (SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item,
+                              date_trunc('hour', ts) AS hr
+                       FROM events
+                       WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL),
+            e AS MATERIALIZED (SELECT DISTINCT a.user_id AS u1, b.user_id AS u2
+                  FROM i a JOIN i b
+                    ON a.item = b.item AND a.hr = b.hr AND a.user_id < b.user_id),
+            und AS (SELECT u1 AS src, u2 AS dst FROM e
+                    UNION ALL SELECT u2, u1 FROM e),
+            l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+            ${round(1, "l0")},
+            ${round(2, "l1")},
+            ${round(3, "l2")},
+            m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e),
+            internal AS (SELECT la.label, CAST(count(*) AS BIGINT) AS internal_edges
+                         FROM e JOIN l3 la ON e.u1 = la.node
+                         JOIN l3 lb ON e.u2 = lb.node
+                         WHERE la.label = lb.label GROUP BY 1),
+            deg AS (SELECT node, count(*) AS degree FROM
+                      (SELECT u1 AS node FROM e UNION ALL SELECT u2 FROM e)
+                    GROUP BY 1),
+            bl AS (SELECT l.label, CAST(count(*) AS BIGINT) AS n_nodes,
+                          CAST(sum(d.degree) AS BIGINT) AS degree_sum
+                   FROM deg d JOIN l3 l USING (node) GROUP BY 1)
+            SELECT bl.label, bl.n_nodes,
+                   CAST(coalesce(internal.internal_edges, 0) AS BIGINT) AS internal_edges,
+                   bl.degree_sum,
+                   round(coalesce(internal.internal_edges, 0) / (SELECT m FROM m)
+                         - power(bl.degree_sum / (2 * (SELECT m FROM m)), 2), 6) AS q_term
+            FROM bl LEFT JOIN internal USING (label)
+            ORDER BY bl.label"""
+      }),
+
+    // ---- landmark hop distances over the co-engagement graph
+    // (Graph.bfsDistances — synchronous min-distance BFS from a seed
+    // set, 3 hops): the reachability-feature builder ("how far is every
+    // user from each anchor account?"). Seeds are users {0, 1, 2} (the
+    // q141 anchor set); output is the exact ≤3-hop (node, seed, dist)
+    // relation — unreachable-within-3 pairs are absent, not ∞. The
+    // oracle unrolls the same three min-propagation rounds with
+    // MATERIALIZED hop frames (the q144 chain-link discipline).
+    GraftQuery(
+      "q158_bfs_distances",
+      (s, d) => {
+        val i = t(s, d, "events")
+          .filter(col("user_id").isNotNull && Tables.propsItem.isNotNull)
+          .select(col("user_id"), Tables.propsItem.as("item"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .distinct()
+        val edges = i.select(col("user_id").as("u1"), col("item"), col("hr"))
+          .join(i.select(col("user_id").as("u2"), col("item"), col("hr")),
+            Seq("item", "hr"))
+          .filter(col("u1") < col("u2"))
+          .select(col("u1"), col("u2"))
+        val seeds = edges.select(col("u1").as("node"))
+          .union(edges.select(col("u2").as("node")))
+          .distinct().filter(col("node").isin(0, 1, 2))
+        graft.ops.Graph.bfsDistances(edges, seeds, maxHops = 3)
+          .orderBy(col("node"), col("seed"))
+      },
+      Some {
+        def hop(k: Int, prev: String): String =
+          s"""h$k AS MATERIALIZED (SELECT node, seed, min(dist) AS dist FROM (
+                SELECT node, seed, dist FROM $prev
+                UNION ALL
+                SELECT u.dst, p.seed, p.dist + 1 FROM $prev p
+                JOIN und u ON p.node = u.src)
+              GROUP BY 1, 2)"""
+        s"""WITH i AS (SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item,
+                              date_trunc('hour', ts) AS hr
+                       FROM events
+                       WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL),
+            e AS MATERIALIZED (SELECT DISTINCT a.user_id AS u1, b.user_id AS u2
+                  FROM i a JOIN i b
+                    ON a.item = b.item AND a.hr = b.hr AND a.user_id < b.user_id),
+            und AS MATERIALIZED (SELECT u1 AS src, u2 AS dst FROM e
+                                 UNION ALL SELECT u2, u1 FROM e),
+            h0 AS (SELECT DISTINCT src AS node, src AS seed, CAST(0 AS BIGINT) AS dist
+                   FROM und WHERE src IN (0, 1, 2)),
+            ${hop(1, "h0")},
+            ${hop(2, "h1")},
+            ${hop(3, "h2")}
+            SELECT node, seed, CAST(dist AS BIGINT) AS dist FROM h3
+            ORDER BY node, seed"""
+      })
   )
 }

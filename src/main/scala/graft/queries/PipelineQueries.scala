@@ -1329,6 +1329,90 @@ object PipelineQueries {
                               ORDER BY shuffle_key, doc_id) AS rn
                      FROM k)
                SELECT seed, doc_id, shuffle_key FROM h WHERE rn <= 20
-               ORDER BY seed, shuffle_key, doc_id"""))
+               ORDER BY seed, shuffle_key, doc_id""")),
+
+    // ---- the CCNet pipeline end to end (Wenzek et al. 2020 composed —
+    // the flagship LLM training-data demonstration): bigram-LM scoring
+    // (q133) → per-language head/middle/tail bucketing at the exact
+    // quartile cuts (q146; at 100× the cuts frame swaps for q149's
+    // approx_percentile twin — the bucketing plumbing downstream is
+    // identical) → α=1/2 temperature mixing over (lang, bucket) token
+    // mass (q132's exact-integer isqrt rates — the head of a dominant
+    // language stops drowning every tail) → 256-token sequence packing
+    // of the survivors (q89's two-level pack). Output is the packed
+    // span frame: which docs survived and where their tokens landed —
+    // so a drift ANYWHERE in the chain (a score, a cut, a rate, one
+    // gate decision, the pack offsets) is a hash mismatch. The oracle
+    // recomputes the entire chain independently (the q137 convention).
+    GraftQuery(
+      "q157_ccnet_pipeline",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val scored = TextPipeline.bigramLogProb(docs)
+          .join(docs.select(col("doc_id").as("id"), col("lang"), col("text")), "id")
+        val cuts = scored.groupBy(col("lang"))
+          .agg(expr("percentile(avg_neg_logprob, array(0.25D, 0.75D))").as("c"))
+          .select(col("lang"), col("c")(0).as("c1"), col("c")(1).as("c2"))
+        val bucketed = scored.join(broadcast(cuts), "lang")
+          .select(col("id").as("doc_id"), col("text"),
+            concat_ws("/", col("lang"),
+              when(col("avg_neg_logprob") <= col("c1"), "head")
+                .when(col("avg_neg_logprob") <= col("c2"), "middle")
+                .otherwise("tail")).as("mix_key"),
+            size(Portable.tokens(col("text"))).cast("long").as("n_toks"))
+        val rates = Sampling.sqrtTempRates(bucketed, col("mix_key"), col("n_toks"))
+          .select(col("source"), col("rate_bp"))
+        val mixed = bucketed
+          .join(broadcast(rates), col("mix_key") === col("source"))
+          .filter(Sampling.hashGate(col("doc_id"), col("rate_bp")))
+        TextPipeline.pack(mixed, seqLen = 256, bucketWidth = 64)
+          .orderBy(col("doc_id"), col("seq_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+               bi AS (SELECT doc_id, pr.a AS w1, pr.b AS w2
+                      FROM (SELECT doc_id, unnest([{'a': w[i], 'b': w[i+1]} FOR i IN range(1, len(w))]) AS pr
+                            FROM toks WHERE len(w) >= 2)),
+               cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+               cu AS (SELECT w1, count(*) AS cu FROM bi GROUP BY 1),
+               v AS (SELECT count(DISTINCT term) AS v FROM
+                       (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents)
+                     WHERE term <> ''),
+               scored AS (SELECT doc_id,
+                                 round(-avg(ln((cb + 1.0) / (cu + v))), 6) AS nll
+                          FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+                          GROUP BY doc_id),
+               sl AS (SELECT s.doc_id, s.nll, d.lang,
+                             CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_toks
+                      FROM scored s JOIN documents d USING (doc_id)),
+               cuts AS (SELECT lang, quantile_cont(nll, 0.25) AS c1,
+                               quantile_cont(nll, 0.75) AS c2
+                        FROM sl GROUP BY 1),
+               bk AS (SELECT doc_id, n_toks,
+                             lang || '/' || CASE WHEN nll <= c1 THEN 'head'
+                                                 WHEN nll <= c2 THEN 'middle'
+                                                 ELSE 'tail' END AS mix_key
+                      FROM sl JOIN cuts USING (lang)),
+               st AS (SELECT mix_key,
+                             CAST(floor(sqrt(CAST(sum(n_toks) AS DOUBLE))) AS BIGINT) AS isq
+                      FROM bk GROUP BY 1
+                      HAVING sum(n_toks) > 0),
+               r AS (SELECT mix_key,
+                            least(10000, (10000 * (SELECT min(isq) FROM st)) // isq) AS rate_bp
+                     FROM st),
+               k AS (SELECT bk.doc_id, bk.n_toks AS n
+                     FROM bk JOIN r USING (mix_key)
+                     WHERE ${p60("CAST(doc_id AS VARCHAR)")} % 10000 < rate_bp),
+               o AS (SELECT doc_id, n,
+                            CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                              AS BIGINT) AS off
+                     FROM k WHERE n > 0),
+               sp AS (SELECT doc_id, n, off,
+                             unnest(range(off // 256, (off + n - 1) // 256 + 1)) AS seq_id
+                      FROM o)
+               SELECT doc_id, seq_id,
+                      greatest(off, seq_id * 256) - seq_id * 256 AS pos,
+                      least(off + n, (seq_id + 1) * 256) - greatest(off, seq_id * 256) AS n_tok
+               FROM sp ORDER BY doc_id, seq_id"""))
   )
 }

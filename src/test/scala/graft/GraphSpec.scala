@@ -198,4 +198,45 @@ class GraphSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("seed"))
   }
+
+  test("connectedComponents: two components, min-id labels, via the Graph API") {
+    val e = Seq((3L, 1L), (1L, 2L), (7L, 8L)).toDF("u1", "u2")
+    val r = Graph.connectedComponents(e).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L), r.toString)
+  }
+
+  test("modularity: two disjoint triangles score Q = 0.5; one label scores 0") {
+    // m = 6; per community: internal = 3, degree_sum = 6
+    // q_term = 3/6 - (6/12)^2 = 0.25 each -> Q = 0.5
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("u1", "u2")
+    val labels = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 20L, 5L -> 20L, 6L -> 20L)
+      .toDF("node", "label")
+    val r = Graph.modularity(e, labels)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5))).toMap
+    assert(r(10L) == ((3L, 3L, 6L, 0.25)), r.toString)
+    assert(r(20L) == ((3L, 3L, 6L, 0.25)), r.toString)
+    // everything in one community: e_c/m = 1 and (d_c/2m)^2 = 1 -> Q = 0
+    val one = Graph.modularity(e, labels.withColumn("label", lit(1L)))
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(one.length == 1 && one.head._5 == 0.0, one.toSeq.toString)
+  }
+
+  test("bfsDistances: path graph hop goldens, truncation, and maxHops=0") {
+    // path 1-2-3-4-5 plus disconnected 9-10; seed {1}, 2 hops
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 10L)).toDF("u1", "u2")
+    val seeds = Seq(1L).toDF("node")
+    val r = Graph.bfsDistances(e, seeds, maxHops = 2)
+      .as[(Long, Long, Long)].collect().map(x => (x._1, x._2) -> x._3).toMap
+    // nodes 4, 5 and the 9-10 component are beyond reach: absent, not inf
+    assert(r == Map((1L, 1L) -> 0L, (2L, 1L) -> 1L, (3L, 1L) -> 2L), r.toString)
+    val zero = Graph.bfsDistances(e, seeds, maxHops = 0)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(zero == Seq((1L, 1L, 0L)), zero.toString)
+    // two seeds: each (node, seed) pair keeps its own min distance
+    val two = Graph.bfsDistances(e, Seq(1L, 5L).toDF("node"), maxHops = 2)
+      .as[(Long, Long, Long)].collect().map(x => (x._1, x._2) -> x._3).toMap
+    assert(two((3L, 1L)) == 2L && two((3L, 5L)) == 2L && two((5L, 5L)) == 0L, two.toString)
+  }
 }

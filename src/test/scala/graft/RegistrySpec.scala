@@ -10,6 +10,20 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("README's registry counts match the actual registry (no doc drift)") {
+    // README.md line "(N registered queries, M with DuckDB oracles)" —
+    // the first numbers any reader checks; pin them to the code so they
+    // can't drift again (they did in rounds 12-13)
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val m = """\((\d+) registered queries, (\d+)\s""".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "README.md no longer states the registry counts")
+    assert(m.get.group(1).toInt == SparkEntry.registry.size,
+      s"README says ${m.get.group(1)} registered; registry has ${SparkEntry.registry.size}")
+    assert(m.get.group(2).toInt == SparkEntry.oracleSql.size,
+      s"README says ${m.get.group(2)} oracled; registry has ${SparkEntry.oracleSql.size}")
+  }
+
   test("entry() flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -48,6 +48,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingByType: append mode drops a late row from exactly its 4 hops") {
+    // Event time t lands in the 4 hop windows starting at
+    // floor15(t)-45m .. floor15(t); a row arriving after the 2h
+    // watermark has passed ALL four of its window ends must not appear
+    // anywhere — neither bumping the already-emitted closed windows nor
+    // conjuring new ones. Controlled micro-batches via MemoryStream;
+    // watermark advances at batch END, so emissions land one batch late.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = EventStreams.slidingByType(ms.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("sliding_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def step(rows: (java.sql.Timestamp, String, Double)*): Unit = {
+        ms.addData(rows: _*); q.processAllAvailable()
+      }
+      step((ts("2024-01-01 10:00:00"), "a", 1.0)) // wm after: 08:00
+      step((ts("2024-01-01 14:00:00"), "a", 1.0)) // wm after: 12:00 — 10:00's hops all end <= 12:00
+      // LATE: 10:05 < wm 12:00; its hops (ends 10:15..11:00) are closed
+      step((ts("2024-01-01 10:05:00"), "a", 7.0))
+      step((ts("2024-01-01 18:00:00"), "a", 1.0)) // wm after: 16:00
+      step((ts("2024-01-01 22:00:00"), "a", 1.0)) // batch runs at wm 16:00 — emits 14:00's hops
+      val got = spark.table("sliding_late")
+        .select($"win_start", $"n", $"total_value")
+        .as[(java.sql.Timestamp, Long, Double)].collect()
+        .map(x => x._1 -> ((x._2, x._3))).toMap
+      // the 10:00 event's exactly-4 hops, all n=1 — the late 10:05 row
+      // (same 4 hops) neither raised a count nor added value
+      val hops10 = Seq("09:15", "09:30", "09:45", "10:00")
+        .map(m => ts(s"2024-01-01 $m:00"))
+      hops10.foreach { w =>
+        assert(got.get(w).contains((1L, 1.0)), s"$w -> ${got.get(w)}") }
+      // the 14:00 and 18:00 events' exactly-4 hops each emitted too
+      // (the final processAllAvailable flushes at wm 20:00); the 22:00
+      // hops are still open, and nothing else exists
+      val hops14 = Seq("13:15", "13:30", "13:45", "14:00")
+        .map(m => ts(s"2024-01-01 $m:00"))
+      val hops18 = Seq("17:15", "17:30", "17:45", "18:00")
+        .map(m => ts(s"2024-01-01 $m:00"))
+      (hops14 ++ hops18).foreach { w =>
+        assert(got.get(w).contains((1L, 1.0)), s"$w -> ${got.get(w)}") }
+      assert(got.keySet == (hops10 ++ hops14 ++ hops18).toSet, got.toString)
+    } finally q.stop()
+  }
+
   test("topEventsByType: GroupTopK aggregator streaming == batch") {
     // the typed mergeable aggregator must produce the identical top-k
     // under the streaming state store (incremental merges) as in one
