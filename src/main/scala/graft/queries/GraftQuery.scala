@@ -24,21 +24,39 @@ object Tables {
 
   /** Load one driver-provided table (TESTDATA.md).
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * ([PARQUET_TYPE_ILLEGAL]); we read it as raw nanos via the legacy
-    * flag and truncate to micros with exact integer division (ns values
-    * ~1.7e18 exceed double's 2^53 exact range, so no float math here).
-    * DuckDB reads the same column natively as TIMESTAMP_NS; second-level
-    * truncation in query outputs keeps the two engines comparable.
+    * `events.ts` has changed physical type across driver data
+    * generations — TIMESTAMP(NANOS) in early rounds (which Spark 4
+    * rejects outright, [PARQUET_TYPE_ILLEGAL], so it must be read as
+    * raw nanos via the legacy flag and truncated to micros with exact
+    * integer division: ns values ~1.7e18 exceed double's 2^53 exact
+    * range, no float math), plain TIMESTAMP(MICROS) without UTC
+    * adjustment (Spark: TIMESTAMP_NTZ) since round 14. [[normalizeTs]]
+    * sniffs the footer schema and normalizes either encoding to
+    * session-UTC TimestampType, so every downstream query sees one ts
+    * type regardless of which generation wrote the file. DuckDB reads
+    * the same column natively; with a UTC session the wall-clock values
+    * agree between the two engines in both generations.
     */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+  }
+
+  /** Normalize the `ts` column to TimestampType across the data
+    * generations documented on [[apply]]. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => // TIMESTAMP(NANOS) read as raw nanos
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case Some(TimestampNTZType) => // TIMESTAMP(MICROS), no UTC flag
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
     }
   }
 

@@ -19,26 +19,22 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Schema for reading the events parquet as a stream (ts arrives as
-    * raw parquet NANOS int64 — see graft.queries.Tables). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read via nanosAsLong
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** File-source stream over the driver's events parquet. The file
     * source wants a directory, and `events.parquet` is a single file —
-    * stream the sf directory with a glob filter. */
+    * stream the sf directory with a glob filter. The file source also
+    * wants a schema upfront; the physical ts type has changed across
+    * driver data generations (nanos-as-long vs TIMESTAMP_NTZ — see
+    * graft.queries.Tables), so read it from the actual file's footer
+    * (one driver-side metadata read, no data scan) and normalize ts
+    * the same way the batch loader does. */
   def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    graft.queries.Tables.normalizeTs(
+      spark.readStream
+        .schema(raw)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
   }
 
   /** Watermark only applies to streaming inputs; on a batch frame the
