@@ -439,6 +439,64 @@ object EmbeddingQueries {
                 (SELECT qid, nid, cos_sim,
                         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rn
                  FROM p)
-              WHERE rn <= 5 ORDER BY qid, rn"""))
+              WHERE rn <= 5 ORDER BY qid, rn""")),
+
+    // ---- k-means (Lloyd) over the embedding corpus — the clustering
+    // stage semantic dedup and topic bucketing hang off. k = 10 (the
+    // corpus's latent label count), 3 iterations, lowest-id seeding;
+    // every step is pinned by the determinism conventions documented on
+    // graft.ops.KMeans, and the oracle re-runs the identical unrolled
+    // Lloyd chain in SQL — any drift in seeding, the distance argmin,
+    // the tie rule, the 6dp centroid rounding, or the empty-cluster
+    // rule is a hash mismatch on the full 500-row assignment.
+    GraftQuery(
+      "q160_kmeans_lloyd",
+      (s, d) => graft.ops.KMeans.lloyd(
+          t(s, d, "embeddings"), "vec_id", "embedding", k = 10, iters = 3)
+        ._1
+        .select(col("id").as("vec_id"), col("cluster"))
+        .orderBy(col("vec_id")),
+      Some(graft.ops.KMeans.oracleCtes(k = 10, iters = 3) +
+        "\n SELECT vec_id, cluster FROM afin ORDER BY vec_id")),
+
+    // ---- SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    // near-dup pruning that only compares WITHIN k-means clusters — the
+    // clustering turns the N² all-pairs cosine into k independent
+    // (N/k)² blocks, which is the whole trick that makes embedding
+    // dedup feasible at corpus scale (the q42/q63 LSH buckets, with
+    // learned buckets). A vector is dropped iff a LOWER-id vector in
+    // its cluster has cosine >= 0.35 — lowest id is the kept
+    // representative, so the rule is order-free and deterministic.
+    // Output: the dropped ids with their cluster and the strongest
+    // in-cluster duplicate cosine (rounded before max — same 6dp
+    // convention the pair frame ranks on).
+    GraftQuery(
+      "q161_semantic_dedup",
+      (s, d) => {
+        val (asg, _) = graft.ops.KMeans.lloyd(
+          t(s, d, "embeddings"), "vec_id", "embedding", k = 10, iters = 3)
+        val n = vecs(s, d).join(asg, "id")
+        val a = n.select(col("id").as("d1"), col("v").as("va"),
+          col("nrm").as("na"), col("cluster"))
+        val b = n.select(col("id").as("d2"), col("v").as("vb"),
+          col("nrm").as("nb"), col("cluster"))
+        a.join(b, Seq("cluster"))
+          .filter(col("d1") < col("d2"))
+          .select(col("cluster"), col("d2"),
+            round(expr("array_dot(va, vb)") / (col("na") * col("nb")), 6).as("cs"))
+          .filter(col("cs") >= 0.35)
+          .groupBy(col("d2"))
+          .agg(min(col("cluster")).as("cluster"), max(col("cs")).as("max_cos"))
+          .select(col("d2").as("vec_id"), col("cluster"), col("max_cos"))
+          .orderBy(col("vec_id"))
+      },
+      Some(graft.ops.KMeans.oracleCtes(k = 10, iters = 3) + s""",
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, cluster
+               FROM e JOIN afin USING (vec_id)),
+         p AS (SELECT b.cluster, b.vec_id AS d2,
+                      round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cs
+               FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         SELECT d2 AS vec_id, min(cluster) AS cluster, max(cs) AS max_cos
+         FROM p WHERE cs >= 0.35 GROUP BY d2 ORDER BY vec_id"""))
   )
 }

@@ -422,6 +422,10 @@ object MLQueries {
             Seq("item", "hr"))
           .filter(col("u1") < col("u2"))
           .select(col("u1"), col("u2"))
+          .distinct() // all four consumers dedup anyway (simple-graph
+          // reading, the oracle's DISTINCT e) — dedup ONCE before the
+          // cache so the cached frame is the small one and the
+          // consumers' internal distincts are no-ops on it
           .cache() // one edge build, four consumers
         val und = edges.select(col("u1").as("src"), col("u2").as("dst"))
           .union(edges.select(col("u2").as("src"), col("u1").as("dst")))

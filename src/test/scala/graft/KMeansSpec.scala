@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.KMeans
+
+/** Value-level pins for the hand-rolled Lloyd k-means (graft.ops.KMeans):
+  * geometry on an unambiguous 2-cluster fixture, the tie and
+  * empty-cluster rules the DuckDB oracle also encodes, and determinism
+  * across layouts.
+  */
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    // two tight groups around (0,0) and (10,10); ids 0 and 1 land one
+    // seed in each group
+    (0L, Seq(0.1f, 0.0f)), (1L, Seq(10.0f, 10.1f)),
+    (2L, Seq(0.0f, 0.2f)), (3L, Seq(9.9f, 10.0f)),
+    (4L, Seq(0.2f, 0.1f)), (5L, Seq(10.1f, 9.9f))
+  ).toDF("vec_id", "embedding")
+
+  test("lloyd separates two obvious clusters and centroids are the group means") {
+    val (asg, cents) = KMeans.lloyd(fixture, "vec_id", "embedding", k = 2, iters = 2)
+    val byCluster = asg.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(Set(0L, 2L, 4L).map(byCluster) == Set(0))
+    assert(Set(1L, 3L, 5L).map(byCluster) == Set(1))
+    // centroid 0 = mean of the three points near the origin, 6dp-rounded
+    assert(math.abs(cents(0)(0) - (0.1 + 0.0 + 0.2) / 3) < 1e-6)
+    assert(math.abs(cents(0)(1) - (0.0 + 0.2 + 0.1) / 3) < 1e-6)
+    assert(math.abs(cents(1)(0) - (10.0 + 9.9 + 10.1) / 3) < 1e-6)
+  }
+
+  test("exact distance ties break to the lowest centroid index") {
+    // identical points at ids 0 and 1 seed two IDENTICAL centroids:
+    // every point ties on distance, so everything must land on index 0
+    val dup = Seq(
+      (0L, Seq(1.0f, 1.0f)), (1L, Seq(1.0f, 1.0f)),
+      (2L, Seq(1.5f, 1.0f)), (3L, Seq(0.5f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val (asg, cents) = KMeans.lloyd(dup, "vec_id", "embedding", k = 2, iters = 2)
+    assert(asg.collect().map(_.getInt(1)).toSet == Set(0))
+    // cluster 1 went empty and must keep its seed centroid verbatim
+    assert(cents(1) == Seq(1.0, 1.0))
+  }
+
+  test("assignment is partition-layout invariant (shuffle-free argmin)") {
+    val a = KMeans.lloyd(fixture, "vec_id", "embedding", k = 2, iters = 3)._1
+    val b = KMeans.lloyd(fixture.repartition(7, col("vec_id")),
+      "vec_id", "embedding", k = 2, iters = 3)._1
+    assert(a.orderBy("id").collect().toSeq == b.orderBy("id").collect().toSeq)
+  }
+
+  test("iters = 0 assigns against the raw lowest-id seeds") {
+    val (asg, cents) = KMeans.lloyd(fixture, "vec_id", "embedding", k = 2, iters = 0)
+    // seeds are rows 0 and 1 cast to double, untouched
+    assert(cents(0) == Seq(0.1f.toDouble, 0.0))
+    assert(cents(1) == Seq(10.0f.toDouble, 10.1f.toDouble))
+    assert(asg.filter(col("id") === 2L).head().getInt(1) == 0)
+    assert(asg.filter(col("id") === 3L).head().getInt(1) == 1)
+  }
+}
