@@ -1092,6 +1092,102 @@ object RelationalQueries {
                      last_value(v IGNORE NULLS)
                        OVER (PARTITION BY event_type ORDER BY h) AS v_ff,
                      v IS NULL AS is_gap
-              FROM j ORDER BY event_type, h"""))
+              FROM j ORDER BY event_type, h""")),
+
+    // ---- CUBE + grouping_id (q14's rollup widened to the full lattice):
+    // all four aggregation levels of (returnflag, linestatus) in one
+    // pass — Spark expands the grouping sets BEFORE the exchange, so the
+    // shuffle carries the partially-aggregated lattice, not 4 scans.
+    // NULL group keys are coalesced to 'ALL' (no real value collides —
+    // flags are single chars) and gid pins WHICH level each row is, so
+    // the two engines can't agree by accident; both sort NULLS-free.
+    GraftQuery(
+      "q162_cube_grouping",
+      (s, d) => t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 4).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid"), col("n"), col("qty"))
+        .orderBy(col("gid"), col("rf"), col("ls")),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                     coalesce(l_linestatus, 'ALL') AS ls,
+                     CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                     CAST(count(*) AS BIGINT) AS n,
+                     round(sum(l_quantity), 4) AS qty
+              FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+              ORDER BY gid, rf, ls""")),
+
+    // ---- DataFrameStatFunctions.crosstab — the contingency-table stat
+    // API (pairwise frequency counts, one shuffle on the row key with
+    // the column key pivoted map-side). Value columns are named by the
+    // observed values ('0'..'6'), so the oracle spells the same pivot
+    // with FILTER counts under the same names. events.user_id has no
+    // nulls (pinned by the n row total: 10000 at sf0.01).
+    GraftQuery(
+      "q163_crosstab",
+      (s, d) => t(s, d, "events")
+        .withColumn("um", col("user_id") % 7)
+        .stat.crosstab("event_type", "um")
+        .orderBy(col("event_type_um")),
+      Some("""SELECT event_type AS event_type_um,
+                     count(*) FILTER (user_id % 7 = 0) AS "0",
+                     count(*) FILTER (user_id % 7 = 1) AS "1",
+                     count(*) FILTER (user_id % 7 = 2) AS "2",
+                     count(*) FILTER (user_id % 7 = 3) AS "3",
+                     count(*) FILTER (user_id % 7 = 4) AS "4",
+                     count(*) FILTER (user_id % 7 = 5) AS "5",
+                     count(*) FILTER (user_id % 7 = 6) AS "6"
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ---- per-label second-moment statistics over embedding dims 0/1 —
+    // the drift-monitor face of the embedding table (does dim0 still
+    // correlate with dim1 per class after a re-embed?): Pearson corr,
+    // sample variance, sample covariance, all codegen'd second-moment
+    // aggregates (one pass, map-side partials), rounded 6dp under the
+    // bounds convention.
+    GraftQuery(
+      "q164_embed_dim_stats",
+      (s, d) => t(s, d, "embeddings")
+        .select(col("label"),
+          col("embedding")(0).cast("double").as("x0"),
+          col("embedding")(1).cast("double").as("x1"))
+        .groupBy(col("label"))
+        .agg(round(corr(col("x0"), col("x1")), 6).as("c01"),
+          round(var_samp(col("x0")), 6).as("v0"),
+          round(covar_samp(col("x0"), col("x1")), 6).as("cv"))
+        .orderBy(col("label")),
+      Some("""SELECT label,
+                     round(corr(embedding[1]::DOUBLE, embedding[2]::DOUBLE), 6) AS c01,
+                     round(var_samp(embedding[1]::DOUBLE), 6) AS v0,
+                     round(covar_samp(embedding[1]::DOUBLE, embedding[2]::DOUBLE), 6) AS cv
+              FROM embeddings GROUP BY label ORDER BY label""")),
+
+    // ---- ORC write→read round trip (the q117 pattern on the columnar
+    // sibling format): project documents to ORC, read back, aggregate.
+    // The point under test is the ORC read path (schema, string/long
+    // codecs); text integrity is pinned via octet_length sums (UTF-8
+    // bytes — identical semantics on both engines, unlike char-counting
+    // length()). The oracle aggregates the ORIGINAL parquet, so any ORC
+    // codec drift is a hash mismatch.
+    GraftQuery(
+      "q165_orc_roundtrip",
+      (s, d) => {
+        val dir = Scratch.dir("graft_orc", d)
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), col("text"))
+          .write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+            sum(octet_length(col("text"))).as("text_bytes"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(n_chars) AS BIGINT) AS chars,
+                     CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+              FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
