@@ -329,4 +329,45 @@ class ScaleSpec extends SparkSpec {
       assert(n == exact)
     } finally q.stop()
   }
+
+  test("k-means assignment is shuffle-free (argmin over inlined centroids)") {
+    // the q160 scale claim is a plan property: after the k×d seed
+    // collect, nearest-centroid assignment must be pure scan-side work —
+    // no N×k crossJoin, no exchange (the argmin is array_min over
+    // centroid literals). iters=1 also exercises one update round; the
+    // RETURNED frame is the final assignment and must plan exchange-free.
+    val emb = Tables(spark, sf, "embeddings")
+    val (asg, _) = graft.ops.KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val plan = asg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
+  test("runtime bloom filter reaches the probe side of a selective shuffle join") {
+    // at 100 TB the big-big join tool next to bucketing is the runtime
+    // bloom filter: a selective dimension-side predicate is turned into
+    // a might_contain() probe-side filter evaluated AT THE SCAN, so the
+    // fact table drops non-joining rows before the exchange. Defaults
+    // gate on multi-GB scan sizes; lower the thresholds to observe the
+    // rewrite on test-scale data — the PLAN SHAPE is what's pinned.
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val o = Tables(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val l = Tables(spark, sf, "lineitem")
+      val joined = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice")).as("rev"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${optimized.take(1200)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
 }
