@@ -664,6 +664,45 @@ object MLQueries {
               round(sum(value), 2) AS total_value
               FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- the EventTimeTimeout stateful operator on its batch twin
+    // (q75 covers NoTimeout): gap-sessionization + in-session dependent
+    // view→click→purchase funnel, emitted per closed session. The
+    // oracle rebuilds sessions with the lag/cumsum window idiom (RANGE
+    // frame, so same-timestamp ties share one running value) and the
+    // funnel with the q47-style dependent-min chain. Session bounds are
+    // epoch MICROS — exact longs on both engines. Stream==batch parity
+    // for the same operator on an out-of-order feed is pinned in
+    // StreamingSpec.
+    GraftQuery(
+      "q166_session_funnels",
+      (s, d) => EventStreams.sessionFunnels(t(s, d, "events"), gapMinutes = 60)
+        .toDF()
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH o AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+              b AS (SELECT user_id, us, event_type,
+                     CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                            > 3600000000 THEN 1 ELSE 0 END AS brk
+                    FROM o),
+              g AS (SELECT user_id, us, event_type,
+                           sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                             RANGE UNBOUNDED PRECEDING) AS sid
+                    FROM b),
+              s AS (SELECT user_id, sid, min(us) AS session_start,
+                           max(us) AS session_end,
+                           CAST(count(*) AS BIGINT) AS n_events,
+                           min(us) FILTER (event_type = 'view') AS v
+                    FROM g GROUP BY 1, 2),
+              c AS (SELECT g.user_id, g.sid, min(g.us) AS c
+                    FROM g JOIN s USING (user_id, sid)
+                    WHERE g.event_type = 'click' AND g.us >= s.v GROUP BY 1, 2),
+              p AS (SELECT g.user_id, g.sid, min(g.us) AS p
+                    FROM g JOIN c USING (user_id, sid)
+                    WHERE g.event_type = 'purchase' AND g.us >= c.c GROUP BY 1, 2)
+              SELECT s.user_id, s.session_start, s.session_end, s.n_events,
+                     (p.p IS NOT NULL) AS has_funnel
+              FROM s LEFT JOIN p USING (user_id, sid)
+              ORDER BY user_id, session_start""")),
+
     // ---- Multimodal inventory: binary payload column + typed metadata,
     // metadata-only projection (never touches the payload at scan time).
     GraftQuery(

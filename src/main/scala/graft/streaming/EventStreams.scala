@@ -184,6 +184,101 @@ object EventStreams {
   final case class EventRow(event_id: Long, user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
+  /** One closed activity session: bounds in epoch MICROS (exact longs —
+    * no float/tz ambiguity across engines), event count, and whether a
+    * dependent view→click→purchase chain completed inside the session
+    * (earliest view, then earliest click at-or-after it, then earliest
+    * purchase at-or-after that — set-based mins, so the verdict is
+    * independent of event arrival order). */
+  final case class SessionSummary(user_id: Long, session_start: Long,
+      session_end: Long, n_events: Long, has_funnel: Boolean)
+
+  /** Gap-sessionization with in-session funnel detection as a custom
+    * stateful operator — the EventTimeTimeout face of
+    * flatMapGroupsWithState ([[runningTotals]] covers NoTimeout): a
+    * user's session closes `gapMinutes` after their last event, and the
+    * operator may only emit it once the WATERMARK has passed that
+    * close (out-of-order events inside the horizon can still reorder
+    * the chain), so emission happens either on-data for sessions
+    * already behind the watermark or via the state timeout for users
+    * who simply went quiet — the timeout is what bounds state for a
+    * 100 TB/day stream: buffered events are evicted the moment no
+    * future event can extend or reorder their session.
+    *
+    * The SAME function runs on a batch frame (flatMapGroupsWithState's
+    * unified path, NoTimeout — each group is processed exactly once
+    * with its full history, every session closed by construction),
+    * which is the driver-visible q166 and the oracle's window-SQL
+    * twin; StreamingSpec pins stream==batch on an out-of-order feed.
+    *
+    * Gap-chunking is EXACT for any in-session pattern: two events
+    * separated by a gap > gapMinutes can never belong to one chain,
+    * because every chain is contained in one session by definition. */
+  def sessionFunnels(events: DataFrame, gapMinutes: Int = 60): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val streaming = events.isStreaming
+
+    def sessions(evts: Seq[(Long, String)]): Seq[Seq[(Long, String)]] = {
+      val sorted = evts.sortBy(_._1)
+      if (sorted.isEmpty) Nil
+      else sorted.tail.foldLeft(Vector(Vector(sorted.head))) { (acc, e) =>
+        if (e._1 - acc.last.last._1 > gapUs) acc :+ Vector(e)
+        else acc.init :+ (acc.last :+ e)
+      }
+    }
+    def summarize(user: Long, sess: Seq[(Long, String)]): SessionSummary = {
+      val v = sess.collect { case (t, "view") => t }.minOption
+      val c = v.flatMap(v0 => sess.collect {
+        case (t, "click") if t >= v0 => t }.minOption)
+      val p = c.flatMap(c0 => sess.collect {
+        case (t, "purchase") if t >= c0 => t }.minOption)
+      SessionSummary(user, sess.head._1, sess.last._1, sess.size, p.isDefined)
+    }
+
+    // keep the watermarked `ts` attribute in the projection — event-time
+    // timeout requires the watermark column to survive to the stateful op
+    withWm(events)
+      .select(col("ts"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .as[(java.sql.Timestamp, Long, Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (streaming) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[(java.sql.Timestamp, Long, Long, String)],
+            state: GroupState[Seq[(Long, String)]]) => {
+          if (!streaming) {
+            sessions(it.map(r => (r._3, r._4)).toVector)
+              .map(summarize(user, _)).iterator
+          } else if (state.hasTimedOut) {
+            // watermark passed last_ts + gap: every buffered session is
+            // closed and immutable — emit and evict
+            val out = sessions(state.get).map(summarize(user, _))
+            state.remove()
+            out.iterator
+          } else {
+            val buf = state.getOption.getOrElse(Vector.empty) ++
+              it.map(r => (r._3, r._4))
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (closed, open) =
+              sessions(buf).partition(s => s.last._1 + gapUs <= wmUs)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(open.flatten)
+              val lastUs = open.iterator.map(_.last._1).max
+              // fire once the watermark can close the newest session;
+              // must be strictly beyond the current watermark
+              state.setTimeoutTimestamp(math.max(
+                lastUs / 1000L + gapMinutes * 60000L,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            closed.map(summarize(user, _)).iterator
+          }
+        })
+  }
+
   /** Custom stateful op: running per-user totals via
     * flatMapGroupsWithState (the mapGroupsWithState family, SURVEY §7.4).
     * Emits an updated running row per input batch per user. */

@@ -333,6 +333,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionFunnels: EventTimeTimeout stateful op, out-of-order stream == batch") {
+    // The q166 operator's streaming face: events arrive OUT OF ORDER
+    // within the 2h watermark horizon (user 1's purchase lands a batch
+    // before its click), the state buffer reorders by event time, and
+    // sessions emit either on-data or via the state TIMEOUT once the
+    // watermark passes session_end + gap. The batch face (NoTimeout,
+    // full history per group) over the same rows must agree exactly on
+    // every closed session.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = EventStreams.sessionFunnels(
+        ms.toDF().toDF("ts", "user_id", "event_type"))
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append).start()
+    val all = scala.collection.mutable.ArrayBuffer
+      .empty[(java.sql.Timestamp, Long, String)]
+    try {
+      def step(rows: (java.sql.Timestamp, Long, String)*): Unit = {
+        all ++= rows; ms.addData(rows: _*); q.processAllAvailable()
+      }
+      // user 1: funnel events arrive out of arrival-order (purchase
+      // first); user 2: click BEFORE view in event time -> no funnel
+      step((ts("2024-01-01 10:00:00"), 1L, "view"),
+           (ts("2024-01-01 10:20:00"), 1L, "purchase"))
+      step((ts("2024-01-01 10:10:00"), 1L, "click"),
+           (ts("2024-01-01 09:50:00"), 2L, "click"),
+           (ts("2024-01-01 10:00:00"), 2L, "view"))
+      // 16:00 advances wm to 14:00 > both sessions' close (+gap) ->
+      // users 1/2 emit (no-data batch fires their timeouts)
+      step((ts("2024-01-01 16:00:00"), 99L, "view"))
+      // 23:00 -> wm 21:00 > 17:00 fires user 99's TIMEOUT (no new data
+      // for that key — emission is purely timeout-driven)
+      step((ts("2024-01-01 23:00:00"), 3L, "view"))
+      step((ts("2024-01-01 23:05:00"), 3L, "view")) // extra wm tick
+      val streamed = spark.table("sessions_out")
+        .as[EventStreams.SessionSummary].collect().toSet
+      val closedUsers = streamed.map(_.user_id)
+      assert(closedUsers == Set(1L, 2L, 99L), streamed.toString)
+      // user 3's session is still open (wm hasn't passed 23:05 + gap)
+      // batch face over the identical rows: closed sessions must match
+      val batch = EventStreams.sessionFunnels(
+          all.toSeq.toDF("ts", "user_id", "event_type"))
+        .collect().toSet
+      assert(batch.filter(s => closedUsers(s.user_id)) == streamed)
+      assert(streamed.find(_.user_id == 1L).exists(_.has_funnel))
+      assert(streamed.find(_.user_id == 2L).exists(!_.has_funnel))
+    } finally q.stop()
+  }
+
   test("runningTotals: stateful op accumulates per-user counts") {
     val events = Tables(spark, sf, "events")
       .selectExpr("event_id", "user_id", "event_type", "value")
