@@ -1188,6 +1188,92 @@ object RelationalQueries {
       Some("""SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
                      CAST(sum(n_chars) AS BIGINT) AS chars,
                      CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
-              FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""))
+              FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- pivot with an EXPLICIT value list (q163's crosstab is the
+    // count-only stat face; this is the general agg pivot). Passing the
+    // values up front matters at scale: the two-arg pivot overload first
+    // runs a driver-side distinct-collect over the pivot column to
+    // discover them — an extra full scan plus a driver round trip this
+    // form skips. The plan is then ONE map-side-combined hash aggregate
+    // on the row key with the five value columns folded as conditional
+    // aggregates (no per-value scan). Double sums are order-dependent →
+    // rounded (2dp, the events value convention).
+    GraftQuery(
+      "q167_pivot",
+      (s, d) => t(s, d, "events")
+        .groupBy((col("user_id") % 10).as("ub"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum(col("value")), 2))
+        .orderBy(col("ub")),
+      Some("""SELECT user_id % 10 AS ub,
+                     round(sum(value) FILTER (event_type = 'click'), 2) AS click,
+                     round(sum(value) FILTER (event_type = 'error'), 2) AS error,
+                     round(sum(value) FILTER (event_type = 'purchase'), 2) AS purchase,
+                     round(sum(value) FILTER (event_type = 'signup'), 2) AS signup,
+                     round(sum(value) FILTER (event_type = 'view'), 2) AS view
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ---- unpivot/melt (the wide→long inverse of q167): lineitem's four
+    // measure columns to (measure, v) rows, then a per-(returnflag,
+    // measure) aggregate. Spark plans unpivot as an Expand — each input
+    // row fans out to 4 scan-side, BEFORE the exchange, so the shuffle
+    // carries partially-aggregated (flag, measure) cells, never 4×
+    // raw rows; no self-union, one scan. Sum rounded 4dp (q162's
+    // lineitem convention).
+    GraftQuery(
+      "q168_unpivot",
+      (s, d) => t(s, d, "lineitem")
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "v")
+        .groupBy(col("l_returnflag"), col("measure"))
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 4).as("total"))
+        .orderBy(col("l_returnflag"), col("measure")),
+      Some("""WITH m AS (
+                SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+                UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+                UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+                UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+              SELECT l_returnflag, measure, CAST(count(*) AS BIGINT) AS n,
+                     round(sum(v), 4) AS total
+              FROM m GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- the distribution-rank window family (T1 covers row_number;
+    // these are the remaining SQL:2003 ranks): per-mktsegment customer
+    // revenue quartile (ntile), percent_rank and cume_dist. All three
+    // share ONE window spec → one shuffle on mktsegment + one sort, a
+    // single WindowExec. The order key includes c_custkey so the total
+    // order is unique — ntile/percent_rank over a tied order are
+    // engine-ambiguous otherwise. Revenue is summed then rounded 2dp
+    // BEFORE ranking so both engines rank identical values.
+    GraftQuery(
+      "q169_rank_family",
+      (s, d) => {
+        val rev = t(s, d, "orders").join(t(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("c_custkey"))
+          .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("revenue"), col("c_custkey"))
+        rev.select(col("c_mktsegment"), col("c_custkey"), col("revenue"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy(col("c_mktsegment"), col("c_custkey"))
+      },
+      Some("""WITH rev AS (SELECT c_mktsegment, c_custkey,
+                     round(sum(o_totalprice), 2) AS revenue
+                     FROM orders JOIN customer ON o_custkey = c_custkey
+                     GROUP BY 1, 2)
+              SELECT c_mktsegment, c_custkey, revenue,
+                     ntile(4) OVER w AS quartile,
+                     round(percent_rank() OVER w, 6) AS pct_rank,
+                     round(cume_dist() OVER w, 6) AS cume
+              FROM rev
+              WINDOW w AS (PARTITION BY c_mktsegment ORDER BY revenue, c_custkey)
+              ORDER BY c_mktsegment, c_custkey"""))
   )
 }
