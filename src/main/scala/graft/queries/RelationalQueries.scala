@@ -1274,6 +1274,50 @@ object RelationalQueries {
                      round(cume_dist() OVER w, 6) AS cume
               FROM rev
               WINDOW w AS (PARTITION BY c_mktsegment ORDER BY revenue, c_custkey)
-              ORDER BY c_mktsegment, c_custkey"""))
+              ORDER BY c_mktsegment, c_custkey""")),
+
+    // ---- table reconciliation (ops.Reconcile — the migration/backfill
+    // "is the copy identical?" check): left = orders as-is; right = a
+    // deterministic perturbation (orderkey%97 rows dropped, %101 rows'
+    // totalprice bumped by 1.0, %103 rows re-inserted under
+    // orderkey+1e6). orders because o_orderkey is the genuinely UNIQUE
+    // key (lineitem's (orderkey, linenumber) has driver-synthesized
+    // duplicates — a reconciliation key must be a key). Phase 1 folds
+    // each side to 64 (count, XOR-of-row-hash) bucket rows — map-side
+    // combined, the only full scans; phase 2's row-level outer join is
+    // semi-joined down to the divergent buckets first, so on a
+    // mostly-identical 100 TB pair it shuffles ~nothing. The oracle
+    // recomputes the diff generically: same right-side construction,
+    // FULL JOIN on the key, any-column IS DISTINCT FROM.
+    GraftQuery(
+      "q170_table_diff",
+      (s, d) => {
+        val l = t(s, d, "orders")
+        val base = l.filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 101 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")))
+        val r = base.unionAll(base.filter(col("o_orderkey") % 103 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+        graft.ops.Reconcile.diffRows(l, r, Seq("o_orderkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH base AS (
+                SELECT * REPLACE (CASE WHEN o_orderkey % 101 = 0
+                         THEN o_totalprice + 1.0
+                         ELSE o_totalprice END AS o_totalprice)
+                FROM orders WHERE o_orderkey % 97 <> 0),
+              r AS (SELECT * FROM base
+                    UNION ALL
+                    SELECT * REPLACE (o_orderkey + 1000000 AS o_orderkey)
+                    FROM base WHERE o_orderkey % 103 = 0)
+              SELECT coalesce(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+                     CASE WHEN r.o_orderkey IS NULL THEN 'left_only'
+                          WHEN l.o_orderkey IS NULL THEN 'right_only'
+                          ELSE 'changed' END AS status
+              FROM orders l FULL JOIN r ON l.o_orderkey = r.o_orderkey
+              WHERE l.o_orderkey IS NULL OR r.o_orderkey IS NULL
+                 OR (l.o_totalprice IS DISTINCT FROM r.o_totalprice)
+              ORDER BY 1"""))
   )
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Reconcile
+
+/** Reconcile invariants: identical content diffs empty (in any column
+  * order), each status fires on exactly its construction, the bucket
+  * count catches pure-cardinality drift, and phase 2 only reads
+  * divergent buckets. */
+class ReconcileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(rows: (Long, String, Double)*) =
+    rows.toDF("id", "name", "v")
+
+  test("identical frames: zero divergent buckets, empty diff") {
+    val a = frame((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+    assert(Reconcile.divergentBuckets(a, frame((1L, "a", 1.0), (2L, "b", 2.0),
+      (3L, "c", 3.0)), Seq("id")).count() == 0)
+    assert(Reconcile.diffRows(a, a, Seq("id")).count() == 0)
+  }
+
+  test("identical content in a different column ORDER still diffs empty") {
+    val a = frame((1L, "a", 1.0), (2L, "b", 2.0))
+    val b = a.select($"v", $"id", $"name")
+    assert(Reconcile.diffRows(a, b, Seq("id")).count() == 0)
+  }
+
+  test("mismatched column sets are rejected") {
+    val a = frame((1L, "a", 1.0))
+    intercept[IllegalArgumentException] {
+      Reconcile.diffRows(a, a.drop("v"), Seq("id"))
+    }
+  }
+
+  test("each status fires on exactly its row") {
+    val l = frame((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+    val r = frame((1L, "a", 9.9), (3L, "c", 3.0), (4L, "d", 4.0)) // 1 changed, 2 dropped, 4 added
+    val got = Reconcile.diffRows(l, r, Seq("id"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "changed"), (2L, "left_only"), (4L, "right_only")))
+  }
+
+  test("duplicated row (same key twice on one side): count catches what XOR cancels") {
+    // the documented blind spot is EVEN-multiplicity content swaps; a
+    // plain duplicate changes the bucket COUNT, so it must surface
+    val l = frame((1L, "a", 1.0), (2L, "b", 2.0))
+    val r = l.unionAll(frame((2L, "b", 2.0)))
+    assert(Reconcile.divergentBuckets(l, r, Seq("id")).count() == 1)
+  }
+
+  test("phase 2 scopes to divergent buckets only") {
+    // 200 identical rows + 1 changed: the changed key's bucket is the
+    // single divergent one, and the row-level join's per-side input is
+    // only that bucket's keys — strictly fewer than the full table
+    val l = (1L to 200L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "v")
+    val r = l.withColumn("v", when($"id" === 77L, lit(-1.0)).otherwise($"v"))
+    val bad = Reconcile.divergentBuckets(l, r, Seq("id"), buckets = 16)
+      .as[Long].collect().toSeq
+    assert(bad.size == 1)
+    val expectedBucket = l.filter($"id" === 77L)
+      .select(pmod(xxhash64($"id"), lit(16))).as[Long].head()
+    assert(bad.head == expectedBucket)
+    val scopedRows = l.withColumn("b", pmod(xxhash64($"id"), lit(16)))
+      .filter($"b" === expectedBucket).count()
+    assert(scopedRows < 200)
+    assert(Reconcile.diffRows(l, r, Seq("id"), buckets = 16)
+      .as[(Long, String)].collect().toSet == Set((77L, "changed")))
+  }
+}
