@@ -703,6 +703,26 @@ object MLQueries {
               FROM s LEFT JOIN p USING (user_id, sid)
               ORDER BY user_id, session_start""")),
 
+    // ---- exactly-once ingest dedup, batch face (the streaming face is
+    // dropDuplicatesWithinWatermark — redelivery-dedup with
+    // watermark-bounded per-key state, pinned stream==batch in
+    // StreamingSpec): the feed is events plus exact redeliveries of the
+    // %97 subset; dedup by event_id must reproduce the original table
+    // bit-for-bit. Exact copies make the arbitrary-survivor semantics
+    // deterministic; ts is compared as epoch micros.
+    GraftQuery(
+      "q171_exactly_once_dedup",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val feed = ev.unionAll(ev.filter(col("event_id") % 97 === 0))
+        EventStreams.dedupExactlyOnce(feed, Seq("event_id"))
+          .select(col("event_id"), unix_micros(col("ts")).as("us"),
+            col("user_id"), col("event_type"), col("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value
+              FROM events ORDER BY event_id""")),
+
     // ---- Multimodal inventory: binary payload column + typed metadata,
     // metadata-only projection (never touches the payload at scan time).
     GraftQuery(

@@ -101,6 +101,25 @@ object EventStreams {
   def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
     withWm(events).dropDuplicates(keyCols :+ "ts")
 
+  /** At-least-once → exactly-once ingest dedup: drop REDELIVERIES of a
+    * key arriving within the watermark horizon, first delivery wins and
+    * emits immediately (append, no watermark wait). Unlike
+    * [[dedupStream]] — whose key must include the event-time column for
+    * state eviction — dropDuplicatesWithinWatermark keeps state per
+    * BARE key and evicts it once the watermark passes the first
+    * sighting, so a redelivered message with a perturbed payload or
+    * timestamp (the real retry shape) still dedups, and state stays
+    * watermark-bounded on a 100 TB/day feed. Contract: redeliveries
+    * arrive within the horizon (the delivery-system guarantee this op
+    * is sized against); a later-than-horizon replay re-emits. The batch
+    * face is plain dropDuplicates — exact copies collapse, so the two
+    * faces agree on any feed whose redeliveries are in-horizon copies
+    * (pinned in StreamingSpec; q171 oracles the batch face). */
+  def dedupExactlyOnce(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    if (events.isStreaming)
+      withWm(events).dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+
   /** Stream-static incremental dedup: drop every streamed row whose key
     * already exists in the STATIC corpus frame — the ingest-time
     * complement of [[dedupStream]] (which dedups the stream against

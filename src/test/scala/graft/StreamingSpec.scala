@@ -333,6 +333,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupExactlyOnce: in-horizon redeliveries drop, first delivery wins") {
+    // the at-least-once retry shape: a key redelivered in a LATER
+    // micro-batch, with a perturbed payload and timestamp, still inside
+    // the watermark horizon — state is per bare key, so it dedups; a
+    // fresh key passes; batch face over exact copies collapses to the
+    // original rows
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = EventStreams.dedupExactlyOnce(
+        ms.toDF().toDF("event_id", "ts", "value"), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_once_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData((1L, ts("2024-01-01 10:00:00"), 1.0)); q.processAllAvailable()
+      // redelivery of key 1: later batch, different ts AND value
+      ms.addData((1L, ts("2024-01-01 10:30:00"), 9.9),
+        (2L, ts("2024-01-01 10:31:00"), 2.0)); q.processAllAvailable()
+      val got = spark.table("dedup_once_out")
+        .as[(Long, java.sql.Timestamp, Double)].collect().toSet
+      assert(got == Set((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (2L, ts("2024-01-01 10:31:00"), 2.0)), got.toString)
+      // batch face: exact-copy duplicates collapse to the distinct rows
+      val batch = EventStreams.dedupExactlyOnce(
+        Seq((1L, ts("2024-01-01 10:00:00"), 1.0),
+          (1L, ts("2024-01-01 10:00:00"), 1.0),
+          (2L, ts("2024-01-01 10:31:00"), 2.0))
+          .toDF("event_id", "ts", "value"), Seq("event_id"))
+        .as[(Long, java.sql.Timestamp, Double)].collect().toSet
+      assert(batch == Set((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (2L, ts("2024-01-01 10:31:00"), 2.0)))
+    } finally q.stop()
+  }
+
   test("sessionFunnels: EventTimeTimeout stateful op, out-of-order stream == batch") {
     // The q166 operator's streaming face: events arrive OUT OF ORDER
     // within the 2h watermark horizon (user 1's purchase lands a batch
