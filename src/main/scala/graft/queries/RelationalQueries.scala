@@ -1195,9 +1195,10 @@ object RelationalQueries {
     // values up front matters at scale: the two-arg pivot overload first
     // runs a driver-side distinct-collect over the pivot column to
     // discover them — an extra full scan plus a driver round trip this
-    // form skips. The plan is then ONE map-side-combined hash aggregate
-    // on the row key with the five value columns folded as conditional
-    // aggregates (no per-value scan). Double sums are order-dependent →
+    // form skips. The plan is the two-level aggregate (groupBy(ub,
+    // event_type) partial+final, then PivotFirst on ub): both shuffles
+    // carry aggregated cells bounded by |ub|·|types|, never raw rows,
+    // and there is no per-value scan. Double sums are order-dependent →
     // rounded (2dp, the events value convention).
     GraftQuery(
       "q167_pivot",
@@ -1318,6 +1319,36 @@ object RelationalQueries {
               FROM orders l FULL JOIN r ON l.o_orderkey = r.o_orderkey
               WHERE l.o_orderkey IS NULL OR r.o_orderkey IS NULL
                  OR (l.o_totalprice IS DISTINCT FROM r.o_totalprice)
-              ORDER BY 1"""))
+              ORDER BY 1""")),
+
+    // ---- the SQL:2003 linear-regression aggregate family (q164's
+    // corr/var/covar siblings): per-language OLS of doc length in chars
+    // on length in tokens — slope = chars-per-token, the fertility line.
+    // One-pass codegen'd second-moment aggregates (map-side partials,
+    // one tiny shuffle on lang) — the closed-form per-group model fit
+    // that needs no ML library and no iteration. Token counts use the
+    // Portable \s+ convention; moments are integer-exact, the final
+    // ratios rounded 6dp (the q164 convention).
+    GraftQuery(
+      "q172_regr_family",
+      (s, d) => t(s, d, "documents")
+        .select(col("lang"), col("n_chars").cast("double").as("y"),
+          size(graft.ops.Portable.tokens(col("text"))).cast("double").as("x"))
+        .groupBy(col("lang"))
+        .agg(expr("regr_count(y, x)").cast("long").as("n"),
+          round(expr("regr_slope(y, x)"), 6).as("slope"),
+          round(expr("regr_intercept(y, x)"), 6).as("icept"),
+          round(expr("regr_r2(y, x)"), 6).as("r2"),
+          round(expr("regr_avgx(y, x)"), 6).as("mean_tokens"))
+        .orderBy(col("lang")),
+      Some("""WITH t AS (SELECT lang, n_chars::DOUBLE AS y,
+                     len(string_split_regex(trim(text), '\s+'))::DOUBLE AS x
+                     FROM documents)
+              SELECT lang, CAST(regr_count(y, x) AS BIGINT) AS n,
+                     round(regr_slope(y, x), 6) AS slope,
+                     round(regr_intercept(y, x), 6) AS icept,
+                     round(regr_r2(y, x), 6) AS r2,
+                     round(regr_avgx(y, x), 6) AS mean_tokens
+              FROM t GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -342,6 +342,59 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(800))
   }
 
+  test("pivot/unpivot/rank-family plans: one exchange, Expand scan-side, one Window") {
+    val ev = Tables(spark, sf, "events")
+    // q167: explicit-values pivot plans as the two-level aggregate —
+    // groupBy(ub, event_type) partial+final, then PivotFirst on ub.
+    // Both exchanges carry aggregated cells (≤ |ub|·|types| rows), and
+    // crucially there's no separate distinct-collect job to discover
+    // the pivot values
+    val pivotPlan = ev.groupBy((col("user_id") % 10).as("ub"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum(col("value")), 2))
+      .queryExecution.executedPlan.toString
+    assert(pivotPlan.linesIterator.count(_.contains("Exchange")) == 2,
+      pivotPlan.take(800))
+    assert(pivotPlan.contains("pivotfirst"), pivotPlan.take(800))
+    // q168: unpivot plans as Expand BEFORE the aggregation's exchange —
+    // the fan-out happens scan-side, the shuffle carries partial aggs
+    val li = Tables(spark, sf, "lineitem")
+    val unpivotPlan = li.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice")), "measure", "v")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(sum(col("v")))
+      .queryExecution.executedPlan.toString
+    assert(unpivotPlan.contains("Expand"), unpivotPlan.take(800))
+    assert(unpivotPlan.linesIterator.count(_.contains("Exchange")) == 1,
+      unpivotPlan.take(800))
+    // q169: ntile + percent_rank + cume_dist share one window spec →
+    // exactly one WindowExec (one shuffle + one sort, not three)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val rankPlan = ev.select(col("event_type"), col("event_id"),
+        ntile(4).over(w), percent_rank().over(w), cume_dist().over(w))
+      .queryExecution.executedPlan.toString
+    assert(rankPlan.linesIterator.count(_.contains("Window")) == 1,
+      rankPlan.take(800))
+  }
+
+  test("reconcile phase 2 broadcasts the divergent-bucket list") {
+    // the q170 scale claim: the row-level diff join's per-side input is
+    // gated by a BROADCAST semi/inner join on the ≤buckets-row bucket
+    // list — never a shuffle of the full table keyed on bucket
+    val l = Tables(spark, sf, "orders")
+    val r = l.filter(col("o_orderkey") % 97 =!= 0)
+    val plan = graft.ops.Reconcile.diffRows(l, r, Seq("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    // and the diff itself is right: exactly the dropped keys, left_only
+    val got = graft.ops.Reconcile.diffRows(l, r, Seq("o_orderkey"))
+      .as[(Long, String)].collect()
+    assert(got.nonEmpty && got.forall(_._2 == "left_only"))
+    assert(got.length == l.filter(col("o_orderkey") % 97 === 0).count())
+  }
+
   test("runtime bloom filter reaches the probe side of a selective shuffle join") {
     // at 100 TB the big-big join tool next to bucketing is the runtime
     // bloom filter: a selective dimension-side predicate is turned into
