@@ -1349,6 +1349,55 @@ object RelationalQueries {
                      round(regr_intercept(y, x), 6) AS icept,
                      round(regr_r2(y, x), 6) AS r2,
                      round(regr_avgx(y, x), 6) AS mean_tokens
-              FROM t GROUP BY lang ORDER BY lang"""))
+              FROM t GROUP BY lang ORDER BY lang""")),
+
+    // ---- correlated LATERAL subquery (the SQL face of per-key top-k):
+    // per nation, the top-2 customers by account balance. Catalyst
+    // DECORRELATES the ORDER BY + LIMIT inner query into a
+    // WindowGroupLimit + row_number + join — verified in the optimized
+    // plan: the per-group limit is applied scan-side BEFORE the window
+    // sort (no nation-by-nation re-execution, no full sort of customer
+    // per outer row — the naive lateral execution a 100 TB outer side
+    // can't afford). Same result as q04's window formulation, reached
+    // from the opposite (SQL, correlated) direction.
+    GraftQuery(
+      "q173_lateral_topk",
+      (s, d) => {
+        Seq("nation", "customer")
+          .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+        s.sql("""SELECT n_name, c.c_custkey, c.c_acctbal
+                 FROM nation, LATERAL (
+                   SELECT c_custkey, c_acctbal FROM customer
+                   WHERE c_nationkey = n_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+                 ORDER BY n_name, c.c_custkey""")
+      },
+      Some("""SELECT n_name, c.c_custkey, c.c_acctbal
+              FROM nation, LATERAL (
+                SELECT c_custkey, c_acctbal FROM customer
+                WHERE c_nationkey = n_nationkey
+                ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+              ORDER BY n_name, c.c_custkey""")),
+
+    // ---- VARIANT ingestion (Spark 4's semi-structured type): the
+    // events.props JSON parsed ONCE into a variant column, typed field
+    // extraction via variant_get path expressions — the modern
+    // schema-on-read path for heterogeneous event payloads (parse at
+    // ingest, binary-encoded variant in parquet, shredded access
+    // without per-query JSON re-parse). The oracle reads the same
+    // field with DuckDB's json_extract. Aggregated per extracted key:
+    // exact count + 2dp-rounded value mass.
+    GraftQuery(
+      "q174_variant_extract",
+      (s, d) => t(s, d, "events")
+        .select(expr("variant_get(parse_json(props), '$.k', 'int')").as("k"),
+          col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("k")),
+      Some("""SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+                     CAST(count(*) AS BIGINT) AS n,
+                     round(sum(value), 2) AS total_value
+              FROM events GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -379,6 +379,25 @@ class ScaleSpec extends SparkSpec {
       rankPlan.take(800))
   }
 
+  test("correlated LATERAL top-k decorrelates to WindowGroupLimit (q173 path)") {
+    // the per-group ORDER BY + LIMIT inner query must become a
+    // group-limit + window + join — never a per-outer-row re-execution
+    // of the inner query (the naive lateral strategy), and the group
+    // limit must sit below the window so each partition prunes to k
+    // rows before the sort
+    Seq("nation", "customer")
+      .foreach(n => Tables(spark, sf, n).createOrReplaceTempView(n))
+    val plan = spark.sql("""SELECT n_name, c.c_custkey, c.c_acctbal
+        FROM nation, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+    assert(plan.contains("row_number"), plan.take(1200))
+    assert(!plan.contains("LateralJoin"), plan.take(1200))
+  }
+
   test("reconcile phase 2 broadcasts the divergent-bucket list") {
     // the q170 scale claim: the row-level diff join's per-side input is
     // gated by a BROADCAST semi/inner join on the ≤buckets-row bucket
