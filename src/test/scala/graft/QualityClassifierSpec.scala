@@ -38,6 +38,23 @@ class QualityClassifierSpec extends SparkSpec {
     assert(agree >= 0.85, s"agreement $agree")
   }
 
+  test("model save/load round trip scores identically (deploy-time persistence)") {
+    // the production shape: fit once on the training cluster, persist,
+    // load on every scoring cluster — the loaded model must be the
+    // same function, bit-for-bit on probabilities
+    val model = QualityClassifier.fit(docs)
+    val dir = java.nio.file.Files.createTempDirectory("quality_model").toString
+    model.write.overwrite().save(dir)
+    val loaded = org.apache.spark.ml.classification.LogisticRegressionModel.load(dir)
+    assert(loaded.coefficients == model.coefficients)
+    assert(loaded.intercept == model.intercept)
+    val a = QualityClassifier.score(docs, model)
+      .select($"doc_id", $"prob").as[(Long, Double)].collect().toMap
+    val b = QualityClassifier.score(docs, loaded)
+      .select($"doc_id", $"prob").as[(Long, Double)].collect().toMap
+    assert(a == b)
+  }
+
   test("hash-gated sampled fit scores the FULL corpus and stays useful") {
     val model = QualityClassifier.fit(docs, fitSampleBp = 3000)
     val scored = QualityClassifier.scoreWithRaw(docs, model).cache()
