@@ -1398,6 +1398,68 @@ object RelationalQueries {
       Some("""SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
                      CAST(count(*) AS BIGINT) AS n,
                      round(sum(value), 2) AS total_value
-              FROM events GROUP BY 1 ORDER BY 1"""))
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ---- declarative data-quality gate (ops.Checks — the Deequ
+    // pattern): five exact constraints on orders DECLARED once,
+    // compiled to aggregate expressions, evaluated in ONE scan (+ the
+    // exact-unique expansion), (check_name, metric, passed) out. A
+    // deliberately failing bounds check rides along so the FALSE path
+    // is oracle-pinned too. The HLL ApproxUnique twin's estimate isn't
+    // oracle-expressible — it's band-pinned in ChecksSpec instead. The
+    // oracle recomputes every metric as plain SQL aggregates and every
+    // verdict via the same metric predicate.
+    GraftQuery(
+      "q175_quality_checks",
+      (s, d) => {
+        import graft.ops.Checks
+        import graft.ops.Checks._
+        Checks.run(t(s, d, "orders"), Seq(
+          Complete("o_custkey"),
+          Unique(Seq("o_orderkey")),
+          Bounds("o_totalprice", 0.0, 500000.0),
+          Bounds("o_totalprice", 0.0, 100000.0), // intentionally failing
+          InSet("o_orderstatus", Seq("F", "O", "P"))))
+          .orderBy(col("check_name"), col("metric"))
+      },
+      Some("""WITH m AS (
+                SELECT 'complete(o_custkey)' AS check_name,
+                       avg(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END) AS metric,
+                       avg(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END) >= 1.0 AS passed
+                FROM orders
+                UNION ALL
+                SELECT 'unique(o_orderkey)',
+                       count(DISTINCT o_orderkey)::DOUBLE / count(*),
+                       count(DISTINCT o_orderkey)::DOUBLE / count(*) = 1.0
+                FROM orders
+                UNION ALL
+                SELECT 'bounds(o_totalprice)',
+                       avg(CASE WHEN o_totalprice IS NULL
+                             OR (o_totalprice >= 0 AND o_totalprice <= 500000)
+                             THEN 1.0 ELSE 0.0 END),
+                       avg(CASE WHEN o_totalprice IS NULL
+                             OR (o_totalprice >= 0 AND o_totalprice <= 500000)
+                             THEN 1.0 ELSE 0.0 END) = 1.0
+                FROM orders
+                UNION ALL
+                SELECT 'bounds(o_totalprice)',
+                       avg(CASE WHEN o_totalprice IS NULL
+                             OR (o_totalprice >= 0 AND o_totalprice <= 100000)
+                             THEN 1.0 ELSE 0.0 END),
+                       avg(CASE WHEN o_totalprice IS NULL
+                             OR (o_totalprice >= 0 AND o_totalprice <= 100000)
+                             THEN 1.0 ELSE 0.0 END) = 1.0
+                FROM orders
+                UNION ALL
+                SELECT 'in_set(o_orderstatus)',
+                       avg(CASE WHEN o_orderstatus IS NULL
+                             OR o_orderstatus IN ('F', 'O', 'P')
+                             THEN 1.0 ELSE 0.0 END),
+                       avg(CASE WHEN o_orderstatus IS NULL
+                             OR o_orderstatus IN ('F', 'O', 'P')
+                             THEN 1.0 ELSE 0.0 END) = 1.0
+                FROM orders)
+              SELECT check_name, round(metric, 6) AS metric, passed
+              FROM m ORDER BY check_name, metric"""))
   )
 }

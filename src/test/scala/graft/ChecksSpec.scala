@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Checks
+import graft.ops.Checks._
+import graft.queries.Tables
+
+/** Checks-suite invariants: golden pass/fail verdicts per constraint
+  * type, null handling, the one-scan plan claim, and the HLL
+  * ApproxUnique twin's tolerance band. */
+class ChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def results(df: org.apache.spark.sql.DataFrame, cs: Seq[Check]) =
+    Checks.run(df, cs).as[(String, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("golden verdicts: each constraint type passes and fails on point data") {
+    val df = Seq(
+      (1L, Some("a"), 10.0, "OK"),
+      (2L, None, 20.0, "OK"),
+      (3L, Some("c"), 999.0, "BAD")).toDF("id", "opt", "v", "status")
+    val r = results(df, Seq(
+      Complete("id"),                      // 1.0 -> pass
+      Complete("opt", atLeast = 0.5),      // 2/3 -> pass at 0.5
+      Complete("opt"),                     // 2/3 -> fail at 1.0
+      Unique(Seq("id")),                   // pk -> pass
+      Bounds("v", 0.0, 100.0),             // 999 breaks -> fail
+      InSet("status", Seq("OK"))))         // BAD breaks -> fail
+    assert(r("complete(id)") == ((1.0, true)))
+    assert(r("complete(opt)")._2 == false)
+    assert(r("unique(id)") == ((1.0, true)))
+    assert(r("bounds(v)")._2 == false && math.abs(r("bounds(v)")._1 - 2.0 / 3) < 1e-6)
+    assert(r("in_set(status)")._2 == false)
+  }
+
+  test("Unique fails on a duplicated key; nulls don't break Bounds/InSet") {
+    val df = Seq((1L, null.asInstanceOf[String]), (1L, "x"))
+      .toDF("id", "s")
+    val r = results(df, Seq(Unique(Seq("id")), InSet("s", Seq("x"))))
+    assert(r("unique(id)") == ((0.5, false)))
+    assert(r("in_set(s)") == ((1.0, true))) // null is not a violation
+  }
+
+  test("ApproxUnique: HLL ratio within tolerance on a real key, catches 2x dup") {
+    val orders = Tables(spark, sf, "orders")
+    val r1 = results(orders, Seq(ApproxUnique(Seq("o_orderkey"), 0.05)))
+    assert(r1("approx_unique(o_orderkey)")._2,
+      r1.toString) // estimate/count within 5% of 1.0
+    val doubled = orders.unionAll(orders)
+    val r2 = results(doubled, Seq(ApproxUnique(Seq("o_orderkey"), 0.05)))
+    assert(!r2("approx_unique(o_orderkey)")._2) // ratio ~0.5, way outside
+  }
+
+  test("Matches: regex ratio with nulls excluded from the denominator") {
+    val df = Seq(Some("1-URGENT"), Some("oops"), None).toSeq.toDF("p")
+    val r = results(df, Seq(Matches("p", "^[0-9]-[A-Z]+$", 0.5)))
+    assert(r("matches(p)") == ((0.5, true)))
+  }
+
+  test("the suite is ONE scan: no-distinct suite plans a single aggregate, no shuffle join") {
+    val plan = Checks.run(Tables(spark, sf, "orders"), Seq(
+      Complete("o_custkey"), Bounds("o_totalprice", 0.0, 1e9),
+      InSet("o_orderstatus", Seq("F", "O", "P"))))
+      .queryExecution.executedPlan.toString
+    // all three metrics ride one partial+final aggregate pair over one
+    // scan — no join of per-check subplans, one exchange (to the 1-row
+    // final agg)
+    assert(!plan.contains("Join"), plan.take(800))
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan.take(800))
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 1, plan.take(800))
+  }
+}
