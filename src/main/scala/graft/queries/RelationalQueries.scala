@@ -1460,6 +1460,40 @@ object RelationalQueries {
                              THEN 1.0 ELSE 0.0 END) = 1.0
                 FROM orders)
               SELECT check_name, round(metric, 6) AS metric, passed
-              FROM m ORDER BY check_name, metric"""))
+              FROM m ORDER BY check_name, metric""")),
+
+    // ---- first-order Markov transition matrix over per-user event
+    // sequences (the sequence-analytics face of the events table: what
+    // follows what): lead() over the per-user (ts, event_id) total
+    // order — event_id breaks same-timestamp ties so the successor is
+    // engine-deterministic — then transition counts and row-normalized
+    // probabilities. Scale shape: ONE shuffle on user_id for the lead
+    // window, then a map-side-combinable count on a |types|² key space;
+    // the normalizing window runs on that tiny aggregated frame, not
+    // the events. Probabilities are count ratios rounded 6dp.
+    GraftQuery(
+      "q176_markov_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wn = Window.partitionBy(col("cur"))
+        t(s, d, "events")
+          .withColumn("nxt", lead(col("event_type"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("event_type").as("cur"), col("nxt"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("prob",
+            round(col("n").cast("double") / sum(col("n")).over(wn), 6))
+          .orderBy(col("cur"), col("nxt"))
+      },
+      Some("""WITH s AS (SELECT event_type AS cur,
+                     lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS nxt
+                     FROM events)
+              SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n,
+                     round(count(*)::DOUBLE /
+                           sum(count(*)) OVER (PARTITION BY cur), 6) AS prob
+              FROM s WHERE nxt IS NOT NULL
+              GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

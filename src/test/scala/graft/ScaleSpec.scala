@@ -379,6 +379,18 @@ class ScaleSpec extends SparkSpec {
       rankPlan.take(800))
   }
 
+  test("AQE coalesces an over-provisioned shuffle down to the data") {
+    // shuffle.partitions is sized for the big stages (32 in prod, 4
+    // here); a tiny aggregate's exchange must be COALESCED by AQE at
+    // runtime, not run one near-empty reducer per configured partition
+    // — that's the setting that lets one global number serve 100 TB
+    // joins and 5-row aggs in the same app
+    val df = Tables(spark, sf, "events").groupBy($"event_type").count()
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead coalesced"), plan.take(1000))
+  }
+
   test("correlated LATERAL top-k decorrelates to WindowGroupLimit (q173 path)") {
     // the per-group ORDER BY + LIMIT inner query must become a
     // group-limit + window + join — never a per-outer-row re-execution
