@@ -613,6 +613,30 @@ object MLQueries {
                AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
               ORDER BY purchase_id, click_s""")),
 
+    // ---- q57's LEFT-OUTER face (batch; the streaming null-emission
+    // path — watermark-proved no-match — is pinned in StreamingSpec
+    // with the per-side-watermark idle caveat): every purchase emits,
+    // organic ones with a null click — the conversion-vs-organic split
+    // the inner join silently drops. Null click_s rows are exactly the
+    // purchases absent from q57.
+    GraftQuery(
+      "q177_attribution_outer",
+      (s, d) => EventStreams.purchaseAttributionOuter(t(s, d, "events"))
+        .select(col("purchase_id"), col("user_id"),
+          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_s"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_s"),
+          col("value"))
+        .orderBy(col("purchase_id"), col("click_s")),
+      Some("""SELECT p.event_id AS purchase_id, p.user_id,
+              strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_s,
+              strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_s,
+              p.value
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON c.user_id = p.user_id
+               AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+              ORDER BY purchase_id, click_s""")),
+
     // ---- Session windows on the batch frame (the streaming variant is
     // specced in StreamingSpec). The oracle is the classic
     // gaps-and-islands rewrite: a session breaks on a >= 30-min gap,

@@ -94,6 +94,39 @@ object EventStreams {
         col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** Left-OUTER face of [[purchaseAttribution]]: every purchase emits,
+    * attributed ones immediately, UNATTRIBUTED ones (no click in the
+    * preceding hour) with null click_ts once the watermark passes their
+    * join window — the conversion-vs-organic split a funnel dashboard
+    * needs, which the inner join silently drops. Outer stream-stream
+    * joins REQUIRE both the watermarks and the two-sided time bound:
+    * that's what lets the engine prove a purchase can no longer match
+    * and emit its null row while evicting its state. Batch face: the
+    * same left join, no watermark machinery.
+    *
+    * Latency caveat (observed, then pinned in the spec): the event-type
+    * filters push BELOW each side's EventTimeWatermark node, so each
+    * side's watermark advances only on its OWN event type, and the
+    * global watermark is their MIN — if purchases go idle, null
+    * emission stalls until the next purchase arrives. That is standard
+    * per-stream watermark semantics (an idle stream is
+    * indistinguishable from a delayed one), not state leakage: state
+    * stays bounded by the horizon of whichever side still flows. */
+  def purchaseAttributionOuter(events: DataFrame): DataFrame = {
+    val clicks = withWm(events).filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val purchases = withWm(events).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** Streaming exact dedup (the LLM-pipeline dedup op in stream form):
     * drop events already seen within the watermark horizon, keyed by a
     * dedup fingerprint. Watermark bounds the dedup state — without it a

@@ -333,6 +333,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer purchase attribution: unmatched purchase emits null row after watermark") {
+    // stream face: an attributed purchase emits immediately; a purchase
+    // with NO click in its preceding hour may only emit (with null
+    // click_ts) once the watermark proves no matching click can still
+    // arrive — then both must equal the batch left join over the same
+    // rows
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.purchaseAttributionOuter(
+        ms.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode(OutputMode.Append).start()
+    val all = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, java.sql.Timestamp, Long, String, Double)]
+    try {
+      def step(rows: (Long, java.sql.Timestamp, Long, String, Double)*): Unit = {
+        all ++= rows; ms.addData(rows: _*); q.processAllAvailable()
+      }
+      step((1L, ts("2024-01-01 10:00:00"), 7L, "click", 0.0),
+           (2L, ts("2024-01-01 10:30:00"), 7L, "purchase", 5.0), // attributed
+           (3L, ts("2024-01-01 10:40:00"), 8L, "purchase", 9.0)) // organic
+      // advance the watermark past purchase 3's join window. BOTH event
+      // types must keep flowing: each side's watermark node sits below
+      // its type filter (see the op's scaladoc), so click-only traffic
+      // would freeze the purchases-side watermark and with it the
+      // global min — pinned here by construction: the advancing batches
+      // are attributed click+purchase pairs
+      step((4L, ts("2024-01-02 00:00:00"), 9L, "click", 0.0),
+           (5L, ts("2024-01-02 00:10:00"), 9L, "purchase", 1.0))
+      step((6L, ts("2024-01-02 06:00:00"), 9L, "click", 0.0),
+           (7L, ts("2024-01-02 06:10:00"), 9L, "purchase", 2.0))
+      step((8L, ts("2024-01-02 12:00:00"), 9L, "click", 0.0),
+           (9L, ts("2024-01-02 12:10:00"), 9L, "purchase", 3.0))
+      q.processAllAvailable()
+      val streamed = spark.table("attr_outer_out")
+        .select($"purchase_id", $"user_id", $"click_ts".isNull, $"value")
+        .as[(Long, Long, Boolean, Double)].collect().toSet
+      assert(streamed == Set((2L, 7L, false, 5.0), (3L, 8L, true, 9.0),
+        (5L, 9L, false, 1.0), (7L, 9L, false, 2.0), (9L, 9L, false, 3.0)),
+        streamed.toString)
+      val batch = EventStreams.purchaseAttributionOuter(all.toSeq.toDF(cols: _*))
+        .select($"purchase_id", $"user_id", $"click_ts".isNull, $"value")
+        .as[(Long, Long, Boolean, Double)].collect().toSet
+      assert(batch == streamed)
+    } finally q.stop()
+  }
+
   test("checkpointed restart resumes from offsets — each row lands exactly once") {
     // the recovery contract a 100 TB/day ingest leans on: a stream is
     // stopped (crash, deploy) and a NEW query object restarts from the
