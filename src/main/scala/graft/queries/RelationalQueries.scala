@@ -1066,6 +1066,46 @@ object RelationalQueries {
                      round(avg(value), 6) AS mean
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ---- q150 extended over a JOIN: incremental maintenance of the
+    // aggregate-join view Γ_mktsegment(orders ⋈ customer). Insert-only
+    // fact (orders arrive in three batches), static dim: each refresh
+    // joins ONLY the arriving batch against the broadcast dim and folds
+    // it to per-segment state — the order history is never rescanned
+    // and never re-joined, which is the whole point at a 100 TB fact
+    // table (the naive refresh re-joins everything; this one's standing
+    // cost is batch-sized join + |segments|-sized merge). Dim UPDATES
+    // are out of contract, same as Incremental's retraction note: a
+    // changed customer row invalidates state for its old segment, which
+    // mergeable insert-only state cannot express — rebuild or CDC-diff
+    // instead, and the op says so rather than quietly drifting. The
+    // oracle recomputes the view from the full join in one pass.
+    GraftQuery(
+      "q178_incremental_join_view",
+      (s, d) => {
+        val cust = broadcast(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")))
+        val batches = (0 to 2).map(b =>
+          graft.ops.Incremental.partial(
+            t(s, d, "orders").filter(pmod(col("o_orderkey"), lit(3)) === b)
+              .join(cust, col("o_custkey") === col("c_custkey")),
+            col("c_mktsegment"), col("o_totalprice")))
+        graft.ops.Incremental.finish(graft.ops.Incremental.merge(batches))
+          .select(col("key").as("mktsegment"), col("cnt"),
+            round(col("sum"), 2).as("total"),
+            round(col("vmin"), 2).as("vmin"),
+            round(col("vmax"), 2).as("vmax"),
+            round(col("mean"), 6).as("mean"))
+          .orderBy(col("mktsegment"))
+      },
+      Some("""SELECT c_mktsegment AS mktsegment,
+                     CAST(count(o_totalprice) AS BIGINT) AS cnt,
+                     round(sum(o_totalprice), 2) AS total,
+                     round(min(o_totalprice), 2) AS vmin,
+                     round(max(o_totalprice), 2) AS vmax,
+                     round(avg(o_totalprice), 6) AS mean
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1 ORDER BY 1""")),
+
     // ---- time-grid resample + forward fill (graft.ops.Resample —
     // scale shape and the few-long-keys caveat there): per event type,
     // hourly value sums on the COMPLETE hour grid between the type's
