@@ -333,6 +333,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize stream: late in-horizon event MERGES two open sessions == batch") {
+    // the session_window state-merge path: 10:00 and 10:50 open two
+    // separate sessions (gap 50min > 30min); a LATE 10:20 arrival
+    // inside the watermark horizon bridges them — the store must merge
+    // both open sessions plus the new event into ONE [10:00, 11:20)
+    // session, emitted once the watermark passes its end; batch over
+    // the same rows must agree exactly
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val cols = Seq("ts", "user_id", "value")
+    val q = EventStreams.sessionize(ms.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("sess_merge_out")
+      .outputMode(OutputMode.Append).start()
+    val all = scala.collection.mutable.ArrayBuffer
+      .empty[(java.sql.Timestamp, Long, Double)]
+    try {
+      def step(rows: (java.sql.Timestamp, Long, Double)*): Unit = {
+        all ++= rows; ms.addData(rows: _*); q.processAllAvailable()
+      }
+      step((ts("2024-01-01 10:00:00"), 1L, 1.0),
+           (ts("2024-01-01 10:50:00"), 1L, 2.0)) // two open sessions
+      step((ts("2024-01-01 10:20:00"), 1L, 4.0)) // late bridge event
+      step((ts("2024-01-01 20:00:00"), 2L, 8.0)) // advance wm past close
+      step((ts("2024-01-02 02:00:00"), 2L, 0.5)) // wm tick to flush user 1
+      val streamed = spark.table("sess_merge_out")
+        .select($"user_id", $"session_start", $"session_end", $"n_events",
+          $"session_value")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+        .collect().toSet
+      // exactly ONE merged session for user 1: [10:00, 11:20), 3 events
+      val u1 = streamed.filter(_._1 == 1L)
+      assert(u1 == Set((1L, ts("2024-01-01 10:00:00"),
+        ts("2024-01-01 11:20:00"), 3L, 7.0)), streamed.toString)
+      val batch = EventStreams.sessionize(all.toSeq.toDF(cols: _*))
+        .select($"user_id", $"session_start", $"session_end", $"n_events",
+          $"session_value")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+        .collect().toSet
+      assert(batch.filter(_._1 == 1L) == u1) // closed sessions agree
+    } finally q.stop()
+  }
+
   test("outer purchase attribution: unmatched purchase emits null row after watermark") {
     // stream face: an attributed purchase emits immediately; a purchase
     // with NO click in its preceding hour may only emit (with null
