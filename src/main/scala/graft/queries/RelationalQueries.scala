@@ -1534,6 +1534,52 @@ object RelationalQueries {
                      round(count(*)::DOUBLE /
                            sum(count(*)) OVER (PARTITION BY cur), 6) AS prob
               FROM s WHERE nxt IS NOT NULL
-              GROUP BY 1, 2 ORDER BY 1, 2"""))
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- the try_* error-safe expression family: Spark 4 runs ANSI
+    // mode by default, so raw division/cast on dirty data THROWS
+    // mid-job — on a 100 TB pipeline, one malformed row killing a
+    // 6-hour job is the failure mode; try_divide/try_cast degrade the
+    // row to null instead, keeping the error policy per-EXPRESSION and
+    // explicit (not a global ansi=off that hides every bug). Division
+    // by zero, an unparseable cast, and a parseable JSON-string cast,
+    // all null-safe. DuckDB spells them NULLIF-division and TRY_CAST.
+    GraftQuery(
+      "q179_try_functions",
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"),
+          round(expr("try_divide(value, user_id % 3)"), 6).as("safe_div"),
+          expr("try_cast(event_type AS INT)").as("et_int"),
+          expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+                     round(value / NULLIF(user_id % 3, 0), 6) AS safe_div,
+                     TRY_CAST(event_type AS INTEGER) AS et_int,
+                     TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+              FROM events ORDER BY event_id""")),
+
+    // ---- explicit GROUPING SETS (the third face of the q14/q162
+    // lattice family — arbitrary level sets, not the rollup/cube
+    // presets): per-flag and per-status marginals plus the grand total
+    // in ONE pass, levels expanded scan-side before the exchange.
+    GraftQuery(
+      "q180_grouping_sets",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                        coalesce(l_linestatus, 'ALL') AS ls,
+                        count(*) AS n,
+                        round(sum(l_quantity), 4) AS qty
+                 FROM lineitem
+                 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                 ORDER BY rf, ls""")
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                     coalesce(l_linestatus, 'ALL') AS ls,
+                     CAST(count(*) AS BIGINT) AS n,
+                     round(sum(l_quantity), 4) AS qty
+              FROM lineitem
+              GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              ORDER BY rf, ls"""))
   )
 }
