@@ -1580,6 +1580,35 @@ object RelationalQueries {
                      round(sum(l_quantity), 4) AS qty
               FROM lineitem
               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-              ORDER BY rf, ls"""))
+              ORDER BY rf, ls""")),
+
+    // ---- time-RANGE window frame (the q27 ROWS family's time-based
+    // sibling): per event, the user's trailing-1-hour activity — the
+    // point-in-time feature vector a fraud/abuse model trains on, where
+    // a ROWS frame would be wrong the moment event density varies. The
+    // frame is RANGE over epoch MICROS (exact longs; same-timestamp
+    // peers share one frame value in both engines by RANGE semantics).
+    // One shuffle on user_id + one sort — the frame walk itself is the
+    // streaming O(1)-memory two-pointer inside WindowExec.
+    GraftQuery(
+      "q181_trailing_window",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-3600000000L, 0L)
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"), col("value"))
+          .select(col("event_id"), col("user_id"), col("us"),
+            count(lit(1)).over(w).as("n_1h"),
+            round(sum(col("value")).over(w), 6).as("v_1h"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS us,
+                     count(*) OVER w AS n_1h,
+                     round(sum(value) OVER w, 6) AS v_1h
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+              ORDER BY event_id"""))
   )
 }
