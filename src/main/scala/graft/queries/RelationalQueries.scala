@@ -1609,6 +1609,39 @@ object RelationalQueries {
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-              ORDER BY event_id"""))
+              ORDER BY event_id""")),
+
+    // ---- MapType round trip (the one column shape the inventory
+    // hadn't touched): per-user event-type counts FOLDED into a map
+    // column (map_from_entries over a sorted entry list — sorted so
+    // the map's internal order is deterministic), map-level compute
+    // (size, aggregate over map_values — both codegen'd higher-order
+    // calls, no UDF), then EXPLODED back to rows. The map never leaves
+    // the executors and the fold/explode are scan-side; the oracle
+    // reproduces the flattened result with window aggregates — if the
+    // map round trip dropped or duplicated an entry, rows or totals
+    // would hash-mismatch.
+    GraftQuery(
+      "q182_map_roundtrip",
+      (s, d) => t(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("event_type"), col("n")))))
+          .as("m"))
+        .select(col("user_id"), size(col("m")).as("n_types"),
+          expr("aggregate(map_values(m), 0L, (acc, x) -> acc + x)").as("n_events"),
+          explode(col("m")).as(Seq("event_type", "n")))
+        .select(col("user_id"), col("event_type"), col("n"),
+          col("n_types"), col("n_events"))
+        .orderBy(col("user_id"), col("event_type")),
+      Some("""WITH c AS (SELECT user_id, event_type,
+                     CAST(count(*) AS BIGINT) AS n
+                     FROM events GROUP BY 1, 2)
+              SELECT user_id, event_type, n,
+                     CAST(count(*) OVER (PARTITION BY user_id) AS INTEGER) AS n_types,
+                     CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+              FROM c ORDER BY user_id, event_type"""))
   )
 }
