@@ -49,6 +49,39 @@ class ReconcileSpec extends SparkSpec {
     assert(Reconcile.divergentBuckets(l, r, Seq("id")).count() == 1)
   }
 
+  test("property: arbitrary drop/change/add sets are classified exactly") {
+    // generated perturbations, evaluated in one batched frame per case
+    // (the PipelinePropertySpec convention): for any disjoint subsets
+    // D (dropped), C (changed), A (added) of a base table, diffRows
+    // must return exactly D→left_only ∪ C→changed ∪ A→right_only
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val cases = (0 until 4).map { i =>
+      val p = Gen.Parameters.default
+      def pick(seed: Long, from: Seq[Long], frac: Double): Set[Long] =
+        from.filter(k => Gen.choose(0.0, 1.0).apply(p, Seed(seed * 1000 + k))
+          .exists(_ < frac)).toSet
+      val ids = (1L to 150L)
+      val d = pick(i * 3 + 1, ids, 0.1)
+      val c = pick(i * 3 + 2, ids.filterNot(d), 0.1)
+      val a = pick(i * 3 + 3, (151L to 180L), 0.5)
+      (d, c, a)
+    }
+    cases.foreach { case (d, c, a) =>
+      val base = (1L to 150L).map(k => (k, s"v$k", k * 1.5))
+      val l = base.toDF("id", "name", "v")
+      val r = (base.filterNot(x => d(x._1))
+        .map(x => if (c(x._1)) (x._1, x._2, -9.9) else x) ++
+        a.toSeq.sorted.map(k => (k, s"v$k", k * 1.5)))
+        .toDF("id", "name", "v")
+      val got = Reconcile.diffRows(l, r, Seq("id"), buckets = 8)
+        .as[(Long, String)].collect().toSet
+      val want = d.map(_ -> "left_only") ++ c.map(_ -> "changed") ++
+        a.map(_ -> "right_only")
+      assert(got == want, s"d=$d c=$c a=$a")
+    }
+  }
+
   test("phase 2 scopes to divergent buckets only") {
     // 200 identical rows + 1 changed: the changed key's bucket is the
     // single divergent one, and the row-level join's per-side input is
