@@ -32,7 +32,7 @@ object Checks {
 
   /** Fraction of non-null values >= `atLeast`. */
   final case class Complete(colName: String, atLeast: Double = 1.0) extends Check {
-    val name = s"complete($colName)"
+    val name = s"complete($colName)>=$atLeast"
     def metric: Column = avg(when(col(colName).isNotNull, 1.0).otherwise(0.0))
     def passed(m: Column): Column = m >= atLeast
   }
@@ -53,7 +53,7 @@ object Checks {
     * misses a 5% band — ~6.7% error on small keys). */
   final case class ApproxUnique(cols: Seq[String], tolerance: Double = 0.05)
       extends Check {
-    val name = s"approx_unique(${cols.mkString(",")})"
+    val name = s"approx_unique(${cols.mkString(",")})~$tolerance"
     def metric: Column =
       approx_count_distinct(struct(cols.map(col): _*), tolerance / 2)
         .cast("double") / count(lit(1))
@@ -62,7 +62,7 @@ object Checks {
 
   /** Every non-null value inside [lo, hi]. */
   final case class Bounds(colName: String, lo: Double, hi: Double) extends Check {
-    val name = s"bounds($colName)"
+    val name = s"bounds($colName)[$lo,$hi]"
     def metric: Column =
       avg(when(col(colName).isNull || (col(colName) >= lo && col(colName) <= hi),
         1.0).otherwise(0.0))
@@ -71,7 +71,7 @@ object Checks {
 
   /** Every non-null value drawn from `allowed`. */
   final case class InSet(colName: String, allowed: Seq[String]) extends Check {
-    val name = s"in_set($colName)"
+    val name = s"in_set($colName){${allowed.mkString(",")}}"
     def metric: Column =
       avg(when(col(colName).isNull || col(colName).isin(allowed: _*), 1.0)
         .otherwise(0.0))
@@ -82,7 +82,7 @@ object Checks {
     * (Java∩RE2 dialect — the Portable convention). */
   final case class Matches(colName: String, regex: String, atLeast: Double)
       extends Check {
-    val name = s"matches($colName)"
+    val name = s"matches($colName)>=$atLeast"
     def metric: Column = avg(when(col(colName).isNull, null)
       .otherwise(when(regexp_like(col(colName), lit(regex)), 1.0).otherwise(0.0)))
     def passed(m: Column): Column = m >= atLeast
@@ -91,15 +91,29 @@ object Checks {
   /** Evaluate the suite: one aggregation over `df`, one output row per
     * check — (check, metric 6dp, passed). Metric expressions all ride
     * the same Aggregate node; the 1×n result is exploded driver-side
-    * (n = suite size, scalar work). */
+    * (n = suite size, scalar work).
+    *
+    * Verdict nullability: on an EMPTY table (or an all-null column
+    * under [[Matches]]) every avg/ratio metric is NULL, so the raw pass
+    * predicate is NULL too — `passed` coalesces that to false. A gate
+    * reading `passed` as Boolean must fail closed on a table with no
+    * evidence, not throw on unboxing or silently treat the check as
+    * not-failed. The metric column stays NULL in that case (the honest
+    * "no data" signal). Check names carry their parameters, so every
+    * declared check has a distinct identifier (two Bounds on one column
+    * no longer collide) — run() rejects duplicate fully-parameterized
+    * names rather than letting a consumer keying on check_name lose
+    * verdicts. */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "empty check suite")
+    val dup = checks.groupBy(_.name).collect { case (n, cs) if cs.size > 1 => n }
+    require(dup.isEmpty, s"duplicate check declarations: ${dup.mkString("; ")}")
     val agg = df.agg(checks.head.metric.as("m0"),
       checks.tail.zipWithIndex.map { case (c, i) => c.metric.as(s"m${i + 1}") }: _*)
     val rows = checks.zipWithIndex.map { case (c, i) =>
       struct(lit(c.name).as("check_name"),
         round(col(s"m$i"), 6).as("metric"),
-        c.passed(col(s"m$i")).as("passed"))
+        coalesce(c.passed(col(s"m$i")), lit(false)).as("passed"))
     }
     agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }

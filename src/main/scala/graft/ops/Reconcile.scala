@@ -32,6 +32,25 @@ import org.apache.spark.sql.functions._
   */
 object Reconcile {
 
+  /** Internal working-column names, `__`-prefixed so they cannot
+    * silently collide with user data: the first formulation used plain
+    * "bucket", and a user table carrying its own `bucket` column had it
+    * overwritten before the phase-2 row hash — changed rows differing
+    * only in that column were never reported. [[guardColumns]] still
+    * require()s against the residual pathological case of a user column
+    * literally named `__reconcile_*`. */
+  private val BucketCol = "__reconcile_bucket"
+  private val LeftFp = "__reconcile_lfp"
+  private val RightFp = "__reconcile_rfp"
+  private val LeftN = "__reconcile_ln"
+  private val RightN = "__reconcile_rn"
+
+  private def guardColumns(df: DataFrame): Unit = {
+    val clash = df.columns.filter(_.startsWith("__reconcile_"))
+    require(clash.isEmpty,
+      s"reconcile: input columns collide with internal names: ${clash.mkString(", ")}")
+  }
+
   /** Row content hash over `cols` (xxhash64 — the 64-bit mixing hash,
     * null-discriminating: null and 0 hash differently). */
   private def rowHash(cols: Seq[Column]): Column = xxhash64(cols: _*)
@@ -42,6 +61,7 @@ object Reconcile {
     * mismatch there, not as two spurious one-sided buckets. */
   def bucketSummary(df: DataFrame, keyCols: Seq[String], buckets: Int = 64): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    guardColumns(df)
     val valueCols = df.columns.toSeq.map(col)
     df.groupBy(pmod(xxhash64(keyCols.map(col): _*), lit(buckets)).as("bucket"))
       .agg(count(lit(1)).as("n"), bit_xor(rowHash(valueCols)).as("fp"))
@@ -61,11 +81,11 @@ object Reconcile {
   def divergentBuckets(left: DataFrame, right: DataFrame,
       keyCols: Seq[String], buckets: Int = 64): DataFrame = {
     val l = bucketSummary(left, keyCols, buckets)
-      .withColumnsRenamed(Map("n" -> "ln", "fp" -> "lfp"))
+      .withColumnsRenamed(Map("n" -> LeftN, "fp" -> LeftFp))
     val r = bucketSummary(aligned(left, right), keyCols, buckets)
-      .withColumnsRenamed(Map("n" -> "rn", "fp" -> "rfp"))
+      .withColumnsRenamed(Map("n" -> RightN, "fp" -> RightFp))
     l.join(r, Seq("bucket"), "full_outer")
-      .filter(not(col("ln") <=> col("rn")) || not(col("lfp") <=> col("rfp")))
+      .filter(not(col(LeftN) <=> col(RightN)) || not(col(LeftFp) <=> col(RightFp)))
       .select(col("bucket"))
   }
 
@@ -77,18 +97,24 @@ object Reconcile {
     * columns are compared via the content hash. */
   def diffRows(left: DataFrame, right: DataFrame,
       keyCols: Seq[String], buckets: Int = 64): DataFrame = {
+    guardColumns(left)
+    require(!keyCols.contains("status"),
+      "reconcile: a key column named 'status' collides with the output column")
     val bad = divergentBuckets(left, right, keyCols, buckets)
+      .withColumnRenamed("bucket", BucketCol)
     def scoped(df: DataFrame, fpName: String): DataFrame = {
-      val b = df.withColumn("bucket",
+      // the bucket lands in a __reconcile_* column, NEVER overwriting a
+      // user column — the row hash below must cover every original column
+      val b = df.withColumn(BucketCol,
         pmod(xxhash64(keyCols.map(col): _*), lit(buckets)))
-      b.join(broadcast(bad), "bucket")
+      b.join(broadcast(bad), BucketCol)
         .select(keyCols.map(col) :+ rowHash(df.columns.toSeq.map(col)).as(fpName): _*)
     }
-    scoped(left, "lfp").join(scoped(aligned(left, right), "rfp"), keyCols, "full_outer")
-      .filter(not(col("lfp") <=> col("rfp")))
+    scoped(left, LeftFp).join(scoped(aligned(left, right), RightFp), keyCols, "full_outer")
+      .filter(not(col(LeftFp) <=> col(RightFp)))
       .select(keyCols.map(col) :+
-        when(col("rfp").isNull, lit("left_only"))
-          .when(col("lfp").isNull, lit("right_only"))
+        when(col(RightFp).isNull, lit("left_only"))
+          .when(col(LeftFp).isNull, lit("right_only"))
           .otherwise(lit("changed")).as("status"): _*)
   }
 }

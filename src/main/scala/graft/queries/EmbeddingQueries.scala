@@ -468,8 +468,8 @@ object EmbeddingQueries {
     // its cluster has cosine >= 0.35 — lowest id is the kept
     // representative, so the rule is order-free and deterministic.
     // Output: the dropped ids with their cluster and the strongest
-    // in-cluster duplicate cosine (rounded before max — same 6dp
-    // convention the pair frame ranks on).
+    // in-cluster duplicate cosine (threshold on the raw cosine, 6dp
+    // rounding on the reported max only).
     GraftQuery(
       "q161_semantic_dedup",
       (s, d) => {
@@ -480,13 +480,17 @@ object EmbeddingQueries {
           col("nrm").as("na"), col("cluster"))
         val b = n.select(col("id").as("d2"), col("v").as("vb"),
           col("nrm").as("nb"), col("cluster"))
+        // threshold gate on the UNROUNDED cosine; 6dp rounding only on
+        // the reported max — rounding-mode differences (Spark HALF_UP vs
+        // DuckDB HALF_EVEN) must never decide set membership at the cut
         a.join(b, Seq("cluster"))
           .filter(col("d1") < col("d2"))
           .select(col("cluster"), col("d2"),
-            round(expr("array_dot(va, vb)") / (col("na") * col("nb")), 6).as("cs"))
+            (expr("array_dot(va, vb)") / (col("na") * col("nb"))).as("cs"))
           .filter(col("cs") >= 0.35)
           .groupBy(col("d2"))
-          .agg(min(col("cluster")).as("cluster"), max(col("cs")).as("max_cos"))
+          .agg(min(col("cluster")).as("cluster"),
+            round(max(col("cs")), 6).as("max_cos"))
           .select(col("d2").as("vec_id"), col("cluster"), col("max_cos"))
           .orderBy(col("vec_id"))
       },
@@ -494,9 +498,9 @@ object EmbeddingQueries {
          n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, cluster
                FROM e JOIN afin USING (vec_id)),
          p AS (SELECT b.cluster, b.vec_id AS d2,
-                      round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cs
+                      list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cs
                FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
-         SELECT d2 AS vec_id, min(cluster) AS cluster, max(cs) AS max_cos
+         SELECT d2 AS vec_id, min(cluster) AS cluster, round(max(cs), 6) AS max_cos
          FROM p WHERE cs >= 0.35 GROUP BY d2 ORDER BY vec_id"""))
   )
 }

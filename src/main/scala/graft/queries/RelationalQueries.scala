@@ -1463,7 +1463,7 @@ object RelationalQueries {
           .orderBy(col("check_name"), col("metric"))
       },
       Some("""WITH m AS (
-                SELECT 'complete(o_custkey)' AS check_name,
+                SELECT 'complete(o_custkey)>=1.0' AS check_name,
                        avg(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END) AS metric,
                        avg(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END) >= 1.0 AS passed
                 FROM orders
@@ -1473,7 +1473,7 @@ object RelationalQueries {
                        count(DISTINCT o_orderkey)::DOUBLE / count(*) = 1.0
                 FROM orders
                 UNION ALL
-                SELECT 'bounds(o_totalprice)',
+                SELECT 'bounds(o_totalprice)[0.0,500000.0]',
                        avg(CASE WHEN o_totalprice IS NULL
                              OR (o_totalprice >= 0 AND o_totalprice <= 500000)
                              THEN 1.0 ELSE 0.0 END),
@@ -1482,7 +1482,7 @@ object RelationalQueries {
                              THEN 1.0 ELSE 0.0 END) = 1.0
                 FROM orders
                 UNION ALL
-                SELECT 'bounds(o_totalprice)',
+                SELECT 'bounds(o_totalprice)[0.0,100000.0]',
                        avg(CASE WHEN o_totalprice IS NULL
                              OR (o_totalprice >= 0 AND o_totalprice <= 100000)
                              THEN 1.0 ELSE 0.0 END),
@@ -1491,7 +1491,7 @@ object RelationalQueries {
                              THEN 1.0 ELSE 0.0 END) = 1.0
                 FROM orders
                 UNION ALL
-                SELECT 'in_set(o_orderstatus)',
+                SELECT 'in_set(o_orderstatus){F,O,P}',
                        avg(CASE WHEN o_orderstatus IS NULL
                              OR o_orderstatus IN ('F', 'O', 'P')
                              THEN 1.0 ELSE 0.0 END),

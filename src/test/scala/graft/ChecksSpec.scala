@@ -27,11 +27,16 @@ class ChecksSpec extends SparkSpec {
       Unique(Seq("id")),                   // pk -> pass
       Bounds("v", 0.0, 100.0),             // 999 breaks -> fail
       InSet("status", Seq("OK"))))         // BAD breaks -> fail
-    assert(r("complete(id)") == ((1.0, true)))
-    assert(r("complete(opt)")._2 == false)
+    assert(r("complete(id)>=1.0") == ((1.0, true)))
+    assert(r("complete(opt)>=0.5")._2 == true)
+    assert(r("complete(opt)>=1.0")._2 == false)
     assert(r("unique(id)") == ((1.0, true)))
-    assert(r("bounds(v)")._2 == false && math.abs(r("bounds(v)")._1 - 2.0 / 3) < 1e-6)
-    assert(r("in_set(status)")._2 == false)
+    assert(r("bounds(v)[0.0,100.0]")._2 == false
+      && math.abs(r("bounds(v)[0.0,100.0]")._1 - 2.0 / 3) < 1e-6)
+    assert(r("in_set(status){OK}")._2 == false)
+    // parameterized names make the two Complete(opt) checks DISTINCT
+    // map keys — the pre-fix toMap silently collapsed them
+    assert(r.size == 6)
   }
 
   test("Unique fails on a duplicated key; nulls don't break Bounds/InSet") {
@@ -39,23 +44,45 @@ class ChecksSpec extends SparkSpec {
       .toDF("id", "s")
     val r = results(df, Seq(Unique(Seq("id")), InSet("s", Seq("x"))))
     assert(r("unique(id)") == ((0.5, false)))
-    assert(r("in_set(s)") == ((1.0, true))) // null is not a violation
+    assert(r("in_set(s){x}") == ((1.0, true))) // null is not a violation
+  }
+
+  test("empty table fails closed: null metrics, passed = false (never null)") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    val rows = Checks.run(empty, Seq(
+      Complete("id"), Bounds("id", 0.0, 10.0), Matches("s", "^x$", 0.5)))
+      .collect()
+    // every metric is NULL (no evidence), every verdict is a REAL false
+    // — a Boolean-typed gate must not hit a null-unboxing error
+    assert(rows.length == 3)
+    assert(rows.forall(_.isNullAt(1)))
+    assert(rows.forall(r => !r.isNullAt(2) && !r.getBoolean(2)))
+  }
+
+  test("duplicate fully-parameterized declarations are rejected") {
+    val df = Seq((1L, "x")).toDF("id", "s")
+    intercept[IllegalArgumentException] {
+      Checks.run(df, Seq(Bounds("id", 0.0, 1.0), Bounds("id", 0.0, 1.0)))
+    }
+    // same column, different params: distinct names, both allowed
+    val r = results(df, Seq(Bounds("id", 0.0, 1.0), Bounds("id", 0.0, 2.0)))
+    assert(r.size == 2)
   }
 
   test("ApproxUnique: HLL ratio within tolerance on a real key, catches 2x dup") {
     val orders = Tables(spark, sf, "orders")
     val r1 = results(orders, Seq(ApproxUnique(Seq("o_orderkey"), 0.05)))
-    assert(r1("approx_unique(o_orderkey)")._2,
+    assert(r1("approx_unique(o_orderkey)~0.05")._2,
       r1.toString) // estimate/count within 5% of 1.0
     val doubled = orders.unionAll(orders)
     val r2 = results(doubled, Seq(ApproxUnique(Seq("o_orderkey"), 0.05)))
-    assert(!r2("approx_unique(o_orderkey)")._2) // ratio ~0.5, way outside
+    assert(!r2("approx_unique(o_orderkey)~0.05")._2) // ratio ~0.5, way outside
   }
 
   test("Matches: regex ratio with nulls excluded from the denominator") {
     val df = Seq(Some("1-URGENT"), Some("oops"), None).toSeq.toDF("p")
     val r = results(df, Seq(Matches("p", "^[0-9]-[A-Z]+$", 0.5)))
-    assert(r("matches(p)") == ((0.5, true)))
+    assert(r("matches(p)>=0.5") == ((0.5, true)))
   }
 
   test("the suite is ONE scan: no-distinct suite plans a single aggregate, no shuffle join") {

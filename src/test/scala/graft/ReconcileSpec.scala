@@ -41,6 +41,23 @@ class ReconcileSpec extends SparkSpec {
     assert(got == Set((1L, "changed"), (2L, "left_only"), (4L, "right_only")))
   }
 
+  test("a user column named 'bucket' is compared, not clobbered") {
+    // regression: the internal bucket column used to be withColumn("bucket"),
+    // overwriting a real 'bucket' column before the phase-2 row hash —
+    // rows differing ONLY in it were flagged by phase 1 but never
+    // reported by diffRows
+    val l = Seq((1L, "x"), (2L, "y")).toDF("id", "bucket")
+    val r = Seq((1L, "x"), (2L, "CHANGED")).toDF("id", "bucket")
+    val got = Reconcile.diffRows(l, r, Seq("id")).as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "changed")))
+    // and a column colliding with the __reconcile_* namespace is rejected
+    intercept[IllegalArgumentException] {
+      Reconcile.diffRows(
+        l.withColumnRenamed("bucket", "__reconcile_bucket"),
+        r.withColumnRenamed("bucket", "__reconcile_bucket"), Seq("id"))
+    }
+  }
+
   test("duplicated row (same key twice on one side): count catches what XOR cancels") {
     // the documented blind spot is EVEN-multiplicity content swaps; a
     // plain duplicate changes the bucket COUNT, so it must surface
