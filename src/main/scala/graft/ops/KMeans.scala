@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Lloyd's k-means over an embedding column, hand-rolled on DataFrame
@@ -59,6 +60,71 @@ object KMeans {
       cents = cents.indices.map(i => upd.getOrElse(i, cents(i)))
     }
     (assign(v, cents).select(col("id"), col("cluster")), cents)
+  }
+
+  /** Broadcast-join nearest-centroid assignment — the LARGE-k production
+    * face of [[assign]]. [[assign]] inlines k×d centroid doubles as
+    * expression literals, which is the right trick for a shuffle-free
+    * oracle-checkable k=10 but structurally caps k at O(100s) (codegen
+    * method limits, plan size); SemDeDup's own prescription scales k
+    * with the corpus (tens of thousands of clusters). Here centroids
+    * ride a BROADCAST DataFrame — k×d is DATA shipped once per
+    * executor, not expression text — so k scales until k·d stops
+    * fitting in a broadcast (~10⁷ doubles), with per-row cost the same
+    * brute-force k·d argmin either way.
+    *
+    * Plan shape: broadcast join — BroadcastNestedLoopJoin BuildRight,
+    * the only correct broadcast form for a KEYLESS row×all-centroids
+    * pairing (there is no equi-key for a hash join to dispatch on;
+    * each input partition needs every centroid) — then a per-id argmin
+    * aggregate with map-side partial combine, so the one exchange
+    * carries ≤ N pre-combined rows, never N×k. That single shuffle is
+    * the price of the join form vs [[assign]]'s pure scan — the right
+    * trade exactly when k is too large to inline. The argmin is the
+    * [[ArgMin]] typed Aggregator, NOT `min_by(cidx, struct(d, cidx))`:
+    * min_by's struct-typed ordering buffer is not hash-aggregable and
+    * falls back to SortAggregate, which would sort the N×k joined
+    * frame by id; the Aggregator plans hash-based ObjectHashAggregate
+    * (partial + final), no sort anywhere (pinned in ScaleSpec).
+    *
+    * Determinism contract is IDENTICAL to [[assign]] (double cast,
+    * 6dp-rounded distance, ties to the lowest centroid index), so for
+    * any centroid set the two faces return the same assignment frame
+    * and [[oracleCtes]] describes both (pinned in KMeansSpec).
+    */
+  def assignJoin(emb: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Seq[Double]]): DataFrame = {
+    require(cents.nonEmpty, "assignJoin needs at least one centroid")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col(idCol).as("id"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+    val cdf = cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cidx", "cv")
+    val d2 = aggregate(
+      zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0d), (acc, x) => acc + x)
+    val argmin = udaf(new ArgMin)
+    v.join(broadcast(cdf))
+      .select(col("id"), col("cidx"), round(sqrt(d2), 6).as("d"))
+      .groupBy(col("id"))
+      .agg(argmin(col("d"), col("cidx")).as("cluster"))
+  }
+
+  /** Per-group argmin as a mergeable typed Aggregator: one (dist, cidx)
+    * pair of state, ordered (dist ASC, cidx ASC) — exactly [[assign]]'s
+    * struct-ordering tie rule. Distances arrive 6dp-rounded and
+    * non-NaN (sqrt of a sum of squares over cast doubles), so plain
+    * `<` comparison is total here. */
+  private class ArgMin extends Aggregator[(Double, Int), (Double, Int), Int] {
+    override def zero: (Double, Int) = (Double.PositiveInfinity, Int.MaxValue)
+    override def reduce(b: (Double, Int), a: (Double, Int)): (Double, Int) =
+      if (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)) a else b
+    override def merge(a: (Double, Int), b: (Double, Int)): (Double, Int) =
+      reduce(a, b)
+    override def finish(b: (Double, Int)): Int = b._2
+    override def bufferEncoder: Encoder[(Double, Int)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaInt)
+    override def outputEncoder: Encoder[Int] = Encoders.scalaInt
   }
 
   /** Shuffle-free nearest-centroid assignment: argmin over k inlined

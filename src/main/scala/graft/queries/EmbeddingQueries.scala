@@ -501,6 +501,103 @@ object EmbeddingQueries {
                       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cs
                FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
          SELECT d2 AS vec_id, min(cluster) AS cluster, round(max(cs), 6) AS max_cos
-         FROM p WHERE cs >= 0.35 GROUP BY d2 ORDER BY vec_id"""))
+         FROM p WHERE cs >= 0.35 GROUP BY d2 ORDER BY vec_id""")),
+
+    // ---- q161's 100 TB face: SemDeDup with the broadcast-join
+    // assignment (KMeans.assignJoin — centroids as broadcast DATA, so k
+    // scales to SemDeDup's corpus-sized cluster counts; plan pinned in
+    // ScaleSpec) and a PER-CLUSTER PAIR CAP, the Dedup df-cap
+    // convention applied to the quadratic block: each vector is
+    // compared only against its cluster's `cap` lowest-id members (the
+    // representatives), so pair volume is Σ_c [cap·(s_c−cap) +
+    // cap·(cap−1)/2] ≤ N·cap — linear in N at fixed cap, vs q161's
+    // Σ s_c² which grows Θ(N²/k) when k is pinned. The recall exposure
+    // (which comparisons the cap skipped) is not hidden: q184 is the
+    // paired telemetry, same convention as q101 for the shingle cap.
+    // Semantics stay order-free and deterministic: drop v iff some
+    // representative with LOWER id in v's cluster has raw cosine >=
+    // 0.35; representatives are rank<=cap by id within cluster.
+    GraftQuery(
+      "q183_semantic_dedup_capped",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cap = 25
+        val (_, cents) = graft.ops.KMeans.lloyd(
+          t(s, d, "embeddings"), "vec_id", "embedding", k = 10, iters = 3)
+        val asg = graft.ops.KMeans.assignJoin(
+          t(s, d, "embeddings"), "vec_id", "embedding", cents)
+        val n = vecs(s, d).join(asg, "id")
+        // rank-by-id window is PARTITIONED by cluster (state bounded by
+        // the largest cluster, the same bound the pair block already has)
+        val reps = n.withColumn("rn",
+            row_number().over(Window.partitionBy(col("cluster")).orderBy(col("id"))))
+          .filter(col("rn") <= cap)
+        val a = reps.select(col("id").as("d1"), col("v").as("va"),
+          col("nrm").as("na"), col("cluster"))
+        val b = n.select(col("id").as("d2"), col("v").as("vb"),
+          col("nrm").as("nb"), col("cluster"))
+        a.join(b, Seq("cluster"))
+          .filter(col("d1") < col("d2"))
+          .select(col("cluster"), col("d2"),
+            (expr("array_dot(va, vb)") / (col("na") * col("nb"))).as("cs"))
+          .filter(col("cs") >= 0.35)
+          .groupBy(col("d2"))
+          .agg(min(col("cluster")).as("cluster"),
+            round(max(col("cs")), 6).as("max_cos"))
+          .select(col("d2").as("vec_id"), col("cluster"), col("max_cos"))
+          .orderBy(col("vec_id"))
+      },
+      Some(graft.ops.KMeans.oracleCtes(k = 10, iters = 3) + s""",
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, cluster
+               FROM e JOIN afin USING (vec_id)),
+         r AS (SELECT vec_id, v, nrm, cluster,
+                      row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rn
+               FROM n),
+         p AS (SELECT b.cluster, b.vec_id AS d2,
+                      list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cs
+               FROM r a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+               WHERE a.rn <= 25)
+         SELECT d2 AS vec_id, min(cluster) AS cluster, round(max(cs), 6) AS max_cos
+         FROM p WHERE cs >= 0.35 GROUP BY d2 ORDER BY vec_id""")),
+
+    // ---- what q183's pair cap costs (the q101 telemetry convention):
+    // one row of full vs capped pair volume from the cluster-size
+    // histogram alone — |clusters| rows of input, pure integer
+    // arithmetic, no pair materialization. n_pairs_dropped is the
+    // recall exposure of cap=25, surfaced as a monitored number
+    // instead of a silent filter; at 100 TB this runs against the
+    // same assignment frame the dedup already produced, so the
+    // telemetry is one tiny aggregate, not a second pipeline.
+    GraftQuery(
+      "q184_semdedup_cap_telemetry",
+      (s, d) => {
+        val cap = 25
+        val (asg, _) = graft.ops.KMeans.lloyd(
+          t(s, d, "embeddings"), "vec_id", "embedding", k = 10, iters = 3)
+        val sizes = asg.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("s"))
+        val full = expr("s * (s - 1) DIV 2")
+        val capped = when(col("s") <= cap, full)
+          .otherwise(lit(cap.toLong * (cap - 1) / 2) + lit(cap.toLong) * (col("s") - cap))
+        sizes.agg(
+          sum(col("s")).as("n_vectors"),
+          count(lit(1)).as("n_clusters"),
+          sum(full).as("n_pairs_full"),
+          sum(capped).as("n_pairs_capped"),
+          max(col("s")).as("max_cluster_size"))
+          .withColumn("n_pairs_dropped", col("n_pairs_full") - col("n_pairs_capped"))
+      },
+      Some(graft.ops.KMeans.oracleCtes(k = 10, iters = 3) + s""",
+         cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS s FROM afin GROUP BY 1)
+         SELECT CAST(sum(s) AS BIGINT) AS n_vectors,
+                CAST(count(*) AS BIGINT) AS n_clusters,
+                CAST(sum(s * (s - 1) // 2) AS BIGINT) AS n_pairs_full,
+                CAST(sum(CASE WHEN s <= 25 THEN s * (s - 1) // 2
+                              ELSE 300 + 25 * (s - 25) END) AS BIGINT) AS n_pairs_capped,
+                CAST(max(s) AS BIGINT) AS max_cluster_size,
+                CAST(sum(s * (s - 1) // 2)
+                     - sum(CASE WHEN s <= 25 THEN s * (s - 1) // 2
+                                ELSE 300 + 25 * (s - 25) END) AS BIGINT) AS n_pairs_dropped
+         FROM cs"""))
   )
 }

@@ -50,6 +50,39 @@ class KMeansSpec extends SparkSpec {
     assert(a.orderBy("id").collect().toSeq == b.orderBy("id").collect().toSeq)
   }
 
+  test("assignJoin returns exactly the inline assignment (shared determinism contract)") {
+    val (asg, cents) = KMeans.lloyd(fixture, "vec_id", "embedding", k = 2, iters = 2)
+    val inline = asg.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val joined = KMeans.assignJoin(fixture, "vec_id", "embedding", cents)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(joined == inline)
+  }
+
+  test("assignJoin ties break to the lowest centroid index, like assign") {
+    // two IDENTICAL centroids: every point ties on (rounded) distance,
+    // so the ArgMin aggregator's (dist ASC, cidx ASC) rule must put
+    // everything on index 0 — the same verdict the inline array_min
+    // struct ordering gives
+    val dupCents = Seq(Seq(1.0, 1.0), Seq(1.0, 1.0))
+    val asg = KMeans.assignJoin(fixture, "vec_id", "embedding", dupCents)
+    assert(asg.collect().map(_.getInt(1)).toSet == Set(0))
+  }
+
+  test("assignJoin scales k past the inline form's expression ceiling") {
+    // 600 centroids: far beyond what k inlined literal branches should
+    // be asked to codegen, trivial as broadcast data — every vector
+    // must land on its nearest (here: centroid index == argmin by
+    // construction, ties impossible)
+    val k = 600
+    val cents = (0 until k).map(i => Seq(i * 10.0, 0.0))
+    val pts = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(4998.0f, 0.0f)),
+      (2L, Seq(5992.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = KMeans.assignJoin(pts, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 0, 1L -> 500, 2L -> 599))
+  }
+
   test("iters = 0 assigns against the raw lowest-id seeds") {
     val (asg, cents) = KMeans.lloyd(fixture, "vec_id", "embedding", k = 2, iters = 0)
     // seeds are rows 0 and 1 cast to double, untouched
