@@ -111,6 +111,22 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // the COMPLETE per-query map also lands in a file: the driver's
+    // stdout tail-capture truncates the long line once the suite grows
+    // past ~70 queries (BENCH_r14 retained q31-q99 only), so the file
+    // is what lets every timing be audited without a dev rerun.
+    // Best-effort: a write failure must not kill the stdout artifact.
+    try {
+      val dir = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("bench_full.json"),
+        (s"""{"metric":"per_query","queries":$qs,"errors":$errs,""" +
+          s""""total":${f(total)},"n_queries":${results.size},"sf":"$sfDir"}""" + "\n")
+          .getBytes("UTF-8"))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"graft.Bench: bench_full.json write failed: $e")
+    }
     // two lines, long one FIRST: the driver tails output, so anything cut
     // is cut from the FRONT — rounds 1-5 put "value" at the head of one
     // long line and the driver parsed null every round. The short

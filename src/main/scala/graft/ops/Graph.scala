@@ -345,13 +345,22 @@ object Graph {
           - pow(col("degree_sum") / lit(2.0 * m), 2), 6).as("q_term"))
   }
 
-  /** Per-(node, landmark) shortest hop distances from a seed set, by
+  /** Per-(node, landmark) shortest distances from a seed set, by
     * synchronous min-distance propagation (distributed BFS — the
     * landmark/reachability feature builder: "how far is every user from
     * each of these anchor accounts?"). Seeds not present in the graph
     * are ignored (no edge can reach them); pairs beyond `maxHops` are
     * absent rather than ∞, so the output is exactly the ≤ maxHops
-    * reachability relation over an undirected view of the edges.
+    * reachability relation.
+    *
+    * `directed = false` (default) walks an undirected view of the
+    * edges (canonicalized + symmetrized); `directed = true` propagates
+    * strictly along aCol→bCol. `weightCol = Some(w)` switches hop
+    * counting to MIN-SUM of edge weights (bounded-round Bellman-Ford:
+    * cheapest path using ≤ maxHops edges); duplicate (src, dst) edges
+    * collapse to their minimum weight, deterministically. Integral
+    * weights keep the sums exact cross-engine — fractional weights
+    * inherit the usual float-sum caveat (round before comparing).
     *
     * Scale shape per hop: one edge-keyed join (current distances →
     * neighbors) and one (node, seed) min-aggregate, map-side combined;
@@ -362,16 +371,26 @@ object Graph {
     * materializes every round (consumed twice: the union and the
     * propagation join — the 2^k recompute trap). */
   def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int,
-      aCol: String = "u1", bCol: String = "u2"): DataFrame = {
+      aCol: String = "u1", bCol: String = "u2",
+      directed: Boolean = false,
+      weightCol: Option[String] = None): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val e0 = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val w = weightCol.map(col).getOrElse(lit(1L))
+    val raw = edges.select(col(aCol).as("a"), col(bCol).as("b"), w.as("w"))
       .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct()
-    val und = e0.select(col("a").as("src"), col("b").as("dst"))
-      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+    val canon =
+      if (directed) raw
+      else raw.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"), col("w"))
+    val e0 = canon.groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+    val fwd = e0.select(col("a").as("src"), col("b").as("dst"), col("w"))
+    val adj = (if (directed) fwd
+      else fwd.union(e0.select(col("b").as("src"), col("a").as("dst"), col("w"))))
       .cache() // iterative-access exception, as in pageRank
-    val nodes = und.select(col("src").as("node")).distinct()
+    // directed graphs can have sink-only nodes (never a src) — they
+    // are still seedable/reachable, so the node set is src ∪ dst
+    val nodes = adj.select(col("src").as("node"))
+      .union(adj.select(col("dst").as("node"))).distinct()
     var dist = nodes
       .join(broadcast(seeds.toDF("seed")), col("node") === col("seed"), "inner")
       .select(col("node"), col("seed"), lit(0L).as("dist"))
@@ -379,15 +398,15 @@ object Graph {
     var h = 1
     while (h <= maxHops) {
       val prop = dist
-        .join(und, dist("node") === und("src"))
-        .select(col("dst").as("node"), col("seed"), (col("dist") + 1).as("dist"))
+        .join(adj, dist("node") === adj("src"))
+        .select(col("dst").as("node"), col("seed"), (col("dist") + col("w")).as("dist"))
       dist = dist.union(prop)
         .groupBy(col("node"), col("seed"))
         .agg(min(col("dist")).as("dist"))
         .localCheckpoint(eager = true)
       h += 1
     }
-    und.unpersist()
+    adj.unpersist()
     dist
   }
 

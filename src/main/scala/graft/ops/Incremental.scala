@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   * bucketed parquet table keyed on `key`, making the merge a co-located
   * join at production scale).
   *
-  * Contract: insert-only. count/sum admit retractions (negative
-  * weights), but min/max are NOT mergeable under deletion — supporting
-  * deletes means either dropping min/max from the state or rebuilding
-  * affected keys, so this API stays append-only and says so rather than
-  * quietly producing wrong bounds.
+  * Contract: [[partial]]/[[merge]]/[[finish]] are insert-only. min/max
+  * are NOT mergeable under deletion — there is no inverse for "took the
+  * max" — so the retraction-aware face ([[partialDelta]] /
+  * [[mergeDelta]] / [[finishDelta]]) maintains count/sum/mean exactly
+  * via signed weights and FLAGS the keys whose stored bounds a delete
+  * touched (`needs_rebuild`) instead of quietly publishing stale
+  * extremes.
   */
 object Incremental {
 
@@ -58,4 +60,70 @@ object Incremental {
     state.select(
       col("key"), col("cnt"), col("sum"), col("vmin"), col("vmax"),
       when(col("cnt") > 0, col("sum") / col("cnt")).as("mean"))
+
+  // ---- retraction-aware face (signed weights / CDC deltas) ----------
+  //
+  // The insert-only contract above is honest about WHY: count/sum are
+  // abelian-group aggregates (every insert has an inverse), min/max are
+  // only a semilattice (no inverse — you cannot un-take a max). The
+  // delta face therefore maintains count/sum/mean EXACTLY under
+  // retraction via signed weights, keeps min/max as insert-side bounds,
+  // and tracks the retracted extremes so [[finishDelta]] can flag the
+  // precise keys whose bounds are no longer trustworthy
+  // (`needs_rebuild`) instead of quietly publishing a stale extremum.
+  // That is the standard incremental-view-maintenance treatment of
+  // non-invertible aggregates: rebuild exactly the keys where a delete
+  // touched the stored bound, keep the group-aggregates incremental.
+  //
+  // Contract: deletes must retract previously-inserted (key, value)
+  // rows (CDC discipline — the reconcile module q170 is the audit tool
+  // when that is in doubt). A delete of a never-inserted value can
+  // produce needs_rebuild=true spuriously but never a wrong cnt/sum
+  // verdict silently.
+
+  /** Aggregate one delta batch into per-key mergeable state. `weight`
+    * is +1 for inserts, -1 for deletes (any long weight works — e.g.
+    * collapsed CDC multiplicities). Nulls carry no weight, matching
+    * [[partial]]'s count(value) semantics. */
+  def partialDelta(df: DataFrame, key: Column, value: Column,
+      weight: Column): DataFrame =
+    df.groupBy(key.as("key"))
+      .agg(
+        coalesce(sum(when(value.isNotNull, weight)), lit(0L)).as("cnt"),
+        sum(value * weight).as("sum"),
+        min(when(weight > 0, value)).as("vmin"),
+        max(when(weight > 0, value)).as("vmax"),
+        min(when(weight < 0, value)).as("dmin"),
+        max(when(weight < 0, value)).as("dmax"))
+
+  /** Merge delta-state frames (associative + commutative, same as
+    * [[merge]]): counts/sums add, insert bounds and retracted bounds
+    * each fold by min/max. */
+  def mergeDelta(partials: Seq[DataFrame]): DataFrame = {
+    require(partials.nonEmpty, "mergeDelta needs at least one partial frame")
+    partials.reduce(_.unionByName(_))
+      .groupBy(col("key"))
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        sum(col("sum")).as("sum"),
+        min(col("vmin")).as("vmin"),
+        max(col("vmax")).as("vmax"),
+        min(col("dmin")).as("dmin"),
+        max(col("dmax")).as("dmax"))
+  }
+
+  /** Read-time derivation: exact cnt/sum/mean under retraction; vmin /
+    * vmax are the INSERT-side bounds, still exact for any key where no
+    * delete touched an extremum; `needs_rebuild` is true exactly when a
+    * retracted value reaches the stored bound (dmin <= vmin or dmax >=
+    * vmax) — a delete strictly inside the range can never move min/max,
+    * so everything else stays incrementally exact. A key retracted to
+    * emptiness (cnt = 0) reports null mean. */
+  def finishDelta(state: DataFrame): DataFrame =
+    state.select(
+      col("key"), col("cnt"), col("sum"), col("vmin"), col("vmax"),
+      when(col("cnt") > 0, col("sum") / col("cnt")).as("mean"),
+      coalesce(col("dmin") <= col("vmin"), lit(false))
+        .or(coalesce(col("dmax") >= col("vmax"), lit(false)))
+        .as("needs_rebuild"))
 }

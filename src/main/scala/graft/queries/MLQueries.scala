@@ -1084,6 +1084,64 @@ object MLQueries {
             ${hop(3, "h2")}
             SELECT node, seed, CAST(dist AS BIGINT) AS dist FROM h3
             ORDER BY node, seed"""
+      }),
+
+    // ---- q158's directed + weighted face (Graph.bfsDistances with
+    // directed=true, weightCol): cheapest ≤3-edge path cost from the
+    // anchor set, propagating strictly low-id → high-id, with edge
+    // weight = co-engagement multiplicity (how many shared (item, hour)
+    // contexts bind the pair — the count the q158 edge list collapses
+    // with DISTINCT). Min-sum over bigint weights is exact cross-engine
+    // (no float path sums); bounded-round Bellman-Ford, same per-hop
+    // join+min-aggregate shape and nodes×|seeds| state bound as q158.
+    // The oracle unrolls the same three min-sum rounds over the
+    // weighted directed edge list.
+    GraftQuery(
+      "q187_bfs_weighted_directed",
+      (s, d) => {
+        val i = t(s, d, "events")
+          .filter(col("user_id").isNotNull && Tables.propsItem.isNotNull)
+          .select(col("user_id"), Tables.propsItem.as("item"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .distinct()
+        val wedges = i.select(col("user_id").as("u1"), col("item"), col("hr"))
+          .join(i.select(col("user_id").as("u2"), col("item"), col("hr")),
+            Seq("item", "hr"))
+          .filter(col("u1") < col("u2"))
+          .groupBy(col("u1"), col("u2"))
+          .agg(count(lit(1)).as("w"))
+        val seeds = wedges.select(col("u1").as("node"))
+          .union(wedges.select(col("u2").as("node")))
+          .distinct().filter(col("node").isin(0, 1, 2))
+        graft.ops.Graph.bfsDistances(wedges, seeds, maxHops = 3,
+            directed = true, weightCol = Some("w"))
+          .orderBy(col("node"), col("seed"))
+      },
+      Some {
+        def hop(k: Int, prev: String): String =
+          s"""h$k AS MATERIALIZED (SELECT node, seed, min(dist) AS dist FROM (
+                SELECT node, seed, dist FROM $prev
+                UNION ALL
+                SELECT e.u2, p.seed, p.dist + e.w FROM $prev p
+                JOIN e ON p.node = e.u1)
+              GROUP BY 1, 2)"""
+        s"""WITH i AS (SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item,
+                              date_trunc('hour', ts) AS hr
+                       FROM events
+                       WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL),
+            e AS MATERIALIZED (SELECT a.user_id AS u1, b.user_id AS u2,
+                                      CAST(count(*) AS BIGINT) AS w
+                  FROM i a JOIN i b
+                    ON a.item = b.item AND a.hr = b.hr AND a.user_id < b.user_id
+                  GROUP BY 1, 2),
+            h0 AS (SELECT DISTINCT node, node AS seed, CAST(0 AS BIGINT) AS dist
+                   FROM (SELECT u1 AS node FROM e UNION SELECT u2 FROM e)
+                   WHERE node IN (0, 1, 2)),
+            ${hop(1, "h0")},
+            ${hop(2, "h1")},
+            ${hop(3, "h2")}
+            SELECT node, seed, CAST(dist AS BIGINT) AS dist FROM h3
+            ORDER BY node, seed"""
       })
   )
 }

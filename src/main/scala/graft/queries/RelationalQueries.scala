@@ -1106,6 +1106,152 @@ object RelationalQueries {
               FROM orders JOIN customer ON o_custkey = c_custkey
               GROUP BY 1 ORDER BY 1""")),
 
+    // ---- q150's retraction-aware face (graft.ops.Incremental delta
+    // API — the abelian-vs-semilattice split documented there): the
+    // events table arrives as three insert batches (pmod 3, weight +1)
+    // followed by a CDC delete batch retracting every pmod-7 row
+    // (weight -1). count/sum/mean are maintained EXACTLY through the
+    // deletes via signed weights; vmin/vmax stay insert-side bounds and
+    // needs_rebuild flags precisely the types whose stored extremum a
+    // delete touched — the honest limit of non-invertible aggregates,
+    // surfaced per key instead of silently publishing stale bounds.
+    // The oracle recomputes cnt/total/mean from the surviving rows and
+    // the rebuild flag from the raw insert/delete extremes; hash
+    // equality is the claim that 4 batch-sized folds + a |keys| merge
+    // reproduce the full-history recompute without ever rescanning it.
+    GraftQuery(
+      "q185_retraction_view",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val inserts = (0 to 2).map(b =>
+          graft.ops.Incremental.partialDelta(
+            ev.filter(pmod(col("event_id"), lit(3)) === b),
+            col("event_type"), col("value"), lit(1L)))
+        val deletes = graft.ops.Incremental.partialDelta(
+          ev.filter(pmod(col("event_id"), lit(7)) === 0),
+          col("event_type"), col("value"), lit(-1L))
+        graft.ops.Incremental.finishDelta(
+            graft.ops.Incremental.mergeDelta(inserts :+ deletes))
+          .select(col("key").as("event_type"), col("cnt"),
+            round(col("sum"), 6).as("total"),
+            round(col("mean"), 6).as("mean"),
+            round(col("vmin"), 6).as("vmin"),
+            round(col("vmax"), 6).as("vmax"),
+            col("needs_rebuild"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH live AS (SELECT event_type,
+                       CAST(count(value) AS BIGINT) AS cnt,
+                       round(sum(value), 6) AS total,
+                       round(avg(value), 6) AS mean
+                FROM events WHERE event_id % 7 <> 0 GROUP BY 1),
+              ins AS (SELECT event_type,
+                       min(value) AS vmin_raw, max(value) AS vmax_raw
+                FROM events GROUP BY 1),
+              del AS (SELECT event_type,
+                       min(value) AS dmin, max(value) AS dmax
+                FROM events WHERE event_id % 7 = 0 GROUP BY 1)
+              SELECT l.event_type, l.cnt, l.total, l.mean,
+                     round(i.vmin_raw, 6) AS vmin,
+                     round(i.vmax_raw, 6) AS vmax,
+                     coalesce(d.dmin <= i.vmin_raw, false)
+                       OR coalesce(d.dmax >= i.vmax_raw, false) AS needs_rebuild
+              FROM live l JOIN ins i USING (event_type)
+              LEFT JOIN del d USING (event_type)
+              ORDER BY l.event_type""")),
+
+    // ---- SCD2 / effective-dated dimension join — the most common
+    // warehouse join shape: facts ⋈ the dimension VERSION valid at
+    // event time. The dimension is synthesized deterministically from
+    // customer (two versions per key; version 2 becomes effective
+    // 1994-01-01 + custkey%730 days, so the boundary varies per key
+    // across two years of order dates). Spark-first formulation: this
+    // IS an as-of join — match the latest version with valid_from <=
+    // o_orderdate (plans/AsOfJoin, the custom Catalyst operator: one
+    // co-partitioned sort-merge pass, O(1) state per key) — no
+    // valid_to column needed because versions tile time contiguously.
+    // The oracle spells the same thing the warehouse-SQL way, as the
+    // explicit BETWEEN valid_from AND valid_to join over a closed-end
+    // dimension; hash equality pins the as-of form == the interval
+    // form. At 100 TB the as-of wins: the BETWEEN join's range
+    // predicate can't hash-dispatch, while as-of shuffles each side
+    // once on the key and streams.
+    GraftQuery(
+      "q186_scd2_join",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val v1 = cust.select(col("c_custkey").as("custkey"),
+          lit("1992-01-01").cast("date").as("valid_from"),
+          concat(col("c_mktsegment"), lit("#v1")).as("segment_v"))
+        val v2 = cust.select(col("c_custkey").as("custkey"),
+          date_add(lit("1994-01-01").cast("date"),
+            pmod(col("c_custkey"), lit(730)).cast("int")).as("valid_from"),
+          concat(col("c_mktsegment"), lit("#v2")).as("segment_v"))
+        val orders = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate").cast("date").as("odate"))
+        graft.plans.AsOfJoin.asOf(orders, v1.unionByName(v2),
+            "o_custkey", "custkey", "odate", "valid_from")
+          .select(col("o_orderkey"), col("odate"),
+            col("segment_v"), col("valid_from"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH dim AS (
+                SELECT c_custkey AS custkey,
+                       DATE '1992-01-01' AS valid_from,
+                       DATE '1994-01-01' + (c_custkey % 730)::INT - 1 AS valid_to,
+                       c_mktsegment || '#v1' AS segment_v
+                FROM customer
+                UNION ALL
+                SELECT c_custkey,
+                       DATE '1994-01-01' + (c_custkey % 730)::INT,
+                       DATE '9999-12-31',
+                       c_mktsegment || '#v2'
+                FROM customer)
+              SELECT o.o_orderkey, o.o_orderdate::DATE AS odate,
+                     d.segment_v, d.valid_from
+              FROM orders o JOIN dim d
+                ON o.o_custkey = d.custkey
+               AND o.o_orderdate::DATE BETWEEN d.valid_from AND d.valid_to
+              ORDER BY o.o_orderkey""")),
+
+    // ---- q167's DISCOVERY face: dynamic-values pivot. q167 passes the
+    // pivot values up front (the fast path — no discovery scan); this
+    // registration demonstrates the two-pass form a user reaches for
+    // when the value set isn't known: pass 1 is an explicit distinct
+    // scan of the pivot column with a BOUNDED, sorted driver collect
+    // (maxValues = 100 — a pivot's output columns are a schema, and a
+    // schema is driver-sized by definition; the require() turns "the
+    // pivot column is actually high-cardinality" into an error instead
+    // of a 10k-column plan), pass 2 is exactly q167's two-level
+    // aggregate over the discovered list. Same oracle as q167: at any
+    // SF the discovered domain is the 5 event types, so the dynamic
+    // path must land on the explicit path's result bit-for-bit.
+    GraftQuery(
+      "q188_pivot_dynamic",
+      (s, d) => {
+        import s.implicits._
+        val ev = t(s, d, "events")
+        val maxValues = 100
+        val vals = ev.select(col("event_type")).distinct()
+          .orderBy(col("event_type")).limit(maxValues + 1)
+          .as[String].collect().toSeq
+        require(vals.size <= maxValues,
+          s"pivot value domain exceeds $maxValues — pivot is the wrong op")
+        ev.groupBy((col("user_id") % 10).as("ub"))
+          .pivot("event_type", vals)
+          .agg(round(sum(col("value")), 2))
+          .orderBy(col("ub"))
+      },
+      Some("""SELECT user_id % 10 AS ub,
+                     round(sum(value) FILTER (event_type = 'click'), 2) AS click,
+                     round(sum(value) FILTER (event_type = 'error'), 2) AS error,
+                     round(sum(value) FILTER (event_type = 'purchase'), 2) AS purchase,
+                     round(sum(value) FILTER (event_type = 'signup'), 2) AS signup,
+                     round(sum(value) FILTER (event_type = 'view'), 2) AS view
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
     // ---- time-grid resample + forward fill (graft.ops.Resample —
     // scale shape and the few-long-keys caveat there): per event type,
     // hourly value sums on the COMPLETE hour grid between the type's

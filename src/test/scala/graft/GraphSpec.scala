@@ -239,4 +239,24 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(x => (x._1, x._2) -> x._3).toMap
     assert(two((3L, 1L)) == 2L && two((3L, 5L)) == 2L && two((5L, 5L)) == 0L, two.toString)
   }
+
+  test("bfsDistances: directed flag skips the symmetric view; weights give min-sum") {
+    val e = Seq((0L, 1L, 1L), (1L, 2L, 5L), (0L, 2L, 10L)).toDF("u1", "u2", "w")
+    def run(edges: org.apache.spark.sql.DataFrame, seed: Long, hops: Int,
+        dir: Boolean) =
+      Graph.bfsDistances(edges, Seq(seed).toDF("s"), maxHops = hops,
+          directed = dir, weightCol = Some("w"))
+        .as[(Long, Long, Long)].collect().map(x => x._1 -> x._3).toMap
+    // two hops: the 0→1→2 relay (cost 6) beats the direct edge (10)
+    assert(run(e, 0L, 2, dir = true) == Map(0L -> 0L, 1L -> 1L, 2L -> 6L))
+    // one hop: the budget forces the direct edge's cost
+    assert(run(e, 0L, 1, dir = true) == Map(0L -> 0L, 1L -> 1L, 2L -> 10L))
+    // directed: seed 2 has no outgoing edges — reaches only itself;
+    // the undirected default walks the same edges backwards
+    assert(run(e, 2L, 2, dir = true) == Map(2L -> 0L))
+    assert(run(e, 2L, 2, dir = false) == Map(2L -> 0L, 1L -> 5L, 0L -> 6L))
+    // duplicate directed edges collapse to their MINIMUM weight
+    val dup = e.unionAll(Seq((0L, 1L, 7L)).toDF("u1", "u2", "w"))
+    assert(run(dup, 0L, 1, dir = true)(1L) == 1L)
+  }
 }

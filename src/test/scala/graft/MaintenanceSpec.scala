@@ -58,6 +58,54 @@ class MaintenanceSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("vmin")) && r.isNullAt(r.fieldIndex("vmax")))
   }
 
+  test("Incremental delta: cnt/sum/mean exact under retraction; needs_rebuild iff a bound is hit") {
+    val ins = Seq(("a", 1.0), ("a", 5.0), ("a", 3.0), ("b", 2.0), ("b", 4.0))
+      .toDF("k", "v")
+    // delete a's INTERIOR 3.0 (bounds untouched) and b's max 4.0
+    val del = Seq(("a", 3.0), ("b", 4.0)).toDF("k", "v")
+    val out = Incremental.finishDelta(Incremental.mergeDelta(Seq(
+        Incremental.partialDelta(ins, $"k", $"v", lit(1L)),
+        Incremental.partialDelta(del, $"k", $"v", lit(-1L)))))
+      .orderBy("key").collect()
+    val a = out(0); val b = out(1)
+    assert((a.getAs[Long]("cnt"), a.getAs[Double]("sum"), a.getAs[Double]("mean")) ==
+      ((2L, 6.0, 3.0)))
+    // interior delete: insert-side bounds are still the true bounds
+    assert((a.getAs[Double]("vmin"), a.getAs[Double]("vmax"),
+      a.getAs[Boolean]("needs_rebuild")) == ((1.0, 5.0, false)))
+    assert((b.getAs[Long]("cnt"), b.getAs[Double]("sum"), b.getAs[Double]("mean")) ==
+      ((1L, 2.0, 2.0)))
+    // b's max was retracted: the stored bound is stale and SAYS so
+    assert(b.getAs[Boolean]("needs_rebuild"))
+  }
+
+  test("Incremental delta: retraction to empty leaves cnt 0, null mean; batch grouping irrelevant") {
+    val ins = Seq(("a", 2.0), ("b", 7.0)).toDF("k", "v")
+    val del = Seq(("a", 2.0)).toDF("k", "v")
+    val p = Seq(Incremental.partialDelta(ins, $"k", $"v", lit(1L)),
+      Incremental.partialDelta(del, $"k", $"v", lit(-1L)))
+    val flat = Incremental.finishDelta(Incremental.mergeDelta(p))
+    val nested = Incremental.finishDelta(
+      Incremental.mergeDelta(Seq(Incremental.mergeDelta(p.take(1)), p(1))))
+    assert(flat.orderBy("key").collect().toSeq ==
+      nested.orderBy("key").collect().toSeq)
+    val a = flat.filter($"key" === "a").collect().head
+    assert(a.getAs[Long]("cnt") == 0L)
+    assert(a.isNullAt(a.fieldIndex("mean")))
+    assert(a.getAs[Boolean]("needs_rebuild")) // deleted value == both bounds
+  }
+
+  test("Incremental delta with only inserts == the insert-only face") {
+    val df = rows.toDF("k", "v")
+    val viaDelta = Incremental.finishDelta(Incremental.mergeDelta(Seq(
+        Incremental.partialDelta(df, $"k", $"v", lit(1L)))))
+      .drop("needs_rebuild")
+    val viaInsert = Incremental.finish(
+      Incremental.merge(Seq(Incremental.partial(df, $"k", $"v"))))
+    assert(viaDelta.orderBy("key").collect().toSeq ==
+      viaInsert.orderBy("key").collect().toSeq)
+  }
+
   // ---- Resample ----------------------------------------------------
 
   test("Resample.hourlyFfill: complete grid, gaps carry last value, flags exact") {
