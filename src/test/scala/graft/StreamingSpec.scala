@@ -303,6 +303,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incrementalJoinViewBatch: 3 streamed fact batches == one full recompute") {
+    // the q178 maintenance claim closed into the streaming family: the
+    // orders fact arrives as three micro-batches, each folded against
+    // the broadcast customer dim into versioned on-disk state; the
+    // finished view must equal the full-join recompute — history never
+    // rescanned, stream == batch
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.ops.Incremental
+    val stateDir = java.nio.file.Files.createTempDirectory("iv_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("iv_ckpt").toString
+    val dim = Tables(spark, sf, "customer").select($"c_custkey", $"c_mktsegment")
+    val orders = Tables(spark, sf, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .as[(Long, Long, Double)].collect().toSeq
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Double)]
+    val q = ms.toDF().toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(EventStreams.incrementalJoinViewBatch(
+        dim, "o_custkey", "c_custkey", "c_mktsegment", "o_totalprice", stateDir) _)
+      .start()
+    try {
+      (0 until 3).foreach { b =>
+        ms.addData(orders.filter(_._1 % 3 == b): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // only the final version survives (superseded versions pruned)
+    val vdirs = new java.io.File(stateDir).listFiles().filter(_.getName.startsWith("v"))
+    assert(vdirs.length == 1, vdirs.map(_.getName).toSeq.toString)
+    val got = Incremental.finish(
+        EventStreams.incrementalViewState(spark, stateDir).get)
+      .orderBy("key")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    val want = Incremental.finish(Incremental.merge(Seq(Incremental.partial(
+        Tables(spark, sf, "orders").join(dim, $"o_custkey" === $"c_custkey"),
+        $"c_mktsegment", $"o_totalprice"))))
+      .orderBy("key")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == want.map(_._1))
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._2 == w._2 && g._4 == w._4 && g._5 == w._5, s"$g vs $w")
+      // sums/means reassociate across batch folds — float tolerance
+      assert(math.abs(g._3 - w._3) < 1e-6 && math.abs(g._6 - w._6) < 1e-9,
+        s"$g vs $w")
+    }
+  }
+
   test("quality model scores a document STREAM identically to batch") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
