@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-sample distribution-drift statistics — the nonparametric
+  * companion to the PSI monitor (q115): PSI needs a binning choice;
+  * the Kolmogorov–Smirnov statistic is binning-free (sup-norm distance
+  * between the two empirical CDFs) and is the standard "did this
+  * column's distribution move between snapshot A and snapshot B?" gate
+  * for re-embeds, re-crawls and loader changes.
+  *
+  * Exactness: KS is computed in INTEGER arithmetic until one final
+  * division — at each observed value the numerator |cumA·nB − cumB·nA|
+  * is exact in longs, its per-group max is exact, and only the single
+  * max is divided by nA·nB (then 6dp-rounded). No per-row float CDF
+  * accumulation, so the statistic is bit-stable across engines and
+  * partitionings.
+  *
+  * Scale shape: one (group, value) pre-aggregation (map-side combined —
+  * this collapses duplicate values BEFORE any window), then a per-group
+  * window ordered by value over the DISTINCT values only, then a
+  * |groups|-sized aggregate. The window partition is bounded by the
+  * distinct-value count per group — exact KS is for discrete or binned
+  * columns (token counts, scores×10⁴, bucket ids); for an unbounded
+  * continuous column, quantize first (the [[TextPipeline]] bucketing or
+  * a fixed grid) and accept the binned statistic, which is what every
+  * production drift monitor does at 100 TB anyway.
+  */
+object Drift {
+
+  /** Per-group exact two-sample KS over `value`, samples split by the
+    * boolean `inB` (false → sample A, true → sample B). Output: (group,
+    * na, nb, ks 6dp); groups where either sample is empty are dropped
+    * (KS undefined — surface them with a Checks.Complete gate, not a
+    * null that poisons a comparison). */
+  def ksStatistic(df: DataFrame, group: Column, value: Column,
+      inB: Column): DataFrame = {
+    val t = df.select(group.as("g"), value.as("x"),
+      when(inB, 1L).otherwise(0L).as("b"))
+    val per = t.groupBy(col("g"), col("x"))
+      .agg(sum(lit(1L) - col("b")).as("ca"), sum(col("b")).as("cb"))
+    val w = Window.partitionBy(col("g")).orderBy(col("x"))
+    val cum = per
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+    val tot = per.groupBy(col("g"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cum.join(tot, "g")
+      .filter(col("na") > 0 && col("nb") > 0)
+      .groupBy(col("g"))
+      .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
+        max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("num"))
+      .select(col("g"), col("na"), col("nb"),
+        round(col("num").cast("double") / (col("na") * col("nb")), 6).as("ks"))
+  }
+}

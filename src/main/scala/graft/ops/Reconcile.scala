@@ -117,4 +117,60 @@ object Reconcile {
           .when(col(LeftFp).isNull, lit("right_only"))
           .otherwise(lit("changed")).as("status"): _*)
   }
+
+  /** CDC rows from two snapshots — the missing middle between
+    * [[diffRows]] (WHICH keys changed) and the Incremental delta face
+    * (how to CONSUME changes): emits one row per change with the full
+    * row payload and a signed weight, update = retraction of the old
+    * row + insertion of the new, so the output feeds
+    * [[graft.ops.Incremental.partialDelta]] directly (weight column as
+    * the delta weight) and replaying it on top of `prev`'s state yields
+    * `curr`'s state (pinned in ReconcileSpec). `op` ∈ {insert, delete,
+    * update_del, update_ins}; unchanged keys emit nothing.
+    *
+    * Scale shape: phase-1 bucket scoping exactly as [[diffRows]] — both
+    * snapshots are semi-joined to the broadcast divergent-bucket list
+    * before the row-level full-outer join, so two 100 TB snapshots that
+    * mostly agree never join in full; the dominant cost stays the two
+    * summary scans. Keys must be non-null; `weight` and `op` are
+    * reserved output names (guarded). */
+  def cdcRows(prev: DataFrame, curr: DataFrame, keyCols: Seq[String],
+      buckets: Int = 64): DataFrame = {
+    guardColumns(prev)
+    val reserved = Seq("op", "weight").filter(prev.columns.contains)
+    require(reserved.isEmpty,
+      s"reconcile: snapshot columns collide with CDC output names: ${reserved.mkString(", ")}")
+    val bad = divergentBuckets(prev, curr, keyCols, buckets)
+      .withColumnRenamed("bucket", BucketCol)
+    def scoped(df: DataFrame, side: String): DataFrame =
+      df.withColumn(BucketCol, pmod(xxhash64(keyCols.map(col): _*), lit(buckets)))
+        .join(broadcast(bad), BucketCol)
+        .select(keyCols.map(col) :+
+          struct(df.columns.toSeq.map(col): _*).as(side): _*)
+    val l = scoped(prev, LeftFp)
+    val r = scoped(aligned(prev, curr), RightFp)
+    val valueNames = prev.columns.toSeq.filterNot(keyCols.contains)
+    val delRow = struct(lit("delete").as("op"), lit(-1L).as("weight"),
+      col(LeftFp).as("row"))
+    val insRow = struct(lit("insert").as("op"), lit(1L).as("weight"),
+      col(RightFp).as("row"))
+    val updDel = struct(lit("update_del").as("op"), lit(-1L).as("weight"),
+      col(LeftFp).as("row"))
+    val updIns = struct(lit("update_ins").as("op"), lit(1L).as("weight"),
+      col(RightFp).as("row"))
+    // unchanged keys (possible inside a divergent bucket) fall through
+    // every when() to NULL, which explode drops — no otherwise branch.
+    // The change test is EXACT struct comparison, not a hash: the
+    // fingerprint collision risk phase 1 accepts for its summaries has
+    // no reason to exist at row level where both payloads are present.
+    l.join(r, keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        explode(
+          when(col(RightFp).isNull, array(delRow))
+            .when(col(LeftFp).isNull, array(insRow))
+            .when(not(col(LeftFp) <=> col(RightFp)),
+              array(updDel, updIns))).as("c"): _*)
+      .select(keyCols.map(col) ++ Seq(col("c.op"), col("c.weight")) ++
+        valueNames.map(n => col("c.row").getField(n).as(n)): _*)
+  }
 }

@@ -1413,6 +1413,42 @@ object PipelineQueries {
                SELECT doc_id, seq_id,
                       greatest(off, seq_id * 256) - seq_id * 256 AS pos,
                       least(off + n, (seq_id + 1) * 256) - greatest(off, seq_id * 256) AS n_tok
-               FROM sp ORDER BY doc_id, seq_id"""))
+               FROM sp ORDER BY doc_id, seq_id""")),
+
+    // ---- two-sample Kolmogorov–Smirnov drift statistic
+    // (graft.ops.Drift — integer-exact sup-norm CDF distance; the
+    // binning-free companion to q115's PSI): per language, does the
+    // n_chars distribution of even-doc_id documents match the odd half?
+    // The parity split is the deterministic null-hypothesis calibration
+    // every drift monitor needs (against self-sampled halves the
+    // statistic should be small; against a re-crawl it's the alarm).
+    // All CDF arithmetic stays in longs — |cumA·nB − cumB·nA| maxed
+    // exactly, ONE final division, 6dp — so the hash can't be moved by
+    // float accumulation order on either engine.
+    GraftQuery(
+      "q191_ks_drift",
+      (s, d) => graft.ops.Drift.ksStatistic(
+          t(s, d, "documents"),
+          col("lang"), col("n_chars"), pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("g").as("lang"), col("na"), col("nb"), col("ks"))
+        .orderBy(col("lang")),
+      Some("""WITH t AS (SELECT lang AS g, n_chars AS x,
+                                CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS b
+                         FROM documents),
+              per AS (SELECT g, x, CAST(sum(1 - b) AS BIGINT) AS ca,
+                             CAST(sum(b) AS BIGINT) AS cb
+                      FROM t GROUP BY 1, 2),
+              cum AS (SELECT g, x, ca, cb,
+                             sum(ca) OVER pw AS cuma, sum(cb) OVER pw AS cumb
+                      FROM per
+                      WINDOW pw AS (PARTITION BY g ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              tot AS (SELECT g, sum(ca) AS na, sum(cb) AS nb FROM per GROUP BY 1)
+              SELECT g AS lang, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+                     round(CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
+                           / (na * nb), 6) AS ks
+              FROM cum JOIN tot USING (g)
+              WHERE na > 0 AND nb > 0
+              GROUP BY g, na, nb ORDER BY lang"""))
   )
 }

@@ -1252,6 +1252,99 @@ object RelationalQueries {
                      round(sum(value) FILTER (event_type = 'view'), 2) AS view
               FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // ---- snapshot CDC generation (Reconcile.cdcRows — scale rationale
+    // there: bucket-scoped like q170, so two agreeing snapshots never
+    // row-join in full): given yesterday's and today's orders snapshot,
+    // emit the signed delta rows that turn one into the other — insert
+    // / delete / update-as-retract+insert — i.e. the input q185's
+    // delta-state maintenance consumes (the chain is pinned end-to-end
+    // in ReconcileSpec: cdcRows ∘ partialDelta == today's aggregate).
+    // Today's snapshot is a deterministic perturbation: pmod-13 keys
+    // deleted, pmod-11 survivors repriced (+1000 — an exact double op,
+    // no rounding-mode exposure), pmod-17 rows cloned to fresh keys.
+    // The oracle derives the same delta with anti/inner joins and
+    // IS DISTINCT FROM.
+    GraftQuery(
+      "q189_snapshot_cdc",
+      (s, d) => {
+        val prev = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val curr = prev.filter(pmod(col("o_orderkey"), lit(13)) =!= 0)
+          .withColumn("o_totalprice",
+            when(pmod(col("o_orderkey"), lit(11)) === 0,
+              col("o_totalprice") + 1000.0).otherwise(col("o_totalprice")))
+          .unionByName(prev.filter(pmod(col("o_orderkey"), lit(17)) === 0)
+            .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+              col("o_custkey"), col("o_totalprice")))
+        graft.ops.Reconcile.cdcRows(prev, curr, Seq("o_orderkey"))
+          .orderBy(col("o_orderkey"), col("op"))
+      },
+      Some("""WITH prev AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+              curr AS (
+                SELECT o_orderkey, o_custkey,
+                       CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1000.0
+                            ELSE o_totalprice END AS o_totalprice
+                FROM prev WHERE o_orderkey % 13 <> 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, o_custkey, o_totalprice
+                FROM prev WHERE o_orderkey % 17 = 0),
+              d AS (SELECT p.o_orderkey, 'delete' AS op,
+                           CAST(-1 AS BIGINT) AS weight, p.o_custkey, p.o_totalprice
+                    FROM prev p LEFT JOIN curr c USING (o_orderkey)
+                    WHERE c.o_custkey IS NULL),
+              i AS (SELECT c.o_orderkey, 'insert', 1, c.o_custkey, c.o_totalprice
+                    FROM curr c LEFT JOIN prev p USING (o_orderkey)
+                    WHERE p.o_custkey IS NULL),
+              u AS (SELECT p.o_orderkey,
+                           p.o_custkey AS pck, p.o_totalprice AS ptp,
+                           c.o_custkey AS cck, c.o_totalprice AS ctp
+                    FROM prev p JOIN curr c USING (o_orderkey)
+                    WHERE p.o_custkey IS DISTINCT FROM c.o_custkey
+                       OR p.o_totalprice IS DISTINCT FROM c.o_totalprice)
+              SELECT * FROM (
+                SELECT * FROM d
+                UNION ALL SELECT * FROM i
+                UNION ALL SELECT o_orderkey, 'update_del', -1, pck, ptp FROM u
+                UNION ALL SELECT o_orderkey, 'update_ins', 1, cck, ctp FROM u)
+              ORDER BY o_orderkey, op""")),
+
+    // ---- interval merge / coverage (graft.ops.Intervals — the
+    // gaps-and-islands pattern; one shared window spec, one shuffle):
+    // each event opens a 30-minute activity window; overlapping or
+    // touching windows merge into maximal islands, and the per-user
+    // rollup answers "how long was this user active, in how many
+    // stretches" — the billing/engagement face of sessionization, on
+    // exact epoch-micros longs (no float, no tz).
+    GraftQuery(
+      "q190_interval_coverage",
+      (s, d) => {
+        val iv = t(s, d, "events")
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("s0"),
+            (unix_micros(col("ts")) + 1800000000L).as("e0"))
+        graft.ops.Intervals.coverage(iv, col("user_id"), col("s0"), col("e0"))
+          .select(col("key").as("user_id"), col("n_islands"), col("covered"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                                 epoch_us(ts) + 1800000000 AS e
+                          FROM events WHERE user_id IS NOT NULL),
+              m AS (SELECT user_id, s, e,
+                           CASE WHEN max(e) OVER pw IS NULL OR s > max(e) OVER pw
+                                THEN 1 ELSE 0 END AS ni
+                    FROM iv
+                    WINDOW pw AS (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+              isl AS (SELECT user_id, s, e,
+                             sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                      FROM m),
+              agg AS (SELECT user_id, island, min(s) AS st, max(e) AS en
+                      FROM isl GROUP BY 1, 2)
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+                     CAST(sum(en - st) AS BIGINT) AS covered
+              FROM agg GROUP BY 1 ORDER BY 1""")),
+
     // ---- time-grid resample + forward fill (graft.ops.Resample —
     // scale shape and the few-long-keys caveat there): per event type,
     // hourly value sums on the COMPLETE hour grid between the type's

@@ -546,4 +546,50 @@ class OpsSpec extends SparkSpec {
     assert(out(1L) == ((1L, 0.287682)))
     assert(out(2L) == ((1L, 0.287682)))
   }
+
+  test("Intervals.merge: overlap and touch merge, gaps split, keys independent") {
+    val iv = Seq(
+      ("a", 1L, 5L), ("a", 3L, 9L),   // overlap -> one island [1,9]
+      ("a", 9L, 12L),                  // touching START==prev end: merges
+      ("a", 20L, 25L),                 // gap -> new island
+      ("b", 2L, 4L)                    // other key: its own island
+    ).toDF("k", "s", "e")
+    val got = graft.ops.Intervals.merge(iv, $"k", $"s", $"e")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("a", 1L, 12L, 3L), ("a", 20L, 25L, 1L), ("b", 2L, 4L, 1L)))
+    val cov = graft.ops.Intervals.coverage(iv, $"k", $"s", $"e")
+      .as[(String, Long, Long)].collect().toSet
+    assert(cov == Set(("a", 2L, 16L), ("b", 1L, 2L)))
+  }
+
+  test("Intervals.merge: nested interval does not extend its island") {
+    // [1,10] fully contains [2,3]; then [11,12] touches 10? no — 11 > 10
+    // strictly, so it's a NEW island: the running max must come from the
+    // containing interval, not the most recent start
+    val iv = Seq(("k", 1L, 10L), ("k", 2L, 3L), ("k", 11L, 12L)).toDF("k", "s", "e")
+    val got = graft.ops.Intervals.merge(iv, $"k", $"s", $"e")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("k", 1L, 10L, 2L), ("k", 11L, 12L, 1L)))
+  }
+
+  test("Drift.ksStatistic: hand-computed sup-norm, zero on identical samples") {
+    // A = {1,2,3}, B = {1,3,3,4}: numerators |cumA*nB - cumB*nA| over
+    // sorted distinct values = 1, 5, 3, 0 -> KS = 5/12
+    val df = Seq(
+      ("g", 1, false), ("g", 2, false), ("g", 3, false),
+      ("g", 1, true), ("g", 3, true), ("g", 3, true), ("g", 4, true)
+    ).toDF("grp", "x", "b")
+    val r = graft.ops.Drift.ksStatistic(df, $"grp", $"x", $"b")
+      .as[(String, Long, Long, Double)].collect()
+    assert(r.toSeq == Seq(("g", 3L, 4L, 0.416667)))
+    // identical samples: statistic is exactly 0
+    val same = Seq(("g", 5, false), ("g", 7, false), ("g", 5, true), ("g", 7, true))
+      .toDF("grp", "x", "b")
+    val r0 = graft.ops.Drift.ksStatistic(same, $"grp", $"x", $"b")
+      .as[(String, Long, Long, Double)].collect()
+    assert(r0.toSeq == Seq(("g", 2L, 2L, 0.0)))
+    // a group with an empty side is dropped, not nulled
+    val onesided = Seq(("g", 1, false), ("h", 1, true)).toDF("grp", "x", "b")
+    assert(graft.ops.Drift.ksStatistic(onesided, $"grp", $"x", $"b").count() == 0)
+  }
 }

@@ -41,6 +41,40 @@ class ReconcileSpec extends SparkSpec {
     assert(got == Set((1L, "changed"), (2L, "left_only"), (4L, "right_only")))
   }
 
+  test("cdcRows: one signed row per change, update = retract + insert, unchanged silent") {
+    val prev = frame((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+    val curr = frame((1L, "a", 1.0),                  // unchanged
+      (2L, "b", 9.9),                                 // updated
+      (4L, "d", 4.0))                                 // inserted; 3 deleted
+    val got = Reconcile.cdcRows(prev, curr, Seq("id"))
+      .as[(Long, String, Long, String, Double)].collect().toSet
+    assert(got == Set(
+      (2L, "update_del", -1L, "b", 2.0),
+      (2L, "update_ins", 1L, "b", 9.9),
+      (3L, "delete", -1L, "c", 3.0),
+      (4L, "insert", 1L, "d", 4.0)))
+  }
+
+  test("cdcRows feeds the delta face: prev state + cdc deltas == curr state") {
+    // the maintenance chain end-to-end: diff two snapshots, apply the
+    // emitted deltas to the PREVIOUS snapshot's incremental state, and
+    // land exactly on a fresh aggregate of the CURRENT snapshot
+    import graft.ops.Incremental
+    val prev = frame((1L, "x", 10.0), (2L, "x", 20.0), (3L, "y", 30.0))
+    val curr = frame((2L, "x", 25.0), (3L, "y", 30.0), (4L, "y", 40.0))
+    val cdc = Reconcile.cdcRows(prev, curr, Seq("id"))
+    val applied = Incremental.finishDelta(Incremental.mergeDelta(Seq(
+        Incremental.partialDelta(prev, $"name", $"v", lit(1L)),
+        Incremental.partialDelta(cdc, $"name", $"v", $"weight"))))
+      .select($"key", $"cnt", $"sum")
+      .as[(String, Long, Double)].collect().toSet
+    val direct = Incremental.finish(Incremental.merge(Seq(
+        Incremental.partial(curr, $"name", $"v"))))
+      .select($"key", $"cnt", $"sum")
+      .as[(String, Long, Double)].collect().toSet
+    assert(applied == direct)
+  }
+
   test("a user column named 'bucket' is compared, not clobbered") {
     // regression: the internal bucket column used to be withColumn("bucket"),
     // overwriting a real 'bucket' column before the phase-2 row hash —

@@ -449,6 +449,11 @@ class ScaleSpec extends SparkSpec {
       .as[(Long, String)].collect()
     assert(got.nonEmpty && got.forall(_._2 == "left_only"))
     assert(got.length == l.filter(col("o_orderkey") % 97 === 0).count())
+    // cdcRows shares the scoping contract: both snapshots gated by the
+    // broadcast bucket list before the row-level join (q189 path)
+    val cdcPlan = graft.ops.Reconcile.cdcRows(l, r, Seq("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(cdcPlan.contains("BroadcastHashJoin"), cdcPlan.take(1200))
   }
 
   test("runtime bloom filter reaches the probe side of a selective shuffle join") {
