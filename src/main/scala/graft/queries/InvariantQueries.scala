@@ -406,6 +406,54 @@ object InvariantQueries {
                       FROM toks WHERE tk <> ''
                       GROUP BY 1 ORDER BY exact_cnt DESC, tk LIMIT 20)
               SELECT tk, exact_cnt, true AS merged_eq_global, true AS merged_lower_ok
-              FROM top ORDER BY tk"""))
+              FROM top ORDER BY tk""")),
+
+    // ---- trailing-24h distinct users per hour via MERGEABLE HLL
+    // sketches — the sliding-distinct pattern that makes "daily active
+    // users, hourly" tractable at 100 TB: raw events fold ONCE into
+    // |hours| tiny hourly sketches (map-side combinable), and each
+    // trailing window is a union of ≤24 sketches — never a rescan of
+    // raw events, and the sketches ship across days/shards (the q159
+    // mergeability story, on HLL). The exact trailing distinct (a
+    // 24-hour range self-join — the verdict harness, not the
+    // production path; q77's convention) rides along so the output is
+    // oracle-checkable: per hour, the estimate must sit within a 5%
+    // band of exact. Deterministic: HLL has no RNG, and at the gate's
+    // cardinalities the sketch operates in its exact sparse regime —
+    // any drift in the hourly fold, the union, or the window
+    // membership flips a verdict row.
+    GraftQuery(
+      "q194_sliding_distinct_sketch",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+        val hourly = ev.groupBy(col("h"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val est = hourly.select(col("h"))
+          .join(hourly.select(col("h").as("h2"), col("sk")),
+            col("h2") <= col("h") &&
+              col("h2") >= col("h") - expr("INTERVAL 23 HOURS"))
+          .groupBy(col("h"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val hu = ev.distinct()
+        val exact = hourly.select(col("h"))
+          .join(hu.select(col("h").as("h2"), col("user_id")),
+            col("h2") <= col("h") &&
+              col("h2") >= col("h") - expr("INTERVAL 23 HOURS"))
+          .groupBy(col("h"))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        est.join(exact, "h")
+          .select(col("h"), col("exact_users"),
+            (abs(col("est") - col("exact_users")) <=
+              col("exact_users") * 0.05).as("within_band"))
+          .orderBy(col("h"))
+      },
+      Some("""WITH hu AS (SELECT DISTINCT date_trunc('hour', ts) AS h2, user_id
+                          FROM events),
+              hours AS (SELECT DISTINCT date_trunc('hour', ts) AS h FROM events)
+              SELECT h, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+                     TRUE AS within_band
+              FROM hours JOIN hu ON h2 <= h AND h2 >= h - INTERVAL 23 HOUR
+              GROUP BY h ORDER BY h"""))
   )
 }

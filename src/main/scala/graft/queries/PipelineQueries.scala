@@ -1449,6 +1449,60 @@ object PipelineQueries {
                            / (na * nb), 6) AS ks
               FROM cum JOIN tot USING (g)
               WHERE na > 0 AND nb > 0
-              GROUP BY g, na, nb ORDER BY lang"""))
+              GROUP BY g, na, nb ORDER BY lang""")),
+
+    // ---- exact-COUNT stratified sampling: "give me exactly 200 docs,
+    // proportional by language" — the budgeted complement of the
+    // rate-based q60 (rates can't hit an exact global count). The
+    // budget splits across strata by largest-remainder proration
+    // (graft.ops.Prorate — whole docs, sums exactly to min(budget,
+    // corpus)), and each stratum takes its k_i lowest-p60-hash members
+    // (hash order, not id order, so the pick is an unbiased
+    // deterministic sample and STABLE under reordering/partitioning —
+    // the q60 gate convention, rank-based instead of rate-based). A
+    // stratum allocated more than its size just takes everything
+    // (budget > corpus degrades to "all", documented not hidden).
+    // Scale: one |strata|-row allocation frame broadcast back, one
+    // per-stratum rank window — the same per-key bound as q66's cap.
+    GraftQuery(
+      "q193_stratified_budget",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+        val strata = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .select(lit(1L).as("grp"), col("lang"), col("n"), lit(200L).as("budget"))
+        val alloc = graft.ops.Prorate.largestRemainder(strata,
+            col("grp"), col("lang"), col("n"), col("budget"))
+          .select(col("id").as("lang"), col("alloc"))
+        val ranked = docs.select(col("doc_id"), col("lang"),
+            graft.ops.Portable.p60(col("doc_id").cast("string")).as("h"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+        ranked.join(broadcast(alloc), "lang")
+          .filter(col("rn") <= col("alloc"))
+          .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH strata AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                               FROM documents GROUP BY 1),
+               w AS (SELECT sum(n) AS bigw FROM strata),
+               calc AS (SELECT lang, n,
+                               (200 * n) // bigw AS base,
+                               (200 * n) % bigw AS res
+                        FROM strata CROSS JOIN w),
+               alloc AS (SELECT lang,
+                                base + CASE WHEN row_number() OVER
+                                    (ORDER BY res DESC, lang)
+                                  <= 200 - (SELECT sum(base) FROM calc)
+                                  THEN 1 ELSE 0 END AS alloc
+                         FROM calc),
+               ranked AS (SELECT doc_id, lang,
+                                 row_number() OVER (PARTITION BY lang
+                                   ORDER BY ${Portable.p60Sql("CAST(doc_id AS VARCHAR)")},
+                                            doc_id) AS rn
+                          FROM documents)
+               SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+               FROM ranked JOIN alloc USING (lang)
+               WHERE rn <= alloc ORDER BY doc_id"""))
   )
 }

@@ -1345,6 +1345,54 @@ object RelationalQueries {
                      CAST(sum(en - st) AS BIGINT) AS covered
               FROM agg GROUP BY 1 ORDER BY 1""")),
 
+    // ---- largest-remainder proration (graft.ops.Prorate — exact
+    // integer Hamilton allocation; scale rationale there): spread each
+    // order's total, in CENTS, across its line items proportionally to
+    // quantity so the whole-cent shares sum EXACTLY to the order total
+    // — the allocation float-then-round leaks units on. Everything is
+    // long arithmetic (⌊T·w/W⌋ + largest residues, ties to lowest line
+    // number), so the hash cannot be moved by rounding modes; the
+    // cents conversion itself is safe because a 2dp price × 100 is
+    // never near a .5 boundary. The oracle replays the identical
+    // integer algebra in window SQL.
+    GraftQuery(
+      "q192_prorate_cents",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+            col("l_quantity").cast("long").as("qty"))
+        val ord = t(s, d, "orders")
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        graft.ops.Prorate.largestRemainder(joined,
+            col("l_orderkey"), col("ln"), col("qty"), col("cents"))
+          .select(col("key").as("l_orderkey"), col("id").as("l_linenumber"),
+            col("weight").as("qty"), col("alloc").as("cents_alloc"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""WITH li AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+                                 CAST(l_quantity AS BIGINT) AS qty
+                          FROM lineitem),
+              o AS (SELECT o_orderkey,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                    FROM orders),
+              j AS (SELECT l_orderkey, ln, qty, cents
+                    FROM li JOIN o ON l_orderkey = o_orderkey),
+              calc AS (SELECT l_orderkey, ln, qty, cents,
+                              (cents * qty) // sum(qty) OVER pw AS base,
+                              (cents * qty) % sum(qty) OVER pw AS res
+                       FROM j WINDOW pw AS (PARTITION BY l_orderkey)),
+              r AS (SELECT *,
+                           cents - sum(base) OVER (PARTITION BY l_orderkey) AS deficit,
+                           row_number() OVER (PARTITION BY l_orderkey
+                             ORDER BY res DESC, ln) AS rk
+                    FROM calc)
+              SELECT l_orderkey, ln AS l_linenumber, qty,
+                     CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
+                          AS BIGINT) AS cents_alloc
+              FROM r ORDER BY l_orderkey, l_linenumber""")),
+
     // ---- time-grid resample + forward fill (graft.ops.Resample —
     // scale shape and the few-long-keys caveat there): per event type,
     // hourly value sums on the COMPLETE hour grid between the type's

@@ -572,6 +572,36 @@ class OpsSpec extends SparkSpec {
     assert(got == Set(("k", 1L, 10L, 2L), ("k", 11L, 12L, 1L)))
   }
 
+  test("Prorate.largestRemainder: exact sums, residue ranking, ties to lowest id") {
+    import graft.ops.Prorate
+    // equal weights, T=10 over 3: one extra unit, tie broken to id 1
+    val eq = Seq(("o", 1L, 1L, 10L), ("o", 2L, 1L, 10L), ("o", 3L, 1L, 10L))
+      .toDF("k", "i", "w", "t")
+    val g1 = Prorate.largestRemainder(eq, $"k", $"i", $"w", $"t")
+      .as[(String, Long, Long, Long)].collect().map(r => r._2 -> r._4).toMap
+    assert(g1 == Map(1L -> 4L, 2L -> 3L, 3L -> 3L))
+    // 3:1 over T=7 — exact shares 5.25/1.75; the LARGER residue (id 2)
+    // takes the extra unit even though id 1 has the larger weight
+    val uneq = Seq(("o", 1L, 3L, 7L), ("o", 2L, 1L, 7L)).toDF("k", "i", "w", "t")
+    val g2 = Prorate.largestRemainder(uneq, $"k", $"i", $"w", $"t")
+      .as[(String, Long, Long, Long)].collect().map(r => r._2 -> r._4).toMap
+    assert(g2 == Map(1L -> 5L, 2L -> 2L))
+    // the defining invariant on real data: shares sum EXACTLY to each
+    // order's cent total, for every order
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+        col("l_quantity").cast("long").as("qty"))
+    val ord = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val leak = Prorate.largestRemainder(
+        li.join(ord, col("l_orderkey") === col("o_orderkey")),
+        col("l_orderkey"), col("ln"), col("qty"), col("cents"))
+      .groupBy(col("key")).agg(sum(col("alloc")).as("got"))
+      .join(ord, col("key") === col("o_orderkey"))
+      .filter(col("got") =!= col("cents"))
+    assert(leak.count() == 0)
+  }
+
   test("Drift.ksStatistic: hand-computed sup-norm, zero on identical samples") {
     // A = {1,2,3}, B = {1,3,3,4}: numerators |cumA*nB - cumB*nA| over
     // sorted distinct values = 1, 5, 3, 0 -> KS = 5/12
