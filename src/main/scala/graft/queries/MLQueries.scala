@@ -1142,6 +1142,98 @@ object MLQueries {
             ${hop(3, "h2")}
             SELECT node, seed, CAST(dist AS BIGINT) AS dist FROM h3
             ORDER BY node, seed"""
-      })
+      }),
+
+    // ---- per-event session-relative features — the TRAINING-DATA face
+    // of q68's sessionization: each event annotated with its index in
+    // the session, micros since session start, and the session length —
+    // the position features a sequence model trains on. Same >= 30-min
+    // gap rule as q68; the total order inside a user is (ts, event_id)
+    // so same-timestamp events can't flip between engines. Plan: ONE
+    // exchange on user_id — the second window's (user, sid) clustering
+    // is satisfied by the first's hash partitioning (coarser key), so
+    // Spark adds only a sort, never a second shuffle. Exact epoch-micro
+    // longs throughout.
+    GraftQuery(
+      "q196_session_features",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            unix_micros(col("ts")).as("us"))
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val withSid = ev
+          .withColumn("new_s",
+            when(lag(col("us"), 1).over(byUser).isNull ||
+              col("us") - lag(col("us"), 1).over(byUser) >= 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("new_s")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val bySess = Window.partitionBy(col("user_id"), col("sid"))
+          .orderBy(col("ts"), col("event_id"))
+        val sessAll = Window.partitionBy(col("user_id"), col("sid"))
+        withSid.select(col("user_id"), col("event_id"),
+            row_number().over(bySess).cast("long").as("idx_in_session"),
+            (col("us") - min(col("us")).over(sessAll)).as("us_since_start"),
+            count(lit(1)).over(sessAll).as("session_len"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us
+                         FROM events WHERE user_id IS NOT NULL),
+              s AS (SELECT user_id, event_id, ts, us,
+                           CASE WHEN lag(us) OVER w IS NULL
+                                  OR us - lag(us) OVER w >= 1800000000
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              g AS (SELECT user_id, event_id, ts, us,
+                           sum(new_s) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM s)
+              SELECT user_id, event_id,
+                     CAST(row_number() OVER (PARTITION BY user_id, sid
+                       ORDER BY ts, event_id) AS BIGINT) AS idx_in_session,
+                     CAST(us - min(us) OVER (PARTITION BY user_id, sid)
+                       AS BIGINT) AS us_since_start,
+                     CAST(count(*) OVER (PARTITION BY user_id, sid)
+                       AS BIGINT) AS session_len
+              FROM g ORDER BY user_id, event_id""")),
+
+    // ---- leave-one-out target encoding — the leakage-guarded
+    // categorical encoder (the mean-of-target feature with the row's
+    // OWN target excluded, so the feature never memorizes its label):
+    // te_loo = (Σ_segment target − own) / (n_segment − 1). Scale shape:
+    // one scan folds to a |segments|-row (sum, count) frame, broadcast
+    // back over the fact — the encoder costs a map-side join at 100 TB,
+    // no shuffle of the facts. Singleton categories yield null (the
+    // honest "no peer evidence" signal) rather than a divide-by-zero.
+    // 4dp rounding: the only float is the segment sum, whose
+    // accumulation-order jitter is ~1e-11 of the quotient — far inside
+    // the rounding grain.
+    GraftQuery(
+      "q197_target_encoding_loo",
+      (s, d) => {
+        val j = t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_mktsegment"), col("o_totalprice"))
+        val stats = j.groupBy(col("c_mktsegment"))
+          .agg(sum(col("o_totalprice")).as("tsum"), count(lit(1)).as("tcnt"))
+        j.join(broadcast(stats), "c_mktsegment")
+          .select(col("o_orderkey"), col("c_mktsegment"),
+            round(when(col("tcnt") > 1,
+              (col("tsum") - col("o_totalprice")) / (col("tcnt") - 1)), 4)
+              .as("te_loo"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH j AS (SELECT o_orderkey, c_mktsegment, o_totalprice
+                         FROM orders JOIN customer ON o_custkey = c_custkey),
+              st AS (SELECT c_mktsegment, sum(o_totalprice) AS tsum,
+                            count(*) AS tcnt
+                     FROM j GROUP BY 1)
+              SELECT o_orderkey, c_mktsegment,
+                     round(CASE WHEN tcnt > 1
+                           THEN (tsum - o_totalprice) / (tcnt - 1) END, 4) AS te_loo
+              FROM j JOIN st USING (c_mktsegment)
+              ORDER BY o_orderkey"""))
   )
 }

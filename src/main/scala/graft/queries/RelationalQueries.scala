@@ -1393,6 +1393,38 @@ object RelationalQueries {
                           AS BIGINT) AS cents_alloc
               FROM r ORDER BY l_orderkey, l_linenumber""")),
 
+    // ---- skew advisor — the diagnostic that SIZES graft.ops.Skew's
+    // knobs before a big join: per-key fact counts (one map-side
+    // combined aggregate), the hottest 20 keys, each with its load as
+    // a percentage of the per-key average and the salt-bucket count
+    // ceil(n/avg) you'd hand Skew.saltedJoin to spread it. All integer
+    // arithmetic (100·n·n_keys DIV total — no float shares), top-20 via
+    // TakeOrderedAndProject (per-partition heads, never a global sort).
+    // At 100 TB this is the query you run ON the join key BEFORE the
+    // join; the 1-row totals frame is a broadcast scalar.
+    GraftQuery(
+      "q195_skew_advisor",
+      (s, d) => {
+        val perKey = t(s, d, "events")
+          .filter(col("user_id").isNotNull)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        val tot = perKey.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
+        perKey.crossJoin(broadcast(tot))
+          .select(col("user_id"), col("n"),
+            expr("(100 * n * n_keys) DIV total").as("pct_of_avg"),
+            expr("(n * n_keys + total - 1) DIV total").as("salt_buckets"))
+          .orderBy(col("n").desc, col("user_id")).limit(20)
+      },
+      Some("""WITH pk AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                          FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+              tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                             CAST(count(*) AS BIGINT) AS n_keys FROM pk)
+              SELECT user_id, n,
+                     CAST((100 * n * n_keys) // total AS BIGINT) AS pct_of_avg,
+                     CAST((n * n_keys + total - 1) // total AS BIGINT) AS salt_buckets
+              FROM pk CROSS JOIN tot
+              ORDER BY n DESC, user_id LIMIT 20""")),
+
     // ---- time-grid resample + forward fill (graft.ops.Resample —
     // scale shape and the few-long-keys caveat there): per event type,
     // hourly value sums on the COMPLETE hour grid between the type's
