@@ -1234,6 +1234,41 @@ object MLQueries {
                      round(CASE WHEN tcnt > 1
                            THEN (tsum - o_totalprice) / (tcnt - 1) END, 4) AS te_loo
               FROM j JOIN st USING (c_mktsegment)
-              ORDER BY o_orderkey"""))
+              ORDER BY o_orderkey""")),
+
+    // ---- per-user EWMA of event value (α = 0.1) — the exponentially
+    // weighted feature every time-series/feature pipeline wants, whose
+    // recurrence e_t = 0.9·e_{t−1} + 0.1·x_t is SEQUENTIAL and thus not
+    // window-expressible. Spark-first escape: a higher-order-function
+    // FOLD over the user's (ts, event_id)-sorted value list —
+    // aggregate() seeded with the first value over the tail — which
+    // keeps the whole computation codegen-friendly expression work, no
+    // mapGroups/UDF. Cross-engine exactness: both engines execute the
+    // IDENTICAL left-to-right IEEE op sequence (DuckDB's list_reduce
+    // seeds from the head element — the same recurrence), so the 6dp
+    // round is a formality, not a mask. Scale note: the per-user list
+    // is per-key-bounded state — the same bound sessionization carries;
+    // a single pathological key with 10⁸ events needs chunked
+    // pre-aggregation regardless of formulation.
+    GraftQuery(
+      "q198_ewma",
+      (s, d) => t(s, d, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("value").cast("double").as("v")))).as("xs"))
+        .select(col("user_id"), col("n"),
+          round(expr(
+            """aggregate(slice(xs, 2, size(xs) - 1), xs[0].v,
+              |(acc, e) -> acc * 0.9 + 0.1 * e.v)""".stripMargin), 6).as("ewma"))
+        .orderBy(col("user_id")),
+      Some("""WITH s AS (SELECT user_id,
+                                CAST(count(*) AS BIGINT) AS n,
+                                list(value ORDER BY ts, event_id) AS xs
+                         FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+              SELECT user_id, n,
+                     round(list_reduce(xs, (acc, x) -> acc * 0.9 + 0.1 * x), 6) AS ewma
+              FROM s ORDER BY user_id"""))
   )
 }

@@ -352,6 +352,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("Trigger.AvailableNow drains the source then STOPS; restart is a no-op") {
+    // the backfill/operational face: AvailableNow processes everything
+    // available at start, then terminates on its own — the batch-shaped
+    // way to run a streaming pipeline on a schedule. Restarting against
+    // the same checkpoint with no new data must terminate without
+    // emitting anything (exactly-once across restarts).
+    // the pinned op is the streaming dedup (emits on arrival, so the
+    // drained output is complete — a windowed agg would legitimately
+    // hold back the final watermark horizon in append mode)
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val out = java.nio.file.Files.createTempDirectory("an_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("an_ckpt").toString
+    def run(): Unit = {
+      val stream = EventStreams.readEventsStream(spark, sf)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val q = EventStreams.dedupStream(stream, Seq("user_id", "event_type"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    }
+    run()
+    val n1 = spark.read.parquet(out).count()
+    val exact = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("ts")).distinct().count()
+    assert(n1 == exact)
+    run() // same checkpoint, no new files: terminates, adds nothing
+    assert(spark.read.parquet(out).count() == n1)
+  }
+
   test("quality model scores a document STREAM identically to batch") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
