@@ -1269,6 +1269,48 @@ object MLQueries {
                          FROM events WHERE user_id IS NOT NULL GROUP BY 1)
               SELECT user_id, n,
                      round(list_reduce(xs, (acc, x) -> acc * 0.9 + 0.1 * x), 6) AS ewma
-              FROM s ORDER BY user_id"""))
+              FROM s ORDER BY user_id""")),
+
+    // ---- multi-touch attribution with time-decay credit — q57 names
+    // WHICH clicks preceded a purchase; this one says how much credit
+    // each gets: weight halves per 15-minute bucket of lead time
+    // (w = 2^(−⌊Δ/15min⌋)), normalized per purchase, credited value =
+    // share × purchase value. Determinism by construction: Δ ≤ 1h so
+    // the exponent is an INTEGER 0..4 and every weight is an exact
+    // dyadic double — weights, their per-purchase sums (≤ a few small
+    // dyadics) and the shares are bit-identical on both engines, no
+    // libm pow variance in the hash. Scale shape: the interval join is
+    // q57's (watermark-bounded in stream form); the normalizing window
+    // partitions by purchase_id — bounded by a purchase's click count.
+    GraftQuery(
+      "q199_multitouch_attribution",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val att = EventStreams.purchaseAttribution(t(s, d, "events"))
+        val w = pow(lit(0.5),
+          expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) DIV 900000000"))
+        val byP = Window.partitionBy(col("purchase_id"))
+        att.withColumn("w", w)
+          .select(col("purchase_id"), col("user_id"),
+            date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_s"),
+            round(col("w") / sum(col("w")).over(byP), 6).as("share"),
+            round(col("value") * col("w") / sum(col("w")).over(byP), 4)
+              .as("credited"))
+          .orderBy(col("purchase_id"), col("click_s"))
+      },
+      Some("""WITH a AS (SELECT p.event_id AS purchase_id, p.user_id,
+                                c.ts AS click_ts, p.value,
+                                power(0.5, (epoch_us(p.ts) - epoch_us(c.ts))
+                                           // 900000000) AS w
+                         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+                         JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                           ON c.user_id = p.user_id
+                          AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR)
+              SELECT purchase_id, user_id,
+                     strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_s,
+                     round(w / sum(w) OVER (PARTITION BY purchase_id), 6) AS share,
+                     round(value * w / sum(w) OVER (PARTITION BY purchase_id), 4)
+                       AS credited
+              FROM a ORDER BY purchase_id, click_s"""))
   )
 }

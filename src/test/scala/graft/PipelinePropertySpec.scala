@@ -178,4 +178,33 @@ class PipelinePropertySpec extends SparkSpec {
       assert(again == mixed("half")._2)
     } finally toks.unpersist()
   }
+
+  test("Prorate.largestRemainder: generated groups — exact sums, shares within 1 of ideal") {
+    // arbitrary (total, weights) groups: allocation must (a) sum exactly
+    // to the total, (b) never deviate more than one unit from the real
+    // share T·w/W (the defining Hamilton property), (c) be non-negative
+    val gen = for {
+      t <- Gen.choose(0L, 100000L)
+      ws <- Gen.nonEmptyListOf(Gen.choose(0L, 500L))
+      if ws.sum > 0
+    } yield (t, ws)
+    val groups = samples(gen, 40).zipWithIndex
+    val rows = groups.flatMap { case ((t, ws), g) =>
+      ws.zipWithIndex.map { case (w, i) => (g.toLong, i.toLong, w, t) }
+    }.toDF("k", "i", "w", "t")
+    val out = graft.ops.Prorate.largestRemainder(rows, $"k", $"i", $"w", $"t")
+      .as[(Long, Long, Long, Long)].collect()
+    val byKey = out.groupBy(_._1)
+    groups.foreach { case ((t, ws), g) =>
+      val allocs = byKey(g.toLong).sortBy(_._2).map(_._4)
+      assert(allocs.sum == t, s"group $g leaks: ${allocs.sum} != $t")
+      assert(allocs.forall(_ >= 0L))
+      val bigW = ws.sum
+      allocs.zip(ws).foreach { case (a, w) =>
+        val ideal = t.toDouble * w / bigW
+        assert(math.abs(a - ideal) < 1.0 + 1e-9,
+          s"group $g: alloc $a vs ideal $ideal (t=$t w=$w W=$bigW)")
+      }
+    }
+  }
 }
