@@ -370,11 +370,11 @@ object Graph {
     * oracle-replayable (the [[pageRank]] convention); the frame
     * materializes every round (consumed twice: the union and the
     * propagation join — the 2^k recompute trap). */
-  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int,
-      aCol: String = "u1", bCol: String = "u2",
-      directed: Boolean = false,
-      weightCol: Option[String] = None): DataFrame = {
-    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+  /** Shared weighted-adjacency prep for the BFS family: dedupe to min
+    * weight per (src, dst), symmetrize unless directed, CACHE (the
+    * iterative-access exception, as in pageRank — callers unpersist). */
+  private def prepAdj(edges: DataFrame, aCol: String, bCol: String,
+      directed: Boolean, weightCol: Option[String]): DataFrame = {
     val w = weightCol.map(col).getOrElse(lit(1L))
     val raw = edges.select(col(aCol).as("a"), col(bCol).as("b"), w.as("w"))
       .filter(col("a") =!= col("b"))
@@ -384,9 +384,17 @@ object Graph {
         greatest(col("a"), col("b")).as("b"), col("w"))
     val e0 = canon.groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
     val fwd = e0.select(col("a").as("src"), col("b").as("dst"), col("w"))
-    val adj = (if (directed) fwd
-      else fwd.union(e0.select(col("b").as("src"), col("a").as("dst"), col("w"))))
-      .cache() // iterative-access exception, as in pageRank
+    (if (directed) fwd
+     else fwd.union(e0.select(col("b").as("src"), col("a").as("dst"), col("w"))))
+      .cache()
+  }
+
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      aCol: String = "u1", bCol: String = "u2",
+      directed: Boolean = false,
+      weightCol: Option[String] = None): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val adj = prepAdj(edges, aCol, bCol, directed, weightCol)
     // directed graphs can have sink-only nodes (never a src) — they
     // are still seedable/reachable, so the node set is src ∪ dst
     val nodes = adj.select(col("src").as("node"))
@@ -403,6 +411,68 @@ object Graph {
       dist = dist.union(prop)
         .groupBy(col("node"), col("seed"))
         .agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = true)
+      h += 1
+    }
+    adj.unpersist()
+    dist
+  }
+
+  /** Lexicographic (dist, pred) minimum as a mergeable typed Aggregator
+    * — the hash-aggregable argmin [[shortestPathTree]]'s per-round
+    * reduction needs: `min(struct(dist, pred))` plans SortAggregate
+    * (struct buffers aren't hash-supported — the q138 LPA lesson), and
+    * two chained aggregations would double the per-hop shuffles. State
+    * is one (dist, pred) pair; ObjectHashAggregate partial+final. */
+  private class LexMin2 extends org.apache.spark.sql.expressions.Aggregator[
+      (Long, Long), (Long, Long), (Long, Long)] {
+    override def zero: (Long, Long) = (Long.MaxValue, Long.MaxValue)
+    override def reduce(b: (Long, Long), a: (Long, Long)): (Long, Long) =
+      if (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)) a else b
+    override def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+      reduce(a, b)
+    override def finish(b: (Long, Long)): (Long, Long) = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[(Long, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+    override def outputEncoder: org.apache.spark.sql.Encoder[(Long, Long)] =
+      bufferEncoder
+  }
+
+  /** [[bfsDistances]] with PATH RECONSTRUCTION: per (node, seed) the
+    * shortest ≤`maxHops` distance AND the predecessor on one such
+    * shortest path — pred = −1 marks the seed itself. Ties (several
+    * shortest paths) resolve to the LOWEST predecessor id, so the tree
+    * is deterministic and oracle-replayable; walking pred links from
+    * any node yields an actual shortest path. Same per-hop shape as
+    * [[bfsDistances]] (edge join + per-(node, seed) reduction, frame
+    * bounded by nodes × |seeds|); the reduction is [[LexMin2]], so it
+    * stays a hash aggregate with map-side combine. Weights must be
+    * non-negative longs (hop counting when `weightCol` is None). */
+  def shortestPathTree(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      aCol: String = "u1", bCol: String = "u2",
+      directed: Boolean = false,
+      weightCol: Option[String] = None): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val adj = prepAdj(edges, aCol, bCol, directed, weightCol)
+    val nodes = adj.select(col("src").as("node"))
+      .union(adj.select(col("dst").as("node"))).distinct()
+    val lexmin = udaf(new LexMin2)
+    var dist = nodes
+      .join(broadcast(seeds.toDF("seed")), col("node") === col("seed"), "inner")
+      .select(col("node"), col("seed"), lit(0L).as("dist"), lit(-1L).as("pred"))
+      .localCheckpoint(eager = true)
+    var h = 1
+    while (h <= maxHops) {
+      val prop = dist
+        .join(adj, dist("node") === adj("src"))
+        .select(col("dst").as("node"), col("seed"),
+          (col("dist") + col("w")).as("dist"), col("src").as("pred"))
+      dist = dist.union(prop)
+        .groupBy(col("node"), col("seed"))
+        .agg(lexmin(col("dist"), col("pred")).as("dp"))
+        .select(col("node"), col("seed"),
+          col("dp._1").as("dist"), col("dp._2").as("pred"))
         .localCheckpoint(eager = true)
       h += 1
     }

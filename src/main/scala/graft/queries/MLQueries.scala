@@ -1311,6 +1311,69 @@ object MLQueries {
                      round(w / sum(w) OVER (PARTITION BY purchase_id), 6) AS share,
                      round(value * w / sum(w) OVER (PARTITION BY purchase_id), 4)
                        AS credited
-              FROM a ORDER BY purchase_id, click_s"""))
+              FROM a ORDER BY purchase_id, click_s""")),
+
+    // ---- q187 with PATH RECONSTRUCTION (Graph.shortestPathTree): per
+    // (node, anchor) not just the cheapest ≤3-edge cost but the
+    // predecessor on one such path (pred = -1 at the anchor; ties to
+    // the lowest predecessor id), so walking pred links recovers an
+    // actual shortest path — the "how is this account connected to the
+    // anchor" explanation, not just "how far". The per-round reduction
+    // is a typed lexicographic-min aggregator (hash aggregate with
+    // map-side combine — min(struct) would fall back to SortAggregate,
+    // the q138 lesson). The oracle unrolls the same three rounds with
+    // a row_number-over-(dist, pred) pick.
+    GraftQuery(
+      "q200_shortest_path_tree",
+      (s, d) => {
+        val i = t(s, d, "events")
+          .filter(col("user_id").isNotNull && Tables.propsItem.isNotNull)
+          .select(col("user_id"), Tables.propsItem.as("item"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .distinct()
+        val wedges = i.select(col("user_id").as("u1"), col("item"), col("hr"))
+          .join(i.select(col("user_id").as("u2"), col("item"), col("hr")),
+            Seq("item", "hr"))
+          .filter(col("u1") < col("u2"))
+          .groupBy(col("u1"), col("u2"))
+          .agg(count(lit(1)).as("w"))
+        val seeds = wedges.select(col("u1").as("node"))
+          .union(wedges.select(col("u2").as("node")))
+          .distinct().filter(col("node").isin(0, 1, 2))
+        graft.ops.Graph.shortestPathTree(wedges, seeds, maxHops = 3,
+            directed = true, weightCol = Some("w"))
+          .orderBy(col("node"), col("seed"))
+      },
+      Some {
+        def hop(k: Int, prev: String): String =
+          s"""h$k AS MATERIALIZED (SELECT node, seed, dist, pred FROM (
+                SELECT node, seed, dist, pred,
+                       row_number() OVER (PARTITION BY node, seed
+                         ORDER BY dist, pred) AS rn
+                FROM (SELECT node, seed, dist, pred FROM $prev
+                      UNION ALL
+                      SELECT e.u2, p.seed, p.dist + e.w, p.node
+                      FROM $prev p JOIN e ON p.node = e.u1))
+              WHERE rn = 1)"""
+        s"""WITH i AS (SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item,
+                              date_trunc('hour', ts) AS hr
+                       FROM events
+                       WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL),
+            e AS MATERIALIZED (SELECT a.user_id AS u1, b.user_id AS u2,
+                                      CAST(count(*) AS BIGINT) AS w
+                  FROM i a JOIN i b
+                    ON a.item = b.item AND a.hr = b.hr AND a.user_id < b.user_id
+                  GROUP BY 1, 2),
+            h0 AS (SELECT DISTINCT node, node AS seed, CAST(0 AS BIGINT) AS dist,
+                          CAST(-1 AS BIGINT) AS pred
+                   FROM (SELECT u1 AS node FROM e UNION SELECT u2 FROM e)
+                   WHERE node IN (0, 1, 2)),
+            ${hop(1, "h0")},
+            ${hop(2, "h1")},
+            ${hop(3, "h2")}
+            SELECT node, seed, CAST(dist AS BIGINT) AS dist,
+                   CAST(pred AS BIGINT) AS pred
+            FROM h3 ORDER BY node, seed"""
+      })
   )
 }

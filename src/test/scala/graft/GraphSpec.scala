@@ -259,4 +259,26 @@ class GraphSpec extends SparkSpec {
     val dup = e.unionAll(Seq((0L, 1L, 7L)).toDF("u1", "u2", "w"))
     assert(run(dup, 0L, 1, dir = true)(1L) == 1L)
   }
+
+  test("shortestPathTree: predecessors reconstruct a shortest path, ties to lowest pred") {
+    val e = Seq((0L, 1L, 1L), (1L, 2L, 5L), (0L, 2L, 10L)).toDF("u1", "u2", "w")
+    def run(edges: org.apache.spark.sql.DataFrame, hops: Int) =
+      Graph.shortestPathTree(edges, Seq(0L).toDF("s"), maxHops = hops,
+          directed = true, weightCol = Some("w"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(x => x._1 -> ((x._3, x._4))).toMap
+    // 2 hops: the relay wins and pred tracks it (2 came via 1, 1 via 0)
+    assert(run(e, 2) == Map(0L -> ((0L, -1L)), 1L -> ((1L, 0L)), 2L -> ((6L, 1L))))
+    // 1 hop: budget forces the direct edge, pred flips to 0
+    assert(run(e, 1)(2L) == ((10L, 0L)))
+    // equal-cost paths: dist(1) = 2 via 0 directly or via 2 — the tie
+    // must resolve to the LOWEST predecessor id (0, not 2)
+    val tie = Seq((0L, 1L, 2L), (0L, 2L, 1L), (2L, 1L, 1L)).toDF("u1", "u2", "w")
+    assert(run(tie, 2)(1L) == ((2L, 0L)))
+    // distances agree with bfsDistances on the same graph
+    val bfs = Graph.bfsDistances(e, Seq(0L).toDF("s"), maxHops = 2,
+        directed = true, weightCol = Some("w"))
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> x._3).toMap
+    assert(run(e, 2).map { case (n, (d, _)) => n -> d } == bfs)
+  }
 }

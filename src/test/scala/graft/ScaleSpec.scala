@@ -404,6 +404,22 @@ class ScaleSpec extends SparkSpec {
       rankPlan.take(800))
   }
 
+  test("q196 session features: all windows ride ONE hash exchange") {
+    // the q196 scale claim as a plan property: the (user_id, sid)
+    // windows' clustering requirement is satisfied by the first
+    // window's hashpartitioning(user_id) — a coarser key — so the
+    // whole four-window feature chain pays exactly one hash shuffle
+    // plus per-partition sorts; the only other exchange is the final
+    // deterministic output sort (rangepartitioning)
+    val plan = SparkEntry.queries("q196_session_features")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, plan.take(1000))
+    assert(plan.linesIterator.count(_.contains("Exchange rangepartitioning")) == 1,
+      plan.take(1000))
+    assert(plan.linesIterator.count(_.trim.startsWith("+- Window")) >= 3, plan.take(1000))
+  }
+
   test("AQE coalesces an over-provisioned shuffle down to the data") {
     // shuffle.partitions is sized for the big stages (32 in prod, 4
     // here); a tiny aggregate's exchange must be COALESCED by AQE at
