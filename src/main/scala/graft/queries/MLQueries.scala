@@ -1374,6 +1374,54 @@ object MLQueries {
             SELECT node, seed, CAST(dist AS BIGINT) AS dist,
                    CAST(pred AS BIGINT) AS pred
             FROM h3 ORDER BY node, seed"""
-      })
+      }),
+
+    // ---- per-user time-weighted average value (TWAP) — the telemetry/
+    // finance average that weights each reading by how long it HELD
+    // (Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_n−t₀)), which a plain avg gets wrong the
+    // moment sampling is irregular. Like q198's EWMA the recurrence is
+    // sequential (needs the previous reading and timestamp), so it runs
+    // as a struct-accumulator aggregate() fold over the sorted list —
+    // still expression work, no mapGroups — and DuckDB replays the
+    // identical fold with list_reduce over the same struct shape, so
+    // every intermediate double matches bit-for-bit. Single-reading or
+    // zero-span users yield null (no time to weight), not a 0/0.
+    GraftQuery(
+      "q201_twap",
+      (s, d) => t(s, d, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          array_sort(collect_list(struct(
+            unix_micros(col("ts")).as("t"), col("event_id").as("e"),
+            col("value").cast("double").as("v")))).as("xs"))
+        .select(col("user_id"), col("n"),
+          expr("xs[size(xs) - 1].t - xs[0].t").as("span_us"),
+          round(expr(
+            """aggregate(slice(xs, 2, size(xs) - 1),
+              |named_struct('t', xs[0].t, 'v', xs[0].v, 's', CAST(0.0 AS DOUBLE)),
+              |(acc, x) -> named_struct('t', x.t, 'v', x.v,
+              |                         's', acc.s + acc.v * (x.t - acc.t)),
+              |acc -> CASE WHEN acc.t > xs[0].t
+              |            THEN acc.s / (acc.t - xs[0].t) END)""".stripMargin), 6)
+            .as("twap"))
+        .orderBy(col("user_id")),
+      Some("""WITH s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                                list(struct_pack(t := epoch_us(ts),
+                                                 v := value,
+                                                 s := CAST(0.0 AS DOUBLE))
+                                     ORDER BY ts, event_id) AS xs
+                         FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+              f AS (SELECT user_id, n,
+                           xs[-1].t - xs[1].t AS span_us,
+                           list_reduce(xs, (acc, x) -> struct_pack(
+                             t := x.t, v := x.v,
+                             s := acc.s + acc.v * (x.t - acc.t))) AS fin,
+                           xs[1].t AS t0
+                    FROM s)
+              SELECT user_id, n, CAST(span_us AS BIGINT) AS span_us,
+                     round(CASE WHEN fin.t > t0
+                           THEN fin.s / (fin.t - t0) END, 6) AS twap
+              FROM f ORDER BY user_id"""))
   )
 }
