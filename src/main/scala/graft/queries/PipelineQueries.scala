@@ -1503,6 +1503,42 @@ object PipelineQueries {
                           FROM documents)
                SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
                FROM ranked JOIN alloc USING (lang)
-               WHERE rn <= alloc ORDER BY doc_id"""))
+               WHERE rn <= alloc ORDER BY doc_id""")),
+
+    // ---- deterministic per-group MODE — the exact argmax-of-counts
+    // aggregate with a PINNED tie rule (highest count, then lowest
+    // value), which Spark's built-in mode() deliberately leaves
+    // unspecified on ties (engine/partition-order dependent — useless
+    // for a reproducible pipeline). Formulation: count per (group,
+    // value) — map-side combined, the only shuffle that sees data —
+    // then a row_number pick over the |groups|·|values| aggregated
+    // frame. Per-lang modal source with its count and the runner-up
+    // gap (mode confidence), all exact integers.
+    GraftQuery(
+      "q202_mode_per_group",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = t(s, d, "documents")
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n"))
+        val byLang = Window.partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("source"))
+        counts
+          .withColumn("rn", row_number().over(byLang))
+          .withColumn("runner_up", lead(col("n"), 1).over(byLang))
+          .filter(col("rn") === 1)
+          .select(col("lang"), col("source").as("mode_source"), col("n"),
+            (col("n") - coalesce(col("runner_up"), lit(0L))).as("lead_margin"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+                         FROM documents GROUP BY 1, 2),
+              r AS (SELECT lang, source, n,
+                           row_number() OVER w AS rn,
+                           lead(n, 1) OVER w AS runner_up
+                    FROM c WINDOW w AS (PARTITION BY lang ORDER BY n DESC, source))
+              SELECT lang, source AS mode_source, n,
+                     CAST(n - coalesce(runner_up, 0) AS BIGINT) AS lead_margin
+              FROM r WHERE rn = 1 ORDER BY lang"""))
   )
 }
