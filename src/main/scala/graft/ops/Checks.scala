@@ -79,10 +79,14 @@ object Checks {
   }
 
   /** Fraction of non-null values matching `regex` >= `atLeast`
-    * (Java∩RE2 dialect — the Portable convention). */
+    * (Java∩RE2 dialect — the Portable convention). The regex is part of
+    * the name — two Matches on one column with the same threshold but
+    * different patterns are distinct declarations, and the
+    * fully-parameterized-name contract (run()'s dup guard) requires
+    * every parameter that changes the metric to appear in the id. */
   final case class Matches(colName: String, regex: String, atLeast: Double)
       extends Check {
-    val name = s"matches($colName)>=$atLeast"
+    val name = s"matches($colName,$regex)>=$atLeast"
     def metric: Column = avg(when(col(colName).isNull, null)
       .otherwise(when(regexp_like(col(colName), lit(regex)), 1.0).otherwise(0.0)))
     def passed(m: Column): Column = m >= atLeast

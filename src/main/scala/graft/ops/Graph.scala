@@ -443,8 +443,20 @@ object Graph {
     * shortest ≤`maxHops` distance AND the predecessor on one such
     * shortest path — pred = −1 marks the seed itself. Ties (several
     * shortest paths) resolve to the LOWEST predecessor id, so the tree
-    * is deterministic and oracle-replayable; walking pred links from
-    * any node yields an actual shortest path. Same per-hop shape as
+    * is deterministic and oracle-replayable.
+    *
+    * Bounded-round caveat (weighted mode): `dist` is always the exact
+    * ≤`maxHops`-hop minimum, but `pred` is the predecessor recorded the
+    * round the node's dist last improved — if that predecessor's OWN
+    * dist then improves in the final round, the stored (dist, pred)
+    * pair is no longer cost-consistent (dist ≠ dist(pred) + w), so
+    * walking pred links can recover a path cheaper than dist and/or
+    * longer than maxHops edges. Pred chains are guaranteed
+    * cost-consistent only once the iteration has CONVERGED (a round
+    * that changes no (dist, pred) pair — for hop-count weights any
+    * maxHops ≥ diameter); under a deliberately truncated budget, treat
+    * pred as the explanation of the hop-bounded estimate, not a
+    * certificate. Same per-hop shape as
     * [[bfsDistances]] (edge join + per-(node, seed) reduction, frame
     * bounded by nodes × |seeds|); the reduction is [[LexMin2]], so it
     * stays a hash aggregate with map-side combine. Weights must be

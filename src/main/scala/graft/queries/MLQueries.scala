@@ -1296,7 +1296,11 @@ object MLQueries {
             round(col("w") / sum(col("w")).over(byP), 6).as("share"),
             round(col("value") * col("w") / sum(col("w")).over(byP), 4)
               .as("credited"))
-          .orderBy(col("purchase_id"), col("click_s"))
+          // click_s is second-truncated, so two clicks in one second that
+          // straddle a decay boundary produce DISTINCT rows with equal
+          // (purchase_id, click_s) — share breaks the tie (rows that
+          // still collide are full-row-identical, hence interchangeable)
+          .orderBy(col("purchase_id"), col("click_s"), col("share"))
       },
       Some("""WITH a AS (SELECT p.event_id AS purchase_id, p.user_id,
                                 c.ts AS click_ts, p.value,
@@ -1311,7 +1315,8 @@ object MLQueries {
                      round(w / sum(w) OVER (PARTITION BY purchase_id), 6) AS share,
                      round(value * w / sum(w) OVER (PARTITION BY purchase_id), 4)
                        AS credited
-              FROM a ORDER BY purchase_id, click_s""")),
+              FROM a ORDER BY purchase_id, click_s,
+                     round(w / sum(w) OVER (PARTITION BY purchase_id), 6)""")),
 
     // ---- q187 with PATH RECONSTRUCTION (Graph.shortestPathTree): per
     // (node, anchor) not just the cheapest ≤3-edge cost but the

@@ -228,14 +228,22 @@ object EventStreams {
     * [[incrementalViewState]] + [[graft.ops.Incremental.finish]].
     * Superseded version dirs are pruned after the new version lands
     * (best-effort; a crash between write and prune leaves garbage,
-    * never a wrong answer — reads always take the HIGHEST version). */
+    * never a wrong answer — reads always take the HIGHEST COMMITTED
+    * version, where committed means the dir carries its `_SUCCESS`
+    * marker: the parquet committer creates the directory BEFORE the
+    * job commits, so a crash mid-write leaves a marker-less partial
+    * dir, which every reader and the replay guard must treat as
+    * never-written or the replayed batch's data would be silently
+    * skipped and the partial files read as state). */
   def incrementalJoinViewBatch(dim: DataFrame, factKey: String, dimKey: String,
       groupCol: String, valueCol: String, stateDir: String)
       (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     // foreachBatch is at-least-once: after a crash the engine replays
-    // the last batch. A version dir at or past this id means the merge
-    // already landed — skip, or the replay would double-count it.
+    // the last batch. A COMMITTED version dir at or past this id means
+    // the merge already landed — skip, or the replay would double-count
+    // it. A partial (uncommitted) v<batchId> from a crashed attempt
+    // does NOT count; the overwrite below replaces it wholesale.
     if (versionDirs(spark, stateDir).exists(_._1 >= batchId)) return
     val part = graft.ops.Incremental.partial(
       batch.join(broadcast(dim), col(factKey) === col(dimKey)),
@@ -245,19 +253,39 @@ object EventStreams {
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    versionDirs(spark, stateDir).filter(_._1 != batchId).foreach { case (_, p) =>
+    // prune RAW dirs (committed or not): anything that isn't the version
+    // just written is either superseded state or a crashed attempt's
+    // partial output — both are garbage once v<batchId> has committed
+    rawVersionDirs(spark, stateDir).filter(_._1 != batchId).foreach { case (_, p) =>
       fs.delete(p, true): Unit
     }
   }
 
   /** The current materialized state written by
-    * [[incrementalJoinViewBatch]]: the highest version directory, or
-    * None before the first batch. */
+    * [[incrementalJoinViewBatch]]: the highest COMMITTED version
+    * directory, or None before the first committed batch. */
   def incrementalViewState(spark: SparkSession, stateDir: String): Option[DataFrame] =
     versionDirs(spark, stateDir).sortBy(_._1).lastOption
       .map { case (_, p) => spark.read.parquet(p.toString) }
 
+  /** COMMITTED version dirs only: a `v<id>` dir counts once its
+    * `_SUCCESS` marker exists. The parquet committer creates the output
+    * dir up front and writes the marker at job commit, so
+    * marker-filtering is what makes a crash mid-write indistinguishable
+    * from never-written — the replay re-runs the merge instead of
+    * skipping the batch or consuming partial files as state. */
   private def versionDirs(spark: SparkSession,
+      stateDir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rawVersionDirs(spark, stateDir)
+      .filter { case (_, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
+  }
+
+  /** Every `v<id>` dir regardless of commit state — the prune path's
+    * view, so crashed attempts' partial dirs get cleaned up too. */
+  private def rawVersionDirs(spark: SparkSession,
       stateDir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

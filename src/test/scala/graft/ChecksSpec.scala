@@ -67,6 +67,11 @@ class ChecksSpec extends SparkSpec {
     // same column, different params: distinct names, both allowed
     val r = results(df, Seq(Bounds("id", 0.0, 1.0), Bounds("id", 0.0, 2.0)))
     assert(r.size == 2)
+    // same column AND threshold, different regexes: the regex is part of
+    // the name, so both declarations coexist and keep their verdicts
+    val rm = results(df, Seq(Matches("s", "^x$", 0.5), Matches("s", "^y$", 0.5)))
+    assert(rm.size == 2)
+    assert(rm("matches(s,^x$)>=0.5")._2 && !rm("matches(s,^y$)>=0.5")._2)
   }
 
   test("ApproxUnique: HLL ratio within tolerance on a real key, catches 2x dup") {
@@ -82,7 +87,7 @@ class ChecksSpec extends SparkSpec {
   test("Matches: regex ratio with nulls excluded from the denominator") {
     val df = Seq(Some("1-URGENT"), Some("oops"), None).toSeq.toDF("p")
     val r = results(df, Seq(Matches("p", "^[0-9]-[A-Z]+$", 0.5)))
-    assert(r("matches(p)>=0.5") == ((0.5, true)))
+    assert(r("matches(p,^[0-9]-[A-Z]+$)>=0.5") == ((0.5, true)))
   }
 
   test("the suite is ONE scan: no-distinct suite plans a single aggregate, no shuffle join") {

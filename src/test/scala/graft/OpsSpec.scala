@@ -602,6 +602,27 @@ class OpsSpec extends SparkSpec {
     assert(leak.count() == 0)
   }
 
+  test("Prorate.largestRemainder: t*w long overflow fails loudly, names the key") {
+    import graft.ops.Prorate
+    // t*w = 2^62 * 4 wraps a long — the guard must raise, not allocate
+    // garbage (the silent-wrap failure produces negative shares)
+    val bad = Seq(("hot", 1L, 4L, Long.MaxValue / 2), ("hot", 2L, 1L, Long.MaxValue / 2))
+      .toDF("k", "i", "w", "t")
+    val e = intercept[Exception] {
+      Prorate.largestRemainder(bad, $"k", $"i", $"w", $"t").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m => m.contains("overflows LONG") && m.contains("key=hot")),
+      messages(e).mkString(" | "))
+    // and the guard is inert on clean inputs near the edge: t*w just
+    // below 2^63 allocates exactly t
+    val edge = Seq(("k", 1L, 2L, Long.MaxValue / 2)).toDF("k", "i", "w", "t")
+    val got = Prorate.largestRemainder(edge, $"k", $"i", $"w", $"t")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(("k", 1L, 2L, Long.MaxValue / 2)))
+  }
+
   test("Drift.ksStatistic: hand-computed sup-norm, zero on identical samples") {
     // A = {1,2,3}, B = {1,3,3,4}: numerators |cumA*nB - cumB*nA| over
     // sorted distinct values = 1, 5, 3, 0 -> KS = 5/12

@@ -352,6 +352,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incrementalJoinViewBatch: marker-less partial version dir is replayed, not trusted") {
+    // the crash-mid-write contract: the parquet committer creates v<id>
+    // BEFORE the job commits, so a v<id> without its _SUCCESS marker
+    // must read as never-written — the replayed batch re-runs its merge
+    // (instead of being skipped, silently losing its rows) and the
+    // reader never consumes the partial files as state
+    import org.apache.spark.sql.functions._
+    import graft.ops.Incremental
+    val stateDir = java.nio.file.Files.createTempDirectory("iv_crash").toString
+    val dim = Tables(spark, sf, "customer").select($"c_custkey", $"c_mktsegment")
+    val orders = Tables(spark, sf, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val b0 = orders.filter($"o_orderkey" % 2 === 0)
+    val b1 = orders.filter($"o_orderkey" % 2 === 1)
+    val body = EventStreams.incrementalJoinViewBatch(
+      dim, "o_custkey", "c_custkey", "c_mktsegment", "o_totalprice", stateDir) _
+    body(b0, 0L)
+    // simulate the crash: batch 1's attempt wrote real part files into
+    // v1 but died before commit — drop the marker it would have written
+    val v1 = new java.io.File(stateDir, "v1")
+    Incremental.partial(
+        b1.limit(5).join(dim, $"o_custkey" === $"c_custkey"),
+        $"c_mktsegment", $"o_totalprice")
+      .write.parquet(v1.toString)
+    assert(new java.io.File(v1, "_SUCCESS").delete())
+    // the reader takes the highest COMMITTED version — still batch 0's
+    val stateCnt = EventStreams.incrementalViewState(spark, stateDir).get
+      .agg(sum($"cnt")).as[Long].head()
+    assert(stateCnt == b0.count())
+    // the replay must RE-RUN batch 1 over the committed v0 state and
+    // land the correct final view (== full recompute), replacing the
+    // partial dir wholesale
+    body(b1, 1L)
+    val got = Incremental.finish(
+        EventStreams.incrementalViewState(spark, stateDir).get)
+      .orderBy("key")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    val want = Incremental.finish(Incremental.merge(Seq(Incremental.partial(
+        orders.join(dim, $"o_custkey" === $"c_custkey"),
+        $"c_mktsegment", $"o_totalprice"))))
+      .orderBy("key")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got.map(t => (t._1, t._2, t._4, t._5)) ==
+      want.map(t => (t._1, t._2, t._4, t._5)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._3 - w._3) < 1e-6, s"$g vs $w")
+    }
+    // and the prune removed the superseded + partial dirs
+    val vdirs = new java.io.File(stateDir).listFiles().filter(_.getName.startsWith("v"))
+    assert(vdirs.map(_.getName).toSeq == Seq("v1"), vdirs.map(_.getName).toSeq)
+  }
+
   test("Trigger.AvailableNow drains the source then STOPS; restart is a no-op") {
     // the backfill/operational face: AvailableNow processes everything
     // available at start, then terminates on its own — the batch-shaped
