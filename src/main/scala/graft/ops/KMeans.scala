@@ -42,24 +42,75 @@ object KMeans {
       iters: Int): (DataFrame, Seq[Seq[Double]]) = {
     require(k > 0, s"k must be > 0, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val v = emb.select(col(idCol).as("id"),
+    val v = normalize(emb, idCol, vecCol)
+    var cents = seedCents(v, k)
+    for (_ <- 1 to iters)
+      cents = updatedCents(assign(v, cents), cents)
+    (assign(v, cents).select(col("id"), col("cluster")), cents)
+  }
+
+  /** [[lloyd]] with the BROADCAST-JOIN assignment ([[assignJoin]]) in
+    * every iteration and the final pass — the large-k production face.
+    * The two faces share the determinism contract (double cast,
+    * 6dp-rounded distance, ties to the lowest index, 6dp-rounded
+    * centroid means, lowest-id seeding), so for any (k, iters) they
+    * return IDENTICAL centroids and assignments (pinned in KMeansSpec)
+    * and [[oracleCtes]]/[[oracleCtesScaledK]] describe both. Reach for
+    * this face when k is corpus-scaled (SemDeDup's prescription — see
+    * [[scaledK]]): the inline face's k×d expression literals hit
+    * codegen/plan-size ceilings at O(100s) of centroids, broadcast data
+    * does not. Cost per iteration vs [[lloyd]]: the argmin's one
+    * pre-combined exchange plus an id-keyed join to rebind vectors for
+    * the centroid update — both N-row bounded, never N×k. */
+  def lloydJoin(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): (DataFrame, Seq[Seq[Double]]) = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val v = normalize(emb, idCol, vecCol)
+    var cents = seedCents(v, k)
+    for (_ <- 1 to iters)
+      cents = updatedCents(assignJoinV(v, cents).join(v, "id"), cents)
+    (assignJoinV(v, cents), cents)
+  }
+
+  /** SemDeDup-style corpus-scaled cluster count: k = max(kmin,
+    * ⌈n/divisor⌉), integer arithmetic. The clustering's whole job is to
+    * keep per-cluster pair blocks bounded as the corpus grows, so k
+    * must grow WITH n — a pinned k makes block sizes Θ(n/k) and the
+    * pair volume quadratic again. n comes from a 1-row count — k is
+    * plan state, driver-sized by definition, like a schema. */
+  def scaledK(n: Long, divisor: Long = 100L, kmin: Int = 10): Int = {
+    require(divisor > 0 && kmin > 0, s"divisor/kmin must be > 0, got $divisor/$kmin")
+    math.max(kmin.toLong, (n + divisor - 1) / divisor).toInt
+  }
+
+  private def normalize(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("id"),
       expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+
+  /** Lowest-id seeding (no RNG) — k rows, driver-sized. */
+  private def seedCents(v: DataFrame, k: Int): IndexedSeq[Seq[Double]] = {
     val seed = v.orderBy(col("id")).limit(k).collect()
     require(seed.length == k, s"need at least $k vectors to seed, got ${seed.length}")
-    var cents: Seq[Seq[Double]] = seed.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
-    for (_ <- 1 to iters) {
-      val upd = assign(v, cents)
-        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(round(avg(col("x")), 6).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (c, rows) =>
-          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq
-        }
-      cents = cents.indices.map(i => upd.getOrElse(i, cents(i)))
-    }
-    (assign(v, cents).select(col("id"), col("cluster")), cents)
+    seed.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+  }
+
+  /** One centroid update from an assignment frame carrying (cluster, v):
+    * (cluster, dim)-grouped 6dp-rounded means — k·d groups with
+    * map-side combine, so the exchange and the collect are sketch-sized
+    * regardless of N. Empty clusters keep their previous centroid. */
+  private def updatedCents(withVec: DataFrame,
+      cents: IndexedSeq[Seq[Double]]): IndexedSeq[Seq[Double]] = {
+    val upd = withVec
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (c, rows) =>
+        c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq
+      }
+    cents.indices.map(i => upd.getOrElse(i, cents(i)))
   }
 
   /** Broadcast-join nearest-centroid assignment — the LARGE-k production
@@ -93,12 +144,16 @@ object KMeans {
     * and [[oracleCtes]] describes both (pinned in KMeansSpec).
     */
   def assignJoin(emb: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Seq[Double]]): DataFrame =
+    assignJoinV(normalize(emb, idCol, vecCol), cents)
+
+  /** [[assignJoin]] over an already-normalized (id, v double[]) frame —
+    * the shared body [[lloydJoin]]'s iterations reuse. */
+  private def assignJoinV(v: DataFrame,
       cents: Seq[Seq[Double]]): DataFrame = {
     require(cents.nonEmpty, "assignJoin needs at least one centroid")
-    val spark = emb.sparkSession
+    val spark = v.sparkSession
     import spark.implicits._
-    val v = emb.select(col(idCol).as("id"),
-      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
     val cdf = cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cidx", "cv")
     val d2 = aggregate(
       zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
@@ -145,7 +200,27 @@ object KMeans {
     * over `embeddings(vec_id, embedding)`. Exposed so the oracle and
     * any dependent query build from one generator instead of a
     * hand-maintained copy. */
-  def oracleCtes(k: Int, iters: Int): String = {
+  def oracleCtes(k: Int, iters: Int): String =
+    ctesWithSeed(
+      s""" c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cidx, v
+         |        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k))""".stripMargin,
+      iters)
+
+  /** [[oracleCtes]] with the k of [[scaledK]] computed IN SQL from the
+    * corpus itself (one `kk` scalar CTE, integer ceil-div), so one
+    * oracle string is correct at every SF — the seed CTE takes the
+    * k lowest-id vectors via a rank filter instead of a literal LIMIT.
+    * Only the seeding depends on k; the iteration CTEs are k-free. */
+  def oracleCtesScaledK(kmin: Int, divisor: Int, iters: Int): String =
+    ctesWithSeed(
+      s""" kk AS (SELECT greatest($kmin, (count(*) + ${divisor - 1}) // $divisor) AS k
+         |        FROM e),
+         | c0 AS (SELECT rn - 1 AS cidx, v FROM (
+         |        SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+         |        WHERE rn <= (SELECT k FROM kk))""".stripMargin,
+      iters)
+
+  private def ctesWithSeed(seedCte: String, iters: Int): String = {
     def assignCte(name: String, cents: String) =
       s""" $name AS (SELECT vec_id, cidx AS cluster FROM (
          |  SELECT e.vec_id, c.cidx,
@@ -154,8 +229,7 @@ object KMeans {
          |  FROM e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
     val head =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         | c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cidx, v
-         |        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k))""".stripMargin
+         |$seedCte""".stripMargin
     val iterations = (1 to iters).flatMap { it =>
       Seq(
         assignCte(s"a$it", s"c${it - 1}"),

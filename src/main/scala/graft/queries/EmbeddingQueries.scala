@@ -598,6 +598,61 @@ object EmbeddingQueries {
                 CAST(sum(s * (s - 1) // 2)
                      - sum(CASE WHEN s <= 25 THEN s * (s - 1) // 2
                                 ELSE 300 + 25 * (s - 25) END) AS BIGINT) AS n_pairs_dropped
-         FROM cs"""))
+         FROM cs""")),
+
+    // ---- q183 with the k SemDeDup actually prescribes: cluster count
+    // SCALED WITH THE CORPUS (KMeans.scaledK — k = max(10, ⌈N/100⌉)),
+    // so per-cluster blocks stay ~divisor-sized as N grows, instead of
+    // Θ(N/10) under a pinned k = 10 (which quietly re-quadratizes the
+    // pair volume the clustering exists to kill). Training AND
+    // assignment run the broadcast-join face (KMeans.lloydJoin): at
+    // corpus-scaled k the inline-literal form hits codegen/plan-size
+    // ceilings, broadcast centroid DATA does not. k comes from a 1-row
+    // count — driver-sized by definition; k is plan state, like a
+    // schema — and the oracle computes the SAME k in SQL (the kk CTE),
+    // so ONE oracle string hash-matches at every SF under a DIFFERENT
+    // k (sf0.01: N=500 → kmin-clamped k=10; sf0.1: N=2000 → k=20).
+    // Pair-cap convention identical to q183 (rep cap 25; the q184
+    // telemetry shape applies unchanged to this assignment frame).
+    GraftQuery(
+      "q203_semdedup_scaled_k",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cap = 25
+        val emb = t(s, d, "embeddings")
+        val k = graft.ops.KMeans.scaledK(emb.count())
+        val (asg, _) = graft.ops.KMeans.lloydJoin(
+          emb, "vec_id", "embedding", k, iters = 3)
+        val n = vecs(s, d).join(asg, "id")
+        val reps = n.withColumn("rn",
+            row_number().over(Window.partitionBy(col("cluster")).orderBy(col("id"))))
+          .filter(col("rn") <= cap)
+        val a = reps.select(col("id").as("d1"), col("v").as("va"),
+          col("nrm").as("na"), col("cluster"))
+        val b = n.select(col("id").as("d2"), col("v").as("vb"),
+          col("nrm").as("nb"), col("cluster"))
+        a.join(b, Seq("cluster"))
+          .filter(col("d1") < col("d2"))
+          .select(col("cluster"), col("d2"),
+            (expr("array_dot(va, vb)") / (col("na") * col("nb"))).as("cs"))
+          .filter(col("cs") >= 0.35)
+          .groupBy(col("d2"))
+          .agg(min(col("cluster")).as("cluster"),
+            round(max(col("cs")), 6).as("max_cos"))
+          .select(col("d2").as("vec_id"), col("cluster"), col("max_cos"))
+          .orderBy(col("vec_id"))
+      },
+      Some(graft.ops.KMeans.oracleCtesScaledK(kmin = 10, divisor = 100, iters = 3) + s""",
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, cluster
+               FROM e JOIN afin USING (vec_id)),
+         r AS (SELECT vec_id, v, nrm, cluster,
+                      row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rn
+               FROM n),
+         p AS (SELECT b.cluster, b.vec_id AS d2,
+                      list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cs
+               FROM r a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+               WHERE a.rn <= 25)
+         SELECT d2 AS vec_id, min(cluster) AS cluster, round(max(cs), 6) AS max_cos
+         FROM p WHERE cs >= 0.35 GROUP BY d2 ORDER BY vec_id"""))
   )
 }

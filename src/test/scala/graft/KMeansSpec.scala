@@ -83,6 +83,28 @@ class KMeansSpec extends SparkSpec {
     assert(got == Map(0L -> 0, 1L -> 500, 2L -> 599))
   }
 
+  test("lloydJoin == lloyd at the q203 scaled k (real embeddings, k = 20)") {
+    // the corpus-scaled-k face must land on the inline face's exact
+    // centroids and assignments — the shared determinism contract, pinned
+    // at the k the q203 registration actually uses at sf0.1
+    val emb = graft.queries.Tables(spark, sf, "embeddings")
+    val (asgA, centsA) = KMeans.lloyd(emb, "vec_id", "embedding", k = 20, iters = 2)
+    val (asgB, centsB) = KMeans.lloydJoin(emb, "vec_id", "embedding", k = 20, iters = 2)
+    assert(centsA == centsB)
+    val a = asgA.orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val b = asgB.orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(a == b)
+    assert(a.map(_._2).distinct.size > 1) // the pin is not vacuous
+  }
+
+  test("scaledK: kmin clamp below, integer ceil-div above") {
+    assert(KMeans.scaledK(500) == 10)    // sf0.01 corpus — clamped
+    assert(KMeans.scaledK(2000) == 20)   // sf0.1 corpus — scaled
+    assert(KMeans.scaledK(2001) == 21)   // ceil, not floor
+    assert(KMeans.scaledK(100000000L) == 1000000) // corpus-sized k stays exact
+    assert(KMeans.scaledK(0) == 10)
+  }
+
   test("iters = 0 assigns against the raw lowest-id seeds") {
     val (asg, cents) = KMeans.lloyd(fixture, "vec_id", "embedding", k = 2, iters = 0)
     // seeds are rows 0 and 1 cast to double, untouched
