@@ -126,4 +126,53 @@ object Incremental {
       coalesce(col("dmin") <= col("vmin"), lit(false))
         .or(coalesce(col("dmax") >= col("vmax"), lit(false)))
         .as("needs_rebuild"))
+
+  /** The repair pass that completes the retraction story: recompute
+    * min/max from the LIVE fact table for exactly the keys
+    * [[finishDelta]] flags, leave every other key's state untouched —
+    * after it, `needs_rebuild` is false everywhere and finishDelta's
+    * bounds are exact again.
+    *
+    * Scale shape: the flagged-key list is a (typically tiny) subset of
+    * the |keys|-sized state, BROADCAST into a semi-join that gates the
+    * fact scan — so the recompute reads only flagged keys' rows, not
+    * the corpus (on a key-bucketed/partitioned fact table the gate
+    * prunes at the scan; worst case it is one filtered pass, still
+    * never per-unflagged-key work). The merge back is a |keys|-sized
+    * broadcast left join. This is the standard incremental-view
+    * treatment of non-invertible aggregates: maintain the abelian part
+    * (count/sum) incrementally forever, rebuild the semilattice part
+    * (min/max) only where a delete actually touched a stored bound.
+    *
+    * `facts` must be the current LIVE rows (inserts minus deletes — the
+    * same CDC discipline partialDelta documents; Reconcile/q189 derives
+    * it when in doubt). A flagged key retracted to emptiness gets null
+    * bounds, matching SQL min/max over no rows. Returns a delta-state
+    * frame (same schema as [[mergeDelta]]) with the repaired keys'
+    * retraction trackers cleared. */
+  def rebuildFlagged(state: DataFrame, facts: DataFrame, key: Column,
+      value: Column): DataFrame = {
+    val flagged = finishDelta(state)
+      .filter(col("needs_rebuild"))
+      .select(col("key"))
+    val rebuilt = facts.select(key.as("key"), value.as("v"))
+      .join(broadcast(flagged), Seq("key"), "left_semi")
+      .groupBy(col("key"))
+      .agg(min(col("v")).as("rmin"), max(col("v")).as("rmax"))
+    // the repair marker rides the FLAGGED list, not the recomputed
+    // bounds: a flagged key retracted to emptiness has no live rows and
+    // thus no rebuilt row, but must still be repaired — to null bounds
+    state.join(broadcast(flagged.withColumn("rebuilt", lit(true))), Seq("key"), "left")
+      .join(broadcast(rebuilt), Seq("key"), "left")
+      .withColumn("rebuilt", coalesce(col("rebuilt"), lit(false)))
+      .select(col("key"), col("cnt"), col("sum"),
+        when(col("rebuilt"), col("rmin")).otherwise(col("vmin")).as("vmin"),
+        when(col("rebuilt"), col("rmax")).otherwise(col("vmax")).as("vmax"),
+        // clearing the retraction trackers is what un-flags the key:
+        // the stored bound is exact again, so past deletes are history
+        when(col("rebuilt"), lit(null).cast(state.schema("dmin").dataType))
+          .otherwise(col("dmin")).as("dmin"),
+        when(col("rebuilt"), lit(null).cast(state.schema("dmax").dataType))
+          .otherwise(col("dmax")).as("dmax"))
+  }
 }

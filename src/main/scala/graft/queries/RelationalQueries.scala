@@ -1160,6 +1160,51 @@ object RelationalQueries {
               LEFT JOIN del d USING (event_type)
               ORDER BY l.event_type""")),
 
+    // ---- q185's REPAIR pass (Incremental.rebuildFlagged — scale
+    // rationale there): after the same insert×3 + delete batch
+    // sequence, recompute min/max from the LIVE rows for exactly the
+    // keys q185 flags, leave every other key's state untouched, and
+    // publish the finished view — needs_rebuild false everywhere,
+    // bounds exact again. The oracle is the FULL recompute over the
+    // surviving rows: hash equality is the end-to-end retraction claim
+    // (4 batch folds + a |keys| merge + a flagged-keys-only rescan
+    // reproduce what a corpus-wide recompute would, with the rescan
+    // gated to the flagged subset — the only part of the history ever
+    // read twice).
+    GraftQuery(
+      "q204_retraction_rebuild",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val inserts = (0 to 2).map(b =>
+          graft.ops.Incremental.partialDelta(
+            ev.filter(pmod(col("event_id"), lit(3)) === b),
+            col("event_type"), col("value"), lit(1L)))
+        val deletes = graft.ops.Incremental.partialDelta(
+          ev.filter(pmod(col("event_id"), lit(7)) === 0),
+          col("event_type"), col("value"), lit(-1L))
+        val state = graft.ops.Incremental.mergeDelta(inserts :+ deletes)
+        val live = ev.filter(pmod(col("event_id"), lit(7)) =!= 0)
+        graft.ops.Incremental.finishDelta(
+            graft.ops.Incremental.rebuildFlagged(
+              state, live, col("event_type"), col("value")))
+          .select(col("key").as("event_type"), col("cnt"),
+            round(col("sum"), 6).as("total"),
+            round(col("mean"), 6).as("mean"),
+            round(col("vmin"), 6).as("vmin"),
+            round(col("vmax"), 6).as("vmax"),
+            col("needs_rebuild"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+                     CAST(count(value) AS BIGINT) AS cnt,
+                     round(sum(value), 6) AS total,
+                     round(avg(value), 6) AS mean,
+                     round(min(value), 6) AS vmin,
+                     round(max(value), 6) AS vmax,
+                     false AS needs_rebuild
+              FROM events WHERE event_id % 7 <> 0
+              GROUP BY 1 ORDER BY 1""")),
+
     // ---- SCD2 / effective-dated dimension join — the most common
     // warehouse join shape: facts ⋈ the dimension VERSION valid at
     // event time. The dimension is synthesized deterministically from

@@ -106,6 +106,39 @@ class MaintenanceSpec extends SparkSpec {
       viaInsert.orderBy("key").collect().toSeq)
   }
 
+  test("Incremental.rebuildFlagged: repairs exactly the flagged keys, leaves the rest bit-identical") {
+    // key a: delete hits the stored max (flagged); key b: interior
+    // delete (not flagged); key c: retracted to emptiness (flagged,
+    // must repair to NULL bounds, not keep the stale insert-side ones)
+    val ins = Seq(("a", 1.0), ("a", 5.0), ("a", 9.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0), ("c", 3.0)).toDF("k", "v")
+    val del = Seq(("a", 9.0), ("b", 4.0), ("c", 3.0)).toDF("k", "v")
+    val state = Incremental.mergeDelta(Seq(
+      Incremental.partialDelta(ins, $"k", $"v", lit(1L)),
+      Incremental.partialDelta(del, $"k", $"v", lit(-1L))))
+    val flags0 = Incremental.finishDelta(state).collect()
+      .map(r => r.getString(0) -> r.getAs[Boolean]("needs_rebuild")).toMap
+    assert(flags0 == Map("a" -> true, "b" -> false, "c" -> true))
+    val live = Seq(("a", 1.0), ("a", 5.0), ("b", 2.0), ("b", 6.0)).toDF("k", "v")
+    val repaired = Incremental.rebuildFlagged(state, live, $"k", $"v")
+    val fin = Incremental.finishDelta(repaired).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(3)), Option(r.get(4)),
+          r.getAs[Boolean]("needs_rebuild")))).toMap
+    // full-recompute equality on the live rows, no flag anywhere
+    assert(fin("a") == ((2L, Some(1.0), Some(5.0), false)))
+    assert(fin("b") == ((2L, Some(2.0), Some(6.0), false)))
+    assert(fin("c") == ((0L, None, None, false)))
+    // the unflagged key's STATE row is untouched — retraction trackers
+    // included (the repair is per-flagged-key, not a blanket rewrite)
+    assert(repaired.filter($"key" === "b").collect().map(_.toSeq).toSeq ==
+      state.filter($"key" === "b").collect().map(_.toSeq).toSeq)
+    // repaired keys' trackers are cleared, so the repair is idempotent
+    val again = Incremental.rebuildFlagged(repaired, live, $"k", $"v")
+    assert(again.orderBy("key").collect().map(_.toSeq).toSeq ==
+      repaired.orderBy("key").collect().map(_.toSeq).toSeq)
+  }
+
   // ---- Resample ----------------------------------------------------
 
   test("Resample.hourlyFfill: complete grid, gaps carry last value, flags exact") {
