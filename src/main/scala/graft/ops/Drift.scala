@@ -39,8 +39,39 @@ object Drift {
       inB: Column): DataFrame = {
     val t = df.select(group.as("g"), value.as("x"),
       when(inB, 1L).otherwise(0L).as("b"))
-    val per = t.groupBy(col("g"), col("x"))
-      .agg(sum(lit(1L) - col("b")).as("ca"), sum(col("b")).as("cb"))
+    ksFromPer(t.groupBy(col("g"), col("x"))
+      .agg(sum(lit(1L) - col("b")).as("ca"), sum(col("b")).as("cb")))
+  }
+
+  /** The sufficient statistic the monitor faces maintain: per-(group,
+    * value) row counts — (g, x, c). Counts are MERGEABLE (plain sums),
+    * so any batch/snapshot split folds with [[mergeCounts]] and the KS
+    * over the merged counts equals the KS over the raw union — the
+    * property that makes the streaming face exact, not approximate. */
+  def valueCounts(df: DataFrame, group: Column, value: Column): DataFrame =
+    df.groupBy(group.as("g"), value.as("x")).agg(count(lit(1)).as("c"))
+
+  /** Fold [[valueCounts]] frames into one equivalent counts frame —
+    * associative and commutative (integer sums, no float anywhere). */
+  def mergeCounts(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "mergeCounts needs at least one counts frame")
+    parts.reduce(_.unionByName(_))
+      .groupBy(col("g"), col("x")).agg(sum(col("c")).as("c"))
+  }
+
+  /** Exact KS from two [[valueCounts]] frames — sample A (the frozen
+    * baseline) vs sample B (the accumulating current window). Identical
+    * integer arithmetic and output shape to [[ksStatistic]]; the
+    * full-outer join aligns value grids that only one side observed. */
+  def ksFromCounts(countsA: DataFrame, countsB: DataFrame): DataFrame =
+    ksFromPer(countsA.select(col("g"), col("x"), col("c").as("ca"))
+      .join(countsB.select(col("g"), col("x"), col("c").as("cb")),
+        Seq("g", "x"), "full_outer")
+      .select(col("g"), col("x"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb")))
+
+  private def ksFromPer(per: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("g")).orderBy(col("x"))
     val cum = per
       .withColumn("cuma", sum(col("ca")).over(w))

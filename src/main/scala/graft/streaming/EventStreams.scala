@@ -261,6 +261,49 @@ object EventStreams {
     }
   }
 
+  /** foreachBatch body for a streaming KS drift monitor — the stream
+    * face of [[graft.ops.Drift.ksStatistic]]: "did this column's
+    * distribution move vs the frozen baseline?" as a continuously
+    * maintained gate rather than a batch job. Each micro-batch folds
+    * into a persisted per-(group, value) COUNT state table
+    * ([[graft.ops.Drift.valueCounts]] — counts are mergeable integer
+    * sums, so the accumulated state is EXACTLY the counts of every row
+    * seen so far, and the KS computed from it equals the batch KS over
+    * the full history; nothing is approximated). Same versioned-dir
+    * discipline as [[incrementalJoinViewBatch]] (copy-on-write v<id>
+    * dirs, `_SUCCESS`-gated replay guard, prune after commit). State is
+    * |groups|·|distinct values|-sized — the same bound the batch op
+    * documents: exact KS is for discrete/binned columns; quantize
+    * unbounded columns upstream.
+    *
+    * Read the current verdict with [[ksDriftCurrent]], which joins the
+    * accumulated counts against the frozen baseline counts — the
+    * monitor's read path is a |state|-sized computation, it never
+    * rescans the stream history. */
+  def ksDriftBatch(groupCol: String, valueCol: String, stateDir: String)
+      (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (versionDirs(spark, stateDir).exists(_._1 >= batchId)) return
+    val part = graft.ops.Drift.valueCounts(batch, col(groupCol), col(valueCol))
+    val prev = incrementalViewState(spark, stateDir)
+    val merged = graft.ops.Drift.mergeCounts(part +: prev.toSeq)
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rawVersionDirs(spark, stateDir).filter(_._1 != batchId).foreach { case (_, p) =>
+      fs.delete(p, true): Unit
+    }
+  }
+
+  /** Per-group KS of everything [[ksDriftBatch]] has accumulated vs the
+    * frozen `baselineCounts` (a [[graft.ops.Drift.valueCounts]] frame —
+    * snapshot it once, persist it, broadcast-sized for binned columns).
+    * None before the first committed batch. */
+  def ksDriftCurrent(spark: SparkSession, stateDir: String,
+      baselineCounts: DataFrame): Option[DataFrame] =
+    incrementalViewState(spark, stateDir)
+      .map(st => graft.ops.Drift.ksFromCounts(baselineCounts, st))
+
   /** The current materialized state written by
     * [[incrementalJoinViewBatch]]: the highest COMMITTED version
     * directory, or None before the first committed batch. */

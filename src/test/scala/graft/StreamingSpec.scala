@@ -352,6 +352,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ksDriftBatch: accumulated stream KS == batch KS over the full history") {
+    // the drift monitor's exactness claim: per-(group, value) counts
+    // are mergeable integer sums, so three micro-batches folded into
+    // the state table yield BIT-IDENTICAL KS verdicts to the one-shot
+    // batch statistic over baseline ∪ stream — stream == batch, no
+    // approximation anywhere
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.ops.Drift
+    val stateDir = java.nio.file.Files.createTempDirectory("ks_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ks_ckpt").toString
+    // floor-quantized value — exact KS is for discrete/binned columns
+    val ev = Tables(spark, sf, "events")
+      .select($"event_id", $"event_type", floor($"value").cast("long").as("x"))
+    val baseRows = ev.filter($"event_id" % 2 === 0) // the frozen snapshot
+    val curRows = ev.filter($"event_id" % 2 === 1)  // arrives as a stream
+    val baseline = Drift.valueCounts(baseRows, $"event_type", $"x")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = ms.toDF().toDF("event_id", "event_type", "x")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(EventStreams.ksDriftBatch("event_type", "x", stateDir) _)
+      .start()
+    val rows = curRows.as[(Long, String, Long)].collect().toSeq
+    try {
+      (0 until 3).foreach { b =>
+        ms.addData(rows.filter(_._1 % 3 == b): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = EventStreams.ksDriftCurrent(spark, stateDir, baseline).get
+      .orderBy("g").as[(String, Long, Long, Double)].collect().toSeq
+    val want = Drift.ksStatistic(
+        baseRows.withColumn("b", lit(false))
+          .unionByName(curRows.withColumn("b", lit(true))),
+        $"event_type", $"x", $"b")
+      .orderBy("g").as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty && got.forall(r => r._2 > 0 && r._3 > 0))
+  }
+
   test("incrementalJoinViewBatch: marker-less partial version dir is replayed, not trusted") {
     // the crash-mid-write contract: the parquet committer creates v<id>
     // BEFORE the job commits, so a v<id> without its _SUCCESS marker
