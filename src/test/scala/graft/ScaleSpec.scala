@@ -472,6 +472,57 @@ class ScaleSpec extends SparkSpec {
     assert(cdcPlan.contains("BroadcastHashJoin"), cdcPlan.take(1200))
   }
 
+  test("AQE skew join splits the hot key's partition at runtime (salt's engine-side face)") {
+    // graft.ops.Skew.saltedJoin is the MANUAL skew instrument (q195's
+    // advisor sizes it); the engine's own face is AQE's skew-join
+    // split, which rewrites a skewed sort-merge partition into
+    // sub-partitions from runtime shuffle stats. Pin that it actually
+    // activates on a synthetic hot key, because the decision rule the
+    // repo documents depends on it being real: reach for AQE when the
+    // skew is visible in shuffle stats at runtime (plain shuffle join
+    // over uncached inputs — zero code changes); reach for salt when
+    // AQE can't see or can't split it (cached/reused exchanges, skew
+    // inside aggregations rather than joins, or a build side worth
+    // replicating outright). Thresholds are production-sized by
+    // default; lower them to observe the rewrite on test-scale data —
+    // the PLAN SHAPE is what's pinned (the bloom-filter test's
+    // convention).
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    // without force, AQE declines the split when it would add shuffles
+    // (e.g. under a downstream exchange reuse) — the pin wants the
+    // split itself observable
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    try {
+      // one pathological key carries ~200k rows; 50 healthy keys carry
+      // 2 each — with 4 shuffle partitions the hot partition dwarfs the
+      // median on every metric AQE checks
+      val fact = spark.range(0, 200000)
+        .select(lit(0L).as("k"), col("id").as("payload"))
+        .unionAll(spark.range(0, 100)
+          .select((col("id") % 50 + 1).as("k"), col("id").as("payload")))
+      val dim = spark.range(0, 51)
+        .select(col("id").as("k"), concat(lit("d"), col("id")).as("name"))
+      val joined = fact.join(dim, "k")
+      // materialize THIS dataframe so ITS adaptive plan finalizes
+      // (count() would execute a different query's plan)
+      assert(joined.collect().length == 200000 + 100)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew split did not activate:\n${plan.take(1500)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
+    }
+  }
+
   test("runtime bloom filter reaches the probe side of a selective shuffle join") {
     // at 100 TB the big-big join tool next to bucketing is the runtime
     // bloom filter: a selective dimension-side predicate is turned into
