@@ -1427,6 +1427,34 @@ object MLQueries {
               SELECT user_id, n, CAST(span_us AS BIGINT) AS span_us,
                      round(CASE WHEN fin.t > t0
                            THEN fin.s / (fin.t - t0) END, 6) AS twap
-              FROM f ORDER BY user_id"""))
+              FROM f ORDER BY user_id""")),
+
+    // ---- q198's MERGEABLE face (ops.Ewma — affine segment
+    // composition): per-(user, day) partials fold to (multiplier,
+    // offset) pairs, an ordered fold over the day pairs replays the
+    // identical recurrence — both levels bounded (a day's rows; a
+    // user's days), where q198 buffers the whole per-user history.
+    // The ORACLE IS q198's flat whole-history fold: hash equality is
+    // the claim that segment composition reproduces the sequential
+    // recurrence — exact in real arithmetic, ulp-scale reassociation
+    // in IEEE (OpsSpec pins 1e-9 across segment grains), far inside
+    // the 6dp reporting grain. q198 stays registered as the
+    // exactness twin.
+    GraftQuery(
+      "q205_ewma_segmented",
+      (s, d) => graft.ops.Ewma.segmented(
+          t(s, d, "events").filter(col("user_id").isNotNull),
+          col("user_id"), date_trunc("day", col("ts")),
+          Seq(col("ts"), col("event_id")), col("value"), alpha = 0.1)
+        .select(col("key").as("user_id"), col("n"),
+          round(col("ewma"), 6).as("ewma"))
+        .orderBy(col("user_id")),
+      Some("""WITH s AS (SELECT user_id,
+                                CAST(count(*) AS BIGINT) AS n,
+                                list(value ORDER BY ts, event_id) AS xs
+                         FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+              SELECT user_id, n,
+                     round(list_reduce(xs, (acc, x) -> acc * 0.9 + 0.1 * x), 6) AS ewma
+              FROM s ORDER BY user_id"""))
   )
 }

@@ -623,6 +623,35 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("k", 1L, 2L, Long.MaxValue / 2)))
   }
 
+  test("Ewma.segmented: any segment grain composes to the flat fold (q198 recurrence)") {
+    import graft.ops.Ewma
+    // deterministic pseudo-random values, two independent keys
+    val n = 200
+    def v(i: Int): Double = ((i * 2654435761L) % 1000).toDouble / 10.0
+    val rows = (0 until n).flatMap(i =>
+      Seq(("u", i.toLong, v(i)), ("w", i.toLong, v(i) + 1.0)))
+    val df = rows.toDF("k", "i", "x")
+    def flat(off: Double): Double =
+      (1 until n).foldLeft(v(0) + off)((e, i) => e * 0.9 + 0.1 * (v(i) + off))
+    // grain 1 = every element its own segment (pure pair composition),
+    // grain 200 = one segment (pure flat fold), grains 7/50 = the mixed
+    // case; all must land on the sequential recurrence within ulp noise
+    for (g <- Seq(1, 7, 50, 200)) {
+      val got = Ewma.segmented(df, $"k", expr(s"i DIV $g"), Seq($"i"), $"x", 0.1)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got("u")._1 == n && got("w")._1 == n)
+      assert(math.abs(got("u")._2 - flat(0.0)) < 1e-9, s"grain $g: ${got("u")}")
+      assert(math.abs(got("w")._2 - flat(1.0)) < 1e-9, s"grain $g: ${got("w")}")
+    }
+    // single-row key: ewma is the value itself (seed semantics; the
+    // fixed-point seed is ulp-inexact in IEEE — 0.9·42 + 0.1·42 lands
+    // one ulp off 42 — which is exactly the jitter the 6dp grain eats)
+    val one = Seq(("s", 0L, 42.0)).toDF("k", "i", "x")
+    val g1 = Ewma.segmented(one, $"k", expr("i DIV 7"), Seq($"i"), $"x", 0.1)
+      .collect().head
+    assert(g1.getLong(1) == 1 && math.abs(g1.getDouble(2) - 42.0) < 1e-12)
+  }
+
   test("Drift.ksStatistic: hand-computed sup-norm, zero on identical samples") {
     // A = {1,2,3}, B = {1,3,3,4}: numerators |cumA*nB - cumB*nA| over
     // sorted distinct values = 1, 5, 3, 0 -> KS = 5/12
