@@ -1236,6 +1236,45 @@ object MLQueries {
               FROM j JOIN st USING (c_mktsegment)
               ORDER BY o_orderkey""")),
 
+    // ---- q197 with ADDITIVE SMOOTHING — the standard production
+    // target encoder: the leave-one-out segment mean shrunk toward the
+    // GLOBAL mean with prior weight m (te = (Σ_seg − own + m·ḡ) /
+    // (n_seg − 1 + m)), so thin categories borrow strength from the
+    // prior instead of memorizing noise — and the singleton category
+    // that q197 honestly nulls now gets the finite, fully-prior value
+    // ḡ (0 peer evidence + m pseudo-observations of the global mean).
+    // Scale shape unchanged from q197 plus one 1-ROW global-mean frame:
+    // both encoder inputs broadcast back over the fact, the facts never
+    // shuffle. 4dp rounding for the same accumulation-jitter reason.
+    GraftQuery(
+      "q206_target_encoding_smoothed",
+      (s, d) => {
+        val m = 10.0
+        val j = t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_mktsegment"), col("o_totalprice"))
+        val stats = j.groupBy(col("c_mktsegment"))
+          .agg(sum(col("o_totalprice")).as("tsum"), count(lit(1)).as("tcnt"))
+        val g = j.agg(avg(col("o_totalprice")).as("gmean"))
+        j.join(broadcast(stats), "c_mktsegment")
+          .crossJoin(broadcast(g))
+          .select(col("o_orderkey"), col("c_mktsegment"),
+            round((col("tsum") - col("o_totalprice") + lit(m) * col("gmean")) /
+              (col("tcnt") - 1 + lit(m)), 4).as("te_smooth"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH j AS (SELECT o_orderkey, c_mktsegment, o_totalprice
+                         FROM orders JOIN customer ON o_custkey = c_custkey),
+              st AS (SELECT c_mktsegment, sum(o_totalprice) AS tsum,
+                            count(*) AS tcnt
+                     FROM j GROUP BY 1),
+              g AS (SELECT avg(o_totalprice) AS gmean FROM j)
+              SELECT o_orderkey, c_mktsegment,
+                     round((tsum - o_totalprice + 10.0 * gmean)
+                           / (tcnt - 1 + 10.0), 4) AS te_smooth
+              FROM j JOIN st USING (c_mktsegment) CROSS JOIN g
+              ORDER BY o_orderkey""")),
+
     // ---- per-user EWMA of event value (α = 0.1) — the exponentially
     // weighted feature every time-series/feature pipeline wants, whose
     // recurrence e_t = 0.9·e_{t−1} + 0.1·x_t is SEQUENTIAL and thus not
