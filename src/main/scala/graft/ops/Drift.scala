@@ -71,6 +71,57 @@ object Drift {
         coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb")))
 
+  /** Per-group exact two-sample Wasserstein-1 (earth-mover) distance —
+    * the L1 companion to [[ksStatistic]]'s sup-norm: W1 = Σᵢ |F_A(xᵢ) −
+    * F_B(xᵢ)|·(xᵢ₊₁ − xᵢ) over the merged sorted value grid. KS fires
+    * on the single worst CDF gap (sensitive to localized shifts and
+    * blind to how far mass moved); W1 integrates total displacement —
+    * a small uniform shift of every value moves W1 linearly while KS
+    * barely reacts — so a monitor wants both faces of the same counts.
+    * Same integer-exact shape as KS: Σ |cumA·nB − cumB·nA|·gap is
+    * exact in longs, ONE final division by nA·nB, 6dp. Same
+    * discrete/binned contract, with the additional numerator bound
+    * nA·nB·range(x) — keep n²·range under 2⁶³ (a binned column is). */
+  def w1Statistic(df: DataFrame, group: Column, value: Column,
+      inB: Column): DataFrame = {
+    val t = df.select(group.as("g"), value.as("x"),
+      when(inB, 1L).otherwise(0L).as("b"))
+    w1FromPer(t.groupBy(col("g"), col("x"))
+      .agg(sum(lit(1L) - col("b")).as("ca"), sum(col("b")).as("cb")))
+  }
+
+  /** Exact W1 from two [[valueCounts]] frames — the drift-monitor read
+    * path shares ONE count-state table with [[ksFromCounts]]; both
+    * statistics are derived views of the same sufficient statistic. */
+  def w1FromCounts(countsA: DataFrame, countsB: DataFrame): DataFrame =
+    w1FromPer(countsA.select(col("g"), col("x"), col("c").as("ca"))
+      .join(countsB.select(col("g"), col("x"), col("c").as("cb")),
+        Seq("g", "x"), "full_outer")
+      .select(col("g"), col("x"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb")))
+
+  private def w1FromPer(per: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("x"))
+    val cum = per
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      // grid step to the NEXT distinct value; the last value carries no
+      // step (F_A = F_B = 1 beyond it — zero contribution by definition)
+      .withColumn("gap", lead(col("x"), 1).over(w) - col("x"))
+    val tot = per.groupBy(col("g"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cum.join(tot, "g")
+      .filter(col("na") > 0 && col("nb") > 0)
+      .groupBy(col("g"))
+      .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
+        sum(when(col("gap").isNotNull,
+          abs(col("cuma") * col("nb") - col("cumb") * col("na")) * col("gap"))
+          .otherwise(lit(0L))).as("num"))
+      .select(col("g"), col("na"), col("nb"),
+        round(col("num").cast("double") / (col("na") * col("nb")), 6).as("w1"))
+  }
+
   private def ksFromPer(per: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("g")).orderBy(col("x"))
     val cum = per

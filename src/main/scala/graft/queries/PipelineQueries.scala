@@ -1451,6 +1451,43 @@ object PipelineQueries {
               WHERE na > 0 AND nb > 0
               GROUP BY g, na, nb ORDER BY lang""")),
 
+    // ---- two-sample Wasserstein-1 drift (Drift.w1Statistic — the L1
+    // companion to q191's KS sup-norm, both derived views of the SAME
+    // per-(group, value) counts): per language, how much total mass
+    // displacement separates the even/odd n_chars halves. KS answers
+    // "is there a gap anywhere"; W1 answers "how far did the
+    // distribution move" — a uniform +1 shift of every value moves W1
+    // by exactly 1 while KS stays small, so a production monitor gates
+    // on both. Integer-exact like q191: Σ |cumA·nB − cumB·nA|·gap in
+    // longs, one final division, 6dp.
+    GraftQuery(
+      "q207_w1_drift",
+      (s, d) => graft.ops.Drift.w1Statistic(
+          t(s, d, "documents"),
+          col("lang"), col("n_chars"), pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("g").as("lang"), col("na"), col("nb"), col("w1"))
+        .orderBy(col("lang")),
+      Some("""WITH t AS (SELECT lang AS g, n_chars AS x,
+                                CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS b
+                         FROM documents),
+              per AS (SELECT g, x, CAST(sum(1 - b) AS BIGINT) AS ca,
+                             CAST(sum(b) AS BIGINT) AS cb
+                      FROM t GROUP BY 1, 2),
+              cum AS (SELECT g, x, ca, cb,
+                             sum(ca) OVER pw AS cuma, sum(cb) OVER pw AS cumb,
+                             lead(x) OVER (PARTITION BY g ORDER BY x) - x AS gap
+                      FROM per
+                      WINDOW pw AS (PARTITION BY g ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              tot AS (SELECT g, sum(ca) AS na, sum(cb) AS nb FROM per GROUP BY 1)
+              SELECT g AS lang, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+                     round(CAST(sum(CASE WHEN gap IS NOT NULL
+                                    THEN abs(cuma * nb - cumb * na) * gap
+                                    ELSE 0 END) AS DOUBLE) / (na * nb), 6) AS w1
+              FROM cum JOIN tot USING (g)
+              WHERE na > 0 AND nb > 0
+              GROUP BY g, na, nb ORDER BY lang""")),
+
     // ---- exact-COUNT stratified sampling: "give me exactly 200 docs,
     // proportional by language" — the budgeted complement of the
     // rate-based q60 (rates can't hit an exact global count). The

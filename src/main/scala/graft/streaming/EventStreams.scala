@@ -304,6 +304,14 @@ object EventStreams {
     incrementalViewState(spark, stateDir)
       .map(st => graft.ops.Drift.ksFromCounts(baselineCounts, st))
 
+  /** Wasserstein-1 over the SAME accumulated count state — KS and W1
+    * are both derived views of one sufficient statistic, so a monitor
+    * gating on both pays one state table and one maintenance stream. */
+  def w1DriftCurrent(spark: SparkSession, stateDir: String,
+      baselineCounts: DataFrame): Option[DataFrame] =
+    incrementalViewState(spark, stateDir)
+      .map(st => graft.ops.Drift.w1FromCounts(baselineCounts, st))
+
   /** The current materialized state written by
     * [[incrementalJoinViewBatch]]: the highest COMMITTED version
     * directory, or None before the first committed batch. */

@@ -672,4 +672,37 @@ class OpsSpec extends SparkSpec {
     val onesided = Seq(("g", 1, false), ("h", 1, true)).toDF("grp", "x", "b")
     assert(graft.ops.Drift.ksStatistic(onesided, $"grp", $"x", $"b").count() == 0)
   }
+
+  test("Drift.w1Statistic: hand-computed transport cost, shift sensitivity KS lacks") {
+    import graft.ops.Drift
+    // A = {0,2}, B = {1,3}: optimal transport moves each unit 1 step ->
+    // W1 = 1.0 (numerators 2,0,2 over unit gaps, / nA*nB = 4)
+    val df = Seq(("g", 0L, false), ("g", 2L, false), ("g", 1L, true), ("g", 3L, true))
+      .toDF("grp", "x", "b")
+    val r = Drift.w1Statistic(df, $"grp", $"x", $"b")
+      .as[(String, Long, Long, Double)].collect()
+    assert(r.toSeq == Seq(("g", 2L, 2L, 1.0)))
+    // identical samples: exactly 0
+    val same = Seq(("g", 5L, false), ("g", 7L, false), ("g", 5L, true), ("g", 7L, true))
+      .toDF("grp", "x", "b")
+    assert(Drift.w1Statistic(same, $"grp", $"x", $"b")
+      .as[(String, Long, Long, Double)].collect().toSeq == Seq(("g", 2L, 2L, 0.0)))
+    // the statistic W1 exists for: a uniform +10 shift of a wide sample
+    // moves W1 by exactly 10 while KS stays at its minimal detectable
+    // level (1/n) — the displacement magnitude KS structurally ignores
+    val n = 100
+    val wide = (0 until n).flatMap(i =>
+      Seq(("s", i.toLong, false), ("s", i.toLong + 10L, true))).toDF("grp", "x", "b")
+    val w1 = Drift.w1Statistic(wide, $"grp", $"x", $"b")
+      .as[(String, Long, Long, Double)].head()._4
+    val ks = Drift.ksStatistic(wide, $"grp", $"x", $"b")
+      .as[(String, Long, Long, Double)].head()._4
+    assert(w1 == 10.0, s"w1 = $w1")
+    assert(ks == 0.1, s"ks = $ks") // 10/n — small despite the full shift
+    // w1FromCounts over split counts == the one-pass statistic
+    val a = Drift.valueCounts(wide.filter(!$"b"), $"grp", $"x")
+    val b = Drift.valueCounts(wide.filter($"b"), $"grp", $"x")
+    assert(Drift.w1FromCounts(a, b)
+      .as[(String, Long, Long, Double)].head()._4 == 10.0)
+  }
 }

@@ -391,6 +391,15 @@ class StreamingSpec extends SparkSpec {
       .orderBy("g").as[(String, Long, Long, Double)].collect().toSeq
     assert(got == want)
     assert(got.nonEmpty && got.forall(r => r._2 > 0 && r._3 > 0))
+    // W1 reads the SAME state table — one maintenance stream, two gates
+    val gotW1 = EventStreams.w1DriftCurrent(spark, stateDir, baseline).get
+      .orderBy("g").as[(String, Long, Long, Double)].collect().toSeq
+    val wantW1 = Drift.w1Statistic(
+        baseRows.withColumn("b", lit(false))
+          .unionByName(curRows.withColumn("b", lit(true))),
+        $"event_type", $"x", $"b")
+      .orderBy("g").as[(String, Long, Long, Double)].collect().toSeq
+    assert(gotW1 == wantW1)
   }
 
   test("incrementalJoinViewBatch: marker-less partial version dir is replayed, not trusted") {
