@@ -237,25 +237,52 @@ object EventStreams {
     * skipped and the partial files read as state). */
   def incrementalJoinViewBatch(dim: DataFrame, factKey: String, dimKey: String,
       groupCol: String, valueCol: String, stateDir: String)
-      (batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    // foreachBatch is at-least-once: after a crash the engine replays
-    // the last batch. A COMMITTED version dir at or past this id means
-    // the merge already landed — skip, or the replay would double-count
-    // it. A partial (uncommitted) v<batchId> from a crashed attempt
-    // does NOT count; the overwrite below replaces it wholesale.
+      (batch: DataFrame, batchId: Long): Unit =
+    versionedFold(batch.sparkSession, stateDir, batchId) { prev =>
+      graft.ops.Incremental.merge(
+        graft.ops.Incremental.partial(
+          batch.join(broadcast(dim), col(factKey) === col(dimKey)),
+          col(groupCol), col(valueCol)) +: prev.toSeq)
+    }
+
+  /** foreachBatch body for RETRACTION-AWARE incremental view
+    * maintenance — the streaming face of the q185/q204 delta chain:
+    * the stream is CDC rows carrying a signed `weightCol` (+1 insert /
+    * −1 delete, any long multiplicity), each micro-batch folds through
+    * [[graft.ops.Incremental.partialDelta]] and merges into the
+    * persisted delta state (same versioned-dir discipline as the
+    * insert-only view). Read with [[incrementalViewState]] +
+    * [[graft.ops.Incremental.finishDelta]]: count/sum/mean exact under
+    * deletes forever, min/max insert-side bounds with honest
+    * `needs_rebuild` flags; run
+    * [[graft.ops.Incremental.rebuildFlagged]] against the live fact
+    * table on whatever cadence the flags accumulate (the flagged-keys-
+    * only rescan — StreamingSpec pins the full stream→flag→rebuild
+    * chain equal to the one-shot batch recompute). */
+  def retractionViewBatch(groupCol: String, valueCol: String,
+      weightCol: String, stateDir: String)
+      (batch: DataFrame, batchId: Long): Unit =
+    versionedFold(batch.sparkSession, stateDir, batchId) { prev =>
+      graft.ops.Incremental.mergeDelta(
+        graft.ops.Incremental.partialDelta(
+          batch, col(groupCol), col(valueCol), col(weightCol)) +: prev.toSeq)
+    }
+
+  /** The shared copy-on-write state fold every foreachBatch maintenance
+    * body here runs: replay-guard on COMMITTED versions (foreachBatch
+    * is at-least-once — a committed v≥batchId means this batch already
+    * landed and must be skipped, while a crashed attempt's marker-less
+    * partial dir must NOT count and is overwritten wholesale), merge
+    * against the highest committed state, write v<batchId>, then prune
+    * every RAW dir that isn't the version just committed (superseded
+    * state and crashed partials alike). */
+  private def versionedFold(spark: SparkSession, stateDir: String,
+      batchId: Long)(merge: Option[DataFrame] => DataFrame): Unit = {
     if (versionDirs(spark, stateDir).exists(_._1 >= batchId)) return
-    val part = graft.ops.Incremental.partial(
-      batch.join(broadcast(dim), col(factKey) === col(dimKey)),
-      col(groupCol), col(valueCol))
-    val prev = incrementalViewState(spark, stateDir)
-    val merged = graft.ops.Incremental.merge(part +: prev.toSeq)
+    val merged = merge(incrementalViewState(spark, stateDir))
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // prune RAW dirs (committed or not): anything that isn't the version
-    // just written is either superseded state or a crashed attempt's
-    // partial output — both are garbage once v<batchId> has committed
     rawVersionDirs(spark, stateDir).filter(_._1 != batchId).foreach { case (_, p) =>
       fs.delete(p, true): Unit
     }
@@ -281,19 +308,12 @@ object EventStreams {
     * monitor's read path is a |state|-sized computation, it never
     * rescans the stream history. */
   def ksDriftBatch(groupCol: String, valueCol: String, stateDir: String)
-      (batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    if (versionDirs(spark, stateDir).exists(_._1 >= batchId)) return
-    val part = graft.ops.Drift.valueCounts(batch, col(groupCol), col(valueCol))
-    val prev = incrementalViewState(spark, stateDir)
-    val merged = graft.ops.Drift.mergeCounts(part +: prev.toSeq)
-    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-    val fs = new org.apache.hadoop.fs.Path(stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    rawVersionDirs(spark, stateDir).filter(_._1 != batchId).foreach { case (_, p) =>
-      fs.delete(p, true): Unit
+      (batch: DataFrame, batchId: Long): Unit =
+    versionedFold(batch.sparkSession, stateDir, batchId) { prev =>
+      graft.ops.Drift.mergeCounts(
+        graft.ops.Drift.valueCounts(
+          batch, col(groupCol), col(valueCol)) +: prev.toSeq)
     }
-  }
 
   /** Per-group KS of everything [[ksDriftBatch]] has accumulated vs the
     * frozen `baselineCounts` (a [[graft.ops.Drift.valueCounts]] frame —

@@ -454,6 +454,71 @@ class StreamingSpec extends SparkSpec {
     assert(vdirs.map(_.getName).toSeq == Seq("v1"), vdirs.map(_.getName).toSeq)
   }
 
+  test("retractionViewBatch: streamed CDC + flagged rebuild == full live recompute") {
+    // the round-trip of the whole retraction story in stream form:
+    // inserts arrive as three micro-batches, deletes as two more (one
+    // of them deliberately retracting every type's MAXIMUM so a
+    // needs_rebuild flag is guaranteed per key, not left to data
+    // chance), the persisted delta state stays exact on count/sum/mean
+    // throughout, and one rebuildFlagged pass against the live rows
+    // lands the view on the from-scratch recompute with all flags clear
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.ops.Incremental
+    val stateDir = java.nio.file.Files.createTempDirectory("rv_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rv_ckpt").toString
+    val ev = Tables(spark, sf, "events")
+      .select($"event_id", $"event_type", $"value")
+    val rows = ev.as[(Long, String, Option[Double])].collect().toSeq
+    val del7 = rows.filter(_._1 % 7 == 0).map(_._1).toSet
+    val maxIds = rows.filter(_._3.isDefined).groupBy(_._2).values
+      .map(rs => rs.maxBy(r => (r._3.get, r._1))._1).toSet
+    val delIds = del7 ++ maxIds
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Option[Double], Long)]
+    val q = ms.toDF().toDF("event_id", "event_type", "value", "w")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(EventStreams.retractionViewBatch(
+        "event_type", "value", "w", stateDir) _)
+      .start()
+    try {
+      (0 until 3).foreach { b =>
+        ms.addData(rows.filter(_._1 % 3 == b).map(r => (r._1, r._2, r._3, 1L)): _*)
+        q.processAllAvailable()
+      }
+      ms.addData(rows.filter(r => del7(r._1)).map(r => (r._1, r._2, r._3, -1L)): _*)
+      q.processAllAvailable()
+      ms.addData(rows.filter(r => maxIds(r._1) && !del7(r._1))
+        .map(r => (r._1, r._2, r._3, -1L)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = EventStreams.incrementalViewState(spark, stateDir).get
+    // every type's max was retracted -> every type must be flagged
+    val flags = Incremental.finishDelta(state).collect()
+      .map(r => r.getString(0) -> r.getAs[Boolean]("needs_rebuild")).toMap
+    assert(flags.nonEmpty && flags.values.forall(identity), flags.toString)
+    // one flagged-keys rebuild against the live rows == full recompute
+    val live = ev.filter(!$"event_id".isin(delIds.toSeq: _*))
+    val fin = Incremental.finishDelta(
+        Incremental.rebuildFlagged(state, live, $"event_type", $"value"))
+      .orderBy("key").collect()
+    val want = live.groupBy($"event_type".as("key"))
+      .agg(count($"value").as("cnt"), sum($"value").as("sum"),
+        min($"value").as("vmin"), max($"value").as("vmax"),
+        avg($"value").as("mean"))
+      .orderBy("key").collect()
+    assert(fin.length == want.length && fin.nonEmpty)
+    fin.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0))
+      assert(g.getLong(1) == w.getLong(1))                       // cnt exact
+      assert(g.getDouble(3) == w.getDouble(3), s"vmin ${g.toSeq}") // rebuilt min exact
+      assert(g.getDouble(4) == w.getDouble(4), s"vmax ${g.toSeq}") // rebuilt max exact
+      assert(math.abs(g.getDouble(2) - w.getDouble(2)) < 1e-6)     // sum: fold jitter
+      assert(math.abs(g.getDouble(5) - w.getDouble(5)) < 1e-9)     // mean
+      assert(!g.getAs[Boolean]("needs_rebuild"))
+    }
+  }
+
   test("Trigger.AvailableNow drains the source then STOPS; restart is a no-op") {
     // the backfill/operational face: AvailableNow processes everything
     // available at start, then terminates on its own — the batch-shaped
