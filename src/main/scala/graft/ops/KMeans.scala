@@ -66,11 +66,21 @@ object KMeans {
       iters: Int): (DataFrame, Seq[Seq[Double]]) = {
     require(k > 0, s"k must be > 0, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val v = normalize(emb, idCol, vecCol)
-    var cents = seedCents(v, k)
-    for (_ <- 1 to iters)
-      cents = updatedCents(assignJoinV(v, cents).join(v, "id"), cents)
-    (assignJoinV(v, cents), cents)
+    // iterative-access cache (the S2 exception family): each iteration
+    // reads v TWICE (argmin input + the id-join rebinding vectors for
+    // the update), so the loop would otherwise re-scan and re-cast the
+    // corpus 2·iters times. Released before returning — the final
+    // assignment pays one uncached scan rather than leaking cache into
+    // the caller's session.
+    val v = normalize(emb, idCol, vecCol).cache()
+    try {
+      var cents = seedCents(v, k)
+      for (_ <- 1 to iters)
+        cents = updatedCents(assignJoinV(v, cents).join(v, "id"), cents)
+      (assignJoinV(normalize(emb, idCol, vecCol), cents), cents)
+    } finally {
+      v.unpersist(blocking = false): Unit
+    }
   }
 
   /** SemDeDup-style corpus-scaled cluster count: k = max(kmin,
