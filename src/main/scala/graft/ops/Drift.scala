@@ -122,6 +122,55 @@ object Drift {
         round(col("num").cast("double") / (col("na") * col("nb")), 6).as("w1"))
   }
 
+  /** Per-group two-sample chi-squared homogeneity statistic — the
+    * THIRD derived view of the same count state: KS reads the worst
+    * CDF gap, W1 the total mass displacement, χ² the per-BIN rate
+    * mismatch with thin bins weighted up. Its home turf is CATEGORICAL
+    * columns (source, lang, format), where KS/W1 presuppose a value
+    * ordering that is meaningless; nothing here orders by x. Two-sample
+    * identity: χ² = Σ_bins (ca·nb − cb·na)² / (na·nb·(ca+cb)),
+    * dof = bins − 1. Determinism: the per-bin difference ca·nb − cb·na
+    * is exact in longs and its square exact in double while
+    * |ca·nb − cb·na| < 2²⁶·⁵ (per-group sample sizes ≲ 10⁷ — bin or
+    * sample first beyond that); the denominator is an exact long; only
+    * the final per-group sum reassociates (~1e−16·bins relative),
+    * absorbed by the 6dp round. */
+  def chi2Statistic(df: DataFrame, group: Column, value: Column,
+      inB: Column): DataFrame = {
+    val t = df.select(group.as("g"), value.as("x"),
+      when(inB, 1L).otherwise(0L).as("b"))
+    chi2FromPer(t.groupBy(col("g"), col("x"))
+      .agg(sum(lit(1L) - col("b")).as("ca"), sum(col("b")).as("cb")))
+  }
+
+  /** Exact χ² from two [[valueCounts]] frames — same shared-state read
+    * path as [[ksFromCounts]]/[[w1FromCounts]]. */
+  def chi2FromCounts(countsA: DataFrame, countsB: DataFrame): DataFrame =
+    chi2FromPer(countsA.select(col("g"), col("x"), col("c").as("ca"))
+      .join(countsB.select(col("g"), col("x"), col("c").as("cb")),
+        Seq("g", "x"), "full_outer")
+      .select(col("g"), col("x"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb")))
+
+  private def chi2FromPer(per: DataFrame): DataFrame = {
+    val tot = per.groupBy(col("g"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val d = (col("ca") * col("nb") - col("cb") * col("na")).cast("double")
+    per.join(tot, "g")
+      .filter(col("na") > 0 && col("nb") > 0)
+      // a (g, x) bin exists only if some sample observed it, but guard
+      // anyway — an all-zero bin must not divide by zero
+      .filter(col("ca") + col("cb") > 0)
+      .groupBy(col("g"))
+      .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
+        count(lit(1)).as("bins"),
+        sum(d * d / (col("na") * col("nb") * (col("ca") + col("cb"))))
+          .as("chi2raw"))
+      .select(col("g"), col("na"), col("nb"), col("bins"),
+        (col("bins") - 1).as("dof"), round(col("chi2raw"), 6).as("chi2"))
+  }
+
   private def ksFromPer(per: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("g")).orderBy(col("x"))
     val cum = per

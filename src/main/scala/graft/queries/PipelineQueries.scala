@@ -1488,6 +1488,41 @@ object PipelineQueries {
               WHERE na > 0 AND nb > 0
               GROUP BY g, na, nb ORDER BY lang""")),
 
+    // ---- two-sample chi-squared homogeneity drift
+    // (Drift.chi2Statistic — the CATEGORICAL face of the drift-monitor
+    // trio, all three derived views of one per-(group, value) counts
+    // state): per language, did the SOURCE mix of the even doc_id half
+    // match the odd half? source is nominal — KS/W1 presuppose a value
+    // ordering that means nothing here; χ² weighs each bin's rate
+    // mismatch with thin bins amplified, which is exactly the "one
+    // crawler's share collapsed" alarm. Per-bin numerators exact in
+    // longs (squared exactly in double at these n), exact long
+    // denominators, one per-group sum, 6dp.
+    GraftQuery(
+      "q208_chi2_drift",
+      (s, d) => graft.ops.Drift.chi2Statistic(
+          t(s, d, "documents"),
+          col("lang"), col("source"), pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("g").as("lang"), col("na"), col("nb"),
+          col("bins"), col("dof"), col("chi2"))
+        .orderBy(col("lang")),
+      Some("""WITH t AS (SELECT lang AS g, source AS x,
+                                CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS b
+                         FROM documents),
+              per AS (SELECT g, x, CAST(sum(1 - b) AS BIGINT) AS ca,
+                             CAST(sum(b) AS BIGINT) AS cb
+                      FROM t GROUP BY 1, 2),
+              tot AS (SELECT g, sum(ca) AS na, sum(cb) AS nb FROM per GROUP BY 1)
+              SELECT g AS lang, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+                     CAST(count(*) AS BIGINT) AS bins,
+                     CAST(count(*) - 1 AS BIGINT) AS dof,
+                     round(sum(CAST(ca * nb - cb * na AS DOUBLE)
+                               * CAST(ca * nb - cb * na AS DOUBLE)
+                               / (na * nb * (ca + cb))), 6) AS chi2
+              FROM per JOIN tot USING (g)
+              WHERE na > 0 AND nb > 0 AND ca + cb > 0
+              GROUP BY g, na, nb ORDER BY lang""")),
+
     // ---- exact-COUNT stratified sampling: "give me exactly 200 docs,
     // proportional by language" — the budgeted complement of the
     // rate-based q60 (rates can't hit an exact global count). The

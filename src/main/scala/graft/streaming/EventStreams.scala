@@ -332,6 +332,13 @@ object EventStreams {
     incrementalViewState(spark, stateDir)
       .map(st => graft.ops.Drift.w1FromCounts(baselineCounts, st))
 
+  /** Chi-squared over the same state — the categorical-column gate
+    * (no value ordering assumed), completing the three-view monitor. */
+  def chi2DriftCurrent(spark: SparkSession, stateDir: String,
+      baselineCounts: DataFrame): Option[DataFrame] =
+    incrementalViewState(spark, stateDir)
+      .map(st => graft.ops.Drift.chi2FromCounts(baselineCounts, st))
+
   /** The current materialized state written by
     * [[incrementalJoinViewBatch]]: the highest COMMITTED version
     * directory, or None before the first committed batch. */

@@ -705,4 +705,33 @@ class OpsSpec extends SparkSpec {
     assert(Drift.w1FromCounts(a, b)
       .as[(String, Long, Long, Double)].head()._4 == 10.0)
   }
+
+  test("Drift.chi2Statistic: hand-computed 2x2, zero on identical mixes, counts face agrees") {
+    import graft.ops.Drift
+    // A = {a:3, b:1}, B = {a:1, b:3}: classic 2x2 gives
+    // chi2 = n(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) = 8*64/256 = 2.0, dof 1
+    val df = (Seq.fill(3)(("g", "a", false)) ++ Seq(("g", "b", false)) ++
+      Seq(("g", "a", true)) ++ Seq.fill(3)(("g", "b", true)))
+      .toDF("grp", "x", "b")
+    val r = Drift.chi2Statistic(df, $"grp", $"x", $"b")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(r.toSeq == Seq(("g", 4L, 4L, 2L, 1L, 2.0)))
+    // identical mixes: exactly 0 (every per-bin numerator is 0 in longs)
+    val same = Seq(("g", "a", false), ("g", "b", false),
+      ("g", "a", true), ("g", "b", true)).toDF("grp", "x", "b")
+    assert(Drift.chi2Statistic(same, $"grp", $"x", $"b")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq ==
+      Seq(("g", 2L, 2L, 2L, 1L, 0.0)))
+    // a category one side never saw still counts as a bin (the
+    // "new crawler appeared" case the full-outer alignment exists for)
+    val novel = Seq(("g", "a", false), ("g", "a", true), ("g", "z", true))
+      .toDF("grp", "x", "b")
+    val rn = Drift.chi2Statistic(novel, $"grp", $"x", $"b")
+      .as[(String, Long, Long, Long, Long, Double)].head()
+    assert(rn._4 == 2L && rn._6 > 0.0)
+    val ca = Drift.valueCounts(novel.filter(!$"b"), $"grp", $"x")
+    val cb = Drift.valueCounts(novel.filter($"b"), $"grp", $"x")
+    assert(Drift.chi2FromCounts(ca, cb)
+      .as[(String, Long, Long, Long, Long, Double)].head() == rn)
+  }
 }

@@ -400,6 +400,15 @@ class StreamingSpec extends SparkSpec {
         $"event_type", $"x", $"b")
       .orderBy("g").as[(String, Long, Long, Double)].collect().toSeq
     assert(gotW1 == wantW1)
+    // chi2 completes the trio off the same state
+    val gotChi = EventStreams.chi2DriftCurrent(spark, stateDir, baseline).get
+      .orderBy("g").as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    val wantChi = Drift.chi2Statistic(
+        baseRows.withColumn("b", lit(false))
+          .unionByName(curRows.withColumn("b", lit(true))),
+        $"event_type", $"x", $"b")
+      .orderBy("g").as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(gotChi == wantChi)
   }
 
   test("incrementalJoinViewBatch: marker-less partial version dir is replayed, not trusted") {
