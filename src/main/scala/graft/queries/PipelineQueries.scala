@@ -1523,6 +1523,26 @@ object PipelineQueries {
               WHERE na > 0 AND nb > 0 AND ca + cb > 0
               GROUP BY g, na, nb ORDER BY lang""")),
 
+    // ---- equi-depth quantile binning (ops.Binning.equiDepth — the
+    // feature discretizer): per language, n_chars into 4 buckets of
+    // near-equal row count via ntile over the TOTAL order (n_chars,
+    // doc_id). ntile is pure rank arithmetic — bucket sizes differ by
+    // at most one, both engines agree bit-for-bit given the same
+    // order — so the row-level assignment is fully hash-checkable.
+    // The 100 TB face is Binning.equiDepthApprox (sketch boundaries +
+    // scan-side search, no per-group sort), spec-pinned against this
+    // exact face within sketch tolerance.
+    GraftQuery(
+      "q209_quantile_binning",
+      (s, d) => graft.ops.Binning.equiDepth(
+          t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          col("lang"), Seq(col("n_chars"), col("doc_id")), k = 4)
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang, n_chars,
+                     CAST(ntile(4) OVER (PARTITION BY lang
+                       ORDER BY n_chars, doc_id) AS INT) AS bucket
+              FROM documents ORDER BY doc_id""")),
+
     // ---- exact-COUNT stratified sampling: "give me exactly 200 docs,
     // proportional by language" — the budgeted complement of the
     // rate-based q60 (rates can't hit an exact global count). The

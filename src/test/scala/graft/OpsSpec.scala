@@ -706,6 +706,52 @@ class OpsSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].head()._4 == 10.0)
   }
 
+  test("Binning: exact ntile face balanced and ordered; approx face agrees within sketch slack") {
+    import graft.ops.Binning
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val k = 4
+    val exact = Binning.equiDepth(docs, $"lang", Seq($"n_chars", $"doc_id"), k)
+    // balanced: within each lang, bucket sizes differ by at most 1
+    val sizes = exact.groupBy($"lang", $"bucket").count()
+      .groupBy($"lang").agg((max($"count") - min($"count")).as("spread"),
+        countDistinct($"bucket").as("nb"))
+      .collect()
+    assert(sizes.nonEmpty && sizes.forall(r => r.getLong(1) <= 1 && r.getLong(2) == k))
+    // ordered: a higher bucket never holds a smaller value than a lower
+    // bucket's max (value order respected across the cut)
+    val cuts = exact.groupBy($"lang", $"bucket")
+      .agg(min($"n_chars").as("lo"), max($"n_chars").as("hi"))
+      .orderBy($"lang", $"bucket")
+      .collect().groupBy(_.getString(0))
+    cuts.values.foreach { rs =>
+      rs.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(3) <= b.getLong(2), s"$a vs $b")
+        case _ => ()
+      }
+    }
+    // approx face: same k buckets, populations within sketch slack of
+    // the exact face (high accuracy on test data ~ tight boundaries),
+    // and every duplicated value lands in exactly one bucket
+    val approx = Binning.equiDepthApprox(docs, $"lang", $"n_chars", k)
+    val exCnt = exact.groupBy($"bucket").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val apCnt = approx.groupBy($"bucket").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(apCnt.keySet.subsetOf((1 to k).toSet))
+    val total = exCnt.values.sum.toDouble
+    (1 to k).foreach { b =>
+      assert(math.abs(exCnt.getOrElse(b, 0L) - apCnt.getOrElse(b, 0L)) / total < 0.05,
+        s"bucket $b: exact ${exCnt.get(b)} vs approx ${apCnt.get(b)}")
+    }
+    val tieSplit = approx.groupBy($"lang", $"n_chars")
+      .agg(countDistinct($"bucket").as("nb")).filter($"nb" > 1)
+    assert(tieSplit.count() == 0)
+    // k = 1 face: everything in bucket 1, no sketch built
+    assert(Binning.equiDepthApprox(docs, $"lang", $"n_chars", 1)
+      .select($"bucket").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("Drift.chi2Statistic: hand-computed 2x2, zero on identical mixes, counts face agrees") {
     import graft.ops.Drift
     // A = {a:3, b:1}, B = {a:1, b:3}: classic 2x2 gives
