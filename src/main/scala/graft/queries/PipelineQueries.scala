@@ -1543,6 +1543,60 @@ object PipelineQueries {
                        ORDER BY n_chars, doc_id) AS INT) AS bucket
               FROM documents ORDER BY doc_id""")),
 
+    // ---- seasonal-baseline volume anomaly: per (event_type,
+    // hour-of-day) the history of hourly event counts defines a
+    // baseline mean/stddev, and any hour whose count leaves the ±2σ
+    // band is flagged with its z-score — the "did Tuesday 3am traffic
+    // spike" monitor that a global threshold gets wrong the moment
+    // volume has a daily shape. Determinism without sacrificing the
+    // gate: mu and sigma are 6dp-ROUNDED BEFORE the comparison on both
+    // engines, so the band edges are bit-identical doubles and the
+    // flagged set cannot be moved by stddev accumulation-order jitter
+    // (cnt is an exact long; |cnt − mu| and 2·sigma are then exact
+    // dyadic ops on identical inputs). Scale shape: one hourly
+    // pre-aggregation (map-side combined), a |types|·24-row baseline
+    // broadcast back, scan-side flagging — nothing corpus-wide
+    // shuffles twice. Groups seen only once (sigma undefined) are
+    // excluded honestly rather than flagged on no evidence.
+    GraftQuery(
+      "q210_seasonal_anomaly",
+      (s, d) => {
+        val hourly = t(s, d, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("cnt"))
+        val base = hourly.withColumn("hod", hour(col("hr")))
+          .groupBy(col("event_type"), col("hod"))
+          .agg(round(avg(col("cnt")), 6).as("mu"),
+            round(stddev_samp(col("cnt")), 6).as("sigma"),
+            count(lit(1)).as("n_obs"))
+        hourly.withColumn("hod", hour(col("hr")))
+          .join(broadcast(base), Seq("event_type", "hod"))
+          .filter(col("sigma").isNotNull &&
+            abs(col("cnt") - col("mu")) > lit(2.0) * col("sigma"))
+          .select(col("event_type"),
+            date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr_s"),
+            col("cnt"), col("mu"), col("sigma"),
+            round((col("cnt") - col("mu")) / col("sigma"), 4).as("z"),
+            col("n_obs"))
+          .orderBy(col("event_type"), col("hr_s"))
+      },
+      Some("""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                                     CAST(count(*) AS BIGINT) AS cnt
+                              FROM events GROUP BY 1, 2),
+              base AS (SELECT event_type, extract(hour FROM hr) AS hod,
+                              round(avg(cnt), 6) AS mu,
+                              round(stddev_samp(cnt), 6) AS sigma,
+                              CAST(count(*) AS BIGINT) AS n_obs
+                       FROM hourly GROUP BY 1, 2)
+              SELECT h.event_type, strftime(h.hr, '%Y-%m-%d %H:%M:%S') AS hr_s,
+                     h.cnt, b.mu, b.sigma,
+                     round((h.cnt - b.mu) / b.sigma, 4) AS z, b.n_obs
+              FROM hourly h JOIN base b
+                ON h.event_type = b.event_type
+               AND extract(hour FROM h.hr) = b.hod
+              WHERE b.sigma IS NOT NULL AND abs(h.cnt - b.mu) > 2 * b.sigma
+              ORDER BY h.event_type, hr_s""")),
+
     // ---- exact-COUNT stratified sampling: "give me exactly 200 docs,
     // proportional by language" — the budgeted complement of the
     // rate-based q60 (rates can't hit an exact global count). The
