@@ -153,6 +153,29 @@ object Drift {
         coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb")))
 
+  /** Per-group Shannon entropy (nats) and evenness of ONE sample's
+    * value distribution — the single-sample PROFILING face over the
+    * same [[valueCounts]] sufficient statistic the two-sample monitors
+    * read: near-zero evenness exposes a constant/degenerate column,
+    * near-one an id-like one, and tracking evenness over snapshots is
+    * the cheapest "did this column's diversity collapse" tripwire.
+    * H = ln n − (Σ c·ln c)/n; evenness = H / ln bins (null for a
+    * single-bin group — no diversity to measure). The Σ c·ln c form
+    * keeps every log argument an exact INTEGER-valued double (no
+    * per-bin division before the log), so both engines feed libm
+    * identical inputs and the only cross-engine exposure is 1-ulp
+    * log/summation jitter under the 6dp round. */
+  def entropyFromCounts(counts: DataFrame): DataFrame =
+    counts.groupBy(col("g"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("bins"),
+        sum(col("c") * log(col("c").cast("double"))).as("clc"))
+      .select(col("g"), col("n"), col("bins"),
+        round(log(col("n").cast("double")) - col("clc") / col("n"), 6)
+          .as("entropy"),
+        when(col("bins") > 1,
+          round((log(col("n").cast("double")) - col("clc") / col("n")) /
+            log(col("bins").cast("double")), 6)).as("evenness"))
+
   private def chi2FromPer(per: DataFrame): DataFrame = {
     val tot = per.groupBy(col("g"))
       .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))

@@ -1597,6 +1597,139 @@ object PipelineQueries {
               WHERE b.sigma IS NOT NULL AND abs(h.cnt - b.mu) > 2 * b.sigma
               ORDER BY h.event_type, hr_s""")),
 
+    // ---- distribution entropy / evenness profile
+    // (Drift.entropyFromCounts — the single-sample profiling face over
+    // the same value-counts statistic the drift monitors read): per
+    // language, the Shannon entropy and evenness of the SOURCE mix.
+    // Evenness near 0 is the "one crawler took over" tripwire, near 1
+    // a healthy mix; tracked across snapshots it is the cheapest
+    // diversity-collapse alarm. Every log argument is an exact
+    // integer-valued double (Σ c·ln c, division after), so cross-engine
+    // exposure is 1-ulp libm jitter under the 6dp round.
+    GraftQuery(
+      "q211_entropy_profile",
+      (s, d) => graft.ops.Drift.entropyFromCounts(
+          graft.ops.Drift.valueCounts(
+            t(s, d, "documents"), col("lang"), col("source")))
+        .select(col("g").as("lang"), col("n"), col("bins"),
+          col("entropy"), col("evenness"))
+        .orderBy(col("lang")),
+      Some("""WITH per AS (SELECT lang AS g, source AS x,
+                                  CAST(count(*) AS BIGINT) AS c
+                           FROM documents GROUP BY 1, 2),
+              agg AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+                             CAST(count(*) AS BIGINT) AS bins,
+                             sum(c * ln(CAST(c AS DOUBLE))) AS clc
+                      FROM per GROUP BY 1)
+              SELECT g AS lang, n, bins,
+                     round(ln(CAST(n AS DOUBLE)) - clc / n, 6) AS entropy,
+                     CASE WHEN bins > 1
+                          THEN round((ln(CAST(n AS DOUBLE)) - clc / n)
+                                     / ln(CAST(bins AS DOUBLE)), 6) END AS evenness
+              FROM agg ORDER BY lang""")),
+
+    // ---- exact WEIGHTED median — the robust center when rows carry
+    // integer mass (line items weighted by quantity here; docs by
+    // token count in a corpus): the lower weighted median is the first
+    // value whose CUMULATIVE weight crosses half the total, so the
+    // whole selection is integer comparisons over a total order —
+    // cw·2 ≥ tw picks the crossing, (cw − w)·2 < tw pins it uniquely
+    // (weights ≥ 1 make cum strictly increasing) — no float arithmetic
+    // anywhere near the decision, bit-stable on any engine. Complements
+    // q155's unweighted percentile MAD. Scale: one window over the
+    // group order + a |groups|-row total join; the 100 TB swap is a
+    // weighted quantile sketch, same plumbing as q142.
+    GraftQuery(
+      "q212_weighted_median",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = t(s, d, "lineitem").select(
+          col("l_returnflag").as("flag"), col("l_extendedprice").as("price"),
+          col("l_quantity").cast("long").as("w"),
+          col("l_orderkey"), col("l_linenumber"))
+        val win = Window.partitionBy(col("flag"))
+          .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
+        val cum = li.withColumn("cw", sum(col("w")).over(win))
+        val tot = li.groupBy(col("flag"))
+          .agg(sum(col("w")).as("tw"), count(lit(1)).as("n_rows"))
+        cum.join(tot, "flag")
+          .filter(col("cw") * 2 >= col("tw") &&
+            (col("cw") - col("w")) * 2 < col("tw"))
+          .select(col("flag"), col("tw"), col("n_rows"),
+            col("price").as("wmedian"))
+          .orderBy(col("flag"))
+      },
+      Some("""WITH li AS (SELECT l_returnflag AS flag, l_extendedprice AS price,
+                                 CAST(l_quantity AS BIGINT) AS w,
+                                 l_orderkey, l_linenumber
+                          FROM lineitem),
+              cum AS (SELECT flag, price, w,
+                             sum(w) OVER (PARTITION BY flag
+                               ORDER BY price, l_orderkey, l_linenumber
+                               ROWS UNBOUNDED PRECEDING) AS cw
+                      FROM li),
+              tot AS (SELECT flag, CAST(sum(w) AS BIGINT) AS tw,
+                             CAST(count(*) AS BIGINT) AS n_rows
+                      FROM li GROUP BY 1)
+              SELECT flag, tw, n_rows, price AS wmedian
+              FROM cum JOIN tot USING (flag)
+              WHERE cw * 2 >= tw AND (cw - w) * 2 < tw
+              ORDER BY flag""")),
+
+    // ---- Pareto concentration: per event type, how many users
+    // produce 80% of the events — the "is this traffic a few whales or
+    // a broad base" diagnostic that decides whether per-key salting
+    // (q195/q126) is even on the table. k80 = size of the smallest
+    // (count DESC, user_id) prefix whose cumulative share reaches 80%,
+    // decided entirely in integers (a user is needed iff 5·cum-before
+    // < 4·total), so the cut is engine-exact; only the reported share
+    // ratio is a rounded division of identical integers. Scale: the
+    // rank window partitions per type over the |users|-sized count
+    // frame, not the raw events.
+    GraftQuery(
+      "q213_pareto_concentration",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val uc = t(s, d, "events").filter(col("user_id").isNotNull)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("c"))
+        val win = Window.partitionBy(col("event_type"))
+          .orderBy(col("c").desc, col("user_id"))
+        val cum = uc.withColumn("cum", sum(col("c")).over(win))
+        val tot = uc.groupBy(col("event_type"))
+          .agg(sum(col("c")).as("total_events"), count(lit(1)).as("n_users"))
+        cum.join(tot, "event_type")
+          .filter((col("cum") - col("c")) * 5 < col("total_events") * 4)
+          .groupBy(col("event_type"))
+          .agg(first(col("n_users")).as("n_users"),
+            first(col("total_events")).as("total_events"),
+            count(lit(1)).as("k80"))
+          .select(col("event_type"), col("n_users"), col("total_events"),
+            col("k80"),
+            round(col("k80").cast("double") / col("n_users"), 4)
+              .as("k80_share"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH uc AS (SELECT event_type, user_id,
+                                 CAST(count(*) AS BIGINT) AS c
+                          FROM events WHERE user_id IS NOT NULL
+                          GROUP BY 1, 2),
+              cum AS (SELECT event_type, user_id, c,
+                             sum(c) OVER (PARTITION BY event_type
+                               ORDER BY c DESC, user_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+                      FROM uc),
+              tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS total_events,
+                             CAST(count(*) AS BIGINT) AS n_users
+                      FROM uc GROUP BY 1)
+              SELECT event_type, n_users, total_events,
+                     CAST(count(*) AS BIGINT) AS k80,
+                     round(CAST(count(*) AS DOUBLE) / n_users, 4) AS k80_share
+              FROM cum JOIN tot USING (event_type)
+              WHERE (cum - c) * 5 < total_events * 4
+              GROUP BY event_type, n_users, total_events
+              ORDER BY event_type""")),
+
     // ---- exact-COUNT stratified sampling: "give me exactly 200 docs,
     // proportional by language" — the budgeted complement of the
     // rate-based q60 (rates can't hit an exact global count). The

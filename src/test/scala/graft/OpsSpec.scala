@@ -752,6 +752,20 @@ class OpsSpec extends SparkSpec {
       .select($"bucket").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("Drift.entropyFromCounts: uniform is ln k with evenness 1, constant is 0 with null") {
+    import graft.ops.Drift
+    val counts = Seq(("u", "a", 2L), ("u", "b", 2L), ("k", "only", 7L))
+      .toDF("g", "x", "c")
+    val r = Drift.entropyFromCounts(counts).collect()
+      .map(row => row.getString(0) ->
+        ((row.getLong(1), row.getLong(2), row.getDouble(3),
+          Option(row.get(4))))).toMap
+    // uniform over 2 bins: H = ln 2 = 0.693147 (6dp), evenness exactly 1
+    assert(r("u") == ((4L, 2L, 0.693147, Some(1.0))))
+    // single bin: no diversity — zero entropy, evenness undefined
+    assert(r("k") == ((7L, 1L, 0.0, None)))
+  }
+
   test("Drift.chi2Statistic: hand-computed 2x2, zero on identical mixes, counts face agrees") {
     import graft.ops.Drift
     // A = {a:3, b:1}, B = {a:1, b:3}: classic 2x2 gives
