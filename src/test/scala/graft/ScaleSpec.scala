@@ -472,6 +472,27 @@ class ScaleSpec extends SparkSpec {
     assert(cdcPlan.contains("BroadcastHashJoin"), cdcPlan.take(1200))
   }
 
+  test("rebuildFlagged: fact rescan gated by a broadcast semi-join, merge-back broadcast") {
+    // the q204 scale claim: the repair pass must never rescan unflagged
+    // keys' history — the flagged-key list (tiny) broadcasts into a
+    // LeftSemi gate on the fact scan, and the rebuilt bounds broadcast
+    // back over the |keys|-sized state; no exchange keyed on the full
+    // fact table anywhere in the repair
+    import graft.ops.Incremental
+    val ev = Tables(spark, sf, "events")
+    val state = Incremental.mergeDelta(Seq(
+      Incremental.partialDelta(ev, col("event_type"), col("value"), lit(1L)),
+      Incremental.partialDelta(ev.filter(col("event_id") % 7 === 0),
+        col("event_type"), col("value"), lit(-1L))))
+    val plan = Incremental.rebuildFlagged(
+        state, ev.filter(col("event_id") % 7 =!= 0),
+        col("event_type"), col("value"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi, BuildRight") && plan.contains("BroadcastHashJoin"),
+      plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
   test("AQE skew join splits the hot key's partition at runtime (salt's engine-side face)") {
     // graft.ops.Skew.saltedJoin is the MANUAL skew instrument (q195's
     // advisor sizes it); the engine's own face is AQE's skew-join
