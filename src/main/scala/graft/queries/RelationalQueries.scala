@@ -1866,6 +1866,58 @@ object RelationalQueries {
               SELECT check_name, round(metric, 6) AS metric, passed
               FROM m ORDER BY check_name, metric""")),
 
+    // ---- referential-integrity gate (Checks.containment — the
+    // two-table member of the quality suite): every orders fact key
+    // must resolve in customer (the true FK — passes), every customer
+    // must appear in orders (passes on this generator's data — it is
+    // referentially complete both ways), and a BY-CONSTRUCTION failing
+    // row rides along so the FALSE path is oracle-pinned at every SF:
+    // containment against only the even-keyed half of customer, whose
+    // orphan rate is the odd-custkey order share (~half). Metric is an
+    // exact rational n_hits/n rounded 6dp — no float exposure. Scale:
+    // a distinct-key existence join per declared containment
+    // (broadcast for dimension-sized key sets), never a full-table
+    // shuffle of the fact.
+    GraftQuery(
+      "q214_containment_checks",
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val cust = t(s, d, "customer")
+        val evenHalf = cust.filter(pmod(col("c_custkey"), lit(2)) === 0)
+          .withColumnRenamed("c_custkey", "c_custkey_even")
+        graft.ops.Checks.containment(orders, "o_custkey", cust, "c_custkey")
+          .unionByName(graft.ops.Checks.containment(
+            cust, "c_custkey", orders, "o_custkey"))
+          .unionByName(graft.ops.Checks.containment(
+            orders, "o_custkey", evenHalf, "c_custkey_even"))
+          .orderBy(col("check_name"))
+      },
+      Some("""WITH m AS (
+                SELECT 'contained(o_custkey in c_custkey)>=1.0' AS check_name,
+                       round(avg(CASE WHEN c.c_custkey IS NOT NULL
+                                 THEN 1.0 ELSE 0.0 END), 6) AS metric
+                FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+                LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                  ON o.o_custkey = c.c_custkey
+                UNION ALL
+                SELECT 'contained(c_custkey in o_custkey)>=1.0',
+                       round(avg(CASE WHEN o.o_custkey IS NOT NULL
+                                 THEN 1.0 ELSE 0.0 END), 6)
+                FROM (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL) c
+                LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+                  ON c.c_custkey = o.o_custkey
+                UNION ALL
+                SELECT 'contained(o_custkey in c_custkey_even)>=1.0',
+                       round(avg(CASE WHEN e.k IS NOT NULL
+                                 THEN 1.0 ELSE 0.0 END), 6)
+                FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+                LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer
+                           WHERE c_custkey % 2 = 0) e
+                  ON o.o_custkey = e.k)
+              SELECT check_name, metric,
+                     coalesce(metric >= 1.0, false) AS passed
+              FROM m ORDER BY check_name""")),
+
     // ---- first-order Markov transition matrix over per-user event
     // sequences (the sequence-analytics face of the events table: what
     // follows what): lead() over the per-user (ts, event_id) total

@@ -90,6 +90,25 @@ class ChecksSpec extends SparkSpec {
     assert(r("matches(p,^[0-9]-[A-Z]+$)>=0.5") == ((0.5, true)))
   }
 
+  test("containment: exact orphan rate, null fact keys excluded, empty side fails closed") {
+    val dim = Seq(1L, 2L, 3L).toDF("k")
+    val fact = Seq(Some(1L), Some(2L), Some(9L), None).toDF("fk")
+    // 2 of 3 non-null keys resolve; the null is out of the denominator
+    val r = Checks.containment(fact, "fk", dim, "k", atLeast = 0.5).collect().head
+    assert(r.getString(0) == "contained(fk in k)>=0.5")
+    assert(math.abs(r.getDouble(1) - 2.0 / 3) < 1e-6 && r.getBoolean(2))
+    // at the default 1.0 threshold the same data fails
+    assert(!Checks.containment(fact, "fk", dim, "k").collect().head.getBoolean(2))
+    // duplicate dim keys must not inflate the metric (distinct key set)
+    val dup = Seq(1L, 1L, 1L).toDF("k")
+    val one = Seq(Some(1L), Some(2L)).toDF("fk")
+    assert(Checks.containment(one, "fk", dup, "k").collect().head.getDouble(1) == 0.5)
+    // no evidence -> NULL metric, REAL false verdict
+    val empty = Seq.empty[Option[Long]].toDF("fk")
+    val e = Checks.containment(empty, "fk", dim, "k").collect().head
+    assert(e.isNullAt(1) && !e.getBoolean(2))
+  }
+
   test("the suite is ONE scan: no-distinct suite plans a single aggregate, no shuffle join") {
     val plan = Checks.run(Tables(spark, sf, "orders"), Seq(
       Complete("o_custkey"), Bounds("o_totalprice", 0.0, 1e9),
