@@ -1918,6 +1918,36 @@ object RelationalQueries {
                      coalesce(metric >= 1.0, false) AS passed
               FROM m ORDER BY check_name""")),
 
+    // ---- VARIANT semi-structured extraction — the Spark-4-native
+    // alternative to q11's from_json path: parse_json ingests the
+    // payload ONCE into the binary Variant encoding, and every
+    // variant_get after that is a typed path lookup on the encoded
+    // value — no schema declared upfront, no re-parse per extracted
+    // field (from_json re-runs Jackson per call unless CSE catches
+    // it), and at rest Variant columns shred into parquet for
+    // column-pruned access. That is the right shape for a 100 TB
+    // JSON-heavy event corpus whose payload schema drifts: ingest once
+    // as VARIANT, extract typed fields lazily at query time. The
+    // oracle is DuckDB's native JSON path extraction over the same
+    // strings — hash equality pins the typed-extraction semantics
+    // (missing key → NULL, exercised by the null-k filter).
+    GraftQuery(
+      "q215_variant_extract",
+      (s, d) => t(s, d, "events")
+        .filter(col("props").isNotNull)
+        .select(parse_json(col("props")).as("v"), col("value"))
+        .select(expr("variant_get(v, '$.k', 'int')").as("k"), col("value"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("k")),
+      Some("""SELECT CAST(props->>'k' AS INT) AS k,
+                     CAST(count(*) AS BIGINT) AS n,
+                     round(sum(value), 2) AS total
+              FROM events
+              WHERE props IS NOT NULL AND (props->>'k') IS NOT NULL
+              GROUP BY 1 ORDER BY 1""")),
+
     // ---- first-order Markov transition matrix over per-user event
     // sequences (the sequence-analytics face of the events table: what
     // follows what): lead() over the per-user (ts, event_id) total

@@ -494,6 +494,56 @@ object EventStreams {
         })
   }
 
+  /** [[runningTotals]] on the Spark 4 `transformWithState` API — the
+    * successor to the mapGroupsWithState family and where new stateful
+    * operators should land: typed per-state-variable handles
+    * (ValueState/ListState/MapState) instead of one opaque blob,
+    * per-state TTL, timers decoupled from state, and schema evolution
+    * of state across restarts. Semantics here are identical to
+    * [[runningTotals]] (same emission per user per batch — pinned in
+    * StreamingSpec), so the two faces document the API migration
+    * 1:1. Streaming execution requires the RocksDB state store
+    * provider (`spark.sql.streaming.stateStore.providerClass` →
+    * RocksDBStateStoreProvider) — which is also the right provider at
+    * 100 TB/day: state spills to disk with changelog checkpointing
+    * instead of living in executor heap. TTL note: TTLConfig.NONE
+    * keeps state forever, the same contract as [[runningTotals]]; a
+    * production per-user feature served over an unbounded key space
+    * would pass a TTL so dormant users' state ages out — state
+    * boundedness as CONFIG, which flatMapGroupsWithState could only
+    * express by hand-rolled timeout plumbing. */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventRow, UserRunning] {
+    @transient private var totals:
+        org.apache.spark.sql.streaming.ValueState[UserRunning] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserRunning]("totals",
+        org.apache.spark.sql.Encoders.product[UserRunning],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[EventRow],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserRunning] = {
+      val prev =
+        if (totals.exists()) totals.get() else UserRunning(user, 0L, 0.0)
+      var n = prev.n_events
+      var tot = prev.total_value
+      rows.foreach { r => n += 1; tot += r.value }
+      val next = UserRunning(user, n, tot)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Running per-user totals via [[RunningTotalsProcessor]]. */
+  def runningTotalsTws(events: Dataset[EventRow]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Custom stateful op: running per-user totals via
     * flatMapGroupsWithState (the mapGroupsWithState family, SURVEY §7.4).
     * Emits an updated running row per input batch per user. */

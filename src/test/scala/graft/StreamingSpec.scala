@@ -796,6 +796,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningTotalsTws: transformWithState accumulates across batches (RocksDB store)") {
+    // the Spark 4 stateful API face: same semantics as runningTotals,
+    // typed ValueState handle + TTL config; streaming execution rides
+    // the RocksDB provider (the 100 TB-right store — disk-backed state
+    // with changelog checkpoints, not executor heap)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import EventStreams.EventRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("tws_ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    val q = EventStreams.runningTotalsTws(ms.toDS())
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode("update").option("checkpointLocation", ckpt)
+      .start()
+    try {
+      ms.addData(EventRow(1, 10, "view", 1.0), EventRow(2, 10, "click", 2.0),
+        EventRow(3, 20, "view", 5.0))
+      q.processAllAvailable()
+      ms.addData(EventRow(4, 10, "purchase", 3.0), EventRow(5, 20, "view", 1.5))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    // the LAST emission per user carries the cross-batch running total
+    import org.apache.spark.sql.functions.max
+    val finals = spark.table("tws_out")
+      .groupBy($"user_id")
+      .agg(max($"n_events").as("n"), max($"total_value").as("tot"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(finals(10L) == ((3L, 6.0)))
+    assert(finals(20L) == ((2L, 6.5)))
+  }
+
   test("runningTotals: stateful op accumulates per-user counts") {
     val events = Tables(spark, sf, "events")
       .selectExpr("event_id", "user_id", "event_type", "value")
