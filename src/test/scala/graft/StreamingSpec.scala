@@ -838,6 +838,48 @@ class StreamingSpec extends SparkSpec {
     assert(finals(20L) == ((2L, 6.5)))
   }
 
+  test("state data source: checkpointed aggregation state reads back as a DataFrame") {
+    // Spark 4's statestore format — the operational window every
+    // production stream needs: inspect WHAT the engine is holding
+    // (per-key aggregation state, its size, its skew) without stopping
+    // the query or spelunking binary checkpoint files. Pin that the
+    // windowed-count state read back from the checkpoint equals what
+    // the stream has emitted — i.e. the store is a queryable table,
+    // not a black box.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val ckpt = java.nio.file.Files.createTempDirectory("ssr_ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = ms.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.hourlyByType(events)
+      .writeStream.format("memory").queryName("ssr_out")
+      .outputMode("complete").option("checkpointLocation", ckpt)
+      .start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    try {
+      ms.addData((t(1, 10), "view", 1.0), (t(1, 20), "view", 2.0),
+        (t(1, 30), "click", 5.0), (t(2, 5), "view", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the state store holds the (window, event_type) aggregation rows
+    val state = spark.read.format("statestore")
+      .option("path", ckpt)
+      .load()
+    // the value struct carries the AGGREGATION BUFFER fields (count,
+    // sum) — the partial state, not the output aliases; that is
+    // exactly the "what is the engine holding" view this source exists
+    // to expose
+    val got = state
+      .select(col("key.window.start").cast("string").as("w"),
+        col("key.event_type").as("et"),
+        col("value.count").as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got(("2024-01-01 01:00:00", "view")) == 2L)
+    assert(got(("2024-01-01 01:00:00", "click")) == 1L)
+    assert(got(("2024-01-01 02:00:00", "view")) == 1L)
+  }
+
   test("runningTotals: stateful op accumulates per-user counts") {
     val events = Tables(spark, sf, "events")
       .selectExpr("event_id", "user_id", "event_type", "value")
