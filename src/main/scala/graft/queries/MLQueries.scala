@@ -1494,6 +1494,70 @@ object MLQueries {
                          FROM events WHERE user_id IS NOT NULL GROUP BY 1)
               SELECT user_id, n,
                      round(list_reduce(xs, (acc, x) -> acc * 0.9 + 0.1 * x), 6) AS ewma
-              FROM s ORDER BY user_id"""))
+              FROM s ORDER BY user_id""")),
+
+    // ---- offline ranking evaluation (ops.RankEval — the harness next
+    // to W2/ANN/BM25): recommend each user their top-5 items by
+    // even-half engagement count (count DESC, item ASC — deterministic,
+    // non-ML so the oracle can replay it), hold out the odd half as
+    // the relevant set, and score per user: hits, precision@5,
+    // recall@5, NDCG@5, MRR@5. The only non-rational arithmetic is
+    // 1/log2(p+1) on integer positions ≤ 6 — identical libm inputs on
+    // both engines, 6dp-rounded. Eval cost is recommendation-volume
+    // bound (k·|users| join rows), which is what lets this run on
+    // every model build at 100 TB.
+    GraftQuery(
+      "q216_ranking_metrics",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .filter(col("user_id").isNotNull && Tables.propsItem.isNotNull)
+          .select(col("event_id"), col("user_id").as("user"),
+            Tables.propsItem.as("item"))
+        val counts = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .groupBy(col("user"), col("item")).agg(count(lit(1)).as("c"))
+        val recs = counts.withColumn("rank",
+            row_number().over(Window.partitionBy(col("user"))
+              .orderBy(col("c").desc, col("item"))))
+          .filter(col("rank") <= 5)
+          .select(col("user"), col("item"), col("rank"))
+        val truth = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+          .select(col("user"), col("item")).distinct()
+        graft.ops.RankEval.metrics(recs, truth, k = 5)
+          .orderBy(col("user"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id AS u,
+                                 CAST(props->>'k' AS INTEGER) AS item
+                          FROM events
+                          WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL),
+              cnt AS (SELECT u, item, count(*) AS c FROM ev
+                      WHERE event_id % 2 = 0 GROUP BY 1, 2),
+              recs AS (SELECT u, item, rank FROM (
+                         SELECT u, item, row_number() OVER (PARTITION BY u
+                           ORDER BY c DESC, item) AS rank
+                         FROM cnt) WHERE rank <= 5),
+              truth AS (SELECT DISTINCT u, item FROM ev WHERE event_id % 2 = 1),
+              rel AS (SELECT u, CAST(count(*) AS BIGINT) AS n_rel
+                      FROM truth GROUP BY 1),
+              fl AS (SELECT r.u, r.rank, (t.u IS NOT NULL) AS hit
+                     FROM recs r LEFT JOIN truth t
+                       ON r.u = t.u AND r.item = t.item),
+              per AS (SELECT u,
+                             CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+                             coalesce(sum(CASE WHEN hit
+                               THEN CAST(1.0 AS DOUBLE) / log2(rank + 1) END),
+                               CAST(0.0 AS DOUBLE)) AS dcg,
+                             min(CASE WHEN hit THEN rank END) AS first_hit
+                      FROM fl GROUP BY 1)
+              SELECT p.u AS "user", rel.n_rel, p.hits,
+                     round(CAST(p.hits AS DOUBLE) / 5, 6) AS precision,
+                     round(CAST(p.hits AS DOUBLE) / rel.n_rel, 6) AS recall,
+                     round(p.dcg / list_sum(list_transform(
+                       range(1, CAST(least(5, rel.n_rel) AS INTEGER) + 1),
+                       x -> CAST(1.0 AS DOUBLE) / log2(x + 1))), 6) AS ndcg,
+                     round(coalesce(CAST(1.0 AS DOUBLE) / p.first_hit,
+                       CAST(0.0 AS DOUBLE)), 6) AS mrr
+              FROM per p JOIN rel ON p.u = rel.u
+              ORDER BY p.u"""))
   )
 }

@@ -752,6 +752,25 @@ class OpsSpec extends SparkSpec {
       .select($"bucket").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("RankEval.metrics: hand-computed NDCG/MRR, zero-hit floor, truth-only users drop") {
+    import graft.ops.RankEval
+    val recs = Seq(("a", 10L, 1), ("a", 20L, 2), ("a", 30L, 3), ("b", 10L, 1))
+      .toDF("user", "item", "rank")
+    val truth = Seq(("a", 20L), ("a", 99L), ("b", 50L), ("c", 1L))
+      .toDF("user", "item")
+    val m = RankEval.metrics(recs, truth, k = 3).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    // a: one hit at rank 2 of 2 relevant → dcg = 1/log2(3),
+    // idcg = 1 + 1/log2(3), ndcg = 0.386853; mrr = 1/2
+    assert(m("a") == ((2L, 1L, 0.333333, 0.5, 0.386853, 0.5)))
+    // b: no hit → every metric floors at 0 (not null)
+    assert(m("b") == ((1L, 0L, 0.0, 0.0, 0.0, 0.0)))
+    // c has relevant items but no recommendations → not measurable here
+    assert(!m.contains("c"))
+  }
+
   test("Drift.entropyFromCounts: uniform is ln k with evenness 1, constant is 0 with null") {
     import graft.ops.Drift
     val counts = Seq(("u", "a", 2L), ("u", "b", 2L), ("k", "only", 7L))
