@@ -1730,6 +1730,109 @@ object PipelineQueries {
               GROUP BY event_type, n_users, total_events
               ORDER BY event_type""")),
 
+    // ---- inter-labeler agreement (Cohen's kappa) — the label-quality
+    // gate for any labeling/annotation stage: two independent binary
+    // labelers over the same documents (here two deterministic quality
+    // heuristics: size ≥ 300 chars vs word count ≥ 50), per-language
+    // confusion matrix, kappa = (p_o − p_e)/(1 − p_e). High agreement
+    // on raw accuracy alone is vacuous when one class dominates —
+    // kappa subtracts the chance-agreement floor, which is why
+    // annotation pipelines gate on it and not on p_o. All confusion
+    // cells are exact integers; p_o/p_e are rationals over identical
+    // integers on both engines — one 6dp round at the end. Scale: one
+    // scan folds to the 4-cell matrix per group.
+    GraftQuery(
+      "q217_label_agreement",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("lang"),
+            (col("n_chars") >= 300).as("a"),
+            (size(split(col("text"), " ")) >= 50).as("b"))
+        docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+            sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+            sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+            sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+          .select(col("lang"), col("n"), col("n11"), col("n10"),
+            col("n01"), col("n00"),
+            round(
+              ((col("n11") + col("n00")).cast("double") / col("n") -
+                ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+                 (col("n01") + col("n00")) * (col("n10") + col("n00")))
+                  .cast("double") / (col("n") * col("n"))) /
+              (lit(1.0) -
+                ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+                 (col("n01") + col("n00")) * (col("n10") + col("n00")))
+                  .cast("double") / (col("n") * col("n"))), 6).as("kappa"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH l AS (SELECT lang,
+                                (n_chars >= 300) AS a,
+                                (len(string_split(text, ' ')) >= 50) AS b
+                         FROM documents),
+              m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+                           CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                           CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                           CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+                    FROM l GROUP BY 1)
+              SELECT lang, n, n11, n10, n01, n00,
+                     round((CAST(n11 + n00 AS DOUBLE) / n
+                            - CAST((n11 + n10) * (n11 + n01)
+                                   + (n01 + n00) * (n10 + n00) AS DOUBLE) / (n * n))
+                           / (1 - CAST((n11 + n10) * (n11 + n01)
+                                       + (n01 + n00) * (n10 + n00) AS DOUBLE) / (n * n)),
+                           6) AS kappa
+              FROM m ORDER BY lang""")),
+
+    // ---- Gini concentration index — q213's Pareto cut asks "how many
+    // whales"; the Gini asks "how unequal overall", one number in
+    // [0, 1) that trend-lines cleanly across snapshots. Computed from
+    // the ascending-sorted per-user event counts with the rank
+    // formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n, whose numerators are
+    // EXACT integers (i·xᵢ summed in longs) — the only float is the
+    // final two-term expression over identical integers, 6dp-rounded.
+    // Scale: the rank window runs over the |users|-sized count frame
+    // per type, not raw events (same bound as q213).
+    GraftQuery(
+      "q218_gini_concentration",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val uc = t(s, d, "events").filter(col("user_id").isNotNull)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("c"))
+        val win = Window.partitionBy(col("event_type"))
+          .orderBy(col("c"), col("user_id"))
+        uc.withColumn("i", row_number().over(win))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("c")).as("total_events"),
+            sum(col("i") * col("c")).as("ix"))
+          .select(col("event_type"), col("n_users"), col("total_events"),
+            round(
+              lit(2.0) * col("ix") / (col("n_users") * col("total_events")) -
+                (col("n_users") + 1).cast("double") / col("n_users"), 6)
+              .as("gini"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH uc AS (SELECT event_type, user_id,
+                                 CAST(count(*) AS BIGINT) AS c
+                          FROM events WHERE user_id IS NOT NULL
+                          GROUP BY 1, 2),
+              r AS (SELECT event_type, c,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY c, user_id) AS i
+                    FROM uc),
+              a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+                           CAST(sum(c) AS BIGINT) AS total_events,
+                           CAST(sum(i * c) AS BIGINT) AS ix
+                    FROM r GROUP BY 1)
+              SELECT event_type, n_users, total_events,
+                     round(CAST(2.0 AS DOUBLE) * ix / (n_users * total_events)
+                           - CAST(n_users + 1 AS DOUBLE) / n_users, 6) AS gini
+              FROM a ORDER BY event_type""")),
+
     // ---- exact-COUNT stratified sampling: "give me exactly 200 docs,
     // proportional by language" — the budgeted complement of the
     // rate-based q60 (rates can't hit an exact global count). The
