@@ -1833,6 +1833,119 @@ object PipelineQueries {
                            - CAST(n_users + 1 AS DOUBLE) / n_users, 6) AS gini
               FROM a ORDER BY event_type""")),
 
+    // ---- cohort retention matrix — the product-analytics staple:
+    // users grouped by FIRST-SEEN date, and for day offsets 0..6 the
+    // count and rate still active that day. Everything is exact set
+    // arithmetic (distinct (user, day) memberships, integer datediffs,
+    // one rounded rate division), so the matrix hashes bit-for-bit.
+    // Scale: the active frame is |users|·|days|-distinct (already
+    // collapsed from raw events by the distinct), the cohort frame
+    // |users|-sized; the join is user-keyed — co-partitioned at scale.
+    GraftQuery(
+      "q219_retention_cohorts",
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+        val sizes = first.groupBy(col("cohort"))
+          .agg(count(lit(1)).as("cohort_size"))
+        ev.distinct()
+          .join(first, "user_id")
+          .withColumn("day_offset", datediff(col("day"), col("cohort")))
+          .filter(col("day_offset").between(0, 6))
+          .groupBy(col("cohort"), col("day_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(sizes, "cohort")
+          .select(col("cohort").cast("string").as("cohort_day"),
+            col("day_offset"), col("n_active"), col("cohort_size"),
+            round(col("n_active").cast("double") / col("cohort_size"), 6)
+              .as("retention"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      Some("""WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                          FROM events WHERE user_id IS NOT NULL),
+              first AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY 1),
+              sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+                        FROM first GROUP BY 1),
+              act AS (SELECT f.cohort, date_diff('day', f.cohort, e.day) AS day_offset,
+                             CAST(count(*) AS BIGINT) AS n_active
+                      FROM ev e JOIN first f USING (user_id)
+                      WHERE date_diff('day', f.cohort, e.day) BETWEEN 0 AND 6
+                      GROUP BY 1, 2)
+              SELECT CAST(a.cohort AS VARCHAR) AS cohort_day, a.day_offset,
+                     a.n_active, s.cohort_size,
+                     round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6)
+                       AS retention
+              FROM act a JOIN sizes s USING (cohort)
+              ORDER BY cohort_day, day_offset""")),
+
+    // ---- funnel step conversion — the drop-off table behind
+    // sessionFunnels' boolean: of the users with any event, how many
+    // reach view, then a click AT OR AFTER their first view, then a
+    // purchase at or after that click — the chain uses set-based
+    // EARLIEST timestamps (the q166 rule), so the verdict is
+    // independent of event arrival order, and every count is an exact
+    // distinct-user integer. One row out with stepwise and absolute
+    // conversion rates. Scale: three user-keyed min-aggregates chained
+    // by broadcastable |users|-sized frames.
+    GraftQuery(
+      "q220_funnel_steps",
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id")
+          .filter(col("ts") >= col("v_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id")
+          .filter(col("ts") >= col("c_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+        // one distributed plan, one output row — four 1-row aggregates
+        // cross-joined (each broadcast), no driver-side counting
+        ev.agg(countDistinct(col("user_id")).as("n_users"))
+          .crossJoin(v.agg(count(lit(1)).as("n_view")))
+          .crossJoin(c.agg(count(lit(1)).as("n_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+          .select(col("n_users"), col("n_view"), col("n_click"),
+            col("n_purchase"),
+            round(col("n_view").cast("double") / col("n_users"), 6)
+              .as("r_view"),
+            round(col("n_click").cast("double") / col("n_view"), 6)
+              .as("r_click_given_view"),
+            round(col("n_purchase").cast("double") / col("n_click"), 6)
+              .as("r_purchase_given_click"),
+            round(col("n_purchase").cast("double") / col("n_users"), 6)
+              .as("r_purchase_overall"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, ts FROM events
+                          WHERE user_id IS NOT NULL),
+              v AS (SELECT user_id, min(ts) AS v_ts FROM ev
+                    WHERE event_type = 'view' GROUP BY 1),
+              c AS (SELECT e.user_id, min(e.ts) AS c_ts
+                    FROM ev e JOIN v USING (user_id)
+                    WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+                    GROUP BY 1),
+              p AS (SELECT e.user_id, min(e.ts) AS p_ts
+                    FROM ev e JOIN c USING (user_id)
+                    WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+                    GROUP BY 1)
+              SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM ev) AS n_users,
+                     (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+                     (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+                     (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase,
+                     round(CAST((SELECT count(*) FROM v) AS DOUBLE)
+                           / (SELECT count(DISTINCT user_id) FROM ev), 6) AS r_view,
+                     round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+                           / (SELECT count(*) FROM v), 6) AS r_click_given_view,
+                     round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+                           / (SELECT count(*) FROM c), 6) AS r_purchase_given_click,
+                     round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+                           / (SELECT count(DISTINCT user_id) FROM ev), 6)
+                       AS r_purchase_overall""")),
+
     // ---- exact-COUNT stratified sampling: "give me exactly 200 docs,
     // proportional by language" — the budgeted complement of the
     // rate-based q60 (rates can't hit an exact global count). The
