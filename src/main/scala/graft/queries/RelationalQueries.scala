@@ -1918,6 +1918,84 @@ object RelationalQueries {
                      coalesce(metric >= 1.0, false) AS passed
               FROM m ORDER BY check_name""")),
 
+    // ---- five-table star join (the TPC-H Q5 shape): revenue by
+    // nation for one region and one order-year (1996, inside the generator's 1995-2001 date range), joining region →
+    // nation → customer → orders → lineitem. This is the
+    // join-REORDERING exercise: declared in reading order, the
+    // selective region/date filters must reach the scans
+    // (PushedFilters) and Catalyst/AQE must broadcast the three
+    // dimension chains into the lineitem-orders spine rather than
+    // shuffling the spine repeatedly — at 100 TB the spine join is the
+    // only big-big edge and everything else rides broadcasts. Revenue
+    // is the l_extendedprice·(1−discount) sum, 2dp-rounded
+    // (order-dependent accumulation inside the rounding grain).
+    GraftQuery(
+      "q221_star_join",
+      (s, d) => {
+        val region = t(s, d, "region").filter(col("r_name") === "ASIA")
+        val nation = t(s, d, "nation")
+        val cust = t(s, d, "customer")
+        val orders = t(s, d, "orders")
+          .filter(col("o_orderdate") >= "1996-01-01" &&
+            col("o_orderdate") < "1997-01-01")
+        val li = t(s, d, "lineitem")
+        region
+          .join(nation, col("n_regionkey") === col("r_regionkey"))
+          .join(cust, col("c_nationkey") === col("n_nationkey"))
+          .join(orders, col("o_custkey") === col("c_custkey"))
+          .join(li, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("revenue"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM region
+              JOIN nation   ON n_regionkey = r_regionkey
+              JOIN customer ON c_nationkey = n_nationkey
+              JOIN orders   ON o_custkey = c_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE r_name = 'ASIA'
+                AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+              GROUP BY 1 ORDER BY 1""")),
+
+    // ---- RANGE-frame window (value-based frame, not row-based): per
+    // user, each event's trailing-1-hour value sum INCLUDING itself —
+    // rangeBetween on exact epoch micros, so frame membership is an
+    // integer comparison and the row set per frame is
+    // engine-identical; only the frame sum is float (6dp). ROWS frames
+    // (q04 etc.) count neighbors; RANGE frames select by VALUE
+    // distance, which is what "trailing hour" actually means under
+    // irregular sampling — the window-family face q147's explode trick
+    // approximates for aggregation, here exact per row. Scale: one
+    // hash exchange on user + per-partition time sort, state bounded
+    // by the widest 1-hour burst.
+    GraftQuery(
+      "q222_range_frame",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"))
+          .rangeBetween(-3600000000L, Window.currentRow)
+        t(s, d, "events").filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"), col("value"))
+          .withColumn("trailing_1h_sum", round(sum(col("value")).over(w), 6))
+          .withColumn("trailing_1h_n", count(lit(1)).over(w))
+          .select(col("user_id"), col("event_id"), col("us"),
+            col("trailing_1h_n"), col("trailing_1h_sum"))
+          .orderBy(col("user_id"), col("us"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS us,
+                     CAST(count(*) OVER w AS BIGINT) AS trailing_1h_n,
+                     round(sum(value) OVER w, 6) AS trailing_1h_sum
+              FROM events WHERE user_id IS NOT NULL
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+              ORDER BY user_id, us, event_id""")),
+
     // ---- VARIANT semi-structured extraction — the Spark-4-native
     // alternative to q11's from_json path: parse_json ingests the
     // payload ONCE into the binary Variant encoding, and every
