@@ -55,7 +55,11 @@ object Binning {
     val probs = (1 until k).map(i => i.toDouble / k)
     val g = df.groupBy(group.as("_g"))
       .agg(percentile_approx(value, typedLit(probs), lit(accuracy)).as("_bounds"))
-    df.join(broadcast(g), group === col("_g"))
+    // NULL-SAFE group match: a null group key is a legitimate ntile
+    // partition in the exact face, so the boundary join must not drop
+    // those rows (groupBy keeps the null group; plain === would never
+    // rebind it)
+    df.join(broadcast(g), group <=> col("_g"))
       .withColumn("bucket",
         (lit(1) + aggregate(col("_bounds"), lit(0),
           (acc, b) => acc + when(value > b, 1).otherwise(0))).cast("int"))

@@ -108,31 +108,6 @@ object Checks {
     * no longer collide) — run() rejects duplicate fully-parameterized
     * names rather than letting a consumer keying on check_name lose
     * verdicts. */
-  /** Referential-integrity check: fraction of NON-NULL fact keys
-    * present in the dim key set >= `atLeast` (1.0 = a true foreign
-    * key; lower thresholds tolerate known orphan rates). Unlike the
-    * single-scan suite, containment inherently reads TWO tables, so it
-    * runs as its own job — a distinct-key existence join (broadcast
-    * when dim keys are small, shuffled otherwise; Catalyst's call) +
-    * one avg — and emits the same (check_name, metric, passed) row
-    * shape, so gates consume one verdict stream either way. An
-    * all-null or empty fact side has no evidence: metric NULL, passed
-    * false (the suite's fail-closed convention). */
-  def containment(fact: DataFrame, factCol: String, dim: DataFrame,
-      dimCol: String, atLeast: Double = 1.0): DataFrame = {
-    val keys = dim.select(col(dimCol).as("_k")).distinct()
-      .withColumn("_hit", lit(1))
-    fact.select(col(factCol).as("_fk"))
-      .filter(col("_fk").isNotNull)
-      .join(keys, col("_fk") === col("_k"), "left")
-      .agg(round(avg(when(col("_hit").isNotNull, 1.0).otherwise(0.0)), 6)
-        .as("metric"))
-      .select(
-        lit(s"contained($factCol in $dimCol)>=$atLeast").as("check_name"),
-        col("metric"),
-        coalesce(col("metric") >= atLeast, lit(false)).as("passed"))
-  }
-
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "empty check suite")
     val dup = checks.groupBy(_.name).collect { case (n, cs) if cs.size > 1 => n }
@@ -145,5 +120,32 @@ object Checks {
         coalesce(c.passed(col(s"m$i")), lit(false)).as("passed"))
     }
     agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Referential-integrity check: fraction of NON-NULL fact keys
+    * present in the dim key set >= `atLeast` (1.0 = a true foreign
+    * key; lower thresholds tolerate known orphan rates). Unlike the
+    * single-scan suite, containment inherently reads TWO tables, so it
+    * runs as its own job — a distinct-key existence join (broadcast
+    * when dim keys are small, shuffled otherwise; Catalyst's call) +
+    * one avg — and emits the same (check_name, metric, passed) row
+    * shape, so gates consume one verdict stream either way. The
+    * verdict applies to the UNROUNDED metric (the [[run]] convention —
+    * a 1e−7 orphan rate at a 1.0 threshold must fail even though the
+    * 6dp-reported metric reads 1.0); the rounding is presentation
+    * only. An all-null or empty fact side has no evidence: metric
+    * NULL, passed false (the suite's fail-closed convention). */
+  def containment(fact: DataFrame, factCol: String, dim: DataFrame,
+      dimCol: String, atLeast: Double = 1.0): DataFrame = {
+    val keys = dim.select(col(dimCol).as("_k")).distinct()
+      .withColumn("_hit", lit(1))
+    fact.select(col(factCol).as("_fk"))
+      .filter(col("_fk").isNotNull)
+      .join(keys, col("_fk") === col("_k"), "left")
+      .agg(avg(when(col("_hit").isNotNull, 1.0).otherwise(0.0)).as("_raw"))
+      .select(
+        lit(s"contained($factCol in $dimCol)>=$atLeast").as("check_name"),
+        round(col("_raw"), 6).as("metric"),
+        coalesce(col("_raw") >= atLeast, lit(false)).as("passed"))
   }
 }

@@ -64,12 +64,17 @@ object Drift {
     * integer arithmetic and output shape to [[ksStatistic]]; the
     * full-outer join aligns value grids that only one side observed. */
   def ksFromCounts(countsA: DataFrame, countsB: DataFrame): DataFrame =
-    ksFromPer(countsA.select(col("g"), col("x"), col("c").as("ca"))
+    ksFromPer(alignCounts(countsA, countsB))
+
+  /** The shared count-grid alignment every *FromCounts view runs:
+    * full-outer on (g, x) with absent cells coalesced to 0. */
+  private def alignCounts(countsA: DataFrame, countsB: DataFrame): DataFrame =
+    countsA.select(col("g"), col("x"), col("c").as("ca"))
       .join(countsB.select(col("g"), col("x"), col("c").as("cb")),
         Seq("g", "x"), "full_outer")
       .select(col("g"), col("x"),
         coalesce(col("ca"), lit(0L)).as("ca"),
-        coalesce(col("cb"), lit(0L)).as("cb")))
+        coalesce(col("cb"), lit(0L)).as("cb"))
 
   /** Per-group exact two-sample Wasserstein-1 (earth-mover) distance —
     * the L1 companion to [[ksStatistic]]'s sup-norm: W1 = Σᵢ |F_A(xᵢ) −
@@ -94,12 +99,7 @@ object Drift {
     * path shares ONE count-state table with [[ksFromCounts]]; both
     * statistics are derived views of the same sufficient statistic. */
   def w1FromCounts(countsA: DataFrame, countsB: DataFrame): DataFrame =
-    w1FromPer(countsA.select(col("g"), col("x"), col("c").as("ca"))
-      .join(countsB.select(col("g"), col("x"), col("c").as("cb")),
-        Seq("g", "x"), "full_outer")
-      .select(col("g"), col("x"),
-        coalesce(col("ca"), lit(0L)).as("ca"),
-        coalesce(col("cb"), lit(0L)).as("cb")))
+    w1FromPer(alignCounts(countsA, countsB))
 
   private def w1FromPer(per: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("g")).orderBy(col("x"))
@@ -146,12 +146,7 @@ object Drift {
   /** Exact χ² from two [[valueCounts]] frames — same shared-state read
     * path as [[ksFromCounts]]/[[w1FromCounts]]. */
   def chi2FromCounts(countsA: DataFrame, countsB: DataFrame): DataFrame =
-    chi2FromPer(countsA.select(col("g"), col("x"), col("c").as("ca"))
-      .join(countsB.select(col("g"), col("x"), col("c").as("cb")),
-        Seq("g", "x"), "full_outer")
-      .select(col("g"), col("x"),
-        coalesce(col("ca"), lit(0L)).as("ca"),
-        coalesce(col("cb"), lit(0L)).as("cb")))
+    chi2FromPer(alignCounts(countsA, countsB))
 
   /** Per-group Shannon entropy (nats) and evenness of ONE sample's
     * value distribution — the single-sample PROFILING face over the

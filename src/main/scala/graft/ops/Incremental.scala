@@ -152,27 +152,32 @@ object Incremental {
     * retraction trackers cleared. */
   def rebuildFlagged(state: DataFrame, facts: DataFrame, key: Column,
       value: Column): DataFrame = {
-    val flagged = finishDelta(state)
-      .filter(col("needs_rebuild"))
-      .select(col("key"))
-    val rebuilt = facts.select(key.as("key"), value.as("v"))
-      .join(broadcast(flagged), Seq("key"), "left_semi")
-      .groupBy(col("key"))
-      .agg(min(col("v")).as("rmin"), max(col("v")).as("rmax"))
-    // the repair marker rides the FLAGGED list, not the recomputed
-    // bounds: a flagged key retracted to emptiness has no live rows and
-    // thus no rebuilt row, but must still be repaired — to null bounds
-    state.join(broadcast(flagged.withColumn("rebuilt", lit(true))), Seq("key"), "left")
-      .join(broadcast(rebuilt), Seq("key"), "left")
-      .withColumn("rebuilt", coalesce(col("rebuilt"), lit(false)))
+    // the flag is derived INLINE on the state row (not via a separate
+    // finishDelta join), so `state` is referenced twice total — once
+    // for the output row set, once (through `flagged`) for the fact
+    // gate — instead of four times; on a non-materialized state
+    // lineage that halves the recompute (persisted state tables, the
+    // production shape, are indifferent). All key joins are NULL-SAFE
+    // (<=>): a null-key group is a legitimate aggregation group and
+    // must repair like any other, not stay flagged forever.
+    val marked = state.withColumn("rebuilt",
+      coalesce(col("dmin") <= col("vmin"), lit(false))
+        .or(coalesce(col("dmax") >= col("vmax"), lit(false))))
+    val flagged = marked.filter(col("rebuilt")).select(col("key").as("_fk"))
+    val rebuilt = facts.select(key.as("_rk"), value.as("_v"))
+      .join(broadcast(flagged), col("_rk") <=> col("_fk"), "left_semi")
+      .groupBy(col("_rk"))
+      .agg(min(col("_v")).as("rmin"), max(col("_v")).as("rmax"))
+    // the repair marker rides the state row's own flag: a flagged key
+    // retracted to emptiness has no live rows and thus no rebuilt row,
+    // but must still be repaired — to null bounds
+    marked.join(broadcast(rebuilt), col("key") <=> col("_rk"), "left")
       .select(col("key"), col("cnt"), col("sum"),
         when(col("rebuilt"), col("rmin")).otherwise(col("vmin")).as("vmin"),
         when(col("rebuilt"), col("rmax")).otherwise(col("vmax")).as("vmax"),
         // clearing the retraction trackers is what un-flags the key:
         // the stored bound is exact again, so past deletes are history
-        when(col("rebuilt"), lit(null).cast(state.schema("dmin").dataType))
-          .otherwise(col("dmin")).as("dmin"),
-        when(col("rebuilt"), lit(null).cast(state.schema("dmax").dataType))
-          .otherwise(col("dmax")).as("dmax"))
+        when(!col("rebuilt"), col("dmin")).as("dmin"),
+        when(!col("rebuilt"), col("dmax")).as("dmax"))
   }
 }

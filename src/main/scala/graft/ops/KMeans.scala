@@ -91,7 +91,12 @@ object KMeans {
     * plan state, driver-sized by definition, like a schema. */
   def scaledK(n: Long, divisor: Long = 100L, kmin: Int = 10): Int = {
     require(divisor > 0 && kmin > 0, s"divisor/kmin must be > 0, got $divisor/$kmin")
-    math.max(kmin.toLong, (n + divisor - 1) / divisor).toInt
+    val k = math.max(kmin.toLong, (n + divisor - 1) / divisor)
+    // fail loudly instead of letting .toInt wrap: a k past Int range
+    // means the divisor is mis-sized for the corpus, not a real ask
+    require(k <= Int.MaxValue,
+      s"scaledK: k=$k exceeds Int range - raise divisor (n=$n, divisor=$divisor)")
+    k.toInt
   }
 
   private def normalize(emb: DataFrame, idCol: String, vecCol: String): DataFrame =

@@ -1754,17 +1754,18 @@ object PipelineQueries {
             sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
             sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
             sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+          .withColumn("po", (col("n11") + col("n00")).cast("double") / col("n"))
+          .withColumn("pe",
+            ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+             (col("n01") + col("n00")) * (col("n10") + col("n00")))
+              .cast("double") / (col("n") * col("n")))
+          // degenerate group (both labelers constant -> p_e = 1): kappa
+          // is undefined; emit NULL on both engines rather than letting
+          // Spark's null-on-/0 meet DuckDB's NaN
           .select(col("lang"), col("n"), col("n11"), col("n10"),
             col("n01"), col("n00"),
-            round(
-              ((col("n11") + col("n00")).cast("double") / col("n") -
-                ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
-                 (col("n01") + col("n00")) * (col("n10") + col("n00")))
-                  .cast("double") / (col("n") * col("n"))) /
-              (lit(1.0) -
-                ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
-                 (col("n01") + col("n00")) * (col("n10") + col("n00")))
-                  .cast("double") / (col("n") * col("n"))), 6).as("kappa"))
+            round(when(col("pe") < 1.0,
+              (col("po") - col("pe")) / (lit(1.0) - col("pe"))), 6).as("kappa"))
           .orderBy(col("lang"))
       },
       Some("""WITH l AS (SELECT lang,
@@ -1777,14 +1778,17 @@ object PipelineQueries {
                            CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
                            CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
                     FROM l GROUP BY 1)
+              ,
+              p AS (SELECT lang, n, n11, n10, n01, n00,
+                           CAST(n11 + n00 AS DOUBLE) / n AS po,
+                           CAST((n11 + n10) * (n11 + n01)
+                                + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                             / (n * n) AS pe
+                    FROM m)
               SELECT lang, n, n11, n10, n01, n00,
-                     round((CAST(n11 + n00 AS DOUBLE) / n
-                            - CAST((n11 + n10) * (n11 + n01)
-                                   + (n01 + n00) * (n10 + n00) AS DOUBLE) / (n * n))
-                           / (1 - CAST((n11 + n10) * (n11 + n01)
-                                       + (n01 + n00) * (n10 + n00) AS DOUBLE) / (n * n)),
-                           6) AS kappa
-              FROM m ORDER BY lang""")),
+                     round(CASE WHEN pe < 1
+                           THEN (po - pe) / (1 - pe) END, 6) AS kappa
+              FROM p ORDER BY lang""")),
 
     // ---- Gini concentration index — q213's Pareto cut asks "how many
     // whales"; the Gini asks "how unequal overall", one number in

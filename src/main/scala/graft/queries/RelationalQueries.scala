@@ -1894,28 +1894,28 @@ object RelationalQueries {
       },
       Some("""WITH m AS (
                 SELECT 'contained(o_custkey in c_custkey)>=1.0' AS check_name,
-                       round(avg(CASE WHEN c.c_custkey IS NOT NULL
-                                 THEN 1.0 ELSE 0.0 END), 6) AS metric
+                       avg(CASE WHEN c.c_custkey IS NOT NULL
+                                 THEN 1.0 ELSE 0.0 END) AS raw
                 FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
                 LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
                   ON o.o_custkey = c.c_custkey
                 UNION ALL
                 SELECT 'contained(c_custkey in o_custkey)>=1.0',
-                       round(avg(CASE WHEN o.o_custkey IS NOT NULL
-                                 THEN 1.0 ELSE 0.0 END), 6)
+                       avg(CASE WHEN o.o_custkey IS NOT NULL
+                                 THEN 1.0 ELSE 0.0 END)
                 FROM (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL) c
                 LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
                   ON c.c_custkey = o.o_custkey
                 UNION ALL
                 SELECT 'contained(o_custkey in c_custkey_even)>=1.0',
-                       round(avg(CASE WHEN e.k IS NOT NULL
-                                 THEN 1.0 ELSE 0.0 END), 6)
+                       avg(CASE WHEN e.k IS NOT NULL
+                                 THEN 1.0 ELSE 0.0 END)
                 FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
                 LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer
                            WHERE c_custkey % 2 = 0) e
                   ON o.o_custkey = e.k)
-              SELECT check_name, metric,
-                     coalesce(metric >= 1.0, false) AS passed
+              SELECT check_name, round(raw, 6) AS metric,
+                     coalesce(raw >= 1.0, false) AS passed
               FROM m ORDER BY check_name""")),
 
     // ---- five-table star join (the TPC-H Q5 shape): revenue by

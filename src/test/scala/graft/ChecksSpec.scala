@@ -107,6 +107,13 @@ class ChecksSpec extends SparkSpec {
     val empty = Seq.empty[Option[Long]].toDF("fk")
     val e = Checks.containment(empty, "fk", dim, "k").collect().head
     assert(e.isNullAt(1) && !e.getBoolean(2))
+    // the verdict gates on the UNROUNDED metric: one orphan among two
+    // million keys reads 1.0 at 6dp but must still FAIL a 1.0 threshold
+    // (the regime the op exists for — tiny orphan rates at scale)
+    val bigDim = spark.range(0, 2000000).toDF("k")
+    val bigFact = spark.range(0, 2000001).toDF("fk") // key 2000000 is orphan
+    val b = Checks.containment(bigFact, "fk", bigDim, "k").collect().head
+    assert(b.getDouble(1) == 1.0 && !b.getBoolean(2), b.toString)
   }
 
   test("the suite is ONE scan: no-distinct suite plans a single aggregate, no shuffle join") {

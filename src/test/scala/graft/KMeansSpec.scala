@@ -103,6 +103,11 @@ class KMeansSpec extends SparkSpec {
     assert(KMeans.scaledK(2001) == 21)   // ceil, not floor
     assert(KMeans.scaledK(100000000L) == 1000000) // corpus-sized k stays exact
     assert(KMeans.scaledK(0) == 10)
+    // past Int range the op fails loudly instead of .toInt-wrapping
+    val e = intercept[IllegalArgumentException] {
+      KMeans.scaledK(Long.MaxValue - 100)
+    }
+    assert(e.getMessage.contains("raise divisor"))
   }
 
   test("iters = 0 assigns against the raw lowest-id seeds") {

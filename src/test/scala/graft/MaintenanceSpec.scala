@@ -139,6 +139,25 @@ class MaintenanceSpec extends SparkSpec {
       repaired.orderBy("key").collect().map(_.toSeq).toSeq)
   }
 
+  test("Incremental.rebuildFlagged: a NULL group key repairs like any other (null-safe joins)") {
+    val ins = Seq((None, 1.0), (None, 9.0), (Some("x"), 5.0))
+      .toDF("k", "v")
+    val del = Seq((Option.empty[String], 9.0)).toDF("k", "v")
+    val state = Incremental.mergeDelta(Seq(
+      Incremental.partialDelta(ins, $"k", $"v", lit(1L)),
+      Incremental.partialDelta(del, $"k", $"v", lit(-1L))))
+    val flagged0 = Incremental.finishDelta(state)
+      .filter($"needs_rebuild").select($"key").collect()
+    assert(flagged0.length == 1 && flagged0.head.isNullAt(0))
+    val live = Seq((Option.empty[String], 1.0), (Some("x"), 5.0)).toDF("k", "v")
+    val fin = Incremental.finishDelta(
+        Incremental.rebuildFlagged(state, live, $"k", $"v")).collect()
+      .map(r => Option(r.get(0)) ->
+        ((Option(r.get(3)), Option(r.get(4)), r.getAs[Boolean]("needs_rebuild")))).toMap
+    assert(fin(None) == ((Some(1.0), Some(1.0), false)))   // repaired, unflagged
+    assert(fin(Some("x")) == ((Some(5.0), Some(5.0), false))) // untouched
+  }
+
   // ---- Resample ----------------------------------------------------
 
   test("Resample.hourlyFfill: complete grid, gaps carry last value, flags exact") {

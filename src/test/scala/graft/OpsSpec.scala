@@ -750,6 +750,14 @@ class OpsSpec extends SparkSpec {
     // k = 1 face: everything in bucket 1, no sketch built
     assert(Binning.equiDepthApprox(docs, $"lang", $"n_chars", 1)
       .select($"bucket").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
+    // a NULL group key is a legitimate partition: both faces keep its
+    // rows (the boundary join is null-safe, not a silent inner drop)
+    val withNull = Seq((1L, Some("en"), 10L), (2L, None, 5L), (3L, None, 9L))
+      .toDF("doc_id", "lang", "n_chars")
+    assert(Binning.equiDepth(withNull, $"lang", Seq($"n_chars", $"doc_id"), 2)
+      .count() == 3)
+    assert(Binning.equiDepthApprox(withNull, $"lang", $"n_chars", 2)
+      .count() == 3)
   }
 
   test("RankEval.metrics: hand-computed NDCG/MRR, zero-hit floor, truth-only users drop") {
