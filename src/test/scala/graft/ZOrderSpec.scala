@@ -105,6 +105,41 @@ class ZOrderSpec extends SparkSpec {
     assert(range.nonEmpty, s"no range exchange:\n${plan.toString.take(500)}")
   }
 
+  test("Layout.compactTo: many small files collapse to the byte-sized count, sorted stats tight") {
+    // the small-files maintenance op: 40 tiny appended files must
+    // rewrite into ceil(bytes/target) files, and with a sort column the
+    // rewritten files' min/max ranges must not overlap (tight stats =
+    // future scans prune)
+    import org.apache.spark.sql.functions._
+    import graft.ops.Layout
+    val src = java.nio.file.Files.createTempDirectory("compact_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("compact_dst").toString + "/out"
+    // 40 single-partition appends = 40 small files
+    (0 until 40).foreach { i =>
+      spark.range(i * 100L, (i + 1) * 100L).toDF("id")
+        .withColumn("v", col("id") * 2)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val (before, after, bytes) = Layout.compactTo(spark, src, dst,
+      targetBytes = (40 * 900) / 4, sortCols = Seq(col("id")))
+    assert(before == 40L, s"before=$before")
+    assert(after < 10L && after >= 1L, s"after=$after")
+    assert(bytes > 0)
+    // content survives exactly
+    val back = spark.read.parquet(dst)
+    assert(back.count() == 4000)
+    assert(back.agg(sum(col("id"))).head().getLong(0) == (0L until 4000L).sum)
+    // sorted rewrite: per-file id ranges are disjoint (tight stats)
+    val ranges = back
+      .select(input_file_name().as("f"), col("id"))
+      .groupBy(col("f")).agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 < b._1, s"overlap: $a vs $b")
+      case _ => ()
+    }
+  }
+
   test("q106: every 1024-cell z-range is a 32x32 rectangle, not a stripe") {
     val boxes = SparkEntry.queries("q106_zorder_layout")(spark, sf)
       .as[(Long, Long, Long, Long, Long, Long)].collect()
