@@ -177,6 +177,108 @@ object TextQueries {
                      GROUP BY fp) USING (fp)
                WHERE doc_id = keep_id ORDER BY doc_id""")),
 
+    // ---- cross-source duplicate matrix — q34's corpus-hygiene face:
+    // exact-dup pairs (same normalized fingerprint) grouped by the
+    // UNORDERED source pair, so the matrix answers "which crawlers
+    // are re-feeding each other's content" (off-diagonal) and "which
+    // source re-crawls itself" (diagonal) — the signal that decides
+    // whose ingestion to dedup against whose corpus first. The corpus
+    // is unioned with a deterministic 'recrawl' clone of the pmod-17
+    // docs (the q189 clone convention) so the matrix is non-vacuous at
+    // every SF — the generator only plants organic exact dups at
+    // sf0.1. Scale: one fingerprint equi-join; per-fingerprint fanout
+    // is n_copies² — dup groups are naturally tiny, and a pathological
+    // viral text would be capped upstream exactly like the hot-shingle
+    // df cap.
+    GraftQuery(
+      "q223_cross_source_dups",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val corpus = docs.select(col("doc_id"), col("source"), col("text"))
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              lit("recrawl").as("source"), col("text")))
+        val fp = corpus
+          .select(col("doc_id"), col("source"),
+            Portable.p60(Portable.normText(col("text"))).as("fp"))
+        val a = fp.select(col("fp"), col("doc_id").as("id1"),
+          col("source").as("sa"))
+        val b = fp.select(col("fp"), col("doc_id").as("id2"),
+          col("source").as("sb"))
+        a.join(b, Seq("fp"))
+          .filter(col("id1") < col("id2"))
+          .groupBy(least(col("sa"), col("sb")).as("src1"),
+            greatest(col("sa"), col("sb")).as("src2"))
+          .agg(count(lit(1)).as("n_dup_pairs"),
+            countDistinct(col("fp")).as("n_shared_fps"))
+          .orderBy(col("src1"), col("src2"))
+      },
+      Some(s"""WITH corpus AS (SELECT doc_id, source, text FROM documents
+                               UNION ALL
+                               SELECT doc_id + 1000000, 'recrawl', text
+                               FROM documents WHERE doc_id % 17 = 0),
+               fp AS (SELECT doc_id, source,
+                             ${Portable.p60Sql(Portable.normTextSql("text"))} AS fp
+                      FROM corpus),
+               p AS (SELECT least(a.source, b.source) AS src1,
+                            greatest(a.source, b.source) AS src2, a.fp
+                     FROM fp a JOIN fp b
+                       ON a.fp = b.fp AND a.doc_id < b.doc_id)
+               SELECT src1, src2, CAST(count(*) AS BIGINT) AS n_dup_pairs,
+                      CAST(count(DISTINCT fp) AS BIGINT) AS n_shared_fps
+               FROM p GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- Spearman rank correlation, exact-integer formulation: per
+    // language, does document SIZE track WORD COUNT monotonically
+    // (ρ near 1 = lengths are honest; a collapse flags a source
+    // emitting padded or token-dense junk). Ranks are row_number over
+    // a TOTAL order (metric, doc_id) — the deterministic tie-break,
+    // documented deviation from classical average-ranks — so
+    // d = rank_x − rank_y and Σd² are EXACT longs on both engines and
+    // ρ = 1 − 6Σd²/(n(n²−1)) is one rounded division of identical
+    // integers. Scale: two rank windows over per-language partitions
+    // of the |docs|-frame plus one small aggregate.
+    GraftQuery(
+      "q224_spearman_size_words",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+          .select(col("lang"), col("doc_id"), col("n_chars"),
+            size(split(trim(col("text")), "\\s+")).as("n_words"))
+        val rx = Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        val ry = Window.partitionBy(col("lang"))
+          .orderBy(col("n_words"), col("doc_id"))
+        docs
+          .withColumn("d",
+            row_number().over(rx).cast("long") -
+              row_number().over(ry).cast("long"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("d") * col("d")).as("sumd2"))
+          .filter(col("n") > 1)
+          .select(col("lang"), col("n"), col("sumd2"),
+            round(lit(1.0) -
+              lit(6.0) * col("sumd2") /
+                (col("n") * (col("n") * col("n") - 1)), 6).as("rho"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH w AS (SELECT lang, doc_id, n_chars,
+                                len(string_split_regex(trim(text), '\s+')) AS n_words
+                         FROM documents),
+              r AS (SELECT lang,
+                           row_number() OVER (PARTITION BY lang
+                             ORDER BY n_chars, doc_id)
+                           - row_number() OVER (PARTITION BY lang
+                             ORDER BY n_words, doc_id) AS d
+                    FROM w),
+              a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(d * d) AS BIGINT) AS sumd2
+                    FROM r GROUP BY 1)
+              SELECT lang, n, sumd2,
+                     round(1 - CAST(6.0 AS DOUBLE) * sumd2
+                           / (n * (n * n - 1)), 6) AS rho
+              FROM a WHERE n > 1 ORDER BY lang""")),
+
     // ---- bigram collocations by PMI (vocab/tokenizer design telemetry:
     // which token pairs behave as units and deserve a merged vocab
     // entry). Bigram extraction is map-side (an indexed transform over
