@@ -1950,6 +1950,89 @@ object PipelineQueries {
                            / (SELECT count(DISTINCT user_id) FROM ev), 6)
                        AS r_purchase_overall""")),
 
+    // ---- day-over-day trending items: per day, items ranked by
+    // engagement count (count DESC, item — total order); consecutive
+    // days joined on item; the movers report carries both ranks, the
+    // rank climb, and the count delta. Everything is integer rank
+    // arithmetic — no rates, no floats — so the report hashes exactly.
+    // The day-pair join is item-keyed over |items|-sized daily frames
+    // (never raw events), and "consecutive" is a calendar self-join on
+    // day+1, not a window over the whole history.
+    GraftQuery(
+      "q225_trending_items",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, d, "events")
+          .filter(Tables.propsItem.isNotNull)
+          .select(to_date(col("ts")).as("day"), Tables.propsItem.as("item"))
+          .groupBy(col("day"), col("item")).agg(count(lit(1)).as("c"))
+        val ranked = daily.withColumn("rnk",
+          row_number().over(Window.partitionBy(col("day"))
+            .orderBy(col("c").desc, col("item"))))
+        val prev = ranked.select(col("day").as("pday"), col("item").as("item_p"),
+          col("c").as("c_prev"), col("rnk").as("rnk_prev"))
+        ranked.join(prev,
+            ranked("item") === prev("item_p") &&
+              ranked("day") === date_add(col("pday"), 1))
+          .select(ranked("day").cast("string").as("day"), ranked("item"),
+            col("c_prev"), ranked("c").as("c_now"),
+            col("rnk_prev"), ranked("rnk").as("rnk_now"),
+            (col("rnk_prev") - ranked("rnk")).as("rank_climb"),
+            (ranked("c") - col("c_prev")).as("count_delta"))
+          .filter(col("rank_climb") > 0)
+          .orderBy(col("day"), col("rank_climb").desc, col("item"))
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                                    CAST(props->>'k' AS INTEGER) AS item,
+                                    CAST(count(*) AS BIGINT) AS c
+                             FROM events WHERE (props->>'k') IS NOT NULL
+                             GROUP BY 1, 2),
+              ranked AS (SELECT day, item, c,
+                                row_number() OVER (PARTITION BY day
+                                  ORDER BY c DESC, item) AS rnk
+                         FROM daily)
+              SELECT CAST(a.day AS VARCHAR) AS day, a.item,
+                     b.c AS c_prev, a.c AS c_now,
+                     b.rnk AS rnk_prev, a.rnk AS rnk_now,
+                     CAST(b.rnk - a.rnk AS BIGINT) AS rank_climb,
+                     CAST(a.c - b.c AS BIGINT) AS count_delta
+              FROM ranked a JOIN ranked b
+                ON a.item = b.item AND a.day = b.day + INTERVAL 1 DAY
+              WHERE b.rnk - a.rnk > 0
+              ORDER BY day, rank_climb DESC, a.item""")),
+
+    // ---- per-group z-score standardization — the feature-scaling
+    // transform every tabular model stage wants, emitted row-level:
+    // z = (x − μ)/σ with μ and σ 6dp-ROUNDED BEFORE the division (the
+    // q210 determinism discipline: identical band inputs on both
+    // engines, so the only jitter left is the one rounded output).
+    // Groups with σ = 0 or a single row emit null z (no spread to
+    // scale by), not ±Inf. Scale: one |groups|-row moment frame
+    // broadcast back over the fact — the encoder-frame shape q197/q206
+    // established.
+    GraftQuery(
+      "q226_standardize",
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+        val stats = ev.groupBy(col("event_type"))
+          .agg(round(avg(col("value")), 6).as("mu"),
+            round(stddev_samp(col("value")), 6).as("sigma"))
+        ev.join(broadcast(stats), "event_type")
+          .select(col("event_type"), col("event_id"), col("value"),
+            round(when(col("sigma") > 0,
+              (col("value") - col("mu")) / col("sigma")), 6).as("z"))
+          .orderBy(col("event_type"), col("event_id"))
+      },
+      Some("""WITH st AS (SELECT event_type, round(avg(value), 6) AS mu,
+                                 round(stddev_samp(value), 6) AS sigma
+                          FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+              SELECT event_type, event_id, value,
+                     round(CASE WHEN sigma > 0
+                           THEN (value - mu) / sigma END, 6) AS z
+              FROM events JOIN st USING (event_type)
+              WHERE user_id IS NOT NULL
+              ORDER BY event_type, event_id""")),
+
     // ---- exact-COUNT stratified sampling: "give me exactly 200 docs,
     // proportional by language" — the budgeted complement of the
     // rate-based q60 (rates can't hit an exact global count). The
