@@ -179,6 +179,51 @@ class PipelinePropertySpec extends SparkSpec {
     } finally toks.unpersist()
   }
 
+  test("Binning.equiDepth: generated frames — every k balanced within 1, no row lost") {
+    import graft.ops.Binning
+    // 3 groups with generated sizes and duplicate-heavy values
+    val rows = samples(Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0, 30)), 400)
+      .zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v.toLong) }
+    val df = rows.toDF("g", "id", "v")
+    for (k <- 1 to 6) {
+      val binned = Binning.equiDepth(df, $"g", Seq($"v", $"id"), k)
+      assert(binned.count() == rows.length.toLong, s"k=$k lost rows")
+      val spread = binned.groupBy($"g", $"bucket").count()
+        .groupBy($"g").agg((max($"count") - min($"count")).as("sp"),
+          countDistinct($"bucket").as("nb"))
+        .as[(String, Long, Long)].collect()
+      spread.foreach { case (g, sp, nb) =>
+        assert(sp <= 1, s"k=$k group $g spread $sp")
+        val gSize = rows.count(_._1 == g)
+        assert(nb == math.min(k, gSize).toLong, s"k=$k group $g buckets $nb")
+      }
+    }
+  }
+
+  test("RankEval.metrics: bounds hold; a prefix-perfect list scores 1 everywhere") {
+    import graft.ops.RankEval
+    // generated truth sets of varying size; recs = the truth's k lowest
+    // items in rank order (prefix-perfect when |truth| >= k)
+    val k = 4
+    val users = samples(Gen.choose(1, 12), 30).distinct
+    val truth = users.flatMap(u => (0 until u).map(i => (s"u$u", i.toLong)))
+      .toDF("user", "item")
+    val recs = users.flatMap(u =>
+        (0 until math.min(k, u)).map(i => (s"u$u", i.toLong, i + 1)))
+      .toDF("user", "item", "rank")
+    val m = RankEval.metrics(recs, truth, k).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val (nRel, hits) = (r.getLong(1), r.getLong(2))
+      val Seq(p, rec, ndcg, mrr) = (3 to 6).map(r.getDouble)
+      assert(hits == math.min(k, nRel), r.toString) // prefix-perfect
+      assert(p >= 0 && p <= 1 && rec >= 0 && rec <= 1, r.toString)
+      assert(ndcg == 1.0, s"prefix-perfect ndcg must be 1: $r")
+      assert(mrr == 1.0, r.toString)
+      if (nRel >= k) assert(p == 1.0, r.toString) else assert(rec == 1.0, r.toString)
+    }
+  }
+
   test("Prorate.largestRemainder: generated groups — exact sums, shares within 1 of ideal") {
     // arbitrary (total, weights) groups: allocation must (a) sum exactly
     // to the total, (b) never deviate more than one unit from the real
