@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
+import graft.ops.Portable
 import graft.pipelines.{MentionRecommender, UserSimilarity}
 import graft.streaming.EventStreams
 
@@ -1495,6 +1496,48 @@ object MLQueries {
               SELECT user_id, n,
                      round(list_reduce(xs, (acc, x) -> acc * 0.9 + 0.1 * x), 6) AS ewma
               FROM s ORDER BY user_id""")),
+
+    // ---- group-aware K-fold assignment — the train/eval split
+    // primitive done the only way that survives at scale AND avoids
+    // leakage: the fold is a deterministic HASH of the GROUP key (user),
+    // so every row of a user lands in one fold (no user straddles
+    // train and test — the leakage GroupKFold exists to prevent), the
+    // assignment is reproducible across runs/engines/partitionings
+    // with zero state, and adding new rows never reshuffles existing
+    // users. Output is the per-fold audit: user and event counts plus
+    // shares (hash balance is statistical, not exact — the audit is
+    // how you SEE the imbalance instead of assuming it away). One
+    // aggregate over a scan; the fold column itself is scan-side.
+    GraftQuery(
+      "q227_group_kfold",
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+          .withColumn("fold",
+            pmod(graft.ops.Portable.p60(col("user_id").cast("string")), lit(5)))
+        val tot = ev.agg(countDistinct(col("user_id")).as("tu"),
+          count(lit(1)).as("te"))
+        ev.groupBy(col("fold"))
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_events"))
+          .crossJoin(broadcast(tot))
+          .select(col("fold"), col("n_users"), col("n_events"),
+            round(col("n_users").cast("double") / col("tu"), 6).as("user_share"),
+            round(col("n_events").cast("double") / col("te"), 6).as("event_share"))
+          .orderBy(col("fold"))
+      },
+      Some(s"""WITH ev AS (SELECT user_id,
+                                  ${Portable.p60Sql("CAST(user_id AS VARCHAR)")} % 5 AS fold
+                           FROM events WHERE user_id IS NOT NULL),
+               tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS tu,
+                              CAST(count(*) AS BIGINT) AS te
+                       FROM ev)
+               SELECT fold, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                      CAST(count(*) AS BIGINT) AS n_events,
+                      round(CAST(count(DISTINCT user_id) AS DOUBLE) / tu, 6)
+                        AS user_share,
+                      round(CAST(count(*) AS DOUBLE) / te, 6) AS event_share
+               FROM ev CROSS JOIN tot
+               GROUP BY fold, tu, te ORDER BY fold""")),
 
     // ---- offline ranking evaluation (ops.RankEval — the harness next
     // to W2/ANN/BM25): recommend each user their top-5 items by
