@@ -492,6 +492,41 @@ object Graph {
     dist
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) over a BIPARTITE
+    * edge frame (u → i): alternating score propagation — an
+    * authority is endorsed by good hubs, a hub endorses good
+    * authorities — the mutual-reinforcement ranking PageRank's single
+    * score can't express on user→item graphs (a power user and a
+    * popular item are different kinds of important). Fixed `iters`
+    * rounds (the [[pageRank]] determinism convention: bounded,
+    * oracle-replayable), MAX-normalized and 6dp-rounded after every
+    * half-step so both engines re-pin to identical scores before the
+    * next propagation; round 1's authority is exactly
+    * degree/max-degree (hub seed = 1), an exact rational.
+    *
+    * Scale shape per round: two edge-keyed join+aggregate passes
+    * (map-side combined, node-keyed — never all-pairs) and two 1-row
+    * max frames broadcast back. Returns (hubs (u, h), authorities
+    * (i, a)) after `iters` full rounds. */
+  def hits(edges: DataFrame, uCol: String = "u", iCol: String = "i",
+      iters: Int = 2): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(uCol).as("u"), col(iCol).as("i"))
+      .distinct().cache()
+    var hub = e.select(col("u")).distinct().withColumn("h", lit(1.0))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val rawA = e.join(hub, "u").groupBy(col("i")).agg(sum(col("h")).as("ra"))
+      auth = rawA.crossJoin(broadcast(rawA.agg(max(col("ra")).as("am"))))
+        .select(col("i"), round(col("ra") / col("am"), 6).as("a"))
+      val rawH = e.join(auth, "i").groupBy(col("u")).agg(sum(col("a")).as("rh"))
+      hub = rawH.crossJoin(broadcast(rawH.agg(max(col("rh")).as("hm"))))
+        .select(col("u"), round(col("rh") / col("hm"), 6).as("h"))
+    }
+    e.unpersist(blocking = false)
+    (hub, auth)
+  }
+
   /** k-core membership by bounded-round peeling (Seidman 1983; the
     * distributed "peel degree-deficient nodes in rounds" formulation —
     * Montresor et al. 2013): each round drops every node whose CURRENT

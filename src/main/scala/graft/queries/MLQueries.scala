@@ -1497,6 +1497,46 @@ object MLQueries {
                      round(list_reduce(xs, (acc, x) -> acc * 0.9 + 0.1 * x), 6) AS ewma
               FROM s ORDER BY user_id""")),
 
+    // ---- HITS over the bipartite user→item engagement graph
+    // (Graph.hits — scale rationale there): two alternating rounds of
+    // hub/authority reinforcement, max-normalized and 6dp-pinned per
+    // half-step so the oracle replays the identical unrolled chain.
+    // PageRank (q134 family) ranks within one node universe; HITS is
+    // the bipartite answer — "power users" and "popular items" scored
+    // in each other's terms. Output: both score frames stacked with a
+    // kind column, totally ordered.
+    GraftQuery(
+      "q228_hits_bipartite",
+      (s, d) => {
+        val e = t(s, d, "events")
+          .filter(col("user_id").isNotNull && Tables.propsItem.isNotNull)
+          .select(col("user_id").as("u"), Tables.propsItem.as("i"))
+        val (hub, auth) = graft.ops.Graph.hits(e, iters = 2)
+        hub.select(lit("hub").as("kind"), col("u").cast("long").as("id"),
+            col("h").as("score"))
+          .unionByName(auth.select(lit("auth").as("kind"),
+            col("i").cast("long").as("id"), col("a").as("score")))
+          .orderBy(col("kind"), col("id"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT user_id AS u,
+                                CAST(props->>'k' AS INTEGER) AS i
+                         FROM events
+                         WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL),
+              h0 AS (SELECT DISTINCT u, CAST(1.0 AS DOUBLE) AS h FROM e),
+              ra1 AS (SELECT i, sum(h) AS ra FROM e JOIN h0 USING (u) GROUP BY 1),
+              a1 AS (SELECT i, round(ra / (SELECT max(ra) FROM ra1), 6) AS a FROM ra1),
+              rh1 AS (SELECT u, sum(a) AS rh FROM e JOIN a1 USING (i) GROUP BY 1),
+              h1 AS (SELECT u, round(rh / (SELECT max(rh) FROM rh1), 6) AS h FROM rh1),
+              ra2 AS (SELECT i, sum(h) AS ra FROM e JOIN h1 USING (u) GROUP BY 1),
+              a2 AS (SELECT i, round(ra / (SELECT max(ra) FROM ra2), 6) AS a FROM ra2),
+              rh2 AS (SELECT u, sum(a) AS rh FROM e JOIN a2 USING (i) GROUP BY 1),
+              h2 AS (SELECT u, round(rh / (SELECT max(rh) FROM rh2), 6) AS h FROM rh2)
+              SELECT kind, id, score FROM (
+                SELECT 'hub' AS kind, CAST(u AS BIGINT) AS id, h AS score FROM h2
+                UNION ALL
+                SELECT 'auth', CAST(i AS BIGINT), a FROM a2)
+              ORDER BY kind, id""")),
+
     // ---- group-aware K-fold assignment — the train/eval split
     // primitive done the only way that survives at scale AND avoids
     // leakage: the fold is a deterministic HASH of the GROUP key (user),

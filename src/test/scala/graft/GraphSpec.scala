@@ -281,4 +281,16 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(x => x._1 -> x._3).toMap
     assert(run(e, 2).map { case (n, (d, _)) => n -> d } == bfs)
   }
+  test("hits: star-center user is the top hub, shared item the top authority") {
+    // u1 -> {1,2,3}, u2 -> {1}: item 1 is endorsed by both hubs (top
+    // authority), u1 endorses three items including the strong one
+    // (top hub); exact hand-computed scores after round 1's
+    // degree-rational seeding
+    val e = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L)).toDF("u", "i")
+    val (hub, auth) = graft.ops.Graph.hits(e, iters = 2)
+    val h = hub.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = auth.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(h(10L) == 1.0 && h(10L) > h(20L), h.toString)
+    assert(a(1L) == 1.0 && a(1L) > a(2L) && a(2L) == a(3L), a.toString)
+  }
 }
