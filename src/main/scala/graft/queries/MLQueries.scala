@@ -1537,6 +1537,75 @@ object MLQueries {
                 SELECT 'auth', CAST(i AS BIGINT), a FROM a2)
               ORDER BY kind, id""")),
 
+    // ---- temporal train/test split audit — q227's TIME-based
+    // counterpart: for anything forecasting-shaped, random/hash folds
+    // LEAK (the model trains on the future); the honest split is a
+    // calendar cutoff. The cutoff is derived scale-cleanly from two
+    // scalars (min/max event day, integer 80% of the span — no global
+    // sort, unlike an exact row quantile), and the audit reports what
+    // a split review needs: row/user counts per side, the users
+    // present on BOTH sides (fine for user-level features, a leak for
+    // per-user target statistics — counted, not hidden), and the
+    // achieved train fraction vs the nominal 80%. All integers plus
+    // two rounded divisions.
+    GraftQuery(
+      "q229_temporal_split",
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("d0"),
+            date_add(col("d0"),
+              (datediff(col("d1"), col("d0")) * 4 / 5).cast("int")).as("cutoff"))
+        val tagged = ev.crossJoin(broadcast(bounds))
+          .withColumn("is_train", col("day") < col("cutoff"))
+        val users = tagged.groupBy(col("user_id"))
+          .agg(max(when(col("is_train"), 1).otherwise(0)).as("in_train"),
+            max(when(!col("is_train"), 1).otherwise(0)).as("in_test"))
+        tagged.agg(
+            first(col("cutoff").cast("string")).as("cutoff_day"),
+            sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+            sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_test"))
+          .crossJoin(broadcast(users.agg(
+            sum(col("in_train").cast("long")).as("n_users_train"),
+            sum(col("in_test").cast("long")).as("n_users_test"),
+            sum(when(col("in_train") === 1 && col("in_test") === 1, 1L)
+              .otherwise(0L)).as("n_users_both"))))
+          .select(col("cutoff_day"), col("n_train"), col("n_test"),
+            col("n_users_train"), col("n_users_test"), col("n_users_both"),
+            round(col("n_train").cast("double") /
+              (col("n_train") + col("n_test")), 6).as("train_frac"),
+            round(col("n_users_both").cast("double") / col("n_users_train"), 6)
+              .as("user_overlap_frac"))
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day
+                          FROM events WHERE user_id IS NOT NULL),
+              b AS (SELECT min(day) AS d0,
+                           min(day) + CAST((date_diff('day', min(day), max(day))
+                             * 4 / 5) AS INTEGER) * INTERVAL 1 DAY AS cutoff
+                    FROM ev),
+              tg AS (SELECT user_id, (day < (SELECT cutoff FROM b)) AS is_train
+                     FROM ev),
+              us AS (SELECT user_id,
+                            max(CASE WHEN is_train THEN 1 ELSE 0 END) AS in_train,
+                            max(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS in_test
+                     FROM tg GROUP BY 1),
+              ua AS (SELECT CAST(sum(in_train) AS BIGINT) AS n_users_train,
+                            CAST(sum(in_test) AS BIGINT) AS n_users_test,
+                            CAST(sum(CASE WHEN in_train = 1 AND in_test = 1
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_users_both
+                     FROM us)
+              SELECT CAST(CAST((SELECT cutoff FROM b) AS DATE) AS VARCHAR) AS cutoff_day,
+                     CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+                     CAST(sum(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+                     ua.n_users_train, ua.n_users_test, ua.n_users_both,
+                     round(CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS DOUBLE)
+                           / count(*), 6) AS train_frac,
+                     round(CAST(ua.n_users_both AS DOUBLE) / ua.n_users_train, 6)
+                       AS user_overlap_frac
+              FROM tg CROSS JOIN ua
+              GROUP BY ua.n_users_train, ua.n_users_test, ua.n_users_both""")),
+
     // ---- group-aware K-fold assignment — the train/eval split
     // primitive done the only way that survives at scale AND avoids
     // leakage: the fold is a deterministic HASH of the GROUP key (user),
