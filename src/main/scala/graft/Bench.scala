@@ -35,7 +35,27 @@ object Bench {
     // a typo'd env var must not kill the artifact lines.
     val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
       .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ >= 1).getOrElse(2)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    // DETERMINISTIC INTERLEAVED run order (hash of name), not
+    // alphabetical: the registry's names cluster cost families together
+    // (q9x = the documents/ML-bound block), and under alphabetical order
+    // that family lands at peak accumulated JVM pressure — three rounds
+    // of official benches (r11/r12/r14/r16) read 8-21x suite-tail spikes
+    // on queries whose isolated min-of-5 is flat (q94 24.6s vs 2.99s,
+    // q90 12.7s vs 1.64s, q98 8.2s vs 0.40s in BENCH_r16; COVERAGE.md
+    // watch log). Hashing the name spreads each family uniformly across
+    // the run so no single GC/JIT pressure window eats one family's
+    // readings. Stable across rounds (pure function of the name — new
+    // queries insert without reshuffling neighbors' relative order);
+    // SPARK_GRAFT_BENCH_ORDER=name restores alphabetical for diffing
+    // against old artifacts.
+    val ordered =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("name"))
+        SparkEntry.queries.toSeq.sortBy(_._1)
+      else
+        SparkEntry.queries.toSeq.sortBy { case (name, _) =>
+          (scala.util.hashing.MurmurHash3.stringHash(name), name)
+        }
+    val selected = ordered
       .filter { case (name, _) => args.isEmpty || args.exists(name.contains) }
     // Full-suite JIT/codegen warmup at the smallest SF: every selected
     // query runs once on a tiny fixture before anything is timed. The

@@ -31,6 +31,14 @@ import org.apache.spark.sql.functions._
   * equal values in one bucket (boundary search is value-based). That
   * difference is inherent to equi-depth vs value-based cuts and is
   * documented rather than hidden.
+  *
+  * NULL values: the approx face emits a NULL bucket — an unbinnable
+  * value must surface as such, not silently pollute bucket 1 (which is
+  * what the raw boundary fold would do: NULL > b is never true). The
+  * exact face can't skip rows inside ntile, so there NULLs land by the
+  * caller's sort order (Spark sorts nulls FIRST ascending → bucket 1).
+  * The faces therefore agree only on non-null values; callers binning a
+  * nullable column should filter or route the NULL bucket explicitly.
   */
 object Binning {
 
@@ -46,12 +54,14 @@ object Binning {
 
   /** Sketch-boundary equi-depth: per-group approx_percentile boundaries
     * at i/k (i = 1..k−1), assignment = 1 + #boundaries strictly below
-    * the value (all ties share a bucket). `accuracy` is Spark's
+    * the value (all ties share a bucket; NULL values get a NULL
+    * bucket — see the class scaladoc). `accuracy` is Spark's
     * approx_percentile accuracy knob (higher = tighter sketch). */
   def equiDepthApprox(df: DataFrame, group: Column, value: Column,
       k: Int, accuracy: Int = 10000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    if (k == 1) return df.withColumn("bucket", lit(1))
+    if (k == 1)
+      return df.withColumn("bucket", when(value.isNotNull, lit(1)))
     val probs = (1 until k).map(i => i.toDouble / k)
     val g = df.groupBy(group.as("_g"))
       .agg(percentile_approx(value, typedLit(probs), lit(accuracy)).as("_bounds"))
@@ -61,8 +71,9 @@ object Binning {
     // rebind it)
     df.join(broadcast(g), group <=> col("_g"))
       .withColumn("bucket",
-        (lit(1) + aggregate(col("_bounds"), lit(0),
-          (acc, b) => acc + when(value > b, 1).otherwise(0))).cast("int"))
+        when(value.isNotNull,
+          (lit(1) + aggregate(col("_bounds"), lit(0),
+            (acc, b) => acc + when(value > b, 1).otherwise(0))).cast("int")))
       .drop("_g", "_bounds")
   }
 }

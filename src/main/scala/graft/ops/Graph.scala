@@ -500,31 +500,46 @@ object Graph {
     * popular item are different kinds of important). Fixed `iters`
     * rounds (the [[pageRank]] determinism convention: bounded,
     * oracle-replayable), MAX-normalized and 6dp-rounded after every
-    * half-step so both engines re-pin to identical scores before the
-    * next propagation; round 1's authority is exactly
-    * degree/max-degree (hub seed = 1), an exact rational.
+    * half-step; round 1's authority is exactly degree/max-degree (hub
+    * seed = 1), an exact rational — bit-identical across engines. From
+    * round 2 on the per-node SUMS of 6dp-rounded scores are IEEE
+    * accumulation-order dependent (Spark's partial-agg order vs
+    * another engine's), so the re-pin holds up to 1-ulp jitter UNDER
+    * the 6dp round — exact unless a sum lands on a .5e-6 rounding
+    * boundary, the repo's standard reassociation exposure (the q211
+    * convention), not a bit-equality guarantee.
     *
     * Scale shape per round: two edge-keyed join+aggregate passes
     * (map-side combined, node-keyed — never all-pairs) and two 1-row
-    * max frames broadcast back. Returns (hubs (u, h), authorities
-    * (i, a)) after `iters` full rounds. */
+    * max frames broadcast back; each half-step ends in an EAGER
+    * localCheckpoint (the [[pageRank]]/[[kCore]] round-lineage
+    * discipline), so plan size and recompute cost stay constant in
+    * `iters` and the returned frames are already materialized — the
+    * edge cache is then released in a finally without robbing callers
+    * of its benefit or leaking it on failure. Returns (hubs (u, h),
+    * authorities (i, a)) after `iters` full rounds. */
   def hits(edges: DataFrame, uCol: String = "u", iCol: String = "i",
       iters: Int = 2): (DataFrame, DataFrame) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col(uCol).as("u"), col(iCol).as("i"))
       .distinct().cache()
-    var hub = e.select(col("u")).distinct().withColumn("h", lit(1.0))
-    var auth: DataFrame = null
-    for (_ <- 1 to iters) {
-      val rawA = e.join(hub, "u").groupBy(col("i")).agg(sum(col("h")).as("ra"))
-      auth = rawA.crossJoin(broadcast(rawA.agg(max(col("ra")).as("am"))))
-        .select(col("i"), round(col("ra") / col("am"), 6).as("a"))
-      val rawH = e.join(auth, "i").groupBy(col("u")).agg(sum(col("a")).as("rh"))
-      hub = rawH.crossJoin(broadcast(rawH.agg(max(col("rh")).as("hm"))))
-        .select(col("u"), round(col("rh") / col("hm"), 6).as("h"))
+    try {
+      var hub = e.select(col("u")).distinct().withColumn("h", lit(1.0))
+      var auth: DataFrame = null
+      for (_ <- 1 to iters) {
+        val rawA = e.join(hub, "u").groupBy(col("i")).agg(sum(col("h")).as("ra"))
+        auth = rawA.crossJoin(broadcast(rawA.agg(max(col("ra")).as("am"))))
+          .select(col("i"), round(col("ra") / col("am"), 6).as("a"))
+          .localCheckpoint(eager = true)
+        val rawH = e.join(auth, "i").groupBy(col("u")).agg(sum(col("a")).as("rh"))
+        hub = rawH.crossJoin(broadcast(rawH.agg(max(col("rh")).as("hm"))))
+          .select(col("u"), round(col("rh") / col("hm"), 6).as("h"))
+          .localCheckpoint(eager = true)
+      }
+      (hub, auth)
+    } finally {
+      e.unpersist(blocking = false): Unit
     }
-    e.unpersist(blocking = false)
-    (hub, auth)
   }
 
   /** k-core membership by bounded-round peeling (Seidman 1983; the

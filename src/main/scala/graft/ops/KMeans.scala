@@ -165,6 +165,21 @@ object KMeans {
   /** [[assignJoin]] over an already-normalized (id, v double[]) frame —
     * the shared body [[lloydJoin]]'s iterations reuse. */
   private def assignJoinV(v: DataFrame,
+      cents: Seq[Seq[Double]]): DataFrame =
+    assignJoinDistV(v, cents).drop("d")
+
+  /** [[assignJoin]] KEEPING the assigned distance: (id, cluster, d)
+    * with d the 6dp-rounded L2 distance to the chosen centroid. The
+    * distance rides the SAME single aggregate — `min(d)` alongside the
+    * argmin is exactly the chosen cluster's distance (ties share their
+    * rounded d by construction), so drift gating costs no extra pass.
+    * The [[graft.ops.IvfState]] incremental-assignment path reads this
+    * face. */
+  def assignJoinWithDist(emb: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Seq[Double]]): DataFrame =
+    assignJoinDistV(normalize(emb, idCol, vecCol), cents)
+
+  private def assignJoinDistV(v: DataFrame,
       cents: Seq[Seq[Double]]): DataFrame = {
     require(cents.nonEmpty, "assignJoin needs at least one centroid")
     val spark = v.sparkSession
@@ -177,7 +192,7 @@ object KMeans {
     v.join(broadcast(cdf))
       .select(col("id"), col("cidx"), round(sqrt(d2), 6).as("d"))
       .groupBy(col("id"))
-      .agg(argmin(col("d"), col("cidx")).as("cluster"))
+      .agg(argmin(col("d"), col("cidx")).as("cluster"), min(col("d")).as("d"))
   }
 
   /** Per-group argmin as a mergeable typed Aggregator: one (dist, cidx)
@@ -214,12 +229,14 @@ object KMeans {
     * iteration by iteration (CTE chain `c0 → a1 → u1 → c1 → … → afin`),
     * over `embeddings(vec_id, embedding)`. Exposed so the oracle and
     * any dependent query build from one generator instead of a
-    * hand-maintained copy. */
-  def oracleCtes(k: Int, iters: Int): String =
+    * hand-maintained copy. `eWhere` filters the fit corpus (the
+    * incremental-IVF oracle fits on a history slice, then assigns the
+    * new batch against the same `c<iters>` centroids CTE). */
+  def oracleCtes(k: Int, iters: Int, eWhere: String = "TRUE"): String =
     ctesWithSeed(
       s""" c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cidx, v
          |        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k))""".stripMargin,
-      iters)
+      iters, eWhere)
 
   /** [[oracleCtes]] with the k of [[scaledK]] computed IN SQL from the
     * corpus itself (one `kk` scalar CTE, integer ceil-div), so one
@@ -235,7 +252,8 @@ object KMeans {
          |        WHERE rn <= (SELECT k FROM kk))""".stripMargin,
       iters)
 
-  private def ctesWithSeed(seedCte: String, iters: Int): String = {
+  private def ctesWithSeed(seedCte: String, iters: Int,
+      eWhere: String = "TRUE"): String = {
     def assignCte(name: String, cents: String) =
       s""" $name AS (SELECT vec_id, cidx AS cluster FROM (
          |  SELECT e.vec_id, c.cidx,
@@ -243,7 +261,8 @@ object KMeans {
          |            ORDER BY round(list_distance(e.v, c.v), 6), c.cidx) AS rn
          |  FROM e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
     val head =
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |           WHERE $eWhere),
          |$seedCte""".stripMargin
     val iterations = (1 to iters).flatMap { it =>
       Seq(

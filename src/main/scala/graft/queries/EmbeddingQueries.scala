@@ -130,7 +130,7 @@ object EmbeddingQueries {
           nlist = 16, nprobe = 4)
         .select(col("qid"), col("nid"), col("cos_sim"), col("rn"))
         .orderBy(col("qid"), col("rn")),
-      None),
+      None, companion = Some("q78_ivf_valid")),
 
     // ---- LSH-bucketed ANN: 6 deterministic sign hyperplanes -> 64
     // buckets; candidates share a bucket; exact cosine rerank top-3.
@@ -653,6 +653,82 @@ object EmbeddingQueries {
                FROM r a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
                WHERE a.rn <= 25)
          SELECT d2 AS vec_id, min(cluster) AS cluster, round(max(cs), 6) AS max_cos
-         FROM p WHERE cs >= 0.35 GROUP BY d2 ORDER BY vec_id"""))
+         FROM p WHERE cs >= 0.35 GROUP BY d2 ORDER BY vec_id""")),
+
+    // ---- incremental IVF: persisted centroids + ASSIGN-ONLY path
+    // (ops.IvfState — the q90/q204 incremental pattern applied to ANN:
+    // the quantizer is k·d parquet state, a new embedding batch pays
+    // ONE broadcast-join assignment pass, never a re-fit). Fit on the
+    // even-id history slice, persist, reload, assign the odd-id "new
+    // batch". Deterministic Lloyd (not MLlib) makes the whole
+    // fit→persist→load→assign chain oracle-replayable: the oracle
+    // re-runs the unrolled fit on the SAME even-id slice and assigns
+    // the odd half against the final centroids CTE — any drift in the
+    // state round trip, the seed, or the assignment rule is a hash
+    // mismatch on every new-batch row.
+    GraftQuery(
+      "q233_ivf_assign_incremental",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val path = Scratch.dir("q233_ivf", d) + "/state"
+        graft.ops.IvfState.fitAndSave(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", k = 10, iters = 2, path)
+        val st = graft.ops.IvfState.load(s, path)
+        graft.ops.IvfState.assignOnly(
+            emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+            "vec_id", "embedding", st)
+          .select(col("id").as("vec_id"), col("cluster"), col("d"))
+          .orderBy(col("vec_id"))
+      },
+      Some(graft.ops.KMeans.oracleCtes(k = 10, iters = 2,
+        eWhere = "vec_id % 2 = 0") + """,
+         nb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE vec_id % 2 = 1),
+         nasg AS (SELECT vec_id, cidx AS cluster, d FROM (
+           SELECT nb.vec_id, c.cidx, round(list_distance(nb.v, c.v), 6) AS d,
+                  row_number() OVER (PARTITION BY nb.vec_id
+                    ORDER BY round(list_distance(nb.v, c.v), 6), c.cidx) AS rn
+           FROM nb CROSS JOIN c2 c) WHERE rn = 1)
+         SELECT vec_id, cluster, d FROM nasg ORDER BY vec_id""")),
+
+    // ---- the drift gate on top of q233's assign-only frame: mean
+    // assigned distance of the new batch vs the persisted fit-time
+    // mean — the oracle-checked "is a re-fit actually due" scalar that
+    // turns IVF maintenance from a cron guess into a monitored gate.
+    // Both means are 6dp-rounded BEFORE the ratio and the integer-
+    // scaled threshold comparison (new·100 > fit·120), so the flag is
+    // engine-exact (the q210 rounded-band convention).
+    GraftQuery(
+      "q234_ivf_drift_gate",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val path = Scratch.dir("q234_ivf", d) + "/state"
+        graft.ops.IvfState.fitAndSave(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", k = 10, iters = 2, path)
+        val st = graft.ops.IvfState.load(s, path)
+        graft.ops.IvfState.driftGate(
+          graft.ops.IvfState.assignOnly(
+            emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+            "vec_id", "embedding", st),
+          st)
+      },
+      Some(graft.ops.KMeans.oracleCtes(k = 10, iters = 2,
+        eWhere = "vec_id % 2 = 0") + """,
+         fd AS (SELECT e.vec_id, min(round(list_distance(e.v, c.v), 6)) AS d
+                FROM e CROSS JOIN c2 c GROUP BY 1),
+         nb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE vec_id % 2 = 1),
+         nd AS (SELECT nb.vec_id, min(round(list_distance(nb.v, c.v), 6)) AS d
+                FROM nb CROSS JOIN c2 c GROUP BY 1),
+         fm AS (SELECT CAST(count(*) AS BIGINT) AS n_fit,
+                       round(avg(d), 6) AS fit_mean_dist FROM fd),
+         nm AS (SELECT CAST(count(*) AS BIGINT) AS n_new,
+                       round(avg(d), 6) AS new_mean_dist FROM nd)
+         SELECT fm.n_fit, nm.n_new, fm.fit_mean_dist, nm.new_mean_dist,
+                round(nm.new_mean_dist / fm.fit_mean_dist, 6) AS drift_ratio,
+                (nm.new_mean_dist * 100 > fm.fit_mean_dist * 120) AS refit_due
+         FROM fm CROSS JOIN nm"""))
   )
 }

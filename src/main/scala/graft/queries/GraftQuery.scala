@@ -12,12 +12,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - column names must match between the two sides (the driver sorts
   *    columns by name before hashing);
   *  - output must be value-deterministic: every aggregate over doubles is
-  *    rounded, every collect_list sorted, every result totally ordered.
+  *    rounded, every collect_list sorted, every result totally ordered;
+  *  - a query WITHOUT an oracle (float model output, zlib bytes, sketch
+  *    internals — not SQL-expressible) MUST name a `companion`: a
+  *    registered, ORACLE-CHECKED query exercising a SQL-expressible
+  *    invariant of the same operator (q50→q51's relational twin, q53→
+  *    q76's ALS invariants, …). RegistrySpec enforces the mapping, so
+  *    "no oracle" can never quietly mean "no check".
   */
 final case class GraftQuery(
     name: String,
     build: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    companion: Option[String] = None)
 
 object Tables {
   import org.apache.spark.sql.functions._

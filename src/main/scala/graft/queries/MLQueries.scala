@@ -57,7 +57,7 @@ object MLQueries {
         UserSimilarity.topKSimilar(feats, col("user_id") < 30, "tfidf_norm")
           .orderBy(col("query_user"), col("rn"))
       },
-      None),
+      None, companion = Some("q51_w1_tfidf_relational")),
 
     // ---- W1 via CountVectorizer space (the second feature space of
     // COMP5349_2.py:155-157,178).
@@ -70,7 +70,7 @@ object MLQueries {
         UserSimilarity.topKSimilar(feats, col("user_id") < 30, "cv_norm")
           .orderBy(col("query_user"), col("rn"))
       },
-      None),
+      None, companion = Some("q79_w1_cv_relational")),
 
     // ---- W1 via Word2Vec embeddings (the import the reference never
     // used — notebook:78). Neural embeddings aren't oracle-expressible;
@@ -83,7 +83,7 @@ object MLQueries {
         UserSimilarity.topKSimilar(feats, col("user_id") < 30, "w2v_norm")
           .orderBy(col("query_user"), col("rn"))
       },
-      None),
+      None, companion = Some("q94_w2v_topk_invariants")),
 
     // ---- W2 rating-matrix build (G1+A2 of COMP5349_2.py:196-197) —
     // relational, oracle-checked.
@@ -557,7 +557,7 @@ object MLQueries {
       // numBlocks=4 is the local[32] bench setting only; the operator
       // default keeps Spark's own block count for cluster runs
       (s, d) => MentionRecommender.recommend(t(s, d, "events"), k = 5, numBlocks = 4),
-      None),
+      None, companion = Some("q76_als_invariants")),
 
     // ---- Streaming transform run on the batch frame (unified path;
     // the readStream variant of the same function is exercised in
@@ -919,7 +919,63 @@ object MLQueries {
                FROM (SELECT len(w) AS n_tokens,
                             len(list_filter(w, t -> t IN (${TextQueries.stopListSql}))) * 1.0 / len(w) AS stop_ratio
                      FROM (SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents)
-                     WHERE len(w) > 0)"""))
+                     WHERE len(w) > 0)""")),
+
+    // ---- calibration of a quality score (ops.Calibration — Brier +
+    // reliability bins, completing the eval family: q110 fits/scores,
+    // q216 ranks, this checks the scores MEAN what they say). The LR
+    // model's probabilities are float model output (not oracle-
+    // replayable — QualityClassifierSpec calibrates those through the
+    // same op), so the HASH-CHECKED face runs the full calibration
+    // machinery over a deterministic RATIONAL score: the heuristic
+    // quality prob p = (min(n_tokens,80)/80)·(1 − min(4·stop_ratio,1))
+    // vs q110's weak label — every arithmetic step is a correctly-
+    // rounded IEEE op on identical integer inputs, so p, the bin
+    // (floor(10p), top edge clamped), and all counts are bit-identical
+    // cross-engine; only mean_p/brier are order-exposed sums under the
+    // 6dp round (q211 convention). One scan, one 10-row aggregate +
+    // a broadcast 1-row Brier — the same plan at any corpus size.
+    GraftQuery(
+      "q232_calibration",
+      (s, d) => {
+        val f = t(s, d, "documents")
+          .select(graft.ops.Portable.tokens(col("text")).as("w"))
+          .filter(size(col("w")) > 0)
+          .select(size(col("w")).as("nt"),
+            (expr(s"size(filter(w, t -> t IN (${TextQueries.stopListSql})))")
+              .cast("double") / size(col("w"))).as("sr"))
+        val scored = f.select(
+          ((least(col("nt"), lit(80)).cast("double") / lit(80.0)) *
+            (lit(1.0) - least(col("sr") * lit(4), lit(1.0)))).as("p"),
+          when(col("nt") >= 40 && col("sr") <= 0.10, 1L).otherwise(0L).as("y"))
+        graft.ops.Calibration.reliability(scored, col("p"), col("y"))
+          .crossJoin(broadcast(
+            graft.ops.Calibration.brier(scored, col("p"), col("y"))
+              .select(col("brier"))))
+          .orderBy(col("bin"))
+      },
+      Some(s"""WITH f AS (SELECT len(w) AS nt,
+                                 len(list_filter(w, t -> t IN (${TextQueries.stopListSql})))
+                                   * 1.0 / len(w) AS sr
+                          FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
+                                FROM documents)
+                          WHERE len(w) > 0),
+               sc AS (SELECT (LEAST(nt, 80) / 80.0)
+                               * (1.0 - LEAST(sr * 4, 1.0)) AS p,
+                             CASE WHEN nt >= 40 AND sr <= 0.10
+                                  THEN 1 ELSE 0 END AS y
+                      FROM f),
+               bn AS (SELECT LEAST(9, CAST(floor(p * 10) AS INTEGER)) AS bin,
+                             p, y
+                      FROM sc),
+               rel AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(y) AS BIGINT) AS n_pos,
+                              round(sum(p) / count(*), 6) AS mean_p,
+                              round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS obs_rate
+                       FROM bn GROUP BY 1),
+               br AS (SELECT round(avg((p - y) * (p - y)), 6) AS brier FROM bn)
+               SELECT bin, n, n_pos, mean_p, obs_rate, brier
+               FROM rel CROSS JOIN br ORDER BY bin"""))
   ) ++ Seq(
 
     // ---- deterministic negative sampling for contrastive training
@@ -1497,6 +1553,46 @@ object MLQueries {
                      round(list_reduce(xs, (acc, x) -> acc * 0.9 + 0.1 * x), 6) AS ewma
               FROM s ORDER BY user_id""")),
 
+    // ---- q201's MERGEABLE face (ops.Twap — segment-pair composition):
+    // per-(user, day) partials carry (n, t_first, t_last, v_last,
+    // interior Σ v·Δt); an ordered fold over the day structs bridges
+    // each boundary with ONE v_last·gap term — both levels bounded (a
+    // day's rows; a user's days), where q201 buffers the whole per-user
+    // history. Simpler than q205's affine case: time-weighted sums
+    // compose by plain pairs. The ORACLE IS q201's flat whole-history
+    // fold (verbatim — the q205 convention): hash equality is the claim
+    // that segment composition reproduces the sequential fold — exact
+    // in real arithmetic, ulp-scale reassociation in IEEE (OpsSpec pins
+    // 1e-9 across segment grains), far inside the 6dp reporting grain.
+    // q201 stays registered as the exactness twin.
+    GraftQuery(
+      "q230_twap_segmented",
+      (s, d) => graft.ops.Twap.segmented(
+          t(s, d, "events").filter(col("user_id").isNotNull),
+          col("user_id"), date_trunc("day", col("ts")),
+          unix_micros(col("ts")), Seq(col("event_id").as("e")),
+          col("value"))
+        .select(col("key").as("user_id"), col("n"), col("span_us"),
+          round(col("twap"), 6).as("twap"))
+        .orderBy(col("user_id")),
+      Some("""WITH s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                                list(struct_pack(t := epoch_us(ts),
+                                                 v := value,
+                                                 s := CAST(0.0 AS DOUBLE))
+                                     ORDER BY ts, event_id) AS xs
+                         FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+              f AS (SELECT user_id, n,
+                           xs[-1].t - xs[1].t AS span_us,
+                           list_reduce(xs, (acc, x) -> struct_pack(
+                             t := x.t, v := x.v,
+                             s := acc.s + acc.v * (x.t - acc.t))) AS fin,
+                           xs[1].t AS t0
+                    FROM s)
+              SELECT user_id, n, CAST(span_us AS BIGINT) AS span_us,
+                     round(CASE WHEN fin.t > t0
+                           THEN fin.s / (fin.t - t0) END, 6) AS twap
+              FROM f ORDER BY user_id""")),
+
     // ---- HITS over the bipartite user→item engagement graph
     // (Graph.hits — scale rationale there): two alternating rounds of
     // hub/authority reinforcement, max-normalized and 6dp-pinned per
@@ -1542,7 +1638,13 @@ object MLQueries {
     // LEAK (the model trains on the future); the honest split is a
     // calendar cutoff. The cutoff is derived scale-cleanly from two
     // scalars (min/max event day, integer 80% of the span — no global
-    // sort, unlike an exact row quantile), and the audit reports what
+    // sort, unlike an exact row quantile; the 4/5 is INTEGER FLOOR
+    // DIVISION spelled identically on both engines — Spark `DIV`,
+    // DuckDB `//` — because the obvious `(dd * 4 / 5)::int` is a
+    // double TRUNCATED toward zero in Spark but ROUNDED to nearest in
+    // DuckDB, so any day span with dd mod 5 in {1, 2} would put the
+    // two cutoffs one day apart and break the hash contract on 40% of
+    // possible spans), and the audit reports what
     // a split review needs: row/user counts per side, the users
     // present on BOTH sides (fine for user-level features, a leak for
     // per-user target statistics — counted, not hidden), and the
@@ -1556,7 +1658,11 @@ object MLQueries {
         val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
           .select(col("d0"),
             date_add(col("d0"),
-              (datediff(col("d1"), col("d0")) * 4 / 5).cast("int")).as("cutoff"))
+              expr("(datediff(d1, d0) * 4) DIV 5").cast("int")).as("cutoff"))
+        // tagged is consumed twice (row-count agg + per-user agg) — both
+        // are one fact scan with a scan-side broadcast tag; at 100 TB two
+        // cheap scans beat persisting the whole tagged fact table, so the
+        // re-derivation is deliberate (the consumed-twice convention).
         val tagged = ev.crossJoin(broadcast(bounds))
           .withColumn("is_train", col("day") < col("cutoff"))
         val users = tagged.groupBy(col("user_id"))
@@ -1581,8 +1687,8 @@ object MLQueries {
       Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day
                           FROM events WHERE user_id IS NOT NULL),
               b AS (SELECT min(day) AS d0,
-                           min(day) + CAST((date_diff('day', min(day), max(day))
-                             * 4 / 5) AS INTEGER) * INTERVAL 1 DAY AS cutoff
+                           min(day) + ((date_diff('day', min(day), max(day))
+                             * 4) // 5) * INTERVAL 1 DAY AS cutoff
                     FROM ev),
               tg AS (SELECT user_id, (day < (SELECT cutoff FROM b)) AS is_train
                      FROM ev),

@@ -1676,6 +1676,54 @@ object PipelineQueries {
               WHERE cw * 2 >= tw AND (cw - w) * 2 < tw
               ORDER BY flag""")),
 
+    // ---- q212's 100 TB face, delivering its scaladoc's promised swap
+    // (ops.WeightedQuantile — mergeable binned weighted-CDF sketch):
+    // per-flag fixed-width bins over [min, max] (two broadcast scalars),
+    // per-(flag, bin) WEIGHT sums — the Drift.valueCounts mergeable
+    // shape with weight as the count — then the q212 integer crossing
+    // rule lifted from rows to bins, so the window runs over ≤128 bins
+    // per group instead of every row. The true weighted median provably
+    // lies inside the reported [bin_lo, bin_hi) band (OpsSpec pins the
+    // q212 exact median inside it); bin arithmetic is correctly-rounded
+    // IEEE ops on identical inputs — bit-identical cross-engine, no
+    // rounding anywhere, fully hash-checkable. q212 stays registered as
+    // the exact audit twin.
+    GraftQuery(
+      "q231_wmedian_sketch",
+      (s, d) => graft.ops.WeightedQuantile.quantileBinned(
+          t(s, d, "lineitem"), col("l_returnflag"),
+          col("l_extendedprice"), col("l_quantity"),
+          bins = 128, pBp = 5000)
+        .select(col("g").as("flag"), col("tw"), col("n_bins_hit"),
+          col("bin"), col("bin_lo"), col("bin_hi"), col("bin_w"))
+        .orderBy(col("flag")),
+      Some("""WITH r0 AS (SELECT l_returnflag AS g,
+                                 CAST(l_extendedprice AS DOUBLE) AS v,
+                                 CAST(l_quantity AS BIGINT) AS w
+                          FROM lineitem WHERE l_extendedprice IS NOT NULL),
+              b AS (SELECT g, min(v) AS lo, max(v) AS hi FROM r0 GROUP BY 1),
+              binned AS (SELECT r.g, r.w,
+                                CASE WHEN b.hi = b.lo THEN 0
+                                     ELSE LEAST(127, CAST(floor((r.v - b.lo)
+                                       * 128 / (b.hi - b.lo)) AS INTEGER)) END AS bin
+                         FROM r0 r JOIN b USING (g)),
+              cnts AS (SELECT g, bin, CAST(sum(w) AS BIGINT) AS bw
+                       FROM binned GROUP BY 1, 2),
+              tot AS (SELECT g, CAST(sum(bw) AS BIGINT) AS tw,
+                             CAST(count(*) AS BIGINT) AS n_bins_hit
+                      FROM cnts GROUP BY 1),
+              cum AS (SELECT g, bin, bw,
+                             sum(bw) OVER (PARTITION BY g ORDER BY bin) AS cw
+                      FROM cnts)
+              SELECT c.g AS flag, t.tw, t.n_bins_hit, c.bin,
+                     b.lo + c.bin * (b.hi - b.lo) / 128 AS bin_lo,
+                     b.lo + (c.bin + 1) * (b.hi - b.lo) / 128 AS bin_hi,
+                     c.bw AS bin_w
+              FROM cum c JOIN tot t USING (g) JOIN b USING (g)
+              WHERE c.cw * 10000 >= t.tw * 5000
+                AND (c.cw - c.bw) * 10000 < t.tw * 5000
+              ORDER BY flag""")),
+
     // ---- Pareto concentration: per event type, how many users
     // produce 80% of the events — the "is this traffic a few whales or
     // a broad base" diagnostic that decides whether per-key salting

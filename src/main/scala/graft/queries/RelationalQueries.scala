@@ -688,7 +688,7 @@ object RelationalQueries {
             countDistinct(col("user_id")).as("exact_users"))
           .orderBy(col("event_type"))
       },
-      None),
+      None, companion = Some("q77_approx_distinct_bound")),
 
     // ---- Ordered-event funnel: signup -> first click after signup ->
     // first purchase after that click, per user; output stage counts.
@@ -1960,6 +1960,98 @@ object RelationalQueries {
               WHERE r_name = 'ASIA'
                 AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
               GROUP BY 1 ORDER BY 1""")),
+
+    // ---- TPC-H Q2 shape: per-part CHEAPEST supplier — the correlated
+    // "WHERE cost = (SELECT min(cost) ... same part)" subquery in its
+    // decorrelated Spark-first form: one map-side-combined (part,
+    // supplier) cost aggregate, a |parts|-row min frame joined back
+    // (Catalyst broadcasts it under AQE at these cardinalities), dims
+    // broadcast. Equality is on the UNROUNDED effective unit price —
+    // price·(1−disc)/qty is the same correctly-rounded IEEE sequence on
+    // both engines, so the min-pick set is engine-exact and no rounding
+    // can decide membership (a part may keep several suppliers at the
+    // exact same min — all emitted, totally ordered).
+    GraftQuery(
+      "q235_cheapest_supplier",
+      (s, d) => {
+        val costs = t(s, d, "lineitem")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            / col("l_quantity")).as("unit_cost"))
+        val minc = costs.groupBy(col("l_partkey"))
+          .agg(min(col("unit_cost")).as("min_cost"))
+        costs.join(minc, Seq("l_partkey"))
+          .filter(col("unit_cost") === col("min_cost"))
+          .join(broadcast(t(s, d, "part").filter(col("p_size") < 15)
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(t(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("l_partkey").as("partkey"), col("p_brand"),
+            col("s_name"), col("n_name"), col("min_cost"))
+          .orderBy(col("partkey"), col("s_name"))
+      },
+      Some("""WITH costs AS (SELECT l_partkey, l_suppkey,
+                                    min(l_extendedprice * (1.0 - l_discount)
+                                        / l_quantity) AS unit_cost
+                             FROM lineitem GROUP BY 1, 2),
+              mc AS (SELECT l_partkey, min(unit_cost) AS min_cost
+                     FROM costs GROUP BY 1)
+              SELECT c.l_partkey AS partkey, p.p_brand, s.s_name, n.n_name,
+                     c.unit_cost AS min_cost
+              FROM costs c
+              JOIN mc USING (l_partkey)
+              JOIN part p     ON p.p_partkey = c.l_partkey AND p.p_size < 15
+              JOIN supplier s ON s.s_suppkey = c.l_suppkey
+              JOIN nation n   ON n.n_nationkey = s.s_nationkey
+              WHERE c.unit_cost = mc.min_cost
+              ORDER BY partkey, s_name""")),
+
+    // ---- TPC-H Q10 shape: revenue lost to RETURNS per customer — the
+    // returned-item report: filter pushed to the lineitem scan
+    // (l_returnflag = 'R'), customer/nation dims broadcast, one
+    // map-side-combined revenue aggregate, global top-20 as
+    // TakeOrderedAndProject (never a full sort at 100 TB). Ties broken
+    // by custkey so the cut is deterministic.
+    GraftQuery(
+      "q236_returned_revenue",
+      (s, d) => {
+        val returned = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        val orders = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        returned
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("lost_revenue"),
+            count(lit(1)).as("n_returned"))
+          .join(broadcast(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey").as("custkey"), col("c_name"),
+            col("n_name"), col("n_returned"), col("lost_revenue"))
+          .orderBy(col("lost_revenue").desc, col("custkey"))
+          .limit(20)
+      },
+      Some("""SELECT custkey, c_name, n_name, n_returned, lost_revenue FROM (
+                SELECT c.c_custkey AS custkey, c.c_name, n.n_name,
+                       CAST(count(*) AS BIGINT) AS n_returned,
+                       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2)
+                         AS lost_revenue
+                FROM lineitem l
+                JOIN orders o   ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation n   ON n.n_nationkey = c.c_nationkey
+                WHERE l.l_returnflag = 'R'
+                GROUP BY 1, 2, 3)
+              ORDER BY lost_revenue DESC, custkey LIMIT 20""")),
 
     // ---- RANGE-frame window (value-based frame, not row-based): per
     // user, each event's trailing-1-hour value sum INCLUDING itself —

@@ -159,7 +159,7 @@ object TextQueries {
           graft.ops.TextPipeline.compressionRatio(col("text")).as("deflate_ratio"),
           col("n_chars"))
         .orderBy(col("doc_id")),
-      None),
+      None, companion = Some("q93_compression_bounds")),
 
     // ---- exact deduplication: keep the lowest doc_id per normalized
     // fingerprint (hash-groupBy dedup — the 100 TB-safe exact-dup plan:

@@ -274,16 +274,32 @@ object EventStreams {
     * landed and must be skipped, while a crashed attempt's marker-less
     * partial dir must NOT count and is overwritten wholesale), merge
     * against the highest committed state, write v<batchId>, then prune
-    * every RAW dir that isn't the version just committed (superseded
-    * state and crashed partials alike). */
+    * every RAW dir except the version just committed AND the committed
+    * version it superseded (crashed partials and older state go).
+    *
+    * Concurrency contract: SINGLE WRITER (one streaming query per
+    * stateDir — Structured Streaming's own checkpoint lock enforces
+    * this for a given query; two queries sharing a stateDir is caller
+    * error), transient readers. A reader in another session
+    * ([[ksDriftCurrent]] / [[incrementalViewState]]) that resolved the
+    * highest committed version just before a commit keeps a one-batch
+    * grace window: the superseded version is deleted only when the
+    * NEXT batch commits, so a read must straddle two full batch
+    * intervals before its directory can vanish mid-read. Readers that
+    * hold a resolved DataFrame across batch intervals should still
+    * treat FileNotFoundException as "state advanced — re-resolve and
+    * retry", the standard snapshot-reader discipline. */
   private def versionedFold(spark: SparkSession, stateDir: String,
       batchId: Long)(merge: Option[DataFrame] => DataFrame): Unit = {
     if (versionDirs(spark, stateDir).exists(_._1 >= batchId)) return
+    val committed = versionDirs(spark, stateDir).map(_._1)
     val merged = merge(incrementalViewState(spark, stateDir))
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    rawVersionDirs(spark, stateDir).filter(_._1 != batchId).foreach { case (_, p) =>
+    // keep = the new version + the one it superseded (reader grace)
+    val keep = Set(batchId) ++ committed.sorted.lastOption
+    rawVersionDirs(spark, stateDir).filterNot(d => keep(d._1)).foreach { case (_, p) =>
       fs.delete(p, true): Unit
     }
   }
@@ -338,6 +354,35 @@ object EventStreams {
       baselineCounts: DataFrame): Option[DataFrame] =
     incrementalViewState(spark, stateDir)
       .map(st => graft.ops.Drift.chi2FromCounts(baselineCounts, st))
+
+  /** foreachBatch body for a continuously-maintained WEIGHTED quantile
+    * — the stream face of [[graft.ops.WeightedQuantile]]: each
+    * micro-batch folds frozen-grid per-(group, bin) weight sums into
+    * the persisted counts state (same versioned-dir discipline as
+    * [[ksDriftBatch]]; the grid must be FROZEN — caller-fixed
+    * [lo, hi) × bins — for the state to be purely mergeable, which is
+    * the trade a streaming quantile monitor makes vs the batch face's
+    * data-fit grid). State is |groups|·bins rows; the accumulated
+    * counts are EXACTLY the weights of every row seen, so the quantile
+    * read equals the batch computation over the full history. */
+  def wquantileBatch(groupCol: String, valueCol: String, weightCol: String,
+      lo: Double, hi: Double, bins: Int, stateDir: String)
+      (batch: DataFrame, batchId: Long): Unit =
+    versionedFold(batch.sparkSession, stateDir, batchId) { prev =>
+      graft.ops.WeightedQuantile.mergeCounts(
+        graft.ops.WeightedQuantile.binCounts(
+          batch, col(groupCol), col(valueCol), col(weightCol),
+          lo, hi, bins) +: prev.toSeq)
+    }
+
+  /** The current weighted-quantile band from everything
+    * [[wquantileBatch]] has accumulated; None before the first
+    * committed batch. Pass the SAME frozen grid. */
+  def wquantileCurrent(spark: SparkSession, stateDir: String,
+      lo: Double, hi: Double, bins: Int, pBp: Int = 5000): Option[DataFrame] =
+    incrementalViewState(spark, stateDir)
+      .map(st => graft.ops.WeightedQuantile.quantileFromCounts(
+        st, lo, hi, bins, pBp))
 
   /** The current materialized state written by
     * [[incrementalJoinViewBatch]]: the highest COMMITTED version

@@ -103,4 +103,32 @@ class CentroidCoverageSpec extends SparkSpec {
         s"q=$q est=$e exact=$exact not within one bin width above")
     }
   }
+
+  test("IvfState: parquet round trip is exact; assign-only == direct; self-drift ratio 1") {
+    import graft.ops.{IvfState, KMeans}
+    val emb = graft.queries.Tables(spark, sf, "embeddings")
+    val fitHalf = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val newHalf = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val path = java.nio.file.Files.createTempDirectory("ivf_state").toString + "/state"
+    val saved = IvfState.fitAndSave(fitHalf, "vec_id", "embedding",
+      k = 10, iters = 2, path)
+    val loaded = IvfState.load(spark, path)
+    // doubles round-trip parquet bit-exactly: state is the SAME model
+    assert(loaded.cents == saved.cents)
+    assert(loaded.fitMeanDist == saved.fitMeanDist && loaded.nFit == saved.nFit)
+    assert(loaded.nFit == fitHalf.count())
+    // assign-only through the loaded state == direct assignment against
+    // the in-memory centroids (the persistence layer adds nothing)
+    val viaState = IvfState.assignOnly(newHalf, "vec_id", "embedding", loaded)
+      .orderBy(col("id")).as[(Long, Int, Double)].collect().toSeq
+    val direct = KMeans.assignJoinWithDist(newHalf, "vec_id", "embedding",
+        saved.cents).orderBy(col("id")).as[(Long, Int, Double)].collect().toSeq
+    assert(viaState == direct && viaState.nonEmpty)
+    // gate identity: the fit corpus drifts 1.0 against itself, no refit
+    val self = IvfState.driftGate(
+      IvfState.assignOnly(fitHalf, "vec_id", "embedding", loaded), loaded)
+      .head()
+    assert(self.getDouble(self.fieldIndex("drift_ratio")) == 1.0, self.toString)
+    assert(!self.getBoolean(self.fieldIndex("refit_due")), self.toString)
+  }
 }

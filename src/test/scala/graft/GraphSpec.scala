@@ -293,4 +293,41 @@ class GraphSpec extends SparkSpec {
     assert(h(10L) == 1.0 && h(10L) > h(20L), h.toString)
     assert(a(1L) == 1.0 && a(1L) > a(2L) && a(2L) == a(3L), a.toString)
   }
+  test("hits: iters=4 equals the unrolled round-by-round chain (flat lineage)") {
+    // the per-round localCheckpoint must be a pure lineage cut: running
+    // the loop through the op at iters=4 has to give exactly what an
+    // INDEPENDENT unroll of the same four max-normalized 6dp rounds
+    // gives — checked on the sf graph, not a toy, so ties/rounding are
+    // exercised
+    import org.apache.spark.sql.DataFrame
+    val ev = graft.queries.Tables(spark, sf, "events")
+      .filter($"user_id".isNotNull && $"props".isNotNull)
+      .select($"user_id".as("u"),
+        get_json_object($"props", "$.k").cast("int").as("i"))
+      .filter($"i".isNotNull)
+    val e = ev.select($"u", $"i").distinct().cache()
+    try {
+      val (hub4, auth4) = graft.ops.Graph.hits(e, iters = 4)
+      // independent unroll, no checkpointing
+      var h: DataFrame = e.select($"u").distinct().withColumn("h", lit(1.0))
+      var a: DataFrame = null
+      (1 to 4).foreach { _ =>
+        val ra = e.join(h, "u").groupBy($"i").agg(sum($"h").as("ra"))
+        a = ra.crossJoin(broadcast(ra.agg(max($"ra").as("am"))))
+          .select($"i", round($"ra" / $"am", 6).as("a"))
+        val rh = e.join(a, "i").groupBy($"u").agg(sum($"a").as("rh"))
+        h = rh.crossJoin(broadcast(rh.agg(max($"rh").as("hm"))))
+          .select($"u", round($"rh" / $"hm", 6).as("h"))
+      }
+      val gotH = hub4.orderBy("u").as[(Long, Double)].collect().toSeq
+      val wantH = h.orderBy("u").as[(Long, Double)].collect().toSeq
+      val gotA = auth4.orderBy("i").as[(Int, Double)].collect().toSeq
+      val wantA = a.orderBy("i").as[(Int, Double)].collect().toSeq
+      assert(gotH == wantH)
+      assert(gotA == wantA)
+      assert(gotH.nonEmpty && gotA.nonEmpty)
+    } finally {
+      e.unpersist(blocking = false): Unit
+    }
+  }
 }

@@ -652,6 +652,80 @@ class OpsSpec extends SparkSpec {
     assert(g1.getLong(1) == 1 && math.abs(g1.getDouble(2) - 42.0) < 1e-12)
   }
 
+  test("Twap.segmented: any segment grain composes to the flat fold (q201 semantics)") {
+    import graft.ops.Twap
+    // irregular timestamps (quadratic-ish gaps) so time weighting and a
+    // plain average disagree; two keys with offset values
+    val n = 120
+    def ts(i: Int): Long = i.toLong * 1000L + (i.toLong * i) % 777
+    def v(i: Int): Double = ((i * 2654435761L) % 1000).toDouble / 10.0
+    val rows = (0 until n).flatMap(i =>
+      Seq(("u", ts(i), i.toLong, v(i)), ("w", ts(i), i.toLong, v(i) + 3.0)))
+    val df = rows.toDF("k", "t", "e", "x")
+    def flat(off: Double): Double = {
+      val s = (1 until n).map(i => (v(i - 1) + off) * (ts(i) - ts(i - 1))).sum
+      s / (ts(n - 1) - ts(0))
+    }
+    // grain 1 row/segment (all boundary terms), one global segment
+    // (pure flat fold), mixed grains; all reproduce the sequential fold
+    for (g <- Seq(1L, 900L, 7000L, 1000000L)) {
+      val got = Twap.segmented(df, $"k", expr(s"t DIV $g"), $"t", Seq($"e"), $"x")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(got("u")._1 == n && got("u")._2 == ts(n - 1) - ts(0))
+      assert(math.abs(got("u")._3 - flat(0.0)) < 1e-9, s"grain $g: ${got("u")}")
+      assert(math.abs(got("w")._3 - flat(3.0)) < 1e-9, s"grain $g: ${got("w")}")
+    }
+    // single-reading key: no time to weight -> null twap, zero span
+    val one = Seq(("s", 5L, 0L, 9.0)).toDF("k", "t", "e", "x")
+    val g1 = Twap.segmented(one, $"k", expr("t DIV 2"), $"t", Seq($"e"), $"x")
+      .collect().head
+    assert(g1.getLong(1) == 1 && g1.getLong(2) == 0L && g1.isNullAt(3))
+  }
+
+  test("WeightedQuantile.quantileBinned: q212 exact weighted median lies inside the band") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.WeightedQuantile
+    val li = Tables(spark, sf, "lineitem").select(
+      col("l_returnflag").as("flag"), col("l_extendedprice").as("price"),
+      col("l_quantity").cast("long").as("w"),
+      col("l_orderkey"), col("l_linenumber"))
+    // q212's exact rule: first value whose 2*cum crosses total weight
+    val win = Window.partitionBy($"flag")
+      .orderBy($"price", $"l_orderkey", $"l_linenumber")
+    val exact = li.withColumn("cw", sum($"w").over(win))
+      .join(li.groupBy($"flag").agg(sum($"w").as("tw")), "flag")
+      .filter($"cw" * 2 >= $"tw" && ($"cw" - $"w") * 2 < $"tw")
+      .select($"flag", $"tw", $"price")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val sketch = WeightedQuantile.quantileBinned(
+        Tables(spark, sf, "lineitem"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_quantity"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(exact.nonEmpty && exact.keySet == sketch.keySet)
+    exact.foreach { case (flag, (tw, med)) =>
+      val (stw, lo, hi) = sketch(flag)
+      assert(stw == tw, s"$flag: total weight $stw != $tw")
+      assert(lo <= med && med <= hi, s"$flag: median $med outside [$lo, $hi]")
+      assert(hi - lo > 0, s"$flag: degenerate band")
+    }
+    // degenerate single-value group + p25/p75 monotonicity on a hand frame
+    val tiny = Seq(("a", 5.0, 1L), ("a", 5.0, 3L),
+      ("b", 1.0, 1L), ("b", 2.0, 1L), ("b", 100.0, 6L)).toDF("g", "v", "w")
+    val dg = WeightedQuantile.quantileBinned(tiny, $"g", $"v", $"w")
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(dg("a")._1 == 0 && dg("a")._2 == 5.0)
+    // b: total weight 8, crossing at cum 8 (value 100) -> top bin
+    assert(dg("b")._2 <= 100.0 && 100.0 <= dg("b")._3)
+    val p25 = WeightedQuantile.quantileBinned(tiny, $"g", $"v", $"w", pBp = 2500)
+      .filter($"g" === "b").select($"bin").head().getInt(0)
+    val p75 = WeightedQuantile.quantileBinned(tiny, $"g", $"v", $"w", pBp = 7500)
+      .filter($"g" === "b").select($"bin").head().getInt(0)
+    assert(p25 <= p75)
+  }
+
   test("Drift.ksStatistic: hand-computed sup-norm, zero on identical samples") {
     // A = {1,2,3}, B = {1,3,3,4}: numerators |cumA*nB - cumB*nA| over
     // sorted distinct values = 1, 5, 3, 0 -> KS = 5/12
@@ -758,6 +832,19 @@ class OpsSpec extends SparkSpec {
       .count() == 3)
     assert(Binning.equiDepthApprox(withNull, $"lang", $"n_chars", 2)
       .count() == 3)
+    // a NULL VALUE is unbinnable on the approx face: it surfaces as a
+    // NULL bucket (row kept), never silently pollutes bucket 1
+    val nullVal = Seq((1L, "en", Some(10L)), (2L, "en", None), (3L, "en", Some(20L)),
+      (4L, "en", Some(30L)))
+      .toDF("doc_id", "lang", "n_chars")
+    val nvBuckets = Binning.equiDepthApprox(nullVal, $"lang", $"n_chars", 2)
+      .select($"doc_id", $"bucket").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toMap
+    assert(nvBuckets(2L).isEmpty, s"NULL value must get a NULL bucket: $nvBuckets")
+    assert(nvBuckets.filter(_._1 != 2L).values.forall(_.nonEmpty))
+    assert(Binning.equiDepthApprox(nullVal, $"lang", $"n_chars", 1)
+      .filter($"doc_id" === 2L).select($"bucket").head().isNullAt(0))
   }
 
   test("RankEval.metrics: hand-computed NDCG/MRR, zero-hit floor, truth-only users drop") {

@@ -64,4 +64,37 @@ class QualityClassifierSpec extends SparkSpec {
       .setMetricName("areaUnderROC").evaluate(scored)
     assert(auc >= 0.85, s"sampled-fit AUC $auc")
   }
+
+  test("calibration: Brier + reliability table over the model's scored frame") {
+    // the q232 machinery applied to the REAL model probabilities (float
+    // output, so spec-checked here rather than oracle-hashed): the
+    // table must partition the scored frame exactly, rates must be
+    // probabilities, and the proper-score sanity bounds must hold
+    import graft.ops.Calibration
+    val model = QualityClassifier.fit(docs)
+    val scored = QualityClassifier.score(docs, model).cache()
+    val n = scored.count()
+    val rel = Calibration.reliability(scored, $"prob", $"label")
+      .orderBy($"bin")
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    // exact partition: bins 0..9, every row in exactly one bin
+    assert(rel.map(_._2).sum == n)
+    assert(rel.forall(r => r._1 >= 0 && r._1 <= 9))
+    assert(rel.map(_._1).distinct.length == rel.length)
+    rel.foreach { case (bin, nb, npos, meanP, obsRate) =>
+      assert(npos >= 0 && npos <= nb)
+      assert(meanP >= 0.0 && meanP <= 1.0 && obsRate >= 0.0 && obsRate <= 1.0)
+      // mean predicted p must lie inside its own bin (top edge clamped)
+      val (lo, hi) = (bin / 10.0, if (bin == 9) 1.0 else (bin + 1) / 10.0)
+      assert(meanP >= lo - 1e-6 && meanP <= hi + 1e-6,
+        s"bin $bin mean_p $meanP outside [$lo, $hi]")
+      assert(math.abs(obsRate - npos.toDouble / nb) < 1e-6)
+    }
+    val (bn, brier) = Calibration.brier(scored, $"prob", $"label")
+      .as[(Long, Double)].head()
+    assert(bn == n)
+    // a distilled model that separates its own labels must beat the
+    // 0.25 chance floor comfortably
+    assert(brier >= 0.0 && brier < 0.25, s"brier $brier")
+  }
 }

@@ -10,6 +10,26 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("every no-oracle query declares a green-oracled companion") {
+    // the VERDICT/COVERAGE prose mapping, encoded: "no oracle" must
+    // mean "checked through a named SQL-expressible invariant twin",
+    // never "unchecked" — and the twin must itself be oracle-backed
+    val byName = SparkEntry.registry.map(q => q.name -> q).toMap
+    SparkEntry.registry.filter(_.oracle.isEmpty).foreach { q =>
+      assert(q.companion.isDefined,
+        s"${q.name} has no oracle and no companion — declare its invariant twin")
+      val c = q.companion.get
+      assert(byName.contains(c), s"${q.name}'s companion $c is not registered")
+      assert(byName(c).oracle.isDefined,
+        s"${q.name}'s companion $c has no oracle — the chain must end oracle-checked")
+    }
+    // and companions are only meaningful where the oracle is missing
+    SparkEntry.registry.filter(_.oracle.isDefined).foreach { q =>
+      assert(q.companion.isEmpty,
+        s"${q.name} is oracle-checked; companion is for no-oracle queries only")
+    }
+  }
+
   test("README's registry counts match the actual registry (no doc drift)") {
     // README.md line "(N registered queries, M with DuckDB oracles)" —
     // the first numbers any reader checks; pin them to the code so they

@@ -331,9 +331,11 @@ class StreamingSpec extends SparkSpec {
         q.processAllAvailable()
       }
     } finally q.stop()
-    // only the final version survives (superseded versions pruned)
+    // the final version plus its predecessor survive (the one-batch
+    // reader grace window); everything older is pruned
     val vdirs = new java.io.File(stateDir).listFiles().filter(_.getName.startsWith("v"))
-    assert(vdirs.length == 1, vdirs.map(_.getName).toSeq.toString)
+      .map(_.getName).sorted.toSeq
+    assert(vdirs == Seq("v1", "v2"), vdirs.toString)
     val got = Incremental.finish(
         EventStreams.incrementalViewState(spark, stateDir).get)
       .orderBy("key")
@@ -458,9 +460,25 @@ class StreamingSpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) =>
       assert(math.abs(g._3 - w._3) < 1e-6, s"$g vs $w")
     }
-    // and the prune removed the superseded + partial dirs
+    // prune keeps the new version PLUS the committed version it
+    // superseded (the one-batch reader grace window); the crashed
+    // partial is gone
     val vdirs = new java.io.File(stateDir).listFiles().filter(_.getName.startsWith("v"))
-    assert(vdirs.map(_.getName).toSeq == Seq("v1"), vdirs.map(_.getName).toSeq)
+      .map(_.getName).sorted.toSeq
+    assert(vdirs == Seq("v0", "v1"), vdirs)
+    // the grace window ROLLS: the next commit finally drops v0 while
+    // leaving v1 for its own grace batch — and an empty batch is a
+    // correct no-op merge (state unchanged)
+    body(b1.limit(0), 2L)
+    val vdirs2 = new java.io.File(stateDir).listFiles().filter(_.getName.startsWith("v"))
+      .map(_.getName).sorted.toSeq
+    assert(vdirs2 == Seq("v1", "v2"), vdirs2)
+    val got2 = Incremental.finish(
+        EventStreams.incrementalViewState(spark, stateDir).get)
+      .orderBy("key")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got2.map(t => (t._1, t._2, t._4, t._5)) ==
+      want.map(t => (t._1, t._2, t._4, t._5)))
   }
 
   test("retractionViewBatch: streamed CDC + flagged rebuild == full live recompute") {
@@ -878,6 +896,52 @@ class StreamingSpec extends SparkSpec {
     assert(got(("2024-01-01 01:00:00", "view")) == 2L)
     assert(got(("2024-01-01 01:00:00", "click")) == 1L)
     assert(got(("2024-01-01 02:00:00", "view")) == 1L)
+  }
+
+  test("wquantileBatch: accumulated frozen-grid state == the batch quantile") {
+    // the weighted-quantile monitor in stream form: three micro-batches
+    // fold frozen-grid bin weights into versioned state; the read-back
+    // band must equal (a) quantileFromCounts over a one-shot global
+    // binCounts AND (b) the batch face quantileBinned when the frozen
+    // grid is the data-fit [min, max] grid — i.e. streaming buys
+    // incrementality, not different answers
+    import org.apache.spark.sql.functions._
+    import graft.ops.WeightedQuantile
+    val stateDir = java.nio.file.Files.createTempDirectory("wq_state").toString
+    val li = Tables(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_returnflag", $"l_extendedprice", $"l_quantity")
+    val (lo, hi) = li.agg(min($"l_extendedprice".cast("double")),
+      max($"l_extendedprice".cast("double"))).as[(Double, Double)].head()
+    val bins = 64
+    val body = EventStreams.wquantileBatch("l_returnflag", "l_extendedprice",
+      "l_quantity", lo, hi, bins, stateDir) _
+    (0 to 2).foreach(i => body(li.filter(pmod($"l_orderkey", lit(3)) === i), i.toLong))
+    val got = EventStreams.wquantileCurrent(spark, stateDir, lo, hi, bins).get
+      .orderBy($"g")
+      .as[(String, Long, Long, Int, Double, Double, Long)].collect().toSeq
+    val oneShot = WeightedQuantile.quantileFromCounts(
+        WeightedQuantile.binCounts(li, $"l_returnflag", $"l_extendedprice",
+          $"l_quantity", lo, hi, bins), lo, hi, bins)
+      .orderBy($"g")
+      .as[(String, Long, Long, Int, Double, Double, Long)].collect().toSeq
+    assert(got.nonEmpty && got == oneShot)
+    // (b) on a SINGLE-group frame the frozen [min, max] grid IS the
+    // data-fit grid, so frozen-grid reads must agree with the batch
+    // face's crossing bin and weights (quantileBinned fits per-group
+    // bounds, so the equivalence only holds group-by-group)
+    val one = li.filter($"l_returnflag" === "A")
+    val (lo1, hi1) = one.agg(min($"l_extendedprice".cast("double")),
+      max($"l_extendedprice".cast("double"))).as[(Double, Double)].head()
+    val frozen = WeightedQuantile.quantileFromCounts(
+        WeightedQuantile.binCounts(one, $"l_returnflag", $"l_extendedprice",
+          $"l_quantity", lo1, hi1, bins), lo1, hi1, bins)
+      .as[(String, Long, Long, Int, Double, Double, Long)].head()
+    val fit = WeightedQuantile.quantileBinned(one, $"l_returnflag",
+        $"l_extendedprice", $"l_quantity", bins)
+      .as[(String, Long, Long, Int, Double, Double, Long)].head()
+    assert((frozen._1, frozen._2, frozen._4, frozen._7) ==
+      ((fit._1, fit._2, fit._4, fit._7)), s"$frozen vs $fit")
+    assert(math.abs(frozen._5 - fit._5) < 1e-9 && math.abs(frozen._6 - fit._6) < 1e-9)
   }
 
   test("runningTotals: stateful op accumulates per-user counts") {
