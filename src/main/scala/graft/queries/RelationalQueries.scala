@@ -2053,6 +2053,43 @@ object RelationalQueries {
                 GROUP BY 1, 2, 3)
               ORDER BY lost_revenue DESC, custkey LIMIT 20""")),
 
+    // ---- TPC-H Q18 shape: large-volume orders — the HAVING-on-sum
+    // pattern: per-order quantity totals (map-side combined), the
+    // HAVING cut applied to the aggregated frame (never a pre-join
+    // filter can express it), then customer context broadcast on top.
+    // Threshold chosen to be non-vacuous at every SF (sum(qty) > 150
+    // selects the heavy tail of ~7-line orders).
+    GraftQuery(
+      "q237_large_volume_orders",
+      (s, d) => {
+        val heavy = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+          .filter(col("total_qty") > 150)
+        heavy
+          .join(t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")
+              .cast("string").as("o_orderdate"), col("o_totalprice")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_name"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey").as("custkey"),
+            col("l_orderkey").as("orderkey"), col("o_orderdate"),
+            col("o_totalprice"), col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("orderkey"))
+      },
+      Some("""SELECT c.c_name, c.c_custkey AS custkey,
+                     h.l_orderkey AS orderkey,
+                     CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+                     o.o_totalprice, h.total_qty
+              FROM (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+                    FROM lineitem GROUP BY 1
+                    HAVING sum(l_quantity) > 150) h
+              JOIN orders o   ON o.o_orderkey = h.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              ORDER BY o.o_totalprice DESC, orderkey""")),
+
     // ---- RANGE-frame window (value-based frame, not row-based): per
     // user, each event's trailing-1-hour value sum INCLUDING itself —
     // rangeBetween on exact epoch micros, so frame membership is an
