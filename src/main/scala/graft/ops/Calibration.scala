@@ -49,4 +49,42 @@ object Calibration {
     df.select(prob.cast("double").as("p"), label.cast("double").as("y"))
       .agg(count(lit(1)).as("n"),
         round(avg((col("p") - col("y")) * (col("p") - col("y"))), 6).as("brier"))
+
+  /** Isotonic (pool-adjacent-violators) calibration MAP over a
+    * [[reliability]]-shaped table — the monotone fit that turns a
+    * reliability diagnostic into a usable recalibration function
+    * (Zadrozny & Elkan 2002). PAV is usually stated as a sequential
+    * pooling loop; the closed MINIMAX form ĝ(i) = max_{j≤i} min_{k≥i}
+    * A(j, k) (A = weighted mean of the observed rate over bins j..k)
+    * makes it three joins over the BIN table instead — O(B³) pairs on
+    * a frame of B ≤ dozens of rows, driver-free, and every A is a
+    * single division of exact integer interval sums, so the whole fit
+    * is bit-identical cross-engine and hash-oracle-checkable (a
+    * sequential PAV loop would be neither). Input: (`binCol`, `nCol`,
+    * `posCol`); output adds the raw obs_rate and the monotone
+    * iso_rate — UNROUNDED (deterministic expressions; min/max of
+    * identical doubles). The fit preserves total positive mass within
+    * pooled blocks (Σ n·iso = Σ n_pos — pinned in spec). */
+  def isotonic(rel: DataFrame, binCol: String = "bin", nCol: String = "n",
+      posCol: String = "n_pos"): DataFrame = {
+    val b = rel.select(col(binCol).as("bin"), col(nCol).cast("long").as("n"),
+      col(posCol).cast("long").as("np"))
+    val iv = b.select(col("bin").as("j"))
+      .crossJoin(b.select(col("bin").as("k")))
+      .filter(col("j") <= col("k"))
+      .join(b.select(col("bin").as("mb"), col("n").as("mn"), col("np").as("mp")),
+        col("mb") >= col("j") && col("mb") <= col("k"))
+      .groupBy(col("j"), col("k"))
+      .agg(sum(col("mn")).as("sn"), sum(col("mp")).as("sp"))
+    val iso = b.select(col("bin").as("i"))
+      .join(iv, col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(min(col("sp").cast("double") / col("sn")).as("mn_a"))
+      .groupBy(col("i"))
+      .agg(max(col("mn_a")).as("iso_rate"))
+    b.join(iso, col("bin") === col("i"))
+      .select(col("bin"), col("n"), col("np").as("n_pos"),
+        (col("np").cast("double") / col("n")).as("obs_rate"),
+        col("iso_rate"))
+  }
 }

@@ -975,7 +975,67 @@ object MLQueries {
                        FROM bn GROUP BY 1),
                br AS (SELECT round(avg((p - y) * (p - y)), 6) AS brier FROM bn)
                SELECT bin, n, n_pos, mean_p, obs_rate, brier
-               FROM rel CROSS JOIN br ORDER BY bin"""))
+               FROM rel CROSS JOIN br ORDER BY bin""")),
+
+    // ---- isotonic recalibration map over q232's reliability table
+    // (Calibration.isotonic — PAV via the closed minimax formula
+    // ĝ(i) = max_{j≤i} min_{k≥i} mean(j..k), three joins over the
+    // ≤10-row BIN frame instead of a sequential pooling loop): the
+    // monotone fitted rate per bin is what turns the reliability
+    // DIAGNOSTIC into a usable score→probability correction. Every
+    // interval mean is one division of exact integer sums and the fit
+    // is min/max over those identical doubles — bit-exact
+    // cross-engine, UNROUNDED, fully hash-checked. O(B³) pairs at
+    // B = 10 is 10³ rows of join work on a broadcast-sized frame; the
+    // corpus-sized work is only the one binning scan q232 already
+    // pays.
+    GraftQuery(
+      "q238_isotonic_calibration",
+      (s, d) => {
+        val f = t(s, d, "documents")
+          .select(graft.ops.Portable.tokens(col("text")).as("w"))
+          .filter(size(col("w")) > 0)
+          .select(size(col("w")).as("nt"),
+            (expr(s"size(filter(w, t -> t IN (${TextQueries.stopListSql})))")
+              .cast("double") / size(col("w"))).as("sr"))
+        val scored = f.select(
+          ((least(col("nt"), lit(80)).cast("double") / lit(80.0)) *
+            (lit(1.0) - least(col("sr") * lit(4), lit(1.0)))).as("p"),
+          when(col("nt") >= 40 && col("sr") <= 0.10, 1L).otherwise(0L).as("y"))
+        graft.ops.Calibration.isotonic(
+            graft.ops.Calibration.reliability(scored, col("p"), col("y")))
+          .orderBy(col("bin"))
+      },
+      Some(s"""WITH f AS (SELECT len(w) AS nt,
+                                 len(list_filter(w, t -> t IN (${TextQueries.stopListSql})))
+                                   * 1.0 / len(w) AS sr
+                          FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
+                                FROM documents)
+                          WHERE len(w) > 0),
+               sc AS (SELECT (LEAST(nt, 80) / 80.0)
+                               * (1.0 - LEAST(sr * 4, 1.0)) AS p,
+                             CASE WHEN nt >= 40 AND sr <= 0.10
+                                  THEN 1 ELSE 0 END AS y
+                      FROM f),
+               bn AS (SELECT LEAST(9, CAST(floor(p * 10) AS INTEGER)) AS bin, y
+                      FROM sc),
+               rel AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(y) AS BIGINT) AS np
+                       FROM bn GROUP BY 1),
+               iv AS (SELECT j.bin AS j, k.bin AS k,
+                             CAST(sum(m.n) AS BIGINT) AS sn,
+                             CAST(sum(m.np) AS BIGINT) AS sp
+                      FROM rel j JOIN rel k ON j.bin <= k.bin
+                      JOIN rel m ON m.bin BETWEEN j.bin AND k.bin
+                      GROUP BY 1, 2),
+               mn AS (SELECT i.bin AS bin, v.j,
+                             min(CAST(v.sp AS DOUBLE) / v.sn) AS mn_a
+                      FROM rel i JOIN iv v ON v.j <= i.bin AND v.k >= i.bin
+                      GROUP BY 1, 2),
+               iso AS (SELECT bin, max(mn_a) AS iso_rate FROM mn GROUP BY 1)
+               SELECT r.bin, r.n, r.np AS n_pos,
+                      CAST(r.np AS DOUBLE) / r.n AS obs_rate, i.iso_rate
+               FROM rel r JOIN iso i USING (bin) ORDER BY r.bin"""))
   ) ++ Seq(
 
     // ---- deterministic negative sampling for contrastive training

@@ -97,4 +97,37 @@ class QualityClassifierSpec extends SparkSpec {
     // 0.25 chance floor comfortably
     assert(brier >= 0.0 && brier < 0.25, s"brier $brier")
   }
+
+  test("isotonic: hand-computed pooling, monotone identity, mass preservation") {
+    import graft.ops.Calibration
+    // violator at bins 1-2 (rates .2, .5, .3, equal weights): PAV pools
+    // the last two -> (.2, .4, .4); minimax must reproduce it exactly
+    val rel = Seq((0, 10L, 2L), (1, 10L, 5L), (2, 10L, 3L))
+      .toDF("bin", "n", "n_pos")
+    val got = Calibration.isotonic(rel).orderBy($"bin")
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._5) == Seq(0.2, 0.4, 0.4), got.toString)
+    // already-monotone input is a fixed point
+    val mono = Seq((0, 10L, 1L), (1, 10L, 5L), (2, 10L, 9L))
+      .toDF("bin", "n", "n_pos")
+    val fix = Calibration.isotonic(mono).orderBy($"bin")
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(fix.forall(r => r._4 == r._5), fix.toString)
+    // on the real model's reliability table: monotone non-decreasing
+    // and total positive mass preserved (the PAV invariant)
+    val model = QualityClassifier.fit(docs)
+    val scored = QualityClassifier.score(docs, model)
+    val iso = Calibration.isotonic(
+        Calibration.reliability(scored, $"prob", $"label"))
+      .orderBy($"bin")
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(iso.nonEmpty)
+    iso.sliding(2).foreach {
+      case Seq(a, b) => assert(a._5 <= b._5 + 1e-12, s"$a !<= $b")
+      case _ => ()
+    }
+    val massIn = iso.map(_._3).sum.toDouble
+    val massOut = iso.map(r => r._2 * r._5).sum
+    assert(math.abs(massOut - massIn) < 1e-6, s"$massOut vs $massIn")
+  }
 }
