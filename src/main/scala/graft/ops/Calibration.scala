@@ -44,6 +44,45 @@ object Calibration {
         round(sum(col("y")).cast("double") / count(lit(1)), 6).as("obs_rate"))
   }
 
+  /** MERGEABLE per-bin state — the streaming face's sufficient
+    * statistic: (bin, n, n_pos, sum_p, sum_sq) merge by plain sums, so
+    * a continuously-scored stream maintains ONE tiny state table from
+    * which the reliability table AND the Brier score are derived views
+    * (the drift-trio pattern: one state, many monitors). sum_p/sum_sq
+    * are double sums — order-exposed like any distributed sum, which
+    * is why the derived views round at the reporting edge while the
+    * integer columns stay exact. */
+  def binState(df: DataFrame, prob: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    df.select(
+        least(lit(bins - 1), floor(prob.cast("double") * bins)).cast("int")
+          .as("bin"),
+        prob.cast("double").as("p"), label.cast("long").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("p")).as("sum_p"),
+        sum((col("p") - col("y")) * (col("p") - col("y"))).as("sum_sq"))
+  }
+
+  /** Merge [[binState]] partials (micro-batches, shards). */
+  def mergeState(parts: Seq[DataFrame]): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy(col("bin"))
+      .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
+        sum(col("sum_p")).as("sum_p"), sum(col("sum_sq")).as("sum_sq"))
+
+  /** The [[reliability]] view of an accumulated [[binState]]. */
+  def reliabilityFromState(state: DataFrame): DataFrame =
+    state.select(col("bin"), col("n"), col("n_pos"),
+      round(col("sum_p") / col("n"), 6).as("mean_p"),
+      round(col("n_pos").cast("double") / col("n"), 6).as("obs_rate"))
+
+  /** The [[brier]] view of an accumulated [[binState]] (one row). */
+  def brierFromState(state: DataFrame): DataFrame =
+    state.agg(sum(col("n")).as("n"),
+      round(sum(col("sum_sq")) / sum(col("n")), 6).as("brier"))
+
   /** One-row Brier score: (n, brier = mean (p − y)², 6dp). */
   def brier(df: DataFrame, prob: Column, label: Column): DataFrame =
     df.select(prob.cast("double").as("p"), label.cast("double").as("y"))

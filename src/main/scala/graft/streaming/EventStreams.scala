@@ -384,6 +384,30 @@ object EventStreams {
       .map(st => graft.ops.WeightedQuantile.quantileFromCounts(
         st, lo, hi, bins, pBp))
 
+  /** foreachBatch body for a continuously-maintained CALIBRATION
+    * monitor — the stream face of [[graft.ops.Calibration]]: each
+    * micro-batch of scored rows (`probCol`, `labelCol`) folds its
+    * per-bin (n, n_pos, Σp, Σ(p−y)²) partials into the persisted
+    * state (versioned-dir discipline as [[ksDriftBatch]]); the
+    * reliability table and Brier score then read as derived views of
+    * one ≤bins-row state — "is the production scorer still
+    * calibrated" as a monitored gate instead of a batch audit. */
+  def calibrationBatch(probCol: String, labelCol: String, bins: Int,
+      stateDir: String)(batch: DataFrame, batchId: Long): Unit =
+    versionedFold(batch.sparkSession, stateDir, batchId) { prev =>
+      graft.ops.Calibration.mergeState(
+        graft.ops.Calibration.binState(
+          batch, col(probCol), col(labelCol), bins) +: prev.toSeq)
+    }
+
+  /** Current (reliability table, Brier) views of everything
+    * [[calibrationBatch]] accumulated; None before the first commit. */
+  def calibrationCurrent(spark: SparkSession,
+      stateDir: String): Option[(DataFrame, DataFrame)] =
+    incrementalViewState(spark, stateDir).map(st =>
+      (graft.ops.Calibration.reliabilityFromState(st),
+        graft.ops.Calibration.brierFromState(st)))
+
   /** The current materialized state written by
     * [[incrementalJoinViewBatch]]: the highest COMMITTED version
     * directory, or None before the first committed batch. */

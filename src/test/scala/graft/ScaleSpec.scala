@@ -544,6 +544,59 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("weighted-quantile sketch: window runs over aggregated bins, bounds broadcast") {
+    // the q231 scale claim as plan properties: (a) the per-group
+    // [min, max] bounds frame must come back as a BROADCAST join (two
+    // scalars per group, never a shuffle); (b) every Window in the
+    // plan must sit ABOVE an Aggregate — the crossing window scans
+    // <= bins rows per group, NEVER the raw row stream (q212's exact
+    // face pays that row-level window; this face exists to not)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val q = graft.ops.WeightedQuantile.quantileBinned(
+      Tables(spark, sf, "lineitem"), col("l_returnflag"),
+      col("l_extendedprice"), col("l_quantity"))
+    val phys = q.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), phys.take(900))
+    val wins = q.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"window over raw rows:\n${w.toString.take(600)}")
+    }
+  }
+
+  test("segmented TWAP: two aggregate levels, zero Window operators") {
+    // the q230 scale claim: both composition levels are aggregate()
+    // expression folds inside groupBy aggregates — a Window would mean
+    // per-key row buffering crept back in
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = graft.ops.Twap.segmented(
+      Tables(spark, sf, "events").filter(col("user_id").isNotNull),
+      col("user_id"), date_trunc("day", col("ts")),
+      unix_micros(col("ts")), Seq(col("event_id").as("e")), col("value"))
+    assert(q.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }.isEmpty)
+    val phys = q.queryExecution.executedPlan.toString
+    assert(phys.contains("ObjectHashAggregate") || phys.contains("SortAggregate"),
+      phys.take(600))
+  }
+
+  test("IvfState.assignOnly plans like assignJoin: broadcast centroids + hash argmin") {
+    // the q233 assign-only pass must inherit assignJoin's plan shape —
+    // broadcast centroid DATA (keyless BNLJ), ObjectHashAggregate
+    // argmin with map-side combine; keeping the distance column must
+    // not demote the aggregate to a sort
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = (0 until 8).map(i => Seq.fill(10)(i.toDouble))
+    val st = graft.ops.IvfState.Loaded(cents.toIndexedSeq, 1.0, 1L)
+    val asg = graft.ops.IvfState.assignOnly(emb, "vec_id", "embedding", st)
+    val plan = asg.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan.take(900))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(900))
+    assert(!plan.contains("SortAggregate"), plan.take(900))
+  }
+
   test("runtime bloom filter reaches the probe side of a selective shuffle join") {
     // at 100 TB the big-big join tool next to bucketing is the runtime
     // bloom filter: a selective dimension-side predicate is turned into

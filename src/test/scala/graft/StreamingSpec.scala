@@ -944,6 +944,38 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(frozen._5 - fit._5) < 1e-9 && math.abs(frozen._6 - fit._6) < 1e-9)
   }
 
+  test("calibrationBatch: accumulated bin state == one-shot reliability + Brier") {
+    // the calibration monitor in stream form: scored rows arrive in
+    // three micro-batches; the derived reliability/Brier views of the
+    // accumulated state must equal the one-shot batch computation —
+    // integer columns exactly, the order-exposed double sums within
+    // ulp of the 6dp round
+    import org.apache.spark.sql.functions._
+    import graft.ops.Calibration
+    val stateDir = java.nio.file.Files.createTempDirectory("cal_state").toString
+    // deterministic scored frame: p from a hash, weak label correlated
+    val scored = Tables(spark, sf, "documents")
+      .select($"doc_id",
+        (pmod(graft.ops.Portable.p60($"doc_id".cast("string")), lit(1000))
+          .cast("double") / 1000.0).as("p"))
+      .withColumn("y", ($"p" > 0.45).cast("long"))
+    val body = EventStreams.calibrationBatch("p", "y", 10, stateDir) _
+    (0 to 2).foreach(i => body(scored.filter(pmod($"doc_id", lit(3)) === i), i.toLong))
+    val (relS, brS) = EventStreams.calibrationCurrent(spark, stateDir).get
+    val got = relS.orderBy($"bin")
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    val want = Calibration.reliability(scored, $"p", $"y").orderBy($"bin")
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) == want.map(t => (t._1, t._2, t._3)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._4 - w._4) < 2e-6 && math.abs(g._5 - w._5) < 2e-6,
+        s"$g vs $w")
+    }
+    val gotB = brS.as[(Long, Double)].head()
+    val wantB = Calibration.brier(scored, $"p", $"y").as[(Long, Double)].head()
+    assert(gotB._1 == wantB._1 && math.abs(gotB._2 - wantB._2) < 2e-6)
+  }
+
   test("runningTotals: stateful op accumulates per-user counts") {
     val events = Tables(spark, sf, "events")
       .selectExpr("event_id", "user_id", "event_type", "value")
