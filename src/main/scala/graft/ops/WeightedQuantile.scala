@@ -64,16 +64,18 @@ object WeightedQuantile {
       .agg(sum(col("bw")).as("bw"))
 
   /** Read the `pBp` quantile band off a [[binCounts]] state — the same
-    * integer crossing as [[quantileBinned]], over ≤`bins` rows/group. */
+    * integer crossing as [[quantileBinned]], over ≤`bins` rows/group
+    * (totals via a second window spec on the one exchange, the same
+    * single-consumption shape as the batch face). */
   def quantileFromCounts(counts: DataFrame, lo: Double, hi: Double,
       bins: Int, pBp: Int = 5000): DataFrame = {
     require(bins >= 1 && hi > lo, s"need hi > lo and bins >= 1: [$lo, $hi) x $bins")
     require(pBp > 0 && pBp < 10000, s"pBp must be in (0, 10000), got $pBp")
-    val tot = counts.groupBy(col("g"))
-      .agg(sum(col("bw")).as("tw"), count(lit(1)).as("n_bins_hit"))
-    val cum = counts.withColumn("cw",
-      sum(col("bw")).over(Window.partitionBy(col("g")).orderBy(col("bin"))))
-    cum.join(tot, "g")
+    val byG = Window.partitionBy(col("g"))
+    counts
+      .withColumn("cw", sum(col("bw")).over(byG.orderBy(col("bin"))))
+      .withColumn("tw", sum(col("bw")).over(byG))
+      .withColumn("n_bins_hit", count(lit(1)).over(byG))
       .filter(col("cw") * 10000 >= col("tw") * pBp &&
         (col("cw") - col("bw")) * 10000 < col("tw") * pBp)
       .select(col("g"), col("tw"), col("n_bins_hit"), col("bin"),
@@ -109,17 +111,23 @@ object WeightedQuantile {
           least(lit(bins - 1),
             floor((col("v") - col("lo")) * bins / (col("hi") - col("lo"))))
             .cast("int")))
+    // bounds ride the counts aggregate (constant per group, `first` is
+    // exact) and totals read off a second window SPEC on the SAME
+    // partitioning — the whole read path after the bin aggregate is
+    // one exchange over the <= bins-row frame. The naive tot-join
+    // formulation re-derived the counts chain per consumer: FOUR fact
+    // scans in the physical plan where the design needs exactly two
+    // (bounds pass + bin pass) — caught in the q231 explain audit.
     val counts = binned.groupBy(col("g"), col("bin"))
-      .agg(sum(col("w")).as("bw"))
-    val tot = counts.groupBy(col("g"))
-      .agg(sum(col("bw")).as("tw"), count(lit(1)).as("n_bins_hit"))
-    // the window runs over <= `bins` rows per group, never over rows
-    val cum = counts.withColumn("cw",
-      sum(col("bw")).over(Window.partitionBy(col("g")).orderBy(col("bin"))))
-    cum.join(tot, "g")
+      .agg(sum(col("w")).as("bw"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+    val byG = Window.partitionBy(col("g"))
+    counts
+      .withColumn("cw", sum(col("bw")).over(byG.orderBy(col("bin"))))
+      .withColumn("tw", sum(col("bw")).over(byG))
+      .withColumn("n_bins_hit", count(lit(1)).over(byG))
       .filter(col("cw") * 10000 >= col("tw") * pBp &&
         (col("cw") - col("bw")) * 10000 < col("tw") * pBp)
-      .join(broadcast(bounds), "g")
       .select(col("g"), col("tw"), col("n_bins_hit"), col("bin"),
         (col("lo") + col("bin") * (col("hi") - col("lo")) / bins).as("bin_lo"),
         (col("lo") + (col("bin") + 1) * (col("hi") - col("lo")) / bins).as("bin_hi"),

@@ -1964,23 +1964,27 @@ object RelationalQueries {
     // ---- TPC-H Q2 shape: per-part CHEAPEST supplier — the correlated
     // "WHERE cost = (SELECT min(cost) ... same part)" subquery in its
     // decorrelated Spark-first form: one map-side-combined (part,
-    // supplier) cost aggregate, a |parts|-row min frame joined back
-    // (Catalyst broadcasts it under AQE at these cardinalities), dims
-    // broadcast. Equality is on the UNROUNDED effective unit price —
-    // price·(1−disc)/qty is the same correctly-rounded IEEE sequence on
-    // both engines, so the min-pick set is engine-exact and no rounding
-    // can decide membership (a part may keep several suppliers at the
-    // exact same min — all emitted, totally ordered).
+    // supplier) cost aggregate, then the per-part min as a WINDOW over
+    // that aggregated frame — ONE fact scan (the min-frame JOIN
+    // formulation re-derives the costs chain for the join's left side:
+    // two scans, caught in the explain audit), window state bounded by
+    // a part's supplier count. Dims broadcast. Equality is on the
+    // UNROUNDED effective unit price — price·(1−disc)/qty is the same
+    // correctly-rounded IEEE sequence on both engines, so the min-pick
+    // set is engine-exact and no rounding can decide membership (a
+    // part may keep several suppliers at the exact same min — all
+    // emitted, totally ordered).
     GraftQuery(
       "q235_cheapest_supplier",
       (s, d) => {
+        import org.apache.spark.sql.expressions.Window
         val costs = t(s, d, "lineitem")
           .groupBy(col("l_partkey"), col("l_suppkey"))
           .agg(min(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
             / col("l_quantity")).as("unit_cost"))
-        val minc = costs.groupBy(col("l_partkey"))
-          .agg(min(col("unit_cost")).as("min_cost"))
-        costs.join(minc, Seq("l_partkey"))
+        costs
+          .withColumn("min_cost",
+            min(col("unit_cost")).over(Window.partitionBy(col("l_partkey"))))
           .filter(col("unit_cost") === col("min_cost"))
           .join(broadcast(t(s, d, "part").filter(col("p_size") < 15)
             .select(col("p_partkey"), col("p_brand"))),
