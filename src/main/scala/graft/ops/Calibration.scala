@@ -106,8 +106,16 @@ object Calibration {
     * pooled blocks (Σ n·iso = Σ n_pos — pinned in spec). */
   def isotonic(rel: DataFrame, binCol: String = "bin", nCol: String = "n",
       posCol: String = "n_pos"): DataFrame = {
+    // the bin frame has FIVE consumers below (j/k/m interval join, the
+    // i-frame, the final rebind) — without a lineage cut Catalyst
+    // re-derives rel's whole upstream chain per consumer (five corpus
+    // scans in q238's physical plan, caught in the explain audit). The
+    // frame is ≤bins rows — sketch-sized — so an eager localCheckpoint
+    // is the pageRank/kCore discipline, not a cache leak: upstream runs
+    // exactly once, everything below joins the materialized rows.
     val b = rel.select(col(binCol).as("bin"), col(nCol).cast("long").as("n"),
       col(posCol).cast("long").as("np"))
+      .localCheckpoint(eager = true)
     val iv = b.select(col("bin").as("j"))
       .crossJoin(b.select(col("bin").as("k")))
       .filter(col("j") <= col("k"))

@@ -948,10 +948,20 @@ object MLQueries {
           ((least(col("nt"), lit(80)).cast("double") / lit(80.0)) *
             (lit(1.0) - least(col("sr") * lit(4), lit(1.0)))).as("p"),
           when(col("nt") >= 40 && col("sr") <= 0.10, 1L).otherwise(0L).as("y"))
-        graft.ops.Calibration.reliability(scored, col("p"), col("y"))
-          .crossJoin(broadcast(
-            graft.ops.Calibration.brier(scored, col("p"), col("y"))
-              .select(col("brier"))))
+        // ONE corpus scan: the mergeable bin state carries n/n_pos/Σp/
+        // Σ(p−y)², so the reliability columns AND the Brier scalar are
+        // derived views of the same 10-row aggregate (Brier via an
+        // unpartitioned window over those 10 rows — the separate
+        // brier() branch re-scanned the corpus, caught in the explain
+        // audit)
+        import org.apache.spark.sql.expressions.Window
+        val st = graft.ops.Calibration.binState(scored, col("p"), col("y"))
+        val all = Window.partitionBy()
+        st.select(col("bin"), col("n"), col("n_pos"),
+            round(col("sum_p") / col("n"), 6).as("mean_p"),
+            round(col("n_pos").cast("double") / col("n"), 6).as("obs_rate"),
+            round(sum(col("sum_sq")).over(all) / sum(col("n")).over(all), 6)
+              .as("brier"))
           .orderBy(col("bin"))
       },
       Some(s"""WITH f AS (SELECT len(w) AS nt,
