@@ -98,6 +98,67 @@ object TextPipeline {
         Portable.p60(concat_ws(" ", col("toks"))).as("chunk_fp"))
   }
 
+  /** T5/UL2-style SPAN CORRUPTION pair generation — the denoising-
+    * objective data op: replace token spans with numbered sentinels in
+    * the input and emit the masked content (sentinel-prefixed) as the
+    * target. The standard formulation samples span starts sequentially
+    * ("skip if already inside a span"), which is order-dependent and
+    * neither parallel nor engine-replayable; here the token stream is
+    * cut into fixed BLOCKS of `block` tokens and a deterministic hash
+    * of (doc_id, block) decides whether that block's first `span`
+    * tokens are masked. Blocks are independent → the whole generator
+    * is one scan-side projection (no shuffle, no state), restartable
+    * and bit-identical on any engine/partitioning — the negative-
+    * sampling/epoch-shuffle determinism argument applied to masking.
+    * Defaults block=10, span=3, rateBp=5000 give the T5 paper's ~15%
+    * token corruption rate with mean span 3.
+    *
+    * Output per doc: n_tokens, n_spans, n_masked (a short final block
+    * masks min(span, remaining)), input_text (`<extra_id_k>` sentinels
+    * in reading order), target_text (sentinel + masked tokens). */
+  def spanCorrupt(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", block: Int = 10, span: Int = 3,
+      rateBp: Int = 5000): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(block > 0 && span > 0 && span < block,
+      s"need 0 < span < block, got span=$span block=$block")
+    require(rateBp >= 0 && rateBp <= 10000, s"rateBp out of range: $rateBp")
+    graft.functions.GraftFunctions.register(docs.sparkSession) // p60
+    docs
+      .select(col(idCol).as("doc_id"), Portable.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("nb", expr(s"(size(toks) + ${block - 1}) DIV $block").cast("int"))
+      // masked block ids, in order — the only hash decision
+      .withColumn("mb", expr(
+        s"""filter(sequence(0, nb - 1), b ->
+           |  p60(concat(CAST(doc_id AS STRING), ':', CAST(b AS STRING)))
+           |    % 10000 < $rateBp)""".stripMargin))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(col("mb")).as("n_spans"),
+        expr(s"""CAST(aggregate(mb, 0L,
+          |(a, b) -> a + least($span, size(toks) - b * $block)) AS BIGINT)"""
+          .stripMargin).as("n_masked"),
+        expr(
+          s"""array_join(flatten(transform(sequence(0, nb - 1), b ->
+             |  CASE WHEN array_contains(mb, b)
+             |       THEN concat(
+             |         array(concat('<extra_id_',
+             |                      CAST(size(filter(mb, x -> x < b)) AS STRING),
+             |                      '>')),
+             |         slice(toks, b * $block + $span + 1, ${block - span}))
+             |       ELSE slice(toks, b * $block + 1, $block) END)), ' ')"""
+            .stripMargin).as("input_text"),
+        expr(
+          s"""array_join(flatten(transform(mb, b ->
+             |  concat(
+             |    array(concat('<extra_id_',
+             |                 CAST(size(filter(mb, x -> x < b)) AS STRING),
+             |                 '>')),
+             |    slice(toks, b * $block + 1, $span)))), ' ')""".stripMargin)
+          .as("target_text"))
+  }
+
   /** GPT-style sequence packing: concatenate every document's tokens in
     * doc-id order into one global stream and cut it every `seqLen`
     * tokens — the standard way training examples are actually formed

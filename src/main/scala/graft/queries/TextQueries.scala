@@ -621,7 +621,52 @@ object TextQueries {
               UNION ALL SELECT 'pair', 0, a, b, cnt FROM
                 (SELECT a, b, cnt FROM p6 ORDER BY cnt DESC, a, b LIMIT 10))
             ORDER BY kind, step, cnt DESC, a, b"""
-      })
+      }),
+
+    // ---- T5-style span-corruption pair generation
+    // (TextPipeline.spanCorrupt — design rationale there: block-
+    // deterministic hash masking instead of the order-dependent
+    // sequential sampler, so the generator is one scan-side projection,
+    // restartable and engine-replayable). Defaults ≈ the T5 paper's 15%
+    // token corruption at mean span 3. The oracle rebuilds the entire
+    // pair — sentinel numbering, masked remainders, short-final-block
+    // clamping — with the identical p60 block walk, so input AND target
+    // strings hash-match byte for byte.
+    GraftQuery(
+      "q239_span_corruption",
+      (s, d) => graft.ops.TextPipeline.spanCorrupt(t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH base AS (
+                 SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                 FROM documents),
+               b2 AS (SELECT doc_id, toks, len(toks) AS nt,
+                             (len(toks) + 9) // 10 AS nb
+                      FROM base WHERE len(toks) > 0),
+               mbf AS (SELECT doc_id, toks, nt,
+                              [b FOR b IN range(0, nb)
+                                 IF ${Portable.p60Sql(
+                                      "(doc_id::VARCHAR || ':' || b::VARCHAR)")}
+                                    % 10000 < 5000] AS mb,
+                              range(0, nb) AS blocks
+                       FROM b2)
+               SELECT doc_id,
+                      CAST(nt AS INTEGER) AS n_tokens,
+                      CAST(len(mb) AS INTEGER) AS n_spans,
+                      CAST(COALESCE(list_sum(
+                        [least(3, nt - b * 10) FOR b IN mb]), 0) AS BIGINT)
+                        AS n_masked,
+                      array_to_string(flatten(
+                        [CASE WHEN list_contains(mb, b)
+                              THEN ['<extra_id_' ||
+                                    len([x FOR x IN mb IF x < b]) || '>']
+                                   || toks[b * 10 + 4 : (b + 1) * 10]
+                              ELSE toks[b * 10 + 1 : (b + 1) * 10] END
+                         FOR b IN blocks]), ' ') AS input_text,
+                      COALESCE(array_to_string(flatten(
+                        [['<extra_id_' || len([x FOR x IN mb IF x < b]) || '>']
+                         || toks[b * 10 + 1 : b * 10 + 3]
+                         FOR b IN mb]), ' '), '') AS target_text
+               FROM mbf ORDER BY doc_id"""))
   )
 
   /** Spark-SQL fragment of [[Portable.p60]] for use inside `expr` lambdas

@@ -372,6 +372,44 @@ class OpsSpec extends SparkSpec {
     assert(one == Seq((0, 3)))
   }
 
+  test("spanCorrupt: sentinels round-trip, token conservation, rate-0/10000 edges") {
+    // token conservation: input carries n_tokens - n_masked survivors
+    // plus n_spans sentinels; target carries n_masked + n_spans tokens;
+    // sentinel k appears exactly once in each, in reading order
+    val doc = (1 to 47).map(i => s"w$i").mkString(" ") // short final block
+    val rows = TextPipeline.spanCorrupt(
+        Tables(spark, sf, "documents").select($"doc_id", $"text").limit(50)
+          .unionByName(Seq((9999L, doc)).toDF("doc_id", "text")))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nt, ns, nm) = (r.getInt(1), r.getInt(2), r.getLong(3))
+      val in = r.getString(4).split("\\s+").filter(_.nonEmpty)
+      val tg = if (r.getString(5).isEmpty) Array.empty[String]
+        else r.getString(5).split("\\s+")
+      assert(in.length == nt - nm + ns, s"input len: $r")
+      assert(tg.length == nm + ns, s"target len: $r")
+      val sentsIn = in.filter(_.startsWith("<extra_id_"))
+      val sentsTg = tg.filter(_.startsWith("<extra_id_"))
+      val want = (0 until ns).map(k => s"<extra_id_$k>")
+      assert(sentsIn.toSeq == want, s"input sentinels: ${sentsIn.toSeq}")
+      assert(sentsTg.toSeq == want, s"target sentinels: ${sentsTg.toSeq}")
+      // reconstruction: substituting each sentinel's target span back
+      // into the input reproduces the original token count
+      assert((in.length - ns) + (tg.length - ns) == nt)
+    }
+    // rate 0 -> nothing masked, input == original tokens; rate 10000 ->
+    // every block masked
+    val tiny = Seq((1L, (1 to 25).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val none = TextPipeline.spanCorrupt(tiny, rateBp = 0).head()
+    assert(none.getInt(2) == 0 && none.getLong(3) == 0L &&
+      none.getString(4) == (1 to 25).map(i => s"t$i").mkString(" ") &&
+      none.getString(5) == "")
+    val full = TextPipeline.spanCorrupt(tiny, rateBp = 10000).head()
+    // 25 tokens, block 10 -> 3 blocks; last block has 5 tokens, masks 3
+    assert(full.getInt(2) == 3 && full.getLong(3) == 9L, full.toString)
+  }
+
   test("capPerKey: at most k per key, hash-stable across layouts") {
     val events = Tables(spark, sf, "events")
     val capped = graft.ops.Sampling.capPerKey(events, col("user_id"), col("event_id"), k = 3)
