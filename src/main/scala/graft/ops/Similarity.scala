@@ -237,6 +237,33 @@ object Similarity {
         greatest(expr("array_max(transform(v, x -> abs(x)))") / 127.0, lit(1e-12)))
       .withColumn("qv", expr("transform(v, x -> CAST(floor(x / scale + 0.5) AS DOUBLE))"))
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked
+    * candidate lists — the standard hybrid-retrieval combiner (lexical
+    * BM25 + dense ANN, or exact vs quantized paths): fused score
+    * rrf(d) = Σ_s 1/(kRrf + rank_s(d)), summed over the systems that
+    * returned d. Rank-based, so the two systems' incomparable raw
+    * scores never meet; kRrf = 60 is the paper's constant.
+    *
+    * Inputs are (qid, nid, rn) frames. Scale shape: the join is
+    * k·|queries|-sized — candidate-list-sized, never corpus-sized (the
+    * RankEval convention); one full-outer equi-join + a window over
+    * ≤ 2k fused candidates per query. Determinism: each term is a
+    * division of exact small integers (identical doubles cross-engine)
+    * and the two-term sum has a fixed order, so fused scores and the
+    * (rrf DESC, nid) cut are engine-exact — no rounding anywhere. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, kRrf: Int = 60): DataFrame = {
+    require(k >= 1 && kRrf >= 0, s"need k >= 1, kRrf >= 0: $k/$kRrf")
+    val aa = a.select(col("qid"), col("nid"), col("rn").as("rank_a"))
+    val bb = b.select(col("qid"), col("nid"), col("rn").as("rank_b"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("nid"))
+    aa.join(bb, Seq("qid", "nid"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kRrf) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rank_b")), lit(0.0)))
+      .withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= k)
+  }
+
   /** Multi-table approximate top-k: L independent sign-LSH tables (table
     * t hashes with hyperplanes offset by t·planes), candidates = the
     * UNION of per-table bucket collisions, then one exact-cosine rerank.

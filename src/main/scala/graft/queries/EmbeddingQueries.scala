@@ -729,6 +729,81 @@ object EmbeddingQueries {
          SELECT fm.n_fit, nm.n_new, fm.fit_mean_dist, nm.new_mean_dist,
                 round(nm.new_mean_dist / fm.fit_mean_dist, 6) AS drift_ratio,
                 (nm.new_mean_dist * 100 > fm.fit_mean_dist * 120) AS refit_due
-         FROM fm CROSS JOIN nm"""))
+         FROM fm CROSS JOIN nm""")),
+
+    // ---- reciprocal-rank fusion (Similarity.rrfFuse — scale rationale
+    // there) of the exact-cosine top-5 (q40's list) with the
+    // int8-quantized top-5 (q84's list): the hybrid-retrieval combiner
+    // demonstrated on two systems whose raw scores are deliberately
+    // incomparable (exact vs quantized cosine). Every fused score is a
+    // fixed-order sum of two integer-ratio terms — engine-exact,
+    // unrounded; the oracle rebuilds both ranked lists and the fusion.
+    GraftQuery(
+      "q240_rrf_fusion",
+      (s, d) => {
+        val v = vecs(s, d)
+        val exact = Similarity.cosineTopK(v, col("id") < 20, k = 5)
+        val qq = Similarity.quantize(v)
+        val a = qq.select(col("id").as("qid"), col("qv").as("qa"),
+          col("scale").as("sa"), col("nrm").as("na"))
+        val b = qq.select(col("id").as("nid"), col("qv").as("qb"),
+          col("scale").as("sb"), col("nrm").as("nb"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cos_q").desc, col("nid"))
+        val quant = a.filter(col("qid") < 20)
+          .join(b, col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            round(expr("array_dot(qa, qb)") * col("sa") * col("sb") /
+              (col("na") * col("nb")), 6).as("cos_q"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+        Similarity.rrfFuse(exact, quant, k = 3)
+          .select(col("qid"), col("nid"), col("rank_a").as("rank_exact"),
+            col("rank_b").as("rank_quant"), col("rrf"), col("fused_rank"))
+          .orderBy(col("qid"), col("fused_rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+              px AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+                            round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) AS cs
+                     FROM n q JOIN n x ON q.vec_id < 20 AND x.vec_id <> q.vec_id),
+              la AS (SELECT qid, nid, rn FROM
+                       (SELECT qid, nid,
+                               row_number() OVER (PARTITION BY qid
+                                 ORDER BY cs DESC, nid) AS rn
+                        FROM px)
+                     WHERE rn <= 5),
+              q AS (SELECT vec_id, v, nrm,
+                           greatest(list_max([abs(x) FOR x IN v]) / 127, 1e-12) AS scale
+                    FROM n),
+              qq AS (SELECT vec_id, nrm, scale,
+                            [CAST(floor(x / scale + 0.5) AS DOUBLE) FOR x IN v] AS qv
+                     FROM q),
+              pq AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                            round(list_dot_product(a.qv, b.qv) * a.scale * b.scale
+                                  / (a.nrm * b.nrm), 6) AS cq
+                     FROM qq a JOIN qq b ON a.vec_id < 20 AND b.vec_id <> a.vec_id),
+              lb AS (SELECT qid, nid, rn FROM
+                       (SELECT qid, nid,
+                               row_number() OVER (PARTITION BY qid
+                                 ORDER BY cq DESC, nid) AS rn
+                        FROM pq)
+                     WHERE rn <= 5),
+              fused AS (SELECT COALESCE(la.qid, lb.qid) AS qid,
+                               COALESCE(la.nid, lb.nid) AS nid,
+                               CAST(la.rn AS INT) AS rank_exact,
+                               CAST(lb.rn AS INT) AS rank_quant,
+                               COALESCE(CAST(1.0 AS DOUBLE) / (60 + la.rn), 0.0)
+                                 + COALESCE(CAST(1.0 AS DOUBLE) / (60 + lb.rn), 0.0)
+                                 AS rrf
+                        FROM la FULL OUTER JOIN lb
+                          ON la.qid = lb.qid AND la.nid = lb.nid)
+              SELECT qid, nid, rank_exact, rank_quant, rrf,
+                     CAST(fused_rank AS INT) AS fused_rank
+              FROM (SELECT qid, nid, rank_exact, rank_quant, rrf,
+                           row_number() OVER (PARTITION BY qid
+                             ORDER BY rrf DESC, nid) AS fused_rank
+                    FROM fused)
+              WHERE fused_rank <= 3 ORDER BY qid, fused_rank"""))
   )
 }

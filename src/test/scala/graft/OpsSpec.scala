@@ -372,6 +372,27 @@ class OpsSpec extends SparkSpec {
     assert(one == Seq((0, 3)))
   }
 
+  test("rrfFuse: hand-computed fusion, single-list candidates, tie order") {
+    import graft.ops.Similarity
+    // q1: doc 10 ranks 1 in both (rrf 2/61); doc 20 only in A at rank 2
+    // (1/62); doc 30 only in B at rank 2 (1/62) — ties break on nid
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("qid", "nid", "rn")
+    val b = Seq((1L, 10L, 1), (1L, 30L, 2)).toDF("qid", "nid", "rn")
+    val got = Similarity.rrfFuse(a, b, k = 3)
+      .orderBy($"fused_rank")
+      .select($"nid", $"rrf", $"fused_rank")
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(got.map(_._1) == Seq(10L, 20L, 30L), got.toString)
+    assert(math.abs(got(0)._2 - 2.0 / 61) < 1e-15)
+    assert(math.abs(got(1)._2 - 1.0 / 62) < 1e-15 && got(1)._2 == got(2)._2)
+    // k cuts the fused list; a doc in one list only keeps a null rank
+    val cut = Similarity.rrfFuse(a, b, k = 1).collect()
+    assert(cut.length == 1 && cut.head.getLong(1) == 10L)
+    val nulls = Similarity.rrfFuse(a, b, k = 3)
+      .filter($"nid" === 30L).select($"rank_a").head()
+    assert(nulls.isNullAt(0))
+  }
+
   test("spanCorrupt: sentinels round-trip, token conservation, rate-0/10000 edges") {
     // token conservation: input carries n_tokens - n_masked survivors
     // plus n_spans sentinels; target carries n_masked + n_spans tokens;
