@@ -34,7 +34,11 @@ object Calibration {
       bins: Int = 10): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     df.select(
-        least(lit(bins - 1), floor(prob.cast("double") * bins)).cast("int")
+        // both edges clamped (the WeightedQuantile.binCounts guard): a
+        // scorer emitting p = -1e-16 float noise must land in bin 0,
+        // not a phantom bin -1 in the persisted monitoring state
+        least(lit(bins - 1),
+          greatest(lit(0), floor(prob.cast("double") * bins))).cast("int")
           .as("bin"),
         prob.cast("double").as("p"), label.cast("long").as("y"))
       .groupBy(col("bin"))
@@ -56,7 +60,8 @@ object Calibration {
       bins: Int = 10): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     df.select(
-        least(lit(bins - 1), floor(prob.cast("double") * bins)).cast("int")
+        least(lit(bins - 1),
+          greatest(lit(0), floor(prob.cast("double") * bins))).cast("int")
           .as("bin"),
         prob.cast("double").as("p"), label.cast("long").as("y"))
       .groupBy(col("bin"))

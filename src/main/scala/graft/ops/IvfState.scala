@@ -87,7 +87,13 @@ object IvfState {
         col("n_new"),
         lit(state.fitMeanDist).as("fit_mean_dist"),
         col("new_mean_dist"),
-        round(col("new_mean_dist") / lit(state.fitMeanDist), 6).as("drift_ratio"),
+        // degenerate fit (every vector ON a centroid -> mean 0) must
+        // not divide: Spark's non-ANSI /0 yields NULL where DuckDB
+        // yields inf — guard explicitly, null ratio; the threshold
+        // comparison below still fires (new·100 > 0 when new > 0)
+        when(lit(state.fitMeanDist) > 0,
+          round(col("new_mean_dist") / lit(state.fitMeanDist), 6))
+          .as("drift_ratio"),
         (col("new_mean_dist") * 100 > lit(state.fitMeanDist) * thresholdPct)
           .as("refit_due"))
 }

@@ -727,7 +727,9 @@ object EmbeddingQueries {
          nm AS (SELECT CAST(count(*) AS BIGINT) AS n_new,
                        round(avg(d), 6) AS new_mean_dist FROM nd)
          SELECT fm.n_fit, nm.n_new, fm.fit_mean_dist, nm.new_mean_dist,
-                round(nm.new_mean_dist / fm.fit_mean_dist, 6) AS drift_ratio,
+                CASE WHEN fm.fit_mean_dist > 0
+                     THEN round(nm.new_mean_dist / fm.fit_mean_dist, 6)
+                END AS drift_ratio,
                 (nm.new_mean_dist * 100 > fm.fit_mean_dist * 120) AS refit_due
          FROM fm CROSS JOIN nm""")),
 

@@ -18,6 +18,42 @@ import graft.streaming.EventStreams
 object MLQueries {
   import Tables.{apply => t}
 
+  /** The deterministic rational quality score + weak label the
+    * q232/q238 calibration pair shares — ONE definition for both faces
+    * and (via [[qualityScoredSql]]) both oracles, so the heuristic
+    * (80-token cap, 4x stop-ratio penalty, q110's weak-label corner)
+    * cannot drift between the diagnostic and the recalibration map.
+    * p = (min(n_tokens, 80)/80) * (1 - min(4*stop_ratio, 1)): every
+    * step a correctly-rounded IEEE op on exact integer inputs, so p is
+    * bit-identical cross-engine. */
+  private def qualityScored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    t(s, d, "documents")
+      .select(graft.ops.Portable.tokens(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(size(col("w")).as("nt"),
+        (expr(s"size(filter(w, t -> t IN (${TextQueries.stopListSql})))")
+          .cast("double") / size(col("w"))).as("sr"))
+      .select(
+        ((least(col("nt"), lit(80)).cast("double") / lit(80.0)) *
+          (lit(1.0) - least(col("sr") * lit(4), lit(1.0)))).as("p"),
+        when(col("nt") >= 40 && col("sr") <= 0.10, 1L).otherwise(0L).as("y"))
+
+  /** The DuckDB twin of [[qualityScored]]: `f` + `sc` CTE bodies (use
+    * as `WITH $qualityScoredSql, ...`; `sc` has columns p, y). */
+  private val qualityScoredSql: String =
+    s"""f AS (SELECT len(w) AS nt,
+       |            len(list_filter(w, t -> t IN (${TextQueries.stopListSql})))
+       |              * 1.0 / len(w) AS sr
+       |     FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
+       |           FROM documents)
+       |     WHERE len(w) > 0),
+       |sc AS (SELECT (LEAST(nt, 80) / 80.0)
+       |                * (1.0 - LEAST(sr * 4, 1.0)) AS p,
+       |              CASE WHEN nt >= 40 AND sr <= 0.10
+       |                   THEN 1 ELSE 0 END AS y
+       |       FROM f)""".stripMargin
+
   private val w1SimsSql =
     """WITH tf AS (SELECT user_id, props->>'k' AS item, CAST(count(*) AS DOUBLE) AS tf
                    FROM events WHERE props->>'k' IS NOT NULL GROUP BY 1, 2),
@@ -938,16 +974,7 @@ object MLQueries {
     GraftQuery(
       "q232_calibration",
       (s, d) => {
-        val f = t(s, d, "documents")
-          .select(graft.ops.Portable.tokens(col("text")).as("w"))
-          .filter(size(col("w")) > 0)
-          .select(size(col("w")).as("nt"),
-            (expr(s"size(filter(w, t -> t IN (${TextQueries.stopListSql})))")
-              .cast("double") / size(col("w"))).as("sr"))
-        val scored = f.select(
-          ((least(col("nt"), lit(80)).cast("double") / lit(80.0)) *
-            (lit(1.0) - least(col("sr") * lit(4), lit(1.0)))).as("p"),
-          when(col("nt") >= 40 && col("sr") <= 0.10, 1L).otherwise(0L).as("y"))
+        val scored = qualityScored(s, d)
         // ONE corpus scan: the mergeable bin state carries n/n_pos/Σp/
         // Σ(p−y)², so the reliability columns AND the Brier scalar are
         // derived views of the same 10-row aggregate (Brier via an
@@ -964,18 +991,8 @@ object MLQueries {
               .as("brier"))
           .orderBy(col("bin"))
       },
-      Some(s"""WITH f AS (SELECT len(w) AS nt,
-                                 len(list_filter(w, t -> t IN (${TextQueries.stopListSql})))
-                                   * 1.0 / len(w) AS sr
-                          FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
-                                FROM documents)
-                          WHERE len(w) > 0),
-               sc AS (SELECT (LEAST(nt, 80) / 80.0)
-                               * (1.0 - LEAST(sr * 4, 1.0)) AS p,
-                             CASE WHEN nt >= 40 AND sr <= 0.10
-                                  THEN 1 ELSE 0 END AS y
-                      FROM f),
-               bn AS (SELECT LEAST(9, CAST(floor(p * 10) AS INTEGER)) AS bin,
+      Some(s"""WITH $qualityScoredSql,
+               bn AS (SELECT LEAST(9, GREATEST(0, CAST(floor(p * 10) AS INTEGER))) AS bin,
                              p, y
                       FROM sc),
                rel AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
@@ -1002,32 +1019,13 @@ object MLQueries {
     GraftQuery(
       "q238_isotonic_calibration",
       (s, d) => {
-        val f = t(s, d, "documents")
-          .select(graft.ops.Portable.tokens(col("text")).as("w"))
-          .filter(size(col("w")) > 0)
-          .select(size(col("w")).as("nt"),
-            (expr(s"size(filter(w, t -> t IN (${TextQueries.stopListSql})))")
-              .cast("double") / size(col("w"))).as("sr"))
-        val scored = f.select(
-          ((least(col("nt"), lit(80)).cast("double") / lit(80.0)) *
-            (lit(1.0) - least(col("sr") * lit(4), lit(1.0)))).as("p"),
-          when(col("nt") >= 40 && col("sr") <= 0.10, 1L).otherwise(0L).as("y"))
+        val scored = qualityScored(s, d)
         graft.ops.Calibration.isotonic(
             graft.ops.Calibration.reliability(scored, col("p"), col("y")))
           .orderBy(col("bin"))
       },
-      Some(s"""WITH f AS (SELECT len(w) AS nt,
-                                 len(list_filter(w, t -> t IN (${TextQueries.stopListSql})))
-                                   * 1.0 / len(w) AS sr
-                          FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
-                                FROM documents)
-                          WHERE len(w) > 0),
-               sc AS (SELECT (LEAST(nt, 80) / 80.0)
-                               * (1.0 - LEAST(sr * 4, 1.0)) AS p,
-                             CASE WHEN nt >= 40 AND sr <= 0.10
-                                  THEN 1 ELSE 0 END AS y
-                      FROM f),
-               bn AS (SELECT LEAST(9, CAST(floor(p * 10) AS INTEGER)) AS bin, y
+      Some(s"""WITH $qualityScoredSql,
+               bn AS (SELECT LEAST(9, GREATEST(0, CAST(floor(p * 10) AS INTEGER))) AS bin, y
                       FROM sc),
                rel AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
                               CAST(sum(y) AS BIGINT) AS np

@@ -291,14 +291,19 @@ object EventStreams {
     * retry", the standard snapshot-reader discipline. */
   private def versionedFold(spark: SparkSession, stateDir: String,
       batchId: Long)(merge: Option[DataFrame] => DataFrame): Unit = {
-    if (versionDirs(spark, stateDir).exists(_._1 >= batchId)) return
-    val committed = versionDirs(spark, stateDir).map(_._1)
-    val merged = merge(incrementalViewState(spark, stateDir))
+    // one committed-version listing serves the replay guard, the merge
+    // input, and the keep set — on an object store each listing is a
+    // full directory scan plus per-dir _SUCCESS existence RPCs, so
+    // re-listing per use doubles the I/O for identical semantics
+    val committed = versionDirs(spark, stateDir)
+    if (committed.exists(_._1 >= batchId)) return
+    val prev = committed.sortBy(_._1).lastOption
+    val merged = merge(prev.map { case (_, p) => spark.read.parquet(p.toString) })
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // keep = the new version + the one it superseded (reader grace)
-    val keep = Set(batchId) ++ committed.sorted.lastOption
+    val keep = Set(batchId) ++ prev.map(_._1)
     rawVersionDirs(spark, stateDir).filterNot(d => keep(d._1)).foreach { case (_, p) =>
       fs.delete(p, true): Unit
     }

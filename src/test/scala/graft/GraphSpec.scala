@@ -323,8 +323,19 @@ class GraphSpec extends SparkSpec {
       val wantH = h.orderBy("u").as[(Long, Double)].collect().toSeq
       val gotA = auth4.orderBy("i").as[(Int, Double)].collect().toSeq
       val wantA = a.orderBy("i").as[(Int, Double)].collect().toSeq
-      assert(gotH == wantH)
-      assert(gotA == wantA)
+      // node sets exactly; scores to the hits() contract — per its
+      // scaladoc the round-2+ re-pin is exact UNLESS an accumulation-
+      // order-exposed sum lands on a .5e-6 rounding boundary, so the
+      // compare allows that one-grain slack instead of asserting bit
+      // equality the op never promised
+      assert(gotH.map(_._1) == wantH.map(_._1))
+      assert(gotA.map(_._1) == wantA.map(_._1))
+      gotH.zip(wantH).foreach { case (g, w) =>
+        assert(math.abs(g._2 - w._2) <= 1e-6 + 1e-12, s"$g vs $w")
+      }
+      gotA.zip(wantA).foreach { case (g, w) =>
+        assert(math.abs(g._2 - w._2) <= 1e-6 + 1e-12, s"$g vs $w")
+      }
       assert(gotH.nonEmpty && gotA.nonEmpty)
     } finally {
       e.unpersist(blocking = false): Unit
