@@ -1884,6 +1884,79 @@ object MLQueries {
                      round(coalesce(CAST(1.0 AS DOUBLE) / p.first_hit,
                        CAST(0.0 AS DOUBLE)), 6) AS mrr
               FROM per p JOIN rel ON p.u = rel.u
-              ORDER BY p.u"""))
+              ORDER BY p.u""")),
+
+    // ---- classifier threshold sweep (PR curve): q232 asks "are the
+    // scores calibrated?"; this asks the deployment question "what
+    // cutoff do I ship?". ONE corpus scan builds the same 10-bin
+    // (n, n_pos) state as the calibration pair (bin b holds p in
+    // [b/10, (b+1)/10)), and every threshold t = k/10 is then a
+    // SUFFIX SUM over that 10-row frame: p >= k/10 ⇔ bin >= k exactly
+    // (the bin edges ARE the thresholds), so TP/FP/FN/TN per
+    // threshold are integer-exact without a second scan or a 10×
+    // row fan-out of the corpus. The suffix window runs over 10 rows
+    // by construction (the q98 bounded-domain convention). F1 is
+    // computed as 2TP/(2TP+FP+FN) — one division of exact integers —
+    // never from the already-rounded precision and recall;
+    // zero-denominator edges (no predicted positives at t=0.9 etc.)
+    // emit NULL on both engines, not 0/0.
+    GraftQuery(
+      "q245_pr_curve",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val binned = qualityScored(s, d)
+          .select(least(lit(9), greatest(lit(0),
+            floor(col("p") * 10))).cast("int").as("bin"), col("y"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+        val w = Window.orderBy(col("bin").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy()
+        binned
+          .select(col("bin"),
+            sum(col("np")).over(w).as("tp"),
+            (sum(col("n")).over(w) - sum(col("np")).over(w)).as("fp"),
+            (sum(col("np")).over(tot) - sum(col("np")).over(w)).as("fn"),
+            (sum(col("n")).over(tot) - sum(col("n")).over(w) -
+              (sum(col("np")).over(tot) - sum(col("np")).over(w))).as("tn"))
+          .select((col("bin").cast("double") / 10.0).as("threshold"),
+            col("tp"), col("fp"), col("fn"), col("tn"),
+            when(col("tp") + col("fp") > 0, round(col("tp").cast("double") /
+              (col("tp") + col("fp")), 6)).as("precision"),
+            when(col("tp") + col("fn") > 0, round(col("tp").cast("double") /
+              (col("tp") + col("fn")), 6)).as("recall"),
+            when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+              round(lit(2.0) * col("tp") /
+                (lit(2) * col("tp") + col("fp") + col("fn")), 6)).as("f1"))
+          .orderBy(col("threshold"))
+      },
+      Some(s"""WITH $qualityScoredSql,
+               bn AS (SELECT LEAST(9, GREATEST(0,
+                        CAST(floor(p * 10) AS INTEGER))) AS bin, y
+                      FROM sc),
+               b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                            CAST(sum(y) AS BIGINT) AS np
+                     FROM bn GROUP BY 1),
+               s AS (SELECT bin,
+                            CAST(sum(np) OVER w AS BIGINT) AS tp,
+                            CAST(sum(n) OVER w - sum(np) OVER w AS BIGINT) AS fp,
+                            CAST(sum(np) OVER () - sum(np) OVER w AS BIGINT) AS fn,
+                            CAST(sum(n) OVER () - sum(n) OVER w
+                              - (sum(np) OVER () - sum(np) OVER w) AS BIGINT) AS tn
+                     FROM b
+                     WINDOW w AS (ORDER BY bin DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW))
+               SELECT bin / 10.0 AS threshold, tp, fp, fn, tn,
+                      CASE WHEN tp + fp > 0
+                           THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6)
+                      END AS precision,
+                      CASE WHEN tp + fn > 0
+                           THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6)
+                      END AS recall,
+                      CASE WHEN 2 * tp + fp + fn > 0
+                           THEN round(2.0 * tp / (2 * tp + fp + fn), 6)
+                      END AS f1
+               FROM s ORDER BY threshold"""))
   )
 }

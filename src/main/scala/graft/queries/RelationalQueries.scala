@@ -2299,6 +2299,210 @@ object RelationalQueries {
               SELECT user_id, event_type, n,
                      CAST(count(*) OVER (PARTITION BY user_id) AS INTEGER) AS n_types,
                      CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
-              FROM c ORDER BY user_id, event_type"""))
+              FROM c ORDER BY user_id, event_type""")),
+
+    // ---- TPC-H Q13 shape: customer distribution by order count —
+    // the FILTERED OUTER JOIN pitfall. The priority filter must bind
+    // to the ORDERS side of the outer join (ON clause), not to the
+    // joined result (WHERE), or every zero-order customer vanishes
+    // and the c_count=0 bucket — usually the largest — silently
+    // disappears. At 100 TB the scale-correct plan pre-aggregates
+    // orders to |custkeys-with-orders| rows BEFORE the outer join
+    // (identical semantics: the ON-filter becomes a pre-agg filter,
+    // absent custkeys become coalesce-0), so the join carries two
+    // key-sized frames instead of streaming every order row through
+    // outer-join buffering; the second aggregate's domain is order
+    // counts — tens of rows, trivially final. All integers.
+    GraftQuery(
+      "q241_order_count_distribution",
+      (s, d) => {
+        val perCust = t(s, d, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("cnt"))
+        t(s, d, "customer").select(col("c_custkey"))
+          .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+              FROM (SELECT c.c_custkey,
+                           CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+                    FROM customer c
+                    LEFT JOIN orders o
+                      ON o.o_custkey = c.c_custkey
+                     AND o.o_orderpriority <> '1-URGENT'
+                    GROUP BY 1)
+              GROUP BY 1
+              ORDER BY custdist DESC, c_count DESC""")),
+
+    // ---- TPC-H Q17 shape: small-quantity-order revenue — the
+    // decorrelated per-key scalar subquery: "lineitems below 20% of
+    // their part's average quantity" becomes a per-part aggregate
+    // joined back to the fact rows. Two engine-exactness moves: (1)
+    // the threshold test q < avg/5 is cleared of division entirely —
+    // q*5*cnt < sum in longs — so no float avg can disagree between
+    // engines; (2) quantities and prices enter those longs as
+    // floor(x*100) cents (floor, not round: Spark rounds HALF_UP,
+    // DuckDB HALF_EVEN, so a product landing exactly on .5 would
+    // diverge; floor is identical on identical doubles). The brand
+    // filter semi-joins lineitem down scan-side via a broadcast of
+    // the filtered part keys; the per-part aggregate is
+    // brand-parts-sized and broadcasts back onto the same filtered
+    // scan (consumed twice — two cheap filtered scans beat persisting
+    // the fact subset, the consumed-twice convention). Output: one
+    // row, integer count + cent-exact revenue + one final division.
+    GraftQuery(
+      "q242_small_qty_revenue",
+      (s, d) => {
+        val brandParts = t(s, d, "part")
+          .filter(col("p_brand") === "Brand#12")
+          .select(col("p_partkey"))
+        val sel = t(s, d, "lineitem")
+          .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"),
+            floor(col("l_quantity") * 100).cast("long").as("qc"),
+            floor(col("l_extendedprice") * 100).cast("long").as("pc"))
+        val perPart = sel.groupBy(col("l_partkey").as("agg_partkey"))
+          .agg(sum(col("qc")).as("sum_qc"), count(lit(1)).as("cnt"))
+        sel.join(broadcast(perPart), col("l_partkey") === col("agg_partkey"))
+          .filter(col("qc") * lit(5L) * col("cnt") < col("sum_qc"))
+          .agg(count(lit(1)).as("n_small"),
+            sum(col("pc")).as("revenue_cents"),
+            round(sum(col("pc")).cast("double") / 700.0, 2).as("avg_yearly"))
+      },
+      Some("""WITH sel AS (SELECT l.l_partkey,
+                     CAST(floor(l.l_quantity * 100) AS BIGINT) AS qc,
+                     CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS pc
+                   FROM lineitem l
+                   JOIN part p ON p.p_partkey = l.l_partkey
+                   WHERE p.p_brand = 'Brand#12'),
+              pp AS (SELECT l_partkey, sum(qc) AS sum_qc,
+                            CAST(count(*) AS BIGINT) AS cnt
+                     FROM sel GROUP BY 1)
+              SELECT CAST(count(*) AS BIGINT) AS n_small,
+                     CAST(sum(s.pc) AS BIGINT) AS revenue_cents,
+                     round(CAST(sum(s.pc) AS DOUBLE) / 700.0, 2) AS avg_yearly
+              FROM sel s JOIN pp ON pp.l_partkey = s.l_partkey
+              WHERE s.qc * 5 * pp.cnt < pp.sum_qc""")),
+
+    // ---- TPC-H Q21 shape: the sole-late-supplier report — the
+    // hardest classic decorrelation: EXISTS (another supplier shipped
+    // on the same order) AND NOT EXISTS (another supplier was ALSO
+    // late), expressed as a left-semi then a left-anti self-join of
+    // the late-lines frame against the order's line set, both keyed
+    // on orderkey with a suppkey inequality residual. "Late" adapts
+    // Q21's receipt-vs-commit test to this schema: shipped more than
+    // 60 days after the order date, on finished ('F') orders. Scale:
+    // every join is EQUI-keyed on l_orderkey (the inequality is a
+    // post-probe residual, never a BroadcastNestedLoop trigger), so
+    // the whole chain co-partitions on one exchange family; the
+    // multiplicity of the late frame is preserved through semi/anti
+    // (numwait counts late LINES, the Q21 convention) and the top-20
+    // cut is TakeOrderedAndProject with a suppkey tiebreak.
+    GraftQuery(
+      "q243_waiting_suppliers",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val late = li
+          .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+              .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .select(col("l_orderkey").as("okey"), col("l_suppkey").as("skey"))
+        val others = li.select(col("l_orderkey").as("okey2"),
+          col("l_suppkey").as("skey2"))
+        val lateOthers = late.select(col("okey").as("okey3"),
+          col("skey").as("skey3"))
+        late
+          .join(others, col("okey") === col("okey2") &&
+            col("skey") =!= col("skey2"), "left_semi")
+          .join(lateOthers, col("okey") === col("okey3") &&
+            col("skey") =!= col("skey3"), "left_anti")
+          .groupBy(col("skey"))
+          .agg(count(lit(1)).as("numwait"))
+          .join(broadcast(t(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+            col("skey") === col("s_suppkey"))
+          .select(col("s_name"), col("skey").as("suppkey"), col("numwait"))
+          .orderBy(col("numwait").desc, col("suppkey"))
+          .limit(20)
+      },
+      Some("""WITH late AS (SELECT l.l_orderkey AS okey, l.l_suppkey AS skey
+                    FROM lineitem l
+                    JOIN orders o ON o.o_orderkey = l.l_orderkey
+                    WHERE o.o_orderstatus = 'F'
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+              SELECT s.s_name, w.skey AS suppkey, w.numwait
+              FROM (SELECT skey, CAST(count(*) AS BIGINT) AS numwait
+                    FROM late l1
+                    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                                  WHERE l2.l_orderkey = l1.okey
+                                    AND l2.l_suppkey <> l1.skey)
+                      AND NOT EXISTS (SELECT 1 FROM late l3
+                                      WHERE l3.okey = l1.okey
+                                        AND l3.skey <> l1.skey)
+                    GROUP BY 1) w
+              JOIN supplier s ON s.s_suppkey = w.skey
+              ORDER BY numwait DESC, suppkey LIMIT 20""")),
+
+    // ---- TPC-H Q22 shape: rich customers who never placed an URGENT
+    // order — the global-scalar-threshold + anti-join pattern: a
+    // 1-row aggregate (mean positive balance) broadcasts onto the
+    // customer scan as the filter, then an anti-join against urgent
+    // custkeys keeps only never-urgent customers. (Q22 proper
+    // anti-joins ALL orders; on this generator every custkey has
+    // orders, which would make that branch vacuously row-free — the
+    // q221 lesson — so the anti-join side carries the priority filter
+    // instead: 75 survivors at sf0.01, 5 at sf0.001, non-vacuous
+    // everywhere, identical plan shape.) Exactness: balances enter as
+    // floor-cent longs and the mean test b > sum/n is cleared of
+    // division (b*n > sum, all longs — products stay < 2^63 even at
+    // 1e10 customers × 1e6-cent balances). The anti-join side is
+    // pre-shrunk to DISTINCT custkeys (map-side-combined) so the
+    // shuffle carries keys, not orders; the final aggregate's domain
+    // is |nations| — broadcast dim, tiny result.
+    GraftQuery(
+      "q244_rich_no_urgent",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
+        val thr = cust.filter(col("bal_c") > 0)
+          .agg(sum(col("bal_c")).as("sum_c"), count(lit(1)).as("n_c"))
+        cust
+          .crossJoin(broadcast(thr))
+          .filter(col("bal_c") * col("n_c") > col("sum_c"))
+          .join(t(s, d, "orders")
+              .filter(col("o_orderpriority") === "1-URGENT")
+              .select(col("o_custkey")).distinct(),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("bal_c")).as("totacctbal_cents"))
+          .orderBy(col("n_name"))
+      },
+      Some("""WITH cust AS (SELECT c_custkey, c_nationkey,
+                     CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+                   FROM customer),
+              thr AS (SELECT sum(bal_c) AS sum_c,
+                             CAST(count(*) AS BIGINT) AS n_c
+                      FROM cust WHERE bal_c > 0)
+              SELECT n.n_name,
+                     CAST(count(*) AS BIGINT) AS numcust,
+                     CAST(sum(c.bal_c) AS BIGINT) AS totacctbal_cents
+              FROM cust c CROSS JOIN thr
+              JOIN nation n ON n.n_nationkey = c.c_nationkey
+              WHERE c.bal_c * thr.n_c > thr.sum_c
+                AND NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey
+                                  AND o.o_orderpriority = '1-URGENT')
+              GROUP BY 1 ORDER BY n_name"""))
   )
 }

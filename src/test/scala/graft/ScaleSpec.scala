@@ -597,6 +597,30 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("SortAggregate"), plan.take(900))
   }
 
+  test("Q21 shape: semi/anti self-joins stay equi-keyed, never nested-loop") {
+    // q243's scale claim: the suppkey INEQUALITY rides as a residual
+    // condition inside orderkey-keyed joins. If Catalyst ever saw only
+    // the non-equi predicate it would plan BroadcastNestedLoopJoin over
+    // the |lineitem|² pair space — the q194 failure mode. Force the
+    // shuffle path (no broadcast) to observe the big-big plan that must
+    // hold at 100 TB: every join keyed, the semi and anti both
+    // SortMergeJoin on l_orderkey.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = graft.queries.RelationalQueries.all
+        .find(_.name == "q243_waiting_suppliers").get
+      val df = q.build(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+      assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+        plan.take(1200))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("runtime bloom filter reaches the probe side of a selective shuffle join") {
     // at 100 TB the big-big join tool next to bucketing is the runtime
     // bloom filter: a selective dimension-side predicate is turned into
