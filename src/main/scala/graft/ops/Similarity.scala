@@ -312,4 +312,64 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }
+
+  /** Ratio-margin scoring for cross-side mining (the bitext-mining
+    * shape of Artetxe & Schwenk, "Margin-based Parallel Corpus Mining",
+    * 2019): absolute cosine is a bad match score because some vectors
+    * sit in dense hubs where EVERYTHING scores high; the margin
+    * normalizes each pair by how close its endpoints are to their own
+    * neighborhoods — margin(x, y) = cos(x, y) / ((avgNNk(x) +
+    * avgNNk(y)) / 2) — and hub matches stop outranking genuinely
+    * aligned ones. Emits each query-side row's BEST corpus-side match
+    * by margin.
+    *
+    * Both averages derive from ONE cross-side pair frame (no same-side
+    * pairs): x's kNN among the corpus side and y's kNN among the query
+    * side are the same frame windowed on the two keys (consumed twice —
+    * the frame is |Q|·|C| for this brute-force face; the production
+    * candidate generator is [[annTopKFromHashed]]/IVF, which bounds it
+    * to bucket-sized blocks, and the margin arithmetic here applies
+    * unchanged on top of any candidate frame). Determinism: the 6dp
+    * cosine is scaled to an exact integer (round lands ≥ 1e-3 ulps from
+    * any .5 after the 6dp pin, so HALF_UP vs HALF_EVEN cannot diverge),
+    * every sum/count/product stays in longs, and the margin is ONE
+    * division of exact integers — bit-identical cross-engine,
+    * emitted unrounded. */
+  def marginTopMatch(prepared: DataFrame, querySide: Column, k: Int): DataFrame = {
+    val q = prepared.filter(querySide)
+      .select(col("id").as("qid"), col("v").as("va"), col("nrm").as("qn"))
+    val x = prepared.filter(!querySide)
+      .select(col("id").as("nid"), col("v").as("vb"), col("nrm").as("nn"))
+    val pairs = q.crossJoin(x)
+      .select(col("qid"), col("nid"),
+        round(expr("array_dot(va, vb)") / (col("qn") * col("nn")), 6).as("cos_sim"))
+      .withColumn("cos_l", round(col("cos_sim") * 1e6).cast("long"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))
+    val wn = Window.partitionBy(col("nid")).orderBy(col("cos_sim").desc, col("qid"))
+    val keptQ = pairs.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k)
+    val denomQ = keptQ.groupBy(col("qid").as("dq_id"))
+      .agg(sum(col("cos_l")).as("den_q"), count(lit(1)).as("cnt_q"))
+    val denomC = pairs.withColumn("rn2", row_number().over(wn))
+      .filter(col("rn2") <= k)
+      .groupBy(col("nid").as("dc_id"))
+      .agg(sum(col("cos_l")).as("den_c"), count(lit(1)).as("cnt_c"))
+    // a zero combined denominator (possible when neighborhood cosines
+    // cancel) must yield NULL on both engines, never Spark-NULL-vs-
+    // DuckDB-inf; NULL margins rank LAST explicitly — the two engines'
+    // default NULL placement under DESC differs
+    val wm = Window.partitionBy(col("qid"))
+      .orderBy(col("margin").desc_nulls_last, col("nid"))
+    keptQ
+      .join(denomQ, col("qid") === col("dq_id"))
+      .join(denomC, col("nid") === col("dc_id"))
+      .select(col("qid"), col("nid"), col("cos_sim"),
+        when(col("den_q") * col("cnt_c") + col("den_c") * col("cnt_q") =!= 0,
+          (lit(2L) * col("cos_l") * col("cnt_q") * col("cnt_c")).cast("double") /
+            (col("den_q") * col("cnt_c") + col("den_c") * col("cnt_q"))
+              .cast("double")).as("margin"))
+      .withColumn("mrn", row_number().over(wm))
+      .filter(col("mrn") === 1)
+      .drop("mrn")
+  }
 }

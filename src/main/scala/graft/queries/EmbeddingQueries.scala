@@ -806,6 +806,68 @@ object EmbeddingQueries {
                            row_number() OVER (PARTITION BY qid
                              ORDER BY rrf DESC, nid) AS fused_rank
                     FROM fused)
-              WHERE fused_rank <= 3 ORDER BY qid, fused_rank"""))
+              WHERE fused_rank <= 3 ORDER BY qid, fused_rank""")),
+
+    // ---- ratio-margin mining (Similarity.marginTopMatch): the
+    // bitext-mining score — each even-id "query language" vector's best
+    // odd-id "corpus language" match by cos/((avgNN(x)+avgNN(y))/2),
+    // which demotes hub vectors that score high against EVERYTHING.
+    // Both kNN averages come from one cross-side pair frame windowed on
+    // its two keys; the margin is one division of exact longs (6dp
+    // cosine scaled integer, long sums/products), emitted UNROUNDED —
+    // the q231/q238 exact-rational convention. Query side bounded to 20
+    // vectors (the q40 face convention); at 100 TB the identical
+    // arithmetic runs on LSH/IVF candidate frames instead of the cross
+    // join.
+    GraftQuery(
+      "q246_margin_mining",
+      (s, d) => Similarity.marginTopMatch(
+          vecs(s, d).filter(col("id") % 2 === 1 ||
+            (col("id") % 2 === 0 && col("id") < 40)),
+          col("id") % 2 === 0, k = 4)
+        .select(col("qid"), col("nid"), col("cos_sim"), col("margin"))
+        .orderBy(col("qid")),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                         FROM embeddings
+                         WHERE vec_id % 2 = 1
+                            OR (vec_id % 2 = 0 AND vec_id < 40)),
+              n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+                    FROM e),
+              p AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+                           round(list_dot_product(q.v, x.v)
+                             / (q.nrm * x.nrm), 6) AS cos_sim
+                    FROM n q JOIN n x
+                      ON q.vec_id % 2 = 0 AND x.vec_id % 2 = 1),
+              pl AS (SELECT qid, nid, cos_sim,
+                            CAST(round(cos_sim * 1e6) AS BIGINT) AS cos_l
+                     FROM p),
+              kq AS (SELECT * FROM (SELECT pl.*, row_number() OVER
+                       (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rn
+                     FROM pl) WHERE rn <= 4),
+              dq AS (SELECT qid, CAST(sum(cos_l) AS BIGINT) AS den_q,
+                            CAST(count(*) AS BIGINT) AS cnt_q
+                     FROM kq GROUP BY 1),
+              kc AS (SELECT * FROM (SELECT pl.*, row_number() OVER
+                       (PARTITION BY nid ORDER BY cos_sim DESC, qid) AS rn2
+                     FROM pl) WHERE rn2 <= 4),
+              dc AS (SELECT nid, CAST(sum(cos_l) AS BIGINT) AS den_c,
+                            CAST(count(*) AS BIGINT) AS cnt_c
+                     FROM kc GROUP BY 1),
+              m AS (SELECT k.qid, k.nid, k.cos_sim,
+                           CASE WHEN dq.den_q * dc.cnt_c
+                                   + dc.den_c * dq.cnt_q <> 0
+                                THEN CAST(2 * k.cos_l * dq.cnt_q * dc.cnt_c
+                                       AS DOUBLE)
+                                     / CAST(dq.den_q * dc.cnt_c
+                                         + dc.den_c * dq.cnt_q AS DOUBLE)
+                           END AS margin
+                    FROM kq k
+                    JOIN dq ON dq.qid = k.qid
+                    JOIN dc ON dc.nid = k.nid)
+              SELECT qid, nid, cos_sim, margin
+              FROM (SELECT m.*, row_number() OVER (PARTITION BY qid
+                      ORDER BY margin DESC NULLS LAST, nid) AS mrn
+                    FROM m)
+              WHERE mrn = 1 ORDER BY qid"""))
   )
 }

@@ -1957,6 +1957,67 @@ object MLQueries {
                       CASE WHEN 2 * tp + fp + fn > 0
                            THEN round(2.0 * tp / (2 * tp + fp + fn), 6)
                       END AS f1
-               FROM s ORDER BY threshold"""))
+               FROM s ORDER BY threshold""")),
+
+    // ---- Wilson 95% interval per group — the eval family's missing
+    // rigor piece: a raw rate over 40 events and one over 40k both
+    // print "0.28", but only the interval says which is evidence and
+    // which is noise (z-score q226 standardizes VALUES; this bounds
+    // PROPORTIONS). Monitored proportion: weekend share per event
+    // type. Cross-engine exactness: the only inputs are two longs per
+    // group (weekend test is integer day-of-week arithmetic, spelled
+    // per-engine since Spark counts Sun=1..Sat=7 and DuckDB isodow
+    // Mon=1..Sun=7); every downstream op (+,-,*,/,sqrt) is
+    // IEEE-correctly-rounded on both engines, so with the SAME
+    // association order the doubles are bit-identical; the one
+    // non-integer literal enters as CAST(1.96 AS DOUBLE) on both
+    // sides (a bare 1.96 types DECIMAL in DuckDB and reassociates the
+    // arithmetic). 6dp-rounded for output. Scale: one
+    // partial-aggregating scan, |event_type|-row result.
+    GraftQuery(
+      "q248_wilson_bounds",
+      (s, d) => {
+        val agg = t(s, d, "events")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(dayofweek(col("ts")).isin(1, 7), 1L).otherwise(0L))
+              .as("k"))
+        val n = col("n").cast("double")
+        val k = col("k").cast("double")
+        val p = k / n
+        val z = lit(1.96)
+        val z2 = z * z
+        val denom = lit(1) + z2 / n
+        val center = (p + z2 / (lit(2) * n)) / denom
+        val half = (z / denom) *
+          sqrt((p * (lit(1) - p)) / n + z2 / (lit(4) * n * n))
+        agg.select(col("event_type"), col("n"), col("k"),
+            round(p, 6).as("rate"),
+            round(center - half, 6).as("lo95"),
+            round(center + half, 6).as("hi95"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH a AS (SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS k
+                   FROM events GROUP BY 1),
+              w AS (SELECT event_type, n, k,
+                           CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                           CAST(1.96 AS DOUBLE) AS z,
+                           CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2,
+                           CAST(n AS DOUBLE) AS nd
+                    FROM a)
+              SELECT event_type, n, k,
+                     round(p, 6) AS rate,
+                     round((p + z2 / (2 * nd)) / (1 + z2 / nd)
+                       - (z / (1 + z2 / nd))
+                         * sqrt((p * (1 - p)) / nd + z2 / (4 * nd * nd)), 6)
+                       AS lo95,
+                     round((p + z2 / (2 * nd)) / (1 + z2 / nd)
+                       + (z / (1 + z2 / nd))
+                         * sqrt((p * (1 - p)) / nd + z2 / (4 * nd * nd)), 6)
+                       AS hi95
+              FROM w ORDER BY event_type"""))
   )
 }

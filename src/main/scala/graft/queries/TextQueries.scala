@@ -666,7 +666,65 @@ object TextQueries {
                         [['<extra_id_' || len([x FOR x IN mb IF x < b]) || '>']
                          || toks[b * 10 + 1 : b * 10 + 3]
                          FOR b IN mb]), ' '), '') AS target_text
-               FROM mbf ORDER BY doc_id"""))
+               FROM mbf ORDER BY doc_id""")),
+
+    // ---- corpus diversity (distinct-n): the generation-diversity
+    // metric repurposed as a corpus monitor — distinct n-grams / total
+    // n-grams for n = 1, 2, 3. A template-heavy or near-duplicated
+    // corpus shows a LOW distinct-2/-3 long before exact dedup fires
+    // (q34 catches identical docs; this catches a thousand docs stamped
+    // from one skeleton). ONE corpus scan fans each doc into its
+    // n-grams scan-side (explicit empty-array guards for docs shorter
+    // than n — Spark's sequence(0, -1) DESCENDS rather than returning
+    // empty, DuckDB's range is end-exclusive; neither default agrees so
+    // both are guarded); the aggregate is a per-n count + count
+    // DISTINCT — exact here, and at 100 TB the drop-in sketch face is
+    // the HLL family (q91's mergeable state) on the same gram frame.
+    // Ratios are single divisions of exact longs, emitted unrounded.
+    GraftQuery(
+      "q247_distinct_ngrams",
+      (s, d) => t(s, d, "documents")
+        .select(Portable.tokens(col("text")).as("w"))
+        .filter(size(col("w")) > 0)
+        .select(explode(expr(
+          """concat(
+               transform(w, t -> struct(1 AS n, t AS g)),
+               CASE WHEN size(w) >= 2
+                    THEN transform(sequence(0, size(w) - 2),
+                      i -> struct(2 AS n, concat_ws(' ', w[i], w[i + 1]) AS g))
+                    ELSE array() END,
+               CASE WHEN size(w) >= 3
+                    THEN transform(sequence(0, size(w) - 3),
+                      i -> struct(3 AS n,
+                        concat_ws(' ', w[i], w[i + 1], w[i + 2]) AS g))
+                    ELSE array() END)""")).as("ng"))
+        .select(col("ng.n").as("n"), col("ng.g").as("g"))
+        .groupBy(col("n"))
+        .agg(count(lit(1)).as("total"),
+          countDistinct(col("g")).as("uniq"))
+        .select(col("n"), col("total"), col("uniq"),
+          (col("uniq").cast("double") / col("total").cast("double"))
+            .as("distinct_ratio"))
+        .orderBy(col("n")),
+      Some("""WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS w
+                            FROM documents),
+              tf AS (SELECT w FROM toks WHERE len(w) > 0),
+              grams AS (
+                SELECT 1 AS n, unnest(w) AS g FROM tf
+                UNION ALL
+                SELECT 2 AS n, unnest(CASE WHEN len(w) >= 2
+                  THEN [w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]
+                  ELSE [] END) AS g FROM tf
+                UNION ALL
+                SELECT 3 AS n, unnest(CASE WHEN len(w) >= 3
+                  THEN [w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+                        FOR i IN range(1, len(w) - 1)]
+                  ELSE [] END) AS g FROM tf)
+              SELECT n, CAST(count(*) AS BIGINT) AS total,
+                     CAST(count(DISTINCT g) AS BIGINT) AS uniq,
+                     CAST(count(DISTINCT g) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS distinct_ratio
+              FROM grams GROUP BY 1 ORDER BY n"""))
   )
 
   /** Spark-SQL fragment of [[Portable.p60]] for use inside `expr` lambdas

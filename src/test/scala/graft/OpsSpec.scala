@@ -191,6 +191,30 @@ class OpsSpec extends SparkSpec {
     assert(hit > 0, s"IVF recalled 0 of ${bruteSet.size} true top-5 pairs")
   }
 
+  test("marginTopMatch: hub demoted — raw-cosine winner loses to the specialist") {
+    // engineered 2-D fixture (margins precomputed exactly): corpus id 1
+    // is a HUB bisecting the two queries (cos ~0.99 to both), corpus
+    // id 3 a specialist for query 0 (cos 0.97, but only 0.86 to query
+    // 2). Raw cosine ranks the hub first for query 0; the margin's
+    // neighborhood normalization (hub denom ~0.99 vs specialist denom
+    // ~0.92) flips it: margin(q0, specialist) = 1.0229 > margin(q0,
+    // hub) = 1.0051. Query 2 keeps the hub — it genuinely IS its best.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (2L, Array(0.96f, 0.28f)),
+      (1L, Array(0.98995f, 0.14139f)), (3L, Array(0.97f, -0.2431f)))
+      .toDF("vec_id", "embedding")
+    val prepared = graft.ops.Similarity.prepare(emb)
+    val got = graft.ops.Similarity
+      .marginTopMatch(prepared, col("id") % 2 === 0, k = 2)
+      .select($"qid", $"nid", $"margin").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(0L, 2L)) // exactly one row per query
+    assert(got(0L)._1 == 3L, s"hub not demoted: ${got(0L)}")
+    assert(got(2L)._1 == 1L, s"q2 should keep the hub: ${got(2L)}")
+    assert(math.abs(got(0L)._2 - 1.0229140) < 1e-4, got(0L).toString)
+    assert(math.abs(got(2L)._2 - 1.0330821) < 1e-4, got(2L).toString)
+  }
+
   test("quantize: codes in int8 range, dequantized cosine within 2% of exact") {
     val prepared = graft.ops.Similarity.prepare(Tables(spark, sf, "embeddings")).cache()
     val qq = graft.ops.Similarity.quantize(prepared)
