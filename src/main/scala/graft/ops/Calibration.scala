@@ -139,4 +139,39 @@ object Calibration {
         (col("np").cast("double") / col("n")).as("obs_rate"),
         col("iso_rate"))
   }
+
+  /** The precision/recall threshold-sweep (PR curve) view of an
+    * accumulated [[binState]] — the deployment question ("what cutoff
+    * do I ship?") answered from the SAME tiny state the reliability
+    * table and Brier score read (one state, many monitors). Each
+    * threshold t = k/bins is a SUFFIX SUM over the bin frame: p >=
+    * k/bins ⇔ bin >= k exactly, because the bin edges ARE the
+    * thresholds — so TP/FP/FN/TN are integer-exact with no second pass
+    * over the scored data. F1 = 2TP/(2TP+FP+FN), one division of
+    * exact integers, never composed from the already-rounded precision
+    * and recall; zero-denominator edges emit NULL. The windows run
+    * over ≤`bins` aggregated rows by construction (the q98
+    * bounded-domain convention). */
+  def prCurveFromState(state: DataFrame, bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    state
+      .select(col("bin"),
+        sum(col("n_pos")).over(w).as("tp"),
+        (sum(col("n")).over(w) - sum(col("n_pos")).over(w)).as("fp"),
+        (sum(col("n_pos")).over(tot) - sum(col("n_pos")).over(w)).as("fn"),
+        (sum(col("n")).over(tot) - sum(col("n")).over(w) -
+          (sum(col("n_pos")).over(tot) - sum(col("n_pos")).over(w))).as("tn"))
+      .select((col("bin").cast("double") / bins).as("threshold"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0, round(col("tp").cast("double") /
+          (col("tp") + col("fp")), 6)).as("precision"),
+        when(col("tp") + col("fn") > 0, round(col("tp").cast("double") /
+          (col("tp") + col("fn")), 6)).as("recall"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          round(lit(2.0) * col("tp") /
+            (lit(2) * col("tp") + col("fp") + col("fn")), 6)).as("f1"))
+  }
 }

@@ -1902,34 +1902,10 @@ object MLQueries {
     // emit NULL on both engines, not 0/0.
     GraftQuery(
       "q245_pr_curve",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val binned = qualityScored(s, d)
-          .select(least(lit(9), greatest(lit(0),
-            floor(col("p") * 10))).cast("int").as("bin"), col("y"))
-          .groupBy(col("bin"))
-          .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
-        val w = Window.orderBy(col("bin").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val tot = Window.partitionBy()
-        binned
-          .select(col("bin"),
-            sum(col("np")).over(w).as("tp"),
-            (sum(col("n")).over(w) - sum(col("np")).over(w)).as("fp"),
-            (sum(col("np")).over(tot) - sum(col("np")).over(w)).as("fn"),
-            (sum(col("n")).over(tot) - sum(col("n")).over(w) -
-              (sum(col("np")).over(tot) - sum(col("np")).over(w))).as("tn"))
-          .select((col("bin").cast("double") / 10.0).as("threshold"),
-            col("tp"), col("fp"), col("fn"), col("tn"),
-            when(col("tp") + col("fp") > 0, round(col("tp").cast("double") /
-              (col("tp") + col("fp")), 6)).as("precision"),
-            when(col("tp") + col("fn") > 0, round(col("tp").cast("double") /
-              (col("tp") + col("fn")), 6)).as("recall"),
-            when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
-              round(lit(2.0) * col("tp") /
-                (lit(2) * col("tp") + col("fp") + col("fn")), 6)).as("f1"))
-          .orderBy(col("threshold"))
-      },
+      (s, d) => graft.ops.Calibration.prCurveFromState(
+          graft.ops.Calibration.binState(
+            qualityScored(s, d), col("p"), col("y")))
+        .orderBy(col("threshold")),
       Some(s"""WITH $qualityScoredSql,
                bn AS (SELECT LEAST(9, GREATEST(0,
                         CAST(floor(p * 10) AS INTEGER))) AS bin, y

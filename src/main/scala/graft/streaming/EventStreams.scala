@@ -413,6 +413,14 @@ object EventStreams {
       (graft.ops.Calibration.reliabilityFromState(st),
         graft.ops.Calibration.brierFromState(st)))
 
+  /** The PR-curve (threshold sweep) view of the same accumulated
+    * calibration state — a third monitor derived from the one
+    * [[calibrationBatch]] state table, no extra stream pass. */
+  def prCurveCurrent(spark: SparkSession,
+      stateDir: String): Option[DataFrame] =
+    incrementalViewState(spark, stateDir)
+      .map(graft.ops.Calibration.prCurveFromState(_))
+
   /** The current materialized state written by
     * [[incrementalJoinViewBatch]]: the highest COMMITTED version
     * directory, or None before the first committed batch. */

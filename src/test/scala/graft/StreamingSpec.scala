@@ -974,6 +974,20 @@ class StreamingSpec extends SparkSpec {
     val gotB = brS.as[(Long, Double)].head()
     val wantB = Calibration.brier(scored, $"p", $"y").as[(Long, Double)].head()
     assert(gotB._1 == wantB._1 && math.abs(gotB._2 - wantB._2) < 2e-6)
+    // third derived monitor off the SAME state: the PR curve's counts
+    // are pure integer suffix sums, so stream == batch EXACTLY
+    // (q245's contract) — no tolerance needed on any column
+    val gotPr = EventStreams.prCurveCurrent(spark, stateDir).get
+      .orderBy($"threshold")
+      .as[(Double, Long, Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    val wantPr = Calibration.prCurveFromState(
+        Calibration.binState(scored, $"p", $"y")).orderBy($"threshold")
+      .as[(Double, Long, Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(gotPr == wantPr)
+    assert(gotPr.map(_._2).reverse == gotPr.map(_._2).reverse.sorted,
+      "TP must be non-increasing in threshold")
   }
 
   test("runningTotals: stateful op accumulates per-user counts") {
