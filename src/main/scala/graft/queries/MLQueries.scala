@@ -39,6 +39,45 @@ object MLQueries {
           (lit(1.0) - least(col("sr") * lit(4), lit(1.0)))).as("p"),
         when(col("nt") >= 40 && col("sr") <= 0.10, 1L).otherwise(0L).as("y"))
 
+  /** The per-user time-to-first-conversion frame the q249/q250 pair
+    * shares — ONE definition for both faces and both oracles. Per
+    * user: t = elapsed FULL hours from first event to first purchase
+    * (integer floor division of epoch micros — engine-identical,
+    * unlike hour-boundary counting), capped at the 72 h horizon;
+    * event = converted within the horizon (censored otherwise).
+    * Columns: (user_id, t: long, event: boolean). */
+  private def conversion72(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+    val t0 = ev.groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("pts"))
+    t0.join(fp, Seq("user_id"), "left_outer")
+      .select(col("user_id"),
+        expr("(unix_micros(pts) - unix_micros(t0)) DIV 3600000000").as("h"))
+      .select(col("user_id"),
+        when(col("h").isNotNull && col("h") <= 72, col("h")).otherwise(lit(72L))
+          .as("t"),
+        coalesce(col("h").isNotNull && col("h") <= 72, lit(false)).as("event"))
+  }
+
+  /** The DuckDB twin of [[conversion72]]: CTE bodies ending in `lab`
+    * (columns user_id, t, event); use as `WITH $conversion72Sql, ...`. */
+  private val conversion72Sql: String =
+    """ev AS (SELECT user_id, ts, event_type FROM events
+      |        WHERE user_id IS NOT NULL),
+      |t0 AS (SELECT user_id, min(ts) AS t0 FROM ev GROUP BY 1),
+      |fp AS (SELECT user_id, min(ts) AS pts FROM ev
+      |       WHERE event_type = 'purchase' GROUP BY 1),
+      |u AS (SELECT t0.user_id,
+      |             (epoch_us(fp.pts) - epoch_us(t0.t0)) // 3600000000 AS h
+      |      FROM t0 LEFT JOIN fp ON fp.user_id = t0.user_id),
+      |lab AS (SELECT user_id,
+      |               CAST(CASE WHEN h IS NOT NULL AND h <= 72 THEN h
+      |                         ELSE 72 END AS BIGINT) AS t,
+      |               COALESCE(h IS NOT NULL AND h <= 72, false) AS event
+      |        FROM u)""".stripMargin
+
   /** The DuckDB twin of [[qualityScored]]: `f` + `sc` CTE bodies (use
     * as `WITH $qualityScoredSql, ...`; `sc` has columns p, y). */
   private val qualityScoredSql: String =
@@ -1994,6 +2033,144 @@ object MLQueries {
                        + (z / (1 + z2 / nd))
                          * sqrt((p * (1 - p)) / nd + z2 / (4 * nd * nd)), 6)
                        AS hi95
-              FROM w ORDER BY event_type"""))
+              FROM w ORDER BY event_type""")),
+
+    // ---- two-proportion z-test (the A/B read-out): arms assigned by
+    // the deterministic user hash (the repo's assignment idiom — no
+    // stored experiment table needed, reproducible across engines and
+    // reruns), outcome = converted within 72 full hours of the user's
+    // first event. Elapsed hours are INTEGER floor division of epoch
+    // micros on both engines — DuckDB's date_diff('hour', …) counts
+    // boundary CROSSINGS (10:59→11:01 is "1 hour"), so it is never
+    // used. The z statistic is IEEE-identical cross-engine (integer
+    // counts in, same association order, correctly-rounded ops);
+    // `significant` gates on the UNROUNDED z vs CAST(1.96 AS DOUBLE)
+    // (the q214 discipline: round for reporting, never for verdicts).
+    // One |users|-sized frame, one final 1-row aggregate.
+    GraftQuery(
+      "q249_ab_ztest",
+      (s, d) => {
+        val u = conversion72(s, d)
+          .select(pmod(Portable.p60(col("user_id").cast("string")), lit(2))
+            .as("arm"), col("event"))
+        val agg = u.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 0 && col("event"), 1L).otherwise(0L)).as("k_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("arm") === 1 && col("event"), 1L).otherwise(0L)).as("k_b"))
+        val p1 = col("k_a").cast("double") / col("n_a").cast("double")
+        val p2 = col("k_b").cast("double") / col("n_b").cast("double")
+        val ph = (col("k_a") + col("k_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double")
+        val se = sqrt(ph * (lit(1) - ph) *
+          (lit(1) / col("n_a").cast("double") + lit(1) / col("n_b").cast("double")))
+        val z = (p1 - p2) / se
+        agg.select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+          round(p1, 6).as("rate_a"), round(p2, 6).as("rate_b"),
+          when(se > 0, round(z, 6)).as("z"),
+          coalesce(when(se > 0, abs(z) > lit(1.96)), lit(false))
+            .as("significant"))
+      },
+      Some(s"""WITH $conversion72Sql,
+               arm AS (SELECT (${Portable.p60Sql("CAST(user_id AS VARCHAR)")}) % 2
+                                AS arm, event
+                       FROM lab),
+               a AS (SELECT
+                       CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                       CAST(sum(CASE WHEN arm = 0 AND event THEN 1 ELSE 0 END) AS BIGINT) AS k_a,
+                       CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                       CAST(sum(CASE WHEN arm = 1 AND event THEN 1 ELSE 0 END) AS BIGINT) AS k_b
+                     FROM arm),
+               c AS (SELECT n_a, k_a, n_b, k_b,
+                            CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p1,
+                            CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p2,
+                            CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS ph
+                     FROM a),
+               e AS (SELECT c.*,
+                            sqrt(ph * (1 - ph) * (1 / CAST(n_a AS DOUBLE)
+                              + 1 / CAST(n_b AS DOUBLE))) AS se
+                     FROM c)
+               SELECT n_a, k_a, n_b, k_b,
+                      round(p1, 6) AS rate_a, round(p2, 6) AS rate_b,
+                      CASE WHEN se > 0 THEN round((p1 - p2) / se, 6) END AS z,
+                      COALESCE(CASE WHEN se > 0
+                        THEN abs((p1 - p2) / se) > CAST(1.96 AS DOUBLE) END,
+                        false) AS significant
+               FROM e""")),
+
+    // ---- Kaplan-Meier survival over time-to-first-conversion — the
+    // censoring-correct version of "median time to purchase": users
+    // who haven't converted by the 72 h horizon are CENSORED, which a
+    // naive average silently drops or (worse) treats as converted-at-
+    // horizon. Risk sets are a suffix sum over the ≤73-row hour
+    // histogram (bounded domain, the q98 convention); S(t) =
+    // Π(1 − d/n) over event times is a LEFT FOLD over the t-ascending
+    // factor list (the q198/q201 sequential-recurrence convention:
+    // Spark aggregate() and DuckDB list_reduce replay the identical
+    // IEEE multiply sequence, seeded CAST(1.0 AS DOUBLE); the prefix
+    // products are O(|t|²) multiplies over a ≤73-element list —
+    // nothing at any SF). Integer-exact until each factor's single
+    // division. Emits one row per event time: t, n_risk, d, c
+    // (censored leaving risk AT t), surv 6dp.
+    GraftQuery(
+      "q250_kaplan_meier",
+      (s, d) => {
+        val hist = conversion72(s, d)
+          .groupBy(col("t"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(when(col("event"), 1L).otherwise(0L)).as("d"))
+        val wSuf = org.apache.spark.sql.expressions.Window
+          .orderBy(col("t").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val risk = hist.select(col("t"),
+            sum(col("cnt")).over(wSuf).as("n_risk"),
+            col("d"), (col("cnt") - col("d")).as("c"))
+          .filter(col("d") > 0)
+          .select(col("t"), col("n_risk"), col("d"), col("c"),
+            ((col("n_risk") - col("d")).cast("double") /
+              col("n_risk").cast("double")).as("factor"))
+        risk
+          .agg(array_sort(collect_list(
+            struct(col("t"), col("n_risk"), col("d"), col("c"),
+              col("factor")))).as("ls"))
+          .select(explode(expr(
+            """transform(sequence(1, size(ls)), i -> struct(
+                 ls[i-1].t AS t, ls[i-1].n_risk AS n_risk,
+                 ls[i-1].d AS d, ls[i-1].c AS c,
+                 aggregate(slice(ls, 1, i), CAST(1.0 AS DOUBLE),
+                   (acc, x) -> acc * x.factor) AS surv))""")).as("r"))
+          .select(col("r.t").as("t"), col("r.n_risk").as("n_risk"),
+            col("r.d").as("d"), col("r.c").as("c"),
+            round(col("r.surv"), 6).as("surv"))
+          .orderBy(col("t"))
+      },
+      Some(s"""WITH $conversion72Sql,
+               hist AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt,
+                               CAST(sum(CASE WHEN event THEN 1 ELSE 0 END)
+                                 AS BIGINT) AS d
+                        FROM lab GROUP BY 1),
+               risk AS (SELECT t,
+                               CAST(sum(cnt) OVER (ORDER BY t DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS n_risk,
+                               d, cnt - d AS c
+                        FROM hist),
+               evt AS (SELECT t, n_risk, d, c,
+                              CAST(n_risk - d AS DOUBLE)
+                                / CAST(n_risk AS DOUBLE) AS factor
+                       FROM risk WHERE d > 0),
+               ls AS (SELECT list_sort(list(struct_pack(
+                        t := t, n_risk := n_risk, d := d, c := c,
+                        factor := factor))) AS l
+                      FROM evt)
+               SELECT l[i].t AS t, l[i].n_risk AS n_risk,
+                      l[i].d AS d, CAST(l[i].c AS BIGINT) AS c,
+                      round(list_reduce(
+                        [CAST(1.0 AS DOUBLE)] ||
+                          list_transform(l[1:i], x -> x.factor),
+                        (a, b) -> a * b), 6) AS surv
+               FROM ls, unnest(range(1, len(l) + 1)) AS u(i)
+               ORDER BY t"""))
   )
 }
