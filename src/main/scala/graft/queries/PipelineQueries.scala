@@ -2169,6 +2169,68 @@ object PipelineQueries {
                     FROM c WINDOW w AS (PARTITION BY lang ORDER BY n DESC, source))
               SELECT lang, source AS mode_source, n,
                      CAST(n - coalesce(runner_up, 0) AS BIGINT) AS lead_margin
-              FROM r WHERE rn = 1 ORDER BY lang"""))
+              FROM r WHERE rn = 1 ORDER BY lang""")),
+
+    // ---- temperature-scaled mixture weights (the multilingual
+    // sampling recipe, mBERT/XLM-R style): sampling a 10k-doc training
+    // budget ∝ n gives the head language most of the budget;
+    // temperature flattens it — weight_l ∝ n_l^α with α = 0.3, so tail
+    // languages are upsampled (effective epochs > 1) and the head is
+    // capped. q193 is the α = 1 proportional face; this is the
+    // α < 1 rebalanced one, allocated EXACTLY by the same
+    // Prorate.largestRemainder (shares sum to the budget, ≤1-unit
+    // deviation, no float-share leakage). Determinism: pow is the one
+    // transcendental — both engines call it on identical integer-
+    // valued doubles and the result is immediately scaled and rounded
+    // to an integer weight at 1e6 (the q216 libm precedent: a 1-ulp
+    // jitter at ~1e-15 relative cannot move a rounding boundary);
+    // everything after is exact longs + one reporting division.
+    GraftQuery(
+      "q251_temperature_mixing",
+      (s, d) => {
+        val strata = t(s, d, "documents")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .select(lit(1L).as("grp"), col("lang"), col("n"),
+            round(pow(col("n").cast("double"), lit(0.3)) * 1e6).cast("long")
+              .as("w_temp"),
+            lit(10000L).as("budget"))
+        val total = strata.agg(sum(col("n")).as("n_total"))
+        graft.ops.Prorate.largestRemainder(strata,
+            col("grp"), col("lang"), col("w_temp"), col("budget"))
+          .select(col("id").as("lang"), col("weight"), col("alloc"))
+          .join(strata.select(col("lang"), col("n")), "lang")
+          .crossJoin(broadcast(total))
+          .select(col("lang"), col("n"), col("weight"), col("alloc"),
+            round(col("n").cast("double") / col("n_total").cast("double"), 6)
+              .as("share_raw"),
+            round(col("alloc").cast("double") / 10000.0, 6).as("share_temp"),
+            round(col("alloc").cast("double") / col("n").cast("double"), 6)
+              .as("epochs"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH strata AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                     CAST(round(pow(CAST(count(*) AS DOUBLE),
+                       CAST(0.3 AS DOUBLE)) * 1e6) AS BIGINT) AS w_temp
+                   FROM documents GROUP BY 1),
+              tot AS (SELECT sum(w_temp) AS bigw, sum(n) AS n_total
+                      FROM strata),
+              calc AS (SELECT lang, n, w_temp,
+                              (10000 * w_temp) // bigw AS base,
+                              (10000 * w_temp) % bigw AS res,
+                              n_total
+                       FROM strata CROSS JOIN tot),
+              alloc AS (SELECT lang, n, w_temp AS weight, n_total,
+                               CAST(base + CASE WHEN row_number() OVER
+                                   (ORDER BY res DESC, lang)
+                                 <= 10000 - (SELECT sum(base) FROM calc)
+                                 THEN 1 ELSE 0 END AS BIGINT) AS alloc
+                        FROM calc)
+              SELECT lang, n, weight, alloc,
+                     round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+                       AS share_raw,
+                     round(CAST(alloc AS DOUBLE) / 10000.0, 6) AS share_temp,
+                     round(CAST(alloc AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                       AS epochs
+              FROM alloc ORDER BY lang"""))
   )
 }
