@@ -2503,6 +2503,56 @@ object RelationalQueries {
                 AND NOT EXISTS (SELECT 1 FROM orders o
                                 WHERE o.o_custkey = c.c_custkey
                                   AND o.o_orderpriority = '1-URGENT')
-              GROUP BY 1 ORDER BY n_name"""))
+              GROUP BY 1 ORDER BY n_name""")),
+
+    // ---- Benford first-digit audit — the fabricated-data forensic:
+    // organically-grown magnitudes follow P(d) = log10(1 + 1/d);
+    // uniform or synthetic generators don't (and indeed this
+    // generator's totalprice flunks with digits 1-4 overrepresented —
+    // the audit FIRING on its own test data is the q221
+    // non-vacuousness check). First digit by STRING head of the
+    // floored long — no log10-of-value trickery whose floating point
+    // could misclassify a 99999.99999 boundary; the only
+    // transcendental is log10(1+1/d) on the nine digit constants
+    // (identical inputs both engines, the q216 libm precedent), with
+    // every reported double 6dp-rounded. One partial-aggregating scan,
+    // 9-row result joined to a 1-row broadcast total.
+    GraftQuery(
+      "q252_benford_audit",
+      (s, d) => {
+        val digits = t(s, d, "orders")
+          .select(substring(floor(col("o_totalprice")).cast("long")
+            .cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        val tot = digits.agg(sum(col("n")).as("n_tot"))
+        val p = log10(lit(1) + lit(1) / col("digit").cast("double"))
+        val exp_n = col("n_tot").cast("double") * p
+        digits.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            round(col("n").cast("double") / col("n_tot").cast("double"), 6)
+              .as("share"),
+            round(p, 6).as("benford_p"),
+            round((col("n").cast("double") - exp_n) *
+              (col("n").cast("double") - exp_n) / exp_n, 6).as("chi2_term"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH dg AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+                       AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+                     CAST(count(*) AS BIGINT) AS n
+                   FROM orders GROUP BY 1),
+              tot AS (SELECT sum(n) AS n_tot FROM dg)
+              SELECT digit, n,
+                     round(CAST(n AS DOUBLE) / CAST(n_tot AS DOUBLE), 6)
+                       AS share,
+                     round(log10(1 + 1 / CAST(digit AS DOUBLE)), 6)
+                       AS benford_p,
+                     round((CAST(n AS DOUBLE) - CAST(n_tot AS DOUBLE)
+                         * log10(1 + 1 / CAST(digit AS DOUBLE)))
+                       * (CAST(n AS DOUBLE) - CAST(n_tot AS DOUBLE)
+                         * log10(1 + 1 / CAST(digit AS DOUBLE)))
+                       / (CAST(n_tot AS DOUBLE)
+                         * log10(1 + 1 / CAST(digit AS DOUBLE))), 6)
+                       AS chi2_term
+              FROM dg CROSS JOIN tot ORDER BY digit"""))
   )
 }
