@@ -2171,6 +2171,50 @@ object MLQueries {
                           list_transform(l[1:i], x -> x.factor),
                         (a, b) -> a * b), 6) AS surv
                FROM ls, unnest(range(1, len(l) + 1)) AS u(i)
-               ORDER BY t"""))
+               ORDER BY t""")),
+
+    // ---- path-to-conversion mining: the three events IMMEDIATELY
+    // preceding each purchase, as an ordered path string — the funnel
+    // family's forensic cousin (q220 asks "how many reach step k";
+    // this asks "which routes actually end in conversion"). Three
+    // lag() reads over ONE per-user window (single hash exchange +
+    // per-partition sort, the q196 one-exchange discipline — NOT a
+    // self-join per offset), counted and cut top-20 with a full
+    // (count DESC, path) total order so equal-count paths can't
+    // reorder between engines. Purchases with fewer than 3
+    // predecessors are excluded on both sides (p3 IS NOT NULL). All
+    // integers + strings — no float anywhere.
+    GraftQuery(
+      "q253_purchase_paths",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, d, "events").filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .select(col("event_type"),
+            lag(col("event_type"), 3).over(w).as("p3"),
+            lag(col("event_type"), 2).over(w).as("p2"),
+            lag(col("event_type"), 1).over(w).as("p1"))
+          .filter(col("event_type") === "purchase" && col("p3").isNotNull)
+          .select(concat_ws(">", col("p3"), col("p2"), col("p1")).as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path"))
+          .limit(20)
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, ts, event_id
+                          FROM events WHERE user_id IS NOT NULL),
+              lagged AS (SELECT event_type,
+                                lag(event_type, 3) OVER w AS p3,
+                                lag(event_type, 2) OVER w AS p2,
+                                lag(event_type, 1) OVER w AS p1
+                         FROM ev
+                         WINDOW w AS (PARTITION BY user_id
+                                      ORDER BY ts, event_id))
+              SELECT p3 || '>' || p2 || '>' || p1 AS path,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM lagged
+              WHERE event_type = 'purchase' AND p3 IS NOT NULL
+              GROUP BY 1 ORDER BY n DESC, path LIMIT 20"""))
   )
 }
