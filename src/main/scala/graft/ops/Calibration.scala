@@ -153,6 +153,7 @@ object Calibration {
     * over ≤`bins` aggregated rows by construction (the q98
     * bounded-domain convention). */
   def prCurveFromState(state: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("bin").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

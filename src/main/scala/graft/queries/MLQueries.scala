@@ -44,7 +44,12 @@ object MLQueries {
     * user: t = elapsed FULL hours from first event to first purchase
     * (integer floor division of epoch micros — engine-identical,
     * unlike hour-boundary counting), capped at the 72 h horizon;
-    * event = converted within the horizon (censored otherwise).
+    * event = converted within the horizon. Non-converters are
+    * RIGHT-CENSORED at min(72, observed follow-up): a user whose
+    * first event is 1 h before the stream ends has 1 h of follow-up,
+    * not 72 — censoring them at 72 would inflate every later risk set
+    * (a bias the oracle could never catch, since both engines would
+    * share it; the stream end is the global max ts, a 1-row broadcast).
     * Columns: (user_id, t: long, event: boolean). */
   private def conversion72(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
@@ -52,12 +57,15 @@ object MLQueries {
     val t0 = ev.groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
     val fp = ev.filter(col("event_type") === "purchase")
       .groupBy(col("user_id")).agg(min(col("ts")).as("pts"))
+    val gmax = ev.agg(max(col("ts")).as("gts"))
     t0.join(fp, Seq("user_id"), "left_outer")
+      .crossJoin(broadcast(gmax))
       .select(col("user_id"),
-        expr("(unix_micros(pts) - unix_micros(t0)) DIV 3600000000").as("h"))
+        expr("(unix_micros(pts) - unix_micros(t0)) DIV 3600000000").as("h"),
+        expr("(unix_micros(gts) - unix_micros(t0)) DIV 3600000000").as("fu"))
       .select(col("user_id"),
-        when(col("h").isNotNull && col("h") <= 72, col("h")).otherwise(lit(72L))
-          .as("t"),
+        when(col("h").isNotNull && col("h") <= 72, col("h"))
+          .otherwise(least(lit(72L), col("fu"))).as("t"),
         coalesce(col("h").isNotNull && col("h") <= 72, lit(false)).as("event"))
   }
 
@@ -69,12 +77,14 @@ object MLQueries {
       |t0 AS (SELECT user_id, min(ts) AS t0 FROM ev GROUP BY 1),
       |fp AS (SELECT user_id, min(ts) AS pts FROM ev
       |       WHERE event_type = 'purchase' GROUP BY 1),
+      |g AS (SELECT max(ts) AS gts FROM ev),
       |u AS (SELECT t0.user_id,
-      |             (epoch_us(fp.pts) - epoch_us(t0.t0)) // 3600000000 AS h
-      |      FROM t0 LEFT JOIN fp ON fp.user_id = t0.user_id),
+      |             (epoch_us(fp.pts) - epoch_us(t0.t0)) // 3600000000 AS h,
+      |             (epoch_us(g.gts) - epoch_us(t0.t0)) // 3600000000 AS fu
+      |      FROM t0 LEFT JOIN fp ON fp.user_id = t0.user_id CROSS JOIN g),
       |lab AS (SELECT user_id,
       |               CAST(CASE WHEN h IS NOT NULL AND h <= 72 THEN h
-      |                         ELSE 72 END AS BIGINT) AS t,
+      |                         ELSE LEAST(72, fu) END AS BIGINT) AS t,
       |               COALESCE(h IS NOT NULL AND h <= 72, false) AS event
       |        FROM u)""".stripMargin
 

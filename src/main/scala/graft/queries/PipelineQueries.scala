@@ -2188,12 +2188,18 @@ object PipelineQueries {
     GraftQuery(
       "q251_temperature_mixing",
       (s, d) => {
+        // strata has THREE consumers below (the allocator, the n
+        // re-join, the total) — without a lineage cut each re-derives
+        // the corpus aggregation (5 scans in the uncut physical plan);
+        // the frame is |langs| rows, so the eager localCheckpoint is
+        // the q238/isotonic discipline, not a cache leak
         val strata = t(s, d, "documents")
           .groupBy(col("lang")).agg(count(lit(1)).as("n"))
           .select(lit(1L).as("grp"), col("lang"), col("n"),
             round(pow(col("n").cast("double"), lit(0.3)) * 1e6).cast("long")
               .as("w_temp"),
             lit(10000L).as("budget"))
+          .localCheckpoint(true)
         val total = strata.agg(sum(col("n")).as("n_total"))
         graft.ops.Prorate.largestRemainder(strata,
             col("grp"), col("lang"), col("w_temp"), col("budget"))

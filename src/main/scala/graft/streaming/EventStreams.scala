@@ -415,11 +415,15 @@ object EventStreams {
 
   /** The PR-curve (threshold sweep) view of the same accumulated
     * calibration state — a third monitor derived from the one
-    * [[calibrationBatch]] state table, no extra stream pass. */
-  def prCurveCurrent(spark: SparkSession,
-      stateDir: String): Option[DataFrame] =
+    * [[calibrationBatch]] state table, no extra stream pass. `bins`
+    * MUST match the value the state was accumulated with (the
+    * wquantileCurrent convention: the caller owns the grid params —
+    * a mismatched default would label thresholds on the wrong
+    * denominator). */
+  def prCurveCurrent(spark: SparkSession, stateDir: String,
+      bins: Int = 10): Option[DataFrame] =
     incrementalViewState(spark, stateDir)
-      .map(graft.ops.Calibration.prCurveFromState(_))
+      .map(graft.ops.Calibration.prCurveFromState(_, bins))
 
   /** The current materialized state written by
     * [[incrementalJoinViewBatch]]: the highest COMMITTED version
