@@ -2124,37 +2124,9 @@ object MLQueries {
     // (censored leaving risk AT t), surv 6dp.
     GraftQuery(
       "q250_kaplan_meier",
-      (s, d) => {
-        val hist = conversion72(s, d)
-          .groupBy(col("t"))
-          .agg(count(lit(1)).as("cnt"),
-            sum(when(col("event"), 1L).otherwise(0L)).as("d"))
-        val wSuf = org.apache.spark.sql.expressions.Window
-          .orderBy(col("t").desc)
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        val risk = hist.select(col("t"),
-            sum(col("cnt")).over(wSuf).as("n_risk"),
-            col("d"), (col("cnt") - col("d")).as("c"))
-          .filter(col("d") > 0)
-          .select(col("t"), col("n_risk"), col("d"), col("c"),
-            ((col("n_risk") - col("d")).cast("double") /
-              col("n_risk").cast("double")).as("factor"))
-        risk
-          .agg(array_sort(collect_list(
-            struct(col("t"), col("n_risk"), col("d"), col("c"),
-              col("factor")))).as("ls"))
-          .select(explode(expr(
-            """transform(sequence(1, size(ls)), i -> struct(
-                 ls[i-1].t AS t, ls[i-1].n_risk AS n_risk,
-                 ls[i-1].d AS d, ls[i-1].c AS c,
-                 aggregate(slice(ls, 1, i), CAST(1.0 AS DOUBLE),
-                   (acc, x) -> acc * x.factor) AS surv))""")).as("r"))
-          .select(col("r.t").as("t"), col("r.n_risk").as("n_risk"),
-            col("r.d").as("d"), col("r.c").as("c"),
-            round(col("r.surv"), 6).as("surv"))
-          .orderBy(col("t"))
-      },
+      (s, d) => graft.ops.Survival.kaplanMeier(
+          conversion72(s, d), col("t"), col("event"))
+        .orderBy(col("t")),
       Some(s"""WITH $conversion72Sql,
                hist AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt,
                                CAST(sum(CASE WHEN event THEN 1 ELSE 0 END)

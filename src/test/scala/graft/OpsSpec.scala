@@ -191,6 +191,34 @@ class OpsSpec extends SparkSpec {
     assert(hit > 0, s"IVF recalled 0 of ${bruteSet.size} true top-5 pairs")
   }
 
+  test("kaplanMeier: hand-computed survival on a censored fixture") {
+    // 6 subjects, durations/events chosen so every KM mechanic fires
+    // and the expectations are computable on paper (an independent
+    // check the DuckDB oracle can't give — it replays the same
+    // arithmetic, so a semantic error shared by both engines would
+    // hash-match): events at t=1 (2 of them), t=3, t=5; censoring at
+    // t=2 (drops silently from later risk sets, NO output row and NO
+    // survival factor — the defining KM behavior) and at t=5
+    // alongside an event (counted in c on the t=5 row).
+    //   t=1: n_risk=6, d=2          -> S = 4/6            = 0.666667
+    //   t=3: n_risk=3 (t>=3), d=1   -> S = (4/6)(2/3)     = 0.444444
+    //   t=5: n_risk=2, d=1, c=1     -> S = (4/6)(2/3)(1/2) = 0.222222
+    val subjects = Seq(
+      (1L, true), (1L, true), (2L, false), (3L, true), (5L, false),
+      (5L, true)).toDF("t", "event")
+    val got = graft.ops.Survival.kaplanMeier(subjects, col("t"), col("event"))
+      .orderBy($"t").as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 6L, 2L, 0L, 0.666667),
+      (3L, 3L, 1L, 0L, 0.444444),
+      (5L, 2L, 1L, 1L, 0.222222)), got.toString)
+    // zero-event edge: all censored -> empty output, no descending-
+    // sequence fan-out garbage
+    val none = Seq((1L, false), (2L, false)).toDF("t", "event")
+    assert(graft.ops.Survival.kaplanMeier(none, col("t"), col("event"))
+      .count() == 0L)
+  }
+
   test("marginTopMatch: hub demoted — raw-cosine winner loses to the specialist") {
     // engineered 2-D fixture (margins precomputed exactly): corpus id 1
     // is a HUB bisecting the two queries (cos ~0.99 to both), corpus
