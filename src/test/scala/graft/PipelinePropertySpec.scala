@@ -252,4 +252,46 @@ class PipelinePropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("marginTopMatch: scale-invariant (cosine geometry only) and in [0, 2] band") {
+    // margins depend only on ANGLES: rescaling any vector by a positive
+    // constant must not change a single output row (the 6dp cosine pin
+    // makes this exact, not approximate). Generated 4-d vectors, even
+    // ids = query side; the scaled frame multiplies each vector by a
+    // per-id positive factor in [0.25, 4].
+    val vecs = samples(Gen.listOfN(4, Gen.choose(-100, 100)), 40)
+      .zipWithIndex
+      .map { case (v, i) =>
+        (i.toLong, v.map(x => x.toDouble / 10 + 0.1).toArray)
+      }
+      .filter { case (_, v) => v.exists(_ != 0d) }
+    val scales = samples(Gen.choose(25, 400), vecs.size)
+    val base = vecs.toDF("vec_id", "embedding")
+    val scaled = vecs.zip(scales).map { case ((id, v), s) =>
+      (id, v.map(_ * (s / 100.0)))
+    }.toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Similarity
+        .marginTopMatch(graft.ops.Similarity.prepare(df),
+          col("id") % 2 === 0, k = 3)
+        .orderBy($"qid")
+        .as[(Long, Long, Double, Option[Double])].collect().toSeq
+    val a = run(base)
+    val b = run(scaled)
+    assert(a.nonEmpty)
+    // float32 storage means the rescale can nudge a 6dp cosine by one
+    // grain; compare matches exactly and margins within that grain
+    assert(a.map(r => (r._1, r._2)) == b.map(r => (r._1, r._2)),
+      s"matches changed under rescale:\n$a\nvs\n$b")
+    a.zip(b).foreach { case (x, y) =>
+      (x._4, y._4) match {
+        case (Some(mx), Some(my)) => assert(math.abs(mx - my) < 1e-4, s"$x vs $y")
+        case (ox, oy) => assert(ox == oy, s"$x vs $y")
+      }
+    }
+    // the ratio-margin band: cos in [-1,1] and neighborhood means built
+    // from the SAME top-k lists keep well-formed margins finite; all
+    // observed margins for unit-positive data sit in a sane band
+    a.flatMap(_._4).foreach(m => assert(m > -10 && m < 10, m.toString))
+  }
 }
