@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.ops.Portable
 
 /** The relational operator inventory of SURVEY.md §2 (P*, J*, A*, T*, G1,
   * F*, set ops), each exposed as an oracle-checkable query over the
@@ -2553,6 +2554,58 @@ object RelationalQueries {
                        / (CAST(n_tot AS DOUBLE)
                          * log10(1 + 1 / CAST(digit AS DOUBLE))), 6)
                        AS chi2_term
-              FROM dg CROSS JOIN tot ORDER BY digit"""))
+              FROM dg CROSS JOIN tot ORDER BY digit""")),
+
+    // ---- join-size estimation + skew diagnosis — the planning query
+    // you run BEFORE committing a 100 TB self-join: the exact
+    // cardinality Σ cnt_k² from per-key counts, the 256-bucket hashed
+    // sketch estimate Σ cnt_b² (an upper bound — hash collisions only
+    // ever ADD cross terms; at scale the sketch is a tiny fixed-width
+    // aggregate where the exact form needs the full key histogram),
+    // the inflation ratio between them, and the five keys whose cnt²
+    // dominates — the skew verdict that decides between a plain
+    // shuffle join and graft.ops.Skew's salting. All longs (cnt² via
+    // longs stays exact to cnt ~3e9 per key); one reporting division.
+    GraftQuery(
+      "q254_join_size_estimate",
+      (s, d) => {
+        val perKey = t(s, d, "events").filter(col("user_id").isNotNull)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true) // |keys|-sized; three consumers below
+        val exact = perKey.agg(sum(col("cnt") * col("cnt")).as("exact_size"))
+        val est = perKey
+          .groupBy(pmod(graft.ops.Portable.p60(col("user_id").cast("string")),
+            lit(256)).as("b"))
+          .agg(sum(col("cnt")).as("bc"))
+          .agg(sum(col("bc") * col("bc")).as("bucket_est"))
+        perKey
+          .orderBy(col("cnt").desc, col("user_id"))
+          .limit(5)
+          .crossJoin(broadcast(exact))
+          .crossJoin(broadcast(est))
+          .select(col("user_id"), col("cnt"),
+            (col("cnt") * col("cnt")).as("contrib"),
+            col("exact_size"), col("bucket_est"),
+            round(col("bucket_est").cast("double") /
+              col("exact_size").cast("double"), 6).as("inflation"))
+          .orderBy(col("cnt").desc, col("user_id"))
+      },
+      Some(s"""WITH pk AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+                           FROM events WHERE user_id IS NOT NULL
+                           GROUP BY 1),
+               ex AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS exact_size
+                      FROM pk),
+               bk AS (SELECT CAST(sum(bc * bc) AS BIGINT) AS bucket_est
+                      FROM (SELECT sum(cnt) AS bc FROM pk
+                            GROUP BY (${Portable.p60Sql("CAST(user_id AS VARCHAR)")}) % 256)),
+               top5 AS (SELECT user_id, cnt FROM pk
+                        ORDER BY cnt DESC, user_id LIMIT 5)
+               SELECT t.user_id, t.cnt,
+                      CAST(t.cnt * t.cnt AS BIGINT) AS contrib,
+                      ex.exact_size, bk.bucket_est,
+                      round(CAST(bk.bucket_est AS DOUBLE)
+                        / CAST(ex.exact_size AS DOUBLE), 6) AS inflation
+               FROM top5 t CROSS JOIN ex CROSS JOIN bk
+               ORDER BY t.cnt DESC, t.user_id"""))
   )
 }
