@@ -2606,6 +2606,123 @@ object RelationalQueries {
                       round(CAST(bk.bucket_est AS DOUBLE)
                         / CAST(ex.exact_size AS DOUBLE), 6) AS inflation
                FROM top5 t CROSS JOIN ex CROSS JOIN bk
-               ORDER BY t.cnt DESC, t.user_id"""))
+               ORDER BY t.cnt DESC, t.user_id""")),
+
+    // ---- MAD robust outliers — q226's z-score breaks down exactly
+    // when you need it (one wild value inflates sigma and hides
+    // itself); median/MAD have a 50% breakdown point. Three-level
+    // decorrelated-scalar chain (median → MAD needs the median →
+    // outlier count needs both), each level a 5-row broadcast joined
+    // back — three filtered scans, the consumed-twice convention one
+    // step further, every level still map-side-combining. Determinism:
+    // exact interpolated percentile is (a+b)/2 on identical order
+    // stats — single IEEE ops, no transcendental, engine-exact
+    // UNROUNDED (the q28 family); the 3·1.4826·mad threshold compares
+    // bit-identical doubles, and only the reported med/mad round.
+    GraftQuery(
+      "q255_mad_outliers",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("value"))
+        val med = ev.groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val mad = ev.join(broadcast(med), "event_type")
+          .groupBy(col("event_type"))
+          .agg(first(col("med")).as("med"),
+            expr("percentile(abs(value - med), 0.5)").as("mad"))
+        ev.join(broadcast(mad), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(abs(col("value") - col("med")) >
+              lit(3) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
+              .as("n_outliers"),
+            round(first(col("med")), 6).as("med"),
+            round(first(col("mad")), 6).as("mad"))
+          .select(col("event_type"), col("n"), col("n_outliers"),
+            col("med"), col("mad"),
+            round(col("n_outliers").cast("double") / col("n").cast("double"), 6)
+              .as("outlier_rate"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                         FROM events GROUP BY 1),
+              md AS (SELECT e.event_type,
+                            any_value(m.med) AS med,
+                            quantile_cont(abs(e.value - m.med), 0.5) AS mad
+                     FROM events e JOIN m USING (event_type) GROUP BY 1)
+              SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN abs(e.value - md.med) >
+                         3 * CAST(1.4826 AS DOUBLE) * md.mad
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                     round(any_value(md.med), 6) AS med,
+                     round(any_value(md.mad), 6) AS mad,
+                     round(CAST(sum(CASE WHEN abs(e.value - md.med) >
+                           3 * CAST(1.4826 AS DOUBLE) * md.mad
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6) AS outlier_rate
+              FROM events e JOIN md USING (event_type)
+              GROUP BY 1 ORDER BY event_type""")),
+
+    // ---- lag-k autocorrelation of the daily event count — the rhythm
+    // detector behind q210's seasonal anomaly: a strong lag-7 r with a
+    // flat lag-1 r IS the weekly cycle (and on this generator it shows:
+    // r₇ ≈ 0.22 vs r₁ ≈ -0.04 — non-vacuous by demonstration). Pairs
+    // by EXACT calendar self-join (day = day − k), never lag() over
+    // present days — a gap day must break the pair, not silently pair
+    // across it. Pearson from six exact long sums cast to double at
+    // the end (identical association both engines; counts² at extreme
+    // scale would overflow longs mid-sum if accumulated raw, so the
+    // sums are per-pair products in longs — safe to ~3e9/day — and the
+    // r arithmetic is all-double). The daily frame is |days| rows;
+    // both joins are broadcast-sized.
+    GraftQuery(
+      "q256_autocorrelation",
+      (s, d) => {
+        val dc = t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true) // |days| rows; two lag joins below
+        val lags = Seq(1, 7).map { k =>
+          dc.as("a")
+            .join(dc.select(col("day").as("bday"), col("n").as("bn")),
+              col("bday") === date_sub(col("day"), k))
+            .agg(lit(k).as("lag"), count(lit(1)).as("n_pairs"),
+              sum(col("n")).as("sx"), sum(col("bn")).as("sy"),
+              sum(col("n") * col("bn")).as("sxy"),
+              sum(col("n") * col("n")).as("sxx"),
+              sum(col("bn") * col("bn")).as("syy"))
+        }.reduce(_ unionByName _)
+        lags.select(col("lag"), col("n_pairs"),
+          round((col("n_pairs").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+            sqrt((col("n_pairs").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+              (col("n_pairs").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))), 6)
+            .as("r"))
+          .orderBy(col("lag"))
+      },
+      Some("""WITH dc AS (SELECT CAST(ts AS DATE) AS day,
+                     CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1),
+              p AS (SELECT v.k AS lag,
+                           CAST(count(*) AS BIGINT) AS n_pairs,
+                           CAST(sum(a.n) AS BIGINT) AS sx,
+                           CAST(sum(b.n) AS BIGINT) AS sy,
+                           CAST(sum(a.n * b.n) AS BIGINT) AS sxy,
+                           CAST(sum(a.n * a.n) AS BIGINT) AS sxx,
+                           CAST(sum(b.n * b.n) AS BIGINT) AS syy
+                    FROM dc a CROSS JOIN (VALUES (1), (7)) v(k)
+                    JOIN dc b ON b.day = a.day - v.k
+                    GROUP BY 1)
+              SELECT lag, n_pairs,
+                     round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                       AS r
+              FROM p ORDER BY lag"""))
   )
 }
