@@ -2723,6 +2723,144 @@ object RelationalQueries {
                          * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
                        AS r
-              FROM p ORDER BY lag"""))
+              FROM p ORDER BY lag""")),
+
+    // ---- seasonal-naive forecast eval — the baseline every fancy
+    // forecaster must beat, and q256's rhythm finding made actionable:
+    // forecast(t) = actual(t − 7), scored over the final week. Per-day
+    // rows carry actual/forecast/abs error (all longs); MAE and sMAPE
+    // are single divisions of exact integer sums (sMAPE's denominator
+    // Σ(a+f) is integer — the symmetric form dodges the /0 of days
+    // with zero actuals). Daily frame is |days| rows; the lag join is
+    // the exact-calendar q256 discipline.
+    GraftQuery(
+      "q257_seasonal_naive",
+      (s, d) => {
+        val dc = t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("dy"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true) // |days| rows; three consumers below
+        val mx = dc.agg(max(col("dy")).as("mx"))
+        val scored = dc
+          .join(dc.select(col("dy").as("fdy"), col("n").as("fc")),
+            col("fdy") === date_sub(col("dy"), 7))
+          .crossJoin(broadcast(mx))
+          .filter(col("dy") > date_sub(col("mx"), 7))
+          .select(col("dy").cast("string").as("dy"),
+            col("n").as("actual"), col("fc").as("forecast"),
+            abs(col("n") - col("fc")).as("abs_err"))
+        scored
+          .crossJoin(broadcast(scored.agg(
+            count(lit(1)).as("n_days"),
+            sum(col("abs_err")).as("sae"),
+            sum(col("actual") + col("forecast")).as("saf"))))
+          .select(col("dy"), col("actual"), col("forecast"), col("abs_err"),
+            round(col("sae").cast("double") / col("n_days").cast("double"), 6)
+              .as("mae"),
+            round(lit(2) * col("sae").cast("double") /
+              col("saf").cast("double"), 6).as("smape"))
+          .orderBy(col("dy"))
+      },
+      Some("""WITH dc AS (SELECT CAST(ts AS DATE) AS dy,
+                     CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1),
+              mx AS (SELECT max(dy) AS mxd FROM dc),
+              sc AS (SELECT CAST(a.dy AS VARCHAR) AS dy,
+                            a.n AS actual, b.n AS forecast,
+                            abs(a.n - b.n) AS abs_err
+                     FROM dc a JOIN dc b ON b.dy = a.dy - 7
+                     CROSS JOIN mx WHERE a.dy > mx.mxd - 7),
+              agg AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                             CAST(sum(abs_err) AS BIGINT) AS sae,
+                             CAST(sum(actual + forecast) AS BIGINT) AS saf
+                      FROM sc)
+              SELECT sc.dy, sc.actual, sc.forecast,
+                     CAST(sc.abs_err AS BIGINT) AS abs_err,
+                     round(CAST(agg.sae AS DOUBLE)
+                       / CAST(agg.n_days AS DOUBLE), 6) AS mae,
+                     round(2 * CAST(agg.sae AS DOUBLE)
+                       / CAST(agg.saf AS DOUBLE), 6) AS smape
+              FROM sc CROSS JOIN agg ORDER BY dy""")),
+
+    // ---- TPC-H Q11 shape: groups cut against a FRACTION OF THE
+    // GLOBAL aggregate — per-part revenue kept only above the MEAN
+    // part share (Q11 proper uses a fixed 0.0001 fraction, which on
+    // this near-uniform generator selects zero or all parts depending
+    // on SF — the q221 vacuousness trap — so the cut is the
+    // scale-free cents·n_parts > total: 106/966/9721 survivors at the
+    // three SFs). Distinct from q244 (which thresholds BASE rows):
+    // here the HAVING compares one aggregation level against another
+    // over the same fact — two aggregates of one |parts|-sized frame,
+    // the global side a 1-row broadcast, and the fraction test cleared
+    // of division entirely (exact longs via the floor-cent
+    // convention).
+    GraftQuery(
+      "q258_important_parts",
+      (s, d) => {
+        val pc = t(s, d, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(floor(col("l_extendedprice") * 100).cast("long"))
+            .as("cents"))
+          .localCheckpoint(true) // |parts| rows; total + filter below
+        val tot = pc.agg(sum(col("cents")).as("total_cents"),
+          count(lit(1)).as("n_parts"))
+        pc.crossJoin(broadcast(tot))
+          .filter(col("cents") * col("n_parts") > col("total_cents"))
+          .select(col("l_partkey").as("partkey"), col("cents"))
+          .orderBy(col("cents").desc, col("partkey"))
+      },
+      Some("""WITH pc AS (SELECT l_partkey,
+                     CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+                   FROM lineitem GROUP BY 1),
+              t AS (SELECT sum(cents) AS total_cents,
+                           CAST(count(*) AS BIGINT) AS n_parts FROM pc)
+              SELECT pc.l_partkey AS partkey, pc.cents
+              FROM pc CROSS JOIN t
+              WHERE pc.cents * t.n_parts > t.total_cents
+              ORDER BY cents DESC, partkey""")),
+
+    // ---- TPC-H Q15 shape: the max-equality decorrelation — the
+    // top-revenue supplier(s) of a quarter, found by joining the
+    // per-supplier aggregate against ITS OWN max (a 1-row broadcast).
+    // Unlike a LIMIT 1 cut this keeps ALL tied winners — the Q15
+    // semantic point — and the equality is exact because revenue is
+    // floor-cent longs, never a float sum. Date filter pushed to the
+    // orders scan; the per-supplier frame is |suppliers| rows.
+    GraftQuery(
+      "q259_top_supplier",
+      (s, d) => {
+        val q = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+            col("o_orderdate") < lit("1996-04-01").cast("date"))
+          .select(col("o_orderkey"))
+        val sr = t(s, d, "lineitem")
+          .join(q, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(floor(col("l_extendedprice") * 100).cast("long"))
+            .as("cents"))
+          .localCheckpoint(true) // |suppliers| rows; max + equality below
+        sr.crossJoin(broadcast(sr.agg(max(col("cents")).as("mc"))))
+          .filter(col("cents") === col("mc"))
+          .join(broadcast(t(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_name"), col("l_suppkey").as("suppkey"), col("cents"))
+          .orderBy(col("suppkey"))
+      },
+      Some("""WITH sr AS (SELECT l_suppkey,
+                     CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+                   FROM lineitem l
+                   JOIN orders o ON o.o_orderkey = l.l_orderkey
+                   WHERE o.o_orderdate >= DATE '1996-01-01'
+                     AND o.o_orderdate < DATE '1996-04-01'
+                   GROUP BY 1),
+              m AS (SELECT max(cents) AS mc FROM sr)
+              SELECT s.s_name, sr.l_suppkey AS suppkey, sr.cents
+              FROM sr CROSS JOIN m
+              JOIN supplier s ON s.s_suppkey = sr.l_suppkey
+              WHERE sr.cents = m.mc
+              ORDER BY suppkey"""))
   )
 }
