@@ -2861,6 +2861,99 @@ object RelationalQueries {
               FROM sr CROSS JOIN m
               JOIN supplier s ON s.s_suppkey = sr.l_suppkey
               WHERE sr.cents = m.mc
-              ORDER BY suppkey"""))
+              ORDER BY suppkey""")),
+
+    // ---- TPC-H Q19 shape: the DISJUNCTIVE join predicate — an OR of
+    // three (brand, size-range, quantity-range) conjunctions that mix
+    // columns from BOTH sides. The plan point: the partkey equi-key
+    // must still drive the join (broadcast hash on the filtered part
+    // side, the OR evaluated as a post-probe residual); a planner that
+    // only saw the disjunction would fall to a nested-loop over the
+    // fact×part space. The part side is pre-filtered to the union of
+    // the three brands scan-side, so the broadcast carries only
+    // candidate parts. Revenue in floor-cent longs, one row out.
+    GraftQuery(
+      "q260_disjunctive_promo",
+      (s, d) => {
+        val p = t(s, d, "part")
+          .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#24"))
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_quantity"),
+            floor(col("l_extendedprice") * 100).cast("long").as("pc"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey") && (
+            (col("p_brand") === "Brand#12" &&
+              col("l_quantity").between(1, 11) &&
+              col("p_size").between(1, 15)) ||
+            (col("p_brand") === "Brand#23" &&
+              col("l_quantity").between(10, 20) &&
+              col("p_size").between(1, 25)) ||
+            (col("p_brand") === "Brand#24" &&
+              col("l_quantity").between(20, 30) &&
+              col("p_size").between(1, 35))))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("pc")).as("revenue_cents"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_lines,
+                     CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS revenue_cents
+              FROM lineitem l
+              JOIN part p ON p.p_partkey = l.l_partkey AND (
+                   (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11
+                      AND p.p_size BETWEEN 1 AND 15)
+                OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20
+                      AND p.p_size BETWEEN 1 AND 25)
+                OR (p.p_brand = 'Brand#24' AND l.l_quantity BETWEEN 20 AND 30
+                      AND p.p_size BETWEEN 1 AND 35))""")),
+
+    // ---- TPC-H Q7 shape: cross-nation trade flows — revenue grouped
+    // by the (supplier nation, customer nation) PAIR, the two nation
+    // dims reached through DIFFERENT sides of the fact (supplier via
+    // l_suppkey, customer via orders). Q5's star touches one nation
+    // per row; the pair grouping is what makes this the "who sells to
+    // whom" matrix. Both nation dims + supplier/customer maps
+    // broadcast; one partial-aggregated pass over the fact join; only
+    // cross-nation rows kept (n1 <> n2 — the Q7 point), year from the
+    // order date so the matrix is per-period. Revenue floor-cent longs.
+    GraftQuery(
+      "q261_nation_flows",
+      (s, d) => {
+        val supN = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+          .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val custN = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+          .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("nk2"))
+          .select(col("c_custkey"), col("cust_nation"))
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            floor(col("l_extendedprice") * 100).cast("long").as("pc"))
+          .join(t(s, d, "orders")
+            .filter(year(col("o_orderdate")) === 1996)
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"))
+          .agg(count(lit(1)).as("n_lines"), sum(col("pc")).as("revenue_cents"))
+          .orderBy(col("supp_nation"), col("cust_nation"))
+      },
+      Some("""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                     CAST(count(*) AS BIGINT) AS n_lines,
+                     CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS revenue_cents
+              FROM lineitem l
+              JOIN orders o    ON o.o_orderkey = l.l_orderkey
+              JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+              JOIN customer c  ON c.c_custkey = o.o_custkey
+              JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+              JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+              WHERE year(o.o_orderdate) = 1996
+                AND ns.n_name <> nc.n_name
+              GROUP BY 1, 2 ORDER BY supp_nation, cust_nation"""))
   )
 }
