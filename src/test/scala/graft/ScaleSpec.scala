@@ -621,6 +621,29 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("Q19 shape: disjunctive mixed-side predicate stays a residual on the equi join") {
+    // q260's claim: the OR of (brand, size, quantity) conjunctions —
+    // which mixes columns from both sides — must ride as a post-probe
+    // residual on the l_partkey = p_partkey equi join. If Catalyst
+    // failed to extract the equi conjunct from the disjunction it
+    // would plan BroadcastNestedLoopJoin/CartesianProduct over
+    // fact×part. Pinned under no-broadcast so the big-big form is the
+    // one checked.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = graft.queries.RelationalQueries.all
+        .find(_.name == "q260_disjunctive_promo").get
+      val df = q.build(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan.take(1200))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("runtime bloom filter reaches the probe side of a selective shuffle join") {
     // at 100 TB the big-big join tool next to bucketing is the runtime
     // bloom filter: a selective dimension-side predicate is turned into
