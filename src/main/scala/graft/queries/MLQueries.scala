@@ -2197,6 +2197,93 @@ object MLQueries {
                      CAST(count(*) AS BIGINT) AS n
               FROM lagged
               WHERE event_type = 'purchase' AND p3 IS NOT NULL
-              GROUP BY 1 ORDER BY n DESC, path LIMIT 20"""))
+              GROUP BY 1 ORDER BY n DESC, path LIMIT 20""")),
+
+    // ---- first-touch vs last-touch attribution — the two credit
+    // models every marketing read-out argues about, computed
+    // visit-scoped in ONE user-keyed window. The visit gap is 24 h,
+    // matched to this generator's event density (~3 events/user/day;
+    // a 30-min gap — q68's streaming session width — makes nearly
+    // every event its own singleton session and purchases self-credit
+    // 96% of the time, attribution-vacuous): session
+    // starts are gap > 24 h (integer epoch-micros compare), the
+    // session's first touch rides forward as last_value(IGNORE NULLS)
+    // of the boundary rows, and the last touch is lag(1) nulled at
+    // boundaries — so no (user, session) re-exchange is ever planned
+    // (the q196 one-exchange discipline; a groupBy(user, sid) face
+    // would hash-shuffle a second time for the same answer). A
+    // session-opening purchase credits itself on both models (direct
+    // conversion). Output per touch type: credits under each model and
+    // the delta — the disagreement IS the finding. All integers.
+    GraftQuery(
+      "q262_touch_attribution",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val sessioned = t(s, d, "events").filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("gap_us", unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(w)))
+          .withColumn("boundary",
+            col("gap_us").isNull || col("gap_us") > lit(86400000000L))
+          .withColumn("first_touch",
+            last(when(col("boundary"), col("event_type")), ignoreNulls = true)
+              .over(w))
+          .withColumn("last_touch",
+            when(col("boundary"), col("event_type"))
+              .otherwise(lag(col("event_type"), 1).over(w)))
+        val purchases = sessioned.filter(col("event_type") === "purchase")
+        val ft = purchases.groupBy(col("first_touch").as("touch"))
+          .agg(count(lit(1)).as("first_touch_credits"))
+        val lt = purchases.groupBy(col("last_touch").as("touch2"))
+          .agg(count(lit(1)).as("last_touch_credits"))
+        ft.join(lt, col("touch") === col("touch2"), "full_outer")
+          .select(coalesce(col("touch"), col("touch2")).as("touch"),
+            coalesce(col("first_touch_credits"), lit(0L))
+              .as("first_touch_credits"),
+            coalesce(col("last_touch_credits"), lit(0L))
+              .as("last_touch_credits"))
+          .withColumn("delta",
+            col("first_touch_credits") - col("last_touch_credits"))
+          .orderBy(col("touch"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, ts, event_id
+                          FROM events WHERE user_id IS NOT NULL),
+              sess AS (SELECT user_id, ts, event_id, event_type,
+                              (gap_us IS NULL OR gap_us > 86400000000)
+                                AS boundary,
+                              prev_type
+                       FROM (SELECT user_id, ts, event_id, event_type,
+                                    epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)
+                                      AS gap_us,
+                                    lag(event_type, 1) OVER w AS prev_type
+                             FROM ev
+                             WINDOW w AS (PARTITION BY user_id
+                                          ORDER BY ts, event_id))),
+              marked AS (SELECT event_type,
+                                last_value(CASE WHEN boundary
+                                    THEN event_type END IGNORE NULLS)
+                                  OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS first_touch,
+                                CASE WHEN boundary THEN event_type
+                                     ELSE prev_type END AS last_touch
+                         FROM sess),
+              p AS (SELECT * FROM marked WHERE event_type = 'purchase'),
+              ft AS (SELECT first_touch AS touch,
+                            CAST(count(*) AS BIGINT) AS fc
+                     FROM p GROUP BY 1),
+              lt AS (SELECT last_touch AS touch,
+                            CAST(count(*) AS BIGINT) AS lc
+                     FROM p GROUP BY 1)
+              SELECT COALESCE(ft.touch, lt.touch) AS touch,
+                     COALESCE(ft.fc, 0) AS first_touch_credits,
+                     COALESCE(lt.lc, 0) AS last_touch_credits,
+                     CAST(COALESCE(ft.fc, 0) - COALESCE(lt.lc, 0) AS BIGINT)
+                       AS delta
+              FROM ft FULL OUTER JOIN lt ON lt.touch = ft.touch
+              ORDER BY touch"""))
   )
 }
