@@ -868,6 +868,77 @@ object EmbeddingQueries {
               FROM (SELECT m.*, row_number() OVER (PARTITION BY qid
                       ORDER BY margin DESC NULLS LAST, nid) AS mrn
                     FROM m)
-              WHERE mrn = 1 ORDER BY qid"""))
+              WHERE mrn = 1 ORDER BY qid""")),
+
+    // ---- contrastive triplet mining — the training-data generator
+    // for embedding fine-tuning: per anchor, a POSITIVE (best
+    // same-bucket neighbor at or above the q41 near-dup threshold) and
+    // a HARD NEGATIVE (the closest same-bucket neighbor BELOW it — the
+    // negatives that actually move a contrastive loss; random
+    // negatives are trivially separated and teach nothing). Candidates
+    // come from the sign-LSH buckets (per-bucket blocks, never N² —
+    // the q42 scale path), both picks are (cos DESC, id) window top-1s
+    // over ONE candidate frame, and only anchors with BOTH sides
+    // emit — a deterministic, reproducible triplet set, which is what
+    // makes the training corpus rebuildable at 100 TB.
+    GraftQuery(
+      "q263_triplet_mining",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Similarity.withLshBucket(vecs(s, d))
+        // every vector anchors (the mining pass IS corpus-wide; pair
+        // volume stays per-bucket-block-bounded, the q63 formulation)
+        val q = e
+          .select(col("id").as("qid"), col("v").as("va"), col("nrm").as("qn"),
+            col("bucket"))
+        val x = e.select(col("id").as("nid"), col("v").as("vb"),
+          col("nrm").as("nn"), col("bucket").as("bucket2"))
+        val cand = q.join(x, col("bucket") === col("bucket2") &&
+            col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            round(expr("array_dot(va, vb)") / (col("qn") * col("nn")), 6)
+              .as("cos_sim"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos_sim").desc, col("nid"))
+        val pos = cand.filter(col("cos_sim") >= 0.35)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("qid"), col("nid").as("pos_id"),
+            col("cos_sim").as("pos_cos"))
+        val neg = cand.filter(col("cos_sim") < 0.35)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("qid").as("qid2"), col("nid").as("neg_id"),
+            col("cos_sim").as("neg_cos"))
+        pos.join(neg, col("qid") === col("qid2"))
+          .select(col("qid"), col("pos_id"), col("pos_cos"),
+            col("neg_id"), col("neg_cos"))
+          .orderBy(col("qid"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+              bk AS (SELECT vec_id, v, nrm,
+                       CAST(list_sum([CASE WHEN list_sum([v[dm] * CAST((CAST(1103515245 AS BIGINT) * (p * 64 + dm) + 12345) % 2001 - 1000 AS DOUBLE)
+                                                          FOR dm IN range(1, 65)]) > 0
+                                           THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END
+                                      FOR p IN range(0, 6)]) AS BIGINT) AS bucket
+                     FROM n),
+              cand AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+                              round(list_dot_product(q.v, x.v)
+                                / (q.nrm * x.nrm), 6) AS cos_sim
+                       FROM bk q JOIN bk x
+                         ON q.bucket = x.bucket
+                        AND x.vec_id <> q.vec_id),
+              pos AS (SELECT qid, nid AS pos_id, cos_sim AS pos_cos
+                      FROM (SELECT cand.*, row_number() OVER (PARTITION BY qid
+                              ORDER BY cos_sim DESC, nid) AS rn
+                            FROM cand WHERE cos_sim >= 0.35)
+                      WHERE rn = 1),
+              neg AS (SELECT qid, nid AS neg_id, cos_sim AS neg_cos
+                      FROM (SELECT cand.*, row_number() OVER (PARTITION BY qid
+                              ORDER BY cos_sim DESC, nid) AS rn
+                            FROM cand WHERE cos_sim < 0.35)
+                      WHERE rn = 1)
+              SELECT p.qid, p.pos_id, p.pos_cos, ng.neg_id, ng.neg_cos
+              FROM pos p JOIN neg ng ON ng.qid = p.qid
+              ORDER BY p.qid"""))
   )
 }
