@@ -2284,6 +2284,57 @@ object MLQueries {
                      CAST(COALESCE(ft.fc, 0) - COALESCE(lt.lc, 0) AS BIGINT)
                        AS delta
               FROM ft FULL OUTER JOIN lt ON lt.touch = ft.touch
-              ORDER BY touch"""))
+              ORDER BY touch""")),
+
+    // ---- burstiness (variance-to-mean dispersion) per user — the bot
+    // signal: organic activity over D days is Poisson-ish (VMR ≈ 1), a
+    // scripted account dumps its events into a few days (VMR >> 1) or
+    // metronomes one per day (VMR ≈ 0). Zero-days COUNT: mean and
+    // variance run over the full D-day observation span (D from a
+    // 1-row broadcast), not just active days — a user active 2 of 30
+    // days IS the signal, so per-(user, day) counts carry Σc and Σc²
+    // and the math fills the zeros implicitly. VMR = (D·Σc² − (Σc)²)
+    // / (D·Σc): exact integer numerator and denominator, ONE division
+    // (population variance / mean, algebra pre-cleared of the double
+    // division). Top-20 by (VMR DESC, user) as TakeOrderedAndProject.
+    GraftQuery(
+      "q265_burstiness",
+      (s, d) => {
+        val perDay = t(s, d, "events").filter(col("user_id").isNotNull)
+          .groupBy(col("user_id"), to_date(col("ts")).as("dy"))
+          .agg(count(lit(1)).as("c"))
+        val span = t(s, d, "events")
+          .agg((datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+            + lit(1)).cast("long").as("bigD"))
+        perDay.groupBy(col("user_id"))
+          .agg(sum(col("c")).as("sc"), sum(col("c") * col("c")).as("scc"),
+            count(lit(1)).as("active_days"))
+          .crossJoin(broadcast(span))
+          .select(col("user_id"), col("sc").as("n_events"),
+            col("active_days"),
+            round((col("bigD").cast("double") * col("scc").cast("double") -
+                col("sc").cast("double") * col("sc").cast("double")) /
+              (col("bigD").cast("double") * col("sc").cast("double")), 6)
+              .as("vmr"))
+          .orderBy(col("vmr").desc, col("user_id"))
+          .limit(20)
+      },
+      Some("""WITH pd AS (SELECT user_id, CAST(ts AS DATE) AS dy,
+                     CAST(count(*) AS BIGINT) AS c
+                   FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+              sp AS (SELECT CAST(date_diff('day', min(CAST(ts AS DATE)),
+                       max(CAST(ts AS DATE))) + 1 AS BIGINT) AS bigD
+                     FROM events),
+              u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS sc,
+                           CAST(sum(c * c) AS BIGINT) AS scc,
+                           CAST(count(*) AS BIGINT) AS active_days
+                    FROM pd GROUP BY 1)
+              SELECT user_id, sc AS n_events, active_days,
+                     round((CAST(bigD AS DOUBLE) * CAST(scc AS DOUBLE)
+                         - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+                       / (CAST(bigD AS DOUBLE) * CAST(sc AS DOUBLE)), 6)
+                       AS vmr
+              FROM u CROSS JOIN sp
+              ORDER BY vmr DESC, user_id LIMIT 20"""))
   )
 }

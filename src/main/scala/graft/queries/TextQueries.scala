@@ -724,7 +724,86 @@ object TextQueries {
                      CAST(count(DISTINCT g) AS BIGINT) AS uniq,
                      CAST(count(DISTINCT g) AS DOUBLE)
                        / CAST(count(*) AS DOUBLE) AS distinct_ratio
-              FROM grams GROUP BY 1 ORDER BY n"""))
+              FROM grams GROUP BY 1 ORDER BY n""")),
+
+    // ---- Zipf-law fit — the Benford of text (q252's cousin): natural
+    // language's frequency-rank curve is a power law with alpha ≈ 1;
+    // a template-stamped or synthetic corpus bends it. Alpha by OLS of
+    // ln(freq) on ln(rank) over the distributed top-1000 terms (the
+    // q97 bound), with every regression sum computed as a DEFINED-
+    // ORDER fold over the ONE collected rank-sorted list — a
+    // distributed sum of logs would be accumulation-order exposed
+    // across engines, a list fold is not (the q198/q201 convention);
+    // ln on identical integer-valued doubles is the q216 libm
+    // precedent. One row: n_terms, alpha (the negated slope),
+    // intercept, both 6dp.
+    GraftQuery(
+      "q264_zipf_alpha",
+      (s, d) => {
+        val tf = t(s, d, "documents")
+          .select(explode(Portable.tokens(col("text"))).as("term"))
+          .filter(length(col("term")) > 0)
+          .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("term"))
+        val ranked = tf.orderBy(col("c").desc, col("term")).limit(1000)
+          .select(col("c"), row_number().over(w).as("rk"))
+        ranked
+          .agg(array_sort(collect_list(struct(col("rk"), col("c")))).as("ls"))
+          .select(expr("""aggregate(ls,
+              named_struct('n', 0L, 'sx', CAST(0.0 AS DOUBLE),
+                'sy', CAST(0.0 AS DOUBLE), 'sxy', CAST(0.0 AS DOUBLE),
+                'sxx', CAST(0.0 AS DOUBLE)),
+              (a, e) -> named_struct(
+                'n', a.n + 1L,
+                'sx', a.sx + ln(CAST(e.rk AS DOUBLE)),
+                'sy', a.sy + ln(CAST(e.c AS DOUBLE)),
+                'sxy', a.sxy + ln(CAST(e.rk AS DOUBLE)) * ln(CAST(e.c AS DOUBLE)),
+                'sxx', a.sxx + ln(CAST(e.rk AS DOUBLE)) * ln(CAST(e.rk AS DOUBLE))))
+            """).as("s"))
+          .select(col("s.n").as("n_terms"),
+            round(-(col("s.n").cast("double") * col("s.sxy") -
+                col("s.sx") * col("s.sy")) /
+              (col("s.n").cast("double") * col("s.sxx") -
+                col("s.sx") * col("s.sx")), 6).as("alpha"),
+            round((col("s.sy") - (col("s.n").cast("double") * col("s.sxy") -
+                col("s.sx") * col("s.sy")) /
+              (col("s.n").cast("double") * col("s.sxx") -
+                col("s.sx") * col("s.sx")) * col("s.sx")) /
+                col("s.n").cast("double"), 6).as("intercept"))
+      },
+      Some("""WITH tf AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+                   FROM (SELECT unnest(string_split_regex(trim(text), '\s+'))
+                           AS term FROM documents)
+                   WHERE len(term) > 0 GROUP BY 1),
+              top AS (SELECT c, row_number() OVER
+                        (ORDER BY c DESC, term) AS rk
+                      FROM tf ORDER BY c DESC, term LIMIT 1000),
+              ls AS (SELECT list_sort(list(struct_pack(rk := rk, c := c)))
+                       AS l FROM top),
+              s AS (SELECT list_reduce(
+                      list_prepend(struct_pack(n := CAST(0 AS BIGINT),
+                        sx := CAST(0.0 AS DOUBLE), sy := CAST(0.0 AS DOUBLE),
+                        sxy := CAST(0.0 AS DOUBLE), sxx := CAST(0.0 AS DOUBLE)),
+                        list_transform(l, e -> struct_pack(n := CAST(e.rk AS BIGINT),
+                          sx := ln(CAST(e.rk AS DOUBLE)),
+                          sy := ln(CAST(e.c AS DOUBLE)),
+                          sxy := ln(CAST(e.rk AS DOUBLE)) * ln(CAST(e.c AS DOUBLE)),
+                          sxx := ln(CAST(e.rk AS DOUBLE)) * ln(CAST(e.rk AS DOUBLE))))),
+                      (a, e) -> struct_pack(n := a.n + 1,
+                        sx := a.sx + e.sx, sy := a.sy + e.sy,
+                        sxy := a.sxy + e.sxy, sxx := a.sxx + e.sxx)) AS st
+                    FROM ls)
+              SELECT CAST(st.n AS BIGINT) AS n_terms,
+                     round(-(CAST(st.n AS DOUBLE) * st.sxy - st.sx * st.sy)
+                       / (CAST(st.n AS DOUBLE) * st.sxx - st.sx * st.sx), 6)
+                       AS alpha,
+                     round((st.sy - (CAST(st.n AS DOUBLE) * st.sxy
+                           - st.sx * st.sy)
+                         / (CAST(st.n AS DOUBLE) * st.sxx - st.sx * st.sx)
+                         * st.sx) / CAST(st.n AS DOUBLE), 6)
+                       AS intercept
+              FROM s"""))
   )
 
   /** Spark-SQL fragment of [[Portable.p60]] for use inside `expr` lambdas
