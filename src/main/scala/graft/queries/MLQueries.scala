@@ -2335,6 +2335,77 @@ object MLQueries {
                        / (CAST(bigD AS DOUBLE) * CAST(sc AS DOUBLE)), 6)
                        AS vmr
               FROM u CROSS JOIN sp
-              ORDER BY vmr DESC, user_id LIMIT 20"""))
+              ORDER BY vmr DESC, user_id LIMIT 20""")),
+
+    // ---- cohort LTV accumulation (the revenue triangle) — q219's
+    // retention counts upgraded to VALUE: per signup-week cohort, the
+    // cumulative purchase value per user at each week-since-signup.
+    // The triangle is what makes young and old cohorts comparable (a
+    // 1-week-old cohort is only read at offset 0). Purchase value
+    // enters as floor-cent longs (the engine-exactness convention for
+    // money sums — a double sum's accumulation order is not portable);
+    // cohort assignment and week offsets are integer date arithmetic
+    // (both engines truncate weeks to Monday); the cumulative window
+    // runs per cohort over ≤|weeks| offsets (bounded domain). The one
+    // division — cum cents / cohort size — is exact-integer inputs.
+    GraftQuery(
+      "q266_cohort_ltv",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+        val cohort = ev.groupBy(col("user_id"))
+          .agg(date_trunc("week", min(col("ts"))).cast("date").as("cw"))
+          .localCheckpoint(true) // |users| rows; size + join below
+        val sizes = cohort.groupBy(col("cw")).agg(count(lit(1)).as("n_users"))
+        val weekly = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("ew"),
+            floor(col("value") * 100).cast("long").as("vc"))
+          .join(cohort, "user_id")
+          .groupBy(col("cw"),
+            expr("datediff(ew, cw) DIV 7").cast("int").as("k"))
+          .agg(sum(col("vc")).as("week_cents"))
+        val wCum = Window.partitionBy(col("cw")).orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        weekly
+          .select(col("cw").cast("string").as("cohort_week"), col("cw"),
+            col("k"), col("week_cents"),
+            sum(col("week_cents")).over(wCum).as("cum_cents"))
+          .join(broadcast(sizes), "cw")
+          .select(col("cohort_week"), col("k"), col("n_users"),
+            col("week_cents"), col("cum_cents"),
+            round(col("cum_cents").cast("double") /
+              col("n_users").cast("double"), 6).as("ltv_cents_per_user"))
+          .orderBy(col("cohort_week"), col("k"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, ts, value
+                          FROM events WHERE user_id IS NOT NULL),
+              cohort AS (SELECT user_id,
+                                CAST(date_trunc('week', min(ts)) AS DATE)
+                                  AS cw
+                         FROM ev GROUP BY 1),
+              sizes AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_users
+                        FROM cohort GROUP BY 1),
+              weekly AS (SELECT c.cw,
+                                CAST(date_diff('day', c.cw,
+                                  CAST(date_trunc('week', e.ts) AS DATE))
+                                  // 7 AS INTEGER) AS k,
+                                CAST(sum(CAST(floor(e.value * 100)
+                                  AS BIGINT)) AS BIGINT) AS week_cents
+                         FROM ev e JOIN cohort c ON c.user_id = e.user_id
+                         WHERE e.event_type = 'purchase'
+                         GROUP BY 1, 2),
+              cum AS (SELECT cw, k, week_cents,
+                             CAST(sum(week_cents) OVER (PARTITION BY cw
+                               ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum_cents
+                      FROM weekly)
+              SELECT CAST(cum.cw AS VARCHAR) AS cohort_week, cum.k,
+                     s.n_users, cum.week_cents, cum.cum_cents,
+                     round(CAST(cum.cum_cents AS DOUBLE)
+                       / CAST(s.n_users AS DOUBLE), 6)
+                       AS ltv_cents_per_user
+              FROM cum JOIN sizes s ON s.cw = cum.cw
+              ORDER BY cohort_week, k"""))
   )
 }
