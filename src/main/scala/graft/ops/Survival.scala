@@ -30,16 +30,32 @@ import org.apache.spark.sql.functions._
   */
 object Survival {
 
-  def kaplanMeier(df: DataFrame, t: Column, event: Column): DataFrame = {
+  def kaplanMeier(df: DataFrame, t: Column, event: Column): DataFrame =
+    kaplanMeierFromHist(histState(df, t, event))
+
+  /** The MERGEABLE sufficient statistic: the duration histogram
+    * (t, cnt, d) — plain-sum mergeable, so a stream of newly-resolved
+    * subjects maintains ONE ≤|domain|-row state from which the whole
+    * curve re-derives (the calibration/drift one-state pattern; all
+    * columns integers, so stream == batch EXACTLY). */
+  def histState(df: DataFrame, t: Column, event: Column): DataFrame =
+    df.select(t.cast("long").as("t"), event.as("event"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("event"), 1L).otherwise(0L)).as("d"))
+
+  /** Merge [[histState]] partials (micro-batches, shards). */
+  def mergeHist(parts: Seq[DataFrame]): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy(col("t"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("d")).as("d"))
+
+  /** The survival-curve view of an accumulated [[histState]]. */
+  def kaplanMeierFromHist(hist: DataFrame): DataFrame = {
     val wSuf = org.apache.spark.sql.expressions.Window
       .orderBy(col("t").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val hist = df
-      .select(t.cast("long").as("t"), event.as("event"))
-      .groupBy(col("t"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(when(col("event"), 1L).otherwise(0L)).as("d"))
     val factors = hist.select(col("t"),
         sum(col("cnt")).over(wSuf).as("n_risk"),
         col("d"), (col("cnt") - col("d")).as("c"))

@@ -425,6 +425,30 @@ object EventStreams {
     incrementalViewState(spark, stateDir)
       .map(graft.ops.Calibration.prCurveFromState(_, bins))
 
+  /** foreachBatch body for a continuously-maintained SURVIVAL monitor —
+    * the stream face of [[graft.ops.Survival]]: each micro-batch of
+    * newly-RESOLVED subjects (duration `tCol`, observed `eventCol`)
+    * folds its (t, cnt, d) histogram into the persisted state; the
+    * whole Kaplan-Meier curve re-derives from that one ≤|domain|-row
+    * table. Subjects must enter exactly once, at resolution (event or
+    * censoring) — the same at-most-once contract as every versionedFold
+    * monitor. All state columns are integers, so stream == batch
+    * EXACTLY, no rounding tolerance. */
+  def survivalBatch(tCol: String, eventCol: String, stateDir: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    versionedFold(batch.sparkSession, stateDir, batchId) { prev =>
+      graft.ops.Survival.mergeHist(
+        graft.ops.Survival.histState(batch, col(tCol), col(eventCol))
+          +: prev.toSeq)
+    }
+
+  /** Current Kaplan-Meier curve of everything [[survivalBatch]]
+    * accumulated; None before the first commit. */
+  def survivalCurrent(spark: SparkSession,
+      stateDir: String): Option[DataFrame] =
+    incrementalViewState(spark, stateDir)
+      .map(graft.ops.Survival.kaplanMeierFromHist(_))
+
   /** The current materialized state written by
     * [[incrementalJoinViewBatch]]: the highest COMMITTED version
     * directory, or None before the first committed batch. */

@@ -990,6 +990,33 @@ class StreamingSpec extends SparkSpec {
       "TP must be non-increasing in threshold")
   }
 
+  test("survivalBatch: accumulated duration histogram == one-shot Kaplan-Meier") {
+    // the survival monitor in stream form: subjects resolve in three
+    // micro-batches; the curve derived from the accumulated (t, cnt, d)
+    // state must equal the one-shot computation EXACTLY — every state
+    // column is an integer, so no tolerance (unlike calibration's
+    // double sums)
+    import org.apache.spark.sql.functions._
+    val stateDir = java.nio.file.Files.createTempDirectory("surv_state").toString
+    val subjects = Tables(spark, sf, "events")
+      .filter($"user_id".isNotNull)
+      .groupBy($"user_id")
+      .agg((pmod(graft.ops.Portable.p60(min($"ts").cast("string")), lit(73)))
+        .as("t"),
+        (pmod($"user_id", lit(3)) =!= 0).as("event"))
+    val body = EventStreams.survivalBatch("t", "event", stateDir) _
+    (0 to 2).foreach(i =>
+      body(subjects.filter(pmod($"user_id", lit(3)) === i), i.toLong))
+    val got = EventStreams.survivalCurrent(spark, stateDir).get
+      .orderBy($"t").as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val want = graft.ops.Survival.kaplanMeier(subjects, $"t", $"event")
+      .orderBy($"t").as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+    // survival is non-increasing in t
+    assert(got.map(_._5).reverse == got.map(_._5).reverse.sorted)
+  }
+
   test("runningTotals: stateful op accumulates per-user counts") {
     val events = Tables(spark, sf, "events")
       .selectExpr("event_id", "user_id", "event_type", "value")
