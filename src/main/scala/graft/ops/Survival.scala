@@ -80,4 +80,17 @@ object Survival {
         col("r.d").as("d"), col("r.c").as("c"),
         round(col("r.surv"), 6).as("surv"))
   }
+
+  /** Median survival time: the earliest event time where S(t) drops to
+    * 0.5 or below (the standard KM read-out; None when the curve never
+    * reaches 0.5 — more than half the subjects are censored). One
+    * bounded-domain aggregate over the curve frame. */
+  def medianSurvival(curve: DataFrame): Option[Long] =
+    curve.filter(col("surv") <= 0.5)
+      .agg(min(col("t")))
+      .head().getAs[Any](0) match {
+        case null => None
+        case v: Long => Some(v)
+        case v: Number => Some(v.longValue())
+      }
 }

@@ -253,6 +253,38 @@ class PipelinePropertySpec extends SparkSpec {
     }
   }
 
+  test("kaplanMeier: equals the pure-Scala reference on generated censored cohorts") {
+    // generated (duration, event) subjects vs an independent plain-Scala
+    // KM: risk sets by suffix count, survival by the same t-ascending
+    // left fold — the arithmetic sequence is identical by construction,
+    // so equality is EXACT (after the 6dp reporting round), not
+    // tolerance-based; exercises ties, interleaved censoring, and
+    // all-censored tails the single hand fixture can't cover
+    val subjects = samples(Gen.zip(Gen.choose(0L, 15L), Gen.oneOf(true, false)), 300)
+    val df = subjects.toDF("t", "event")
+    val got = graft.ops.Survival.kaplanMeier(df, col("t"), col("event"))
+      .orderBy($"t").as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // reference: plain Scala
+    val hist = subjects.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.size.toLong, xs.count(_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    var surv = 1.0
+    val want = hist.flatMap { case (t, cnt, d) =>
+      val nRisk = hist.filter(_._1 >= t).map(_._2).sum
+      if (d > 0) {
+        surv = surv * ((nRisk - d).toDouble / nRisk.toDouble)
+        Some((t, nRisk, d, cnt - d,
+          BigDecimal(surv).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+      } else None
+    }
+    assert(got == want, s"got $got\nwant $want")
+    // median survival agrees with a direct scan of the curve
+    val med = graft.ops.Survival.medianSurvival(
+      graft.ops.Survival.kaplanMeier(df, col("t"), col("event")))
+    assert(med == want.find(_._5 <= 0.5).map(_._1), med.toString)
+  }
+
   test("marginTopMatch: scale-invariant (cosine geometry only) and in [0, 2] band") {
     // margins depend only on ANGLES: rescaling any vector by a positive
     // constant must not change a single output row (the 6dp cosine pin
