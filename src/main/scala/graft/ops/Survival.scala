@@ -93,4 +93,107 @@ object Survival {
         case v: Long => Some(v)
         case v: Number => Some(v.longValue())
       }
+
+  /** Per-group Kaplan-Meier — survival curves BY treatment arm /
+    * cohort / segment (the canonical side-by-side read-out). Identical
+    * arithmetic to [[kaplanMeier]], with every step partitioned by
+    * `group`: the suffix window, the collected factor list, and the
+    * prefix-product fold all run per group over the same bounded
+    * duration domain. Output adds a leading `grp` column. */
+  def kaplanMeierGrouped(df: DataFrame, group: Column, t: Column,
+      event: Column): DataFrame = {
+    val wSuf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("t").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val hist = df
+      .select(group.as("grp"), t.cast("long").as("t"), event.as("event"))
+      .groupBy(col("grp"), col("t"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("event"), 1L).otherwise(0L)).as("d"))
+    val factors = hist.select(col("grp"), col("t"),
+        sum(col("cnt")).over(wSuf).as("n_risk"),
+        col("d"), (col("cnt") - col("d")).as("c"))
+      .filter(col("d") > 0)
+      .select(col("grp"), col("t"), col("n_risk"), col("d"), col("c"),
+        ((col("n_risk") - col("d")).cast("double") /
+          col("n_risk").cast("double")).as("factor"))
+    factors
+      .groupBy(col("grp"))
+      .agg(array_sort(collect_list(
+        struct(col("t"), col("n_risk"), col("d"), col("c"),
+          col("factor")))).as("ls"))
+      .filter(size(col("ls")) >= 1)
+      .select(col("grp"), explode(expr(
+        """transform(sequence(1, size(ls)), i -> struct(
+             ls[i-1].t AS t, ls[i-1].n_risk AS n_risk,
+             ls[i-1].d AS d, ls[i-1].c AS c,
+             aggregate(slice(ls, 1, i), CAST(1.0 AS DOUBLE),
+               (acc, x) -> acc * x.factor) AS surv))""")).as("r"))
+      .select(col("grp"), col("r.t").as("t"), col("r.n_risk").as("n_risk"),
+        col("r.d").as("d"), col("r.c").as("c"),
+        round(col("r.surv"), 6).as("surv"))
+  }
+
+  /** Two-sample log-rank test — "are these two survival curves the
+    * same curve?", the standard significance companion to a grouped
+    * KM plot. At each event time of EITHER arm, arm 1's observed
+    * events are compared to the hypergeometric expectation given the
+    * pooled risk sets; the statistic is z = Σ(O−E) / sqrt(ΣV),
+    * chi² = z². Determinism: risk sets and event counts are exact
+    * longs; each E and V term is a short chain of IEEE ops on those
+    * longs, and BOTH sums run as a defined-order fold over the ONE
+    * collected t-ascending list (a distributed sum of the per-time
+    * doubles would be accumulation-order exposed). `group` must be
+    * 0/1-valued (arm 1 is the tested side). Output (one row): n1/n2 =
+    * per-arm at-risk counts at the EARLIEST event time (the largest
+    * risk sets), d1/d2 = total observed events per arm, z (6dp),
+    * chi2 (6dp) — both NULL when no variance accrues. */
+  def logRank(df: DataFrame, group: Column, t: Column,
+      event: Column): DataFrame = {
+    val wSuf = org.apache.spark.sql.expressions.Window
+      .orderBy(col("t").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val hist = df
+      .select(group.cast("int").as("g"), t.cast("long").as("t"),
+        event.as("event"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("g") === 1, 1L).otherwise(0L)).as("cnt1"),
+        sum(when(col("g") =!= 1, 1L).otherwise(0L)).as("cnt2"),
+        sum(when(col("g") === 1 && col("event"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("g") =!= 1 && col("event"), 1L).otherwise(0L)).as("d2"))
+    val risk = hist.select(col("t"),
+        sum(col("cnt1")).over(wSuf).as("n1"),
+        sum(col("cnt2")).over(wSuf).as("n2"),
+        col("d1"), col("d2"))
+      .filter(col("d1") + col("d2") > 0)
+    risk
+      .agg(array_sort(collect_list(
+        struct(col("t"), col("n1"), col("n2"), col("d1"), col("d2"))))
+        .as("ls"))
+      .select(expr("""aggregate(ls,
+          named_struct('n1', 0L, 'n2', 0L, 'd1', 0L, 'd2', 0L,
+            'oe', CAST(0.0 AS DOUBLE), 'v', CAST(0.0 AS DOUBLE)),
+          (a, e) -> named_struct(
+            'n1', greatest(a.n1, e.n1), 'n2', greatest(a.n2, e.n2),
+            'd1', a.d1 + e.d1, 'd2', a.d2 + e.d2,
+            'oe', a.oe + (CAST(e.d1 AS DOUBLE)
+              - CAST((e.d1 + e.d2) * e.n1 AS DOUBLE)
+                / CAST(e.n1 + e.n2 AS DOUBLE)),
+            'v', a.v + CASE WHEN e.n1 + e.n2 > 1
+              THEN CAST((e.d1 + e.d2) * e.n1 AS DOUBLE)
+                / CAST(e.n1 + e.n2 AS DOUBLE)
+                * (CAST(e.n2 AS DOUBLE) / CAST(e.n1 + e.n2 AS DOUBLE))
+                * (CAST(e.n1 + e.n2 - (e.d1 + e.d2) AS DOUBLE)
+                  / CAST(e.n1 + e.n2 - 1 AS DOUBLE))
+              ELSE CAST(0.0 AS DOUBLE) END))
+        """).as("s"))
+      .select(col("s.n1").as("n1"), col("s.n2").as("n2"),
+        col("s.d1").as("d1"), col("s.d2").as("d2"),
+        when(col("s.v") > 0, round(col("s.oe") / sqrt(col("s.v")), 6))
+          .as("z"),
+        when(col("s.v") > 0,
+          round(col("s.oe") * col("s.oe") / col("s.v"), 6)).as("chi2"))
+  }
 }

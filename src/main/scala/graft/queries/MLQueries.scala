@@ -2406,6 +2406,135 @@ object MLQueries {
                        / CAST(s.n_users AS DOUBLE), 6)
                        AS ltv_cents_per_user
               FROM cum JOIN sizes s ON s.cw = cum.cw
-              ORDER BY cohort_week, k"""))
+              ORDER BY cohort_week, k""")),
+
+    // ---- survival curves BY experiment arm (Survival.
+    // kaplanMeierGrouped) — q249's hash-assigned arms under q250's
+    // time-to-conversion lens: the side-by-side curves that show WHERE
+    // in time two arms diverge, which the single conversion-rate
+    // z-test compresses away. Same bounded-domain suffix windows and
+    // defined-order folds, partitioned per arm.
+    GraftQuery(
+      "q267_km_by_arm",
+      (s, d) => graft.ops.Survival.kaplanMeierGrouped(
+          conversion72(s, d).select(
+            pmod(Portable.p60(col("user_id").cast("string")), lit(2))
+              .as("arm"), col("t"), col("event")),
+          col("arm"), col("t"), col("event"))
+        .select(col("grp").cast("int").as("arm"), col("t"), col("n_risk"),
+          col("d"), col("c"), col("surv"))
+        .orderBy(col("arm"), col("t")),
+      Some(s"""WITH $conversion72Sql,
+               armed AS (SELECT
+                     CAST((${Portable.p60Sql("CAST(user_id AS VARCHAR)")}) % 2
+                       AS INTEGER) AS arm, t, event
+                   FROM lab),
+               hist AS (SELECT arm, t, CAST(count(*) AS BIGINT) AS cnt,
+                               CAST(sum(CASE WHEN event THEN 1 ELSE 0 END)
+                                 AS BIGINT) AS d
+                        FROM armed GROUP BY 1, 2),
+               risk AS (SELECT arm, t,
+                               CAST(sum(cnt) OVER (PARTITION BY arm
+                                 ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS BIGINT)
+                                 AS n_risk,
+                               d, cnt - d AS c
+                        FROM hist),
+               evt AS (SELECT arm, t, n_risk, d, c,
+                              CAST(n_risk - d AS DOUBLE)
+                                / CAST(n_risk AS DOUBLE) AS factor
+                       FROM risk WHERE d > 0),
+               ls AS (SELECT arm, list_sort(list(struct_pack(
+                        t := t, n_risk := n_risk, d := d, c := c,
+                        factor := factor))) AS l
+                      FROM evt GROUP BY 1)
+               SELECT arm, l[i].t AS t, l[i].n_risk AS n_risk,
+                      l[i].d AS d, CAST(l[i].c AS BIGINT) AS c,
+                      round(list_reduce(
+                        [CAST(1.0 AS DOUBLE)] ||
+                          list_transform(l[1:i], x -> x.factor),
+                        (a, b) -> a * b), 6) AS surv
+               FROM ls, unnest(range(1, len(l) + 1)) AS u(i)
+               ORDER BY arm, t""")),
+
+    // ---- two-sample log-rank test (Survival.logRank) — the
+    // significance read-out for q267's curves: z = Σ(O−E)/sqrt(ΣV)
+    // with hypergeometric E and V at each pooled event time. Arms are
+    // the same deterministic hash assignment, so by construction this
+    // is a NULL experiment — |z| should be small, and `different`
+    // false: the negative control that validates the machinery (a
+    // significant null would mean broken arithmetic or assignment
+    // bias). Verdict gated on the UNROUNDED z (q214 discipline).
+    GraftQuery(
+      "q268_logrank",
+      (s, d) => graft.ops.Survival.logRank(
+          conversion72(s, d).select(
+            pmod(Portable.p60(col("user_id").cast("string")), lit(2))
+              .as("arm"), col("t"), col("event")),
+          col("arm"), col("t"), col("event"))
+        .withColumn("different",
+          coalesce(abs(col("z")) > lit(1.96), lit(false))),
+      Some(s"""WITH $conversion72Sql,
+               armed AS (SELECT
+                     CAST((${Portable.p60Sql("CAST(user_id AS VARCHAR)")}) % 2
+                       AS INTEGER) AS g, t, event
+                   FROM lab),
+               hist AS (SELECT t,
+                     CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS cnt1,
+                     CAST(sum(CASE WHEN g <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS cnt2,
+                     CAST(sum(CASE WHEN g = 1 AND event THEN 1 ELSE 0 END)
+                       AS BIGINT) AS d1,
+                     CAST(sum(CASE WHEN g <> 1 AND event THEN 1 ELSE 0 END)
+                       AS BIGINT) AS d2
+                   FROM armed GROUP BY 1),
+               risk AS (SELECT t,
+                     CAST(sum(cnt1) OVER w AS BIGINT) AS n1,
+                     CAST(sum(cnt2) OVER w AS BIGINT) AS n2,
+                     d1, d2
+                   FROM hist
+                   WINDOW w AS (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW)),
+               ls AS (SELECT list_sort(list(struct_pack(t := t, n1 := n1,
+                        n2 := n2, d1 := d1, d2 := d2))) AS l
+                      FROM risk WHERE d1 + d2 > 0),
+               s AS (SELECT list_reduce(
+                       list_prepend(struct_pack(n1 := CAST(0 AS BIGINT),
+                         n2 := CAST(0 AS BIGINT), d1 := CAST(0 AS BIGINT),
+                         d2 := CAST(0 AS BIGINT), oe := CAST(0.0 AS DOUBLE),
+                         v := CAST(0.0 AS DOUBLE)),
+                         list_transform(l, e -> struct_pack(
+                           n1 := e.n1, n2 := e.n2, d1 := e.d1, d2 := e.d2,
+                           oe := CAST(e.d1 AS DOUBLE)
+                             - CAST((e.d1 + e.d2) * e.n1 AS DOUBLE)
+                               / CAST(e.n1 + e.n2 AS DOUBLE),
+                           v := CASE WHEN e.n1 + e.n2 > 1
+                             THEN CAST((e.d1 + e.d2) * e.n1 AS DOUBLE)
+                               / CAST(e.n1 + e.n2 AS DOUBLE)
+                               * (CAST(e.n2 AS DOUBLE)
+                                 / CAST(e.n1 + e.n2 AS DOUBLE))
+                               * (CAST(e.n1 + e.n2 - (e.d1 + e.d2) AS DOUBLE)
+                                 / CAST(e.n1 + e.n2 - 1 AS DOUBLE))
+                             ELSE CAST(0.0 AS DOUBLE) END))),
+                       (a, e) -> struct_pack(
+                         n1 := greatest(a.n1, e.n1),
+                         n2 := greatest(a.n2, e.n2),
+                         d1 := a.d1 + e.d1, d2 := a.d2 + e.d2,
+                         oe := a.oe + e.oe,
+                         v := a.v + e.v)) AS st
+                     FROM ls)
+               SELECT CAST(st.n1 AS BIGINT) AS n1,
+                      CAST(st.n2 AS BIGINT) AS n2,
+                      CAST(st.d1 AS BIGINT) AS d1,
+                      CAST(st.d2 AS BIGINT) AS d2,
+                      CASE WHEN st.v > 0
+                           THEN round(st.oe / sqrt(st.v), 6) END AS z,
+                      CASE WHEN st.v > 0
+                           THEN round(st.oe * st.oe / st.v, 6) END AS chi2,
+                      COALESCE(CASE WHEN st.v > 0
+                        THEN abs(st.oe / sqrt(st.v)) > CAST(1.96 AS DOUBLE)
+                        END, false) AS different
+               FROM s"""))
   )
 }

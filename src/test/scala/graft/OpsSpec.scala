@@ -219,6 +219,30 @@ class OpsSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("logRank: fires on divergent curves, silent on identical ones") {
+    // positive control — the registered q268 is a null experiment by
+    // construction, so the spec must prove the statistic CAN reject:
+    // arm 1 dies early (events at t=1,2), arm 0 survives long (events
+    // at t=8,9 plus censoring at 10) -> large |z|. And the exact-null
+    // control: identical arms -> z == 0 by symmetry.
+    val divergent = (
+      (1 to 10).map(i => (1, (if (i <= 5) 1L else 2L), true)) ++
+      (1 to 10).map(i => (0, (if (i <= 4) 8L else if (i <= 8) 9L else 10L),
+        i <= 8))).toDF("arm", "t", "event")
+    val r = graft.ops.Survival.logRank(divergent, col("arm"), col("t"),
+      col("event")).as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .head()
+    assert(r._5.exists(z => math.abs(z) > 1.96), r.toString)
+    assert(r._6.exists(_ > 3.84), r.toString)
+    val same = (1 to 8).flatMap(i =>
+      Seq((1, i.toLong, i % 3 != 0), (0, i.toLong, i % 3 != 0)))
+      .toDF("arm", "t", "event")
+    val r0 = graft.ops.Survival.logRank(same, col("arm"), col("t"),
+      col("event")).as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .head()
+    assert(r0._5.exists(z => math.abs(z) < 1e-9), r0.toString)
+  }
+
   test("marginTopMatch: hub demoted — raw-cosine winner loses to the specialist") {
     // engineered 2-D fixture (margins precomputed exactly): corpus id 1
     // is a HUB bisecting the two queries (cos ~0.99 to both), corpus
