@@ -2535,6 +2535,119 @@ object MLQueries {
                       COALESCE(CASE WHEN st.v > 0
                         THEN abs(st.oe / sqrt(st.v)) > CAST(1.96 AS DOUBLE)
                         END, false) AS different
-               FROM s"""))
+               FROM s""")),
+
+    // ---- CUPED variance reduction — the modern experimentation
+    // workhorse: adjust each user's experiment-period metric by their
+    // PRE-period behaviour (theta = cov(pre, post)/var(pre)) so that
+    // stable heavy-spenders stop inflating the arm variance; the
+    // adjusted arm difference has the same expectation with rho² of
+    // the variance removed. EVERYTHING derives from six per-arm
+    // integer sums: per-user pre/post value enters as floor-cent
+    // longs, Σx/Σy/Σxy/Σx²/Σy² stay in longs (products < 2^63 here;
+    // at 1e10-user scale rescale cents to dollars upstream), and
+    // theta, the adjusted means — mean_post(arm) − theta·(mean_pre
+    // (arm) − mean_pre(all)) — and rho² are short identical-
+    // association IEEE chains on those exact sums. No per-user double
+    // arithmetic anywhere, so the whole read-out is engine-exact
+    // before its 6dp reporting round.
+    GraftQuery(
+      "q269_cuped",
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+        val bounds = ev.agg(date_add(min(to_date(col("ts"))), 15).as("cut"))
+        val perUser = ev.crossJoin(broadcast(bounds))
+          .groupBy(col("user_id"))
+          .agg(sum(when(to_date(col("ts")) < col("cut"),
+              floor(col("value") * 100).cast("long")).otherwise(0L)).as("x"),
+            sum(when(to_date(col("ts")) >= col("cut"),
+              floor(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+          .select(pmod(Portable.p60(col("user_id").cast("string")), lit(2))
+            .as("arm"), col("x"), col("y"))
+        val agg = perUser.agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sx_a"),
+          sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sx_b"),
+          sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy_b"))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        val covN = dd(col("n")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))
+        val varXN = dd(col("n")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))
+        val varYN = dd(col("n")) * dd(col("syy")) - dd(col("sy")) * dd(col("sy"))
+        val theta = covN / varXN
+        val meanXAll = dd(col("sx")) / dd(col("n"))
+        val adjA = dd(col("sy_a")) / dd(col("n_a")) -
+          theta * (dd(col("sx_a")) / dd(col("n_a")) - meanXAll)
+        val adjB = dd(col("sy_b")) / dd(col("n_b")) -
+          theta * (dd(col("sx_b")) / dd(col("n_b")) - meanXAll)
+        agg.select(col("n_a"), col("n_b"),
+          round(theta, 6).as("theta"),
+          round(dd(col("sy_b")) / dd(col("n_b")) -
+            dd(col("sy_a")) / dd(col("n_a")), 6).as("raw_diff_cents"),
+          round(adjB - adjA, 6).as("cuped_diff_cents"),
+          round(covN * covN / (varXN * varYN), 6).as("rho2"))
+      },
+      Some(s"""WITH ev AS (SELECT user_id, ts, value FROM events
+                           WHERE user_id IS NOT NULL),
+               b AS (SELECT min(CAST(ts AS DATE)) + 15 AS cut FROM ev),
+               pu AS (SELECT user_id,
+                        CAST(sum(CASE WHEN CAST(ts AS DATE) < cut
+                          THEN CAST(floor(value * 100) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS x,
+                        CAST(sum(CASE WHEN CAST(ts AS DATE) >= cut
+                          THEN CAST(floor(value * 100) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS y
+                      FROM ev CROSS JOIN b GROUP BY 1),
+               armed AS (SELECT
+                     (${Portable.p60Sql("CAST(user_id AS VARCHAR)")}) % 2
+                       AS arm, x, y
+                   FROM pu),
+               a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(y * y) AS BIGINT) AS syy,
+                       CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_a,
+                       CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END)
+                         AS BIGINT) AS sx_a,
+                       CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END)
+                         AS BIGINT) AS sy_a,
+                       CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_b,
+                       CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END)
+                         AS BIGINT) AS sx_b,
+                       CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END)
+                         AS BIGINT) AS sy_b
+                     FROM armed),
+               c AS (SELECT a.*,
+                       CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+                       CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varxn,
+                       CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS varyn,
+                       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mxall
+                     FROM a)
+               SELECT n_a, n_b,
+                      round(covn / varxn, 6) AS theta,
+                      round(CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                        - CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+                        AS raw_diff_cents,
+                      round((CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                          - covn / varxn * (CAST(sx_b AS DOUBLE)
+                            / CAST(n_b AS DOUBLE) - mxall))
+                        - (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                          - covn / varxn * (CAST(sx_a AS DOUBLE)
+                            / CAST(n_a AS DOUBLE) - mxall)), 6)
+                        AS cuped_diff_cents,
+                      round(covn * covn / (varxn * varyn), 6) AS rho2
+               FROM c"""))
   )
 }
