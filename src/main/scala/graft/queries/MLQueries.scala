@@ -2648,6 +2648,139 @@ object MLQueries {
                             / CAST(n_a AS DOUBLE) - mxall)), 6)
                         AS cuped_diff_cents,
                       round(covn * covn / (varxn * varyn), 6) AS rho2
-               FROM c"""))
+               FROM c""")),
+
+    // ---- sample-ratio mismatch (SRM) — the A/B hygiene gate that
+    // runs BEFORE any metric is read: if a 50/50 hash split didn't
+    // produce ~50/50 arms, the assignment or logging pipeline is
+    // broken and every downstream read-out (q249/q267/q268/q269) is
+    // untrustworthy. One-degree chi² of arm counts vs the expected
+    // even split: chi² = (n_a−E)²/E + (n_b−E)²/E with E = n/2 —
+    // exact-integer inputs, three IEEE ops, threshold 3.84 on the
+    // UNROUNDED statistic. The deterministic hash split should PASS
+    // (mismatch=false) — this is the negative control of the suite.
+    GraftQuery(
+      "q270_srm_check",
+      (s, d) => {
+        val agg = t(s, d, "events").filter(col("user_id").isNotNull)
+          .select(col("user_id")).distinct()
+          .select(pmod(Portable.p60(col("user_id").cast("string")), lit(2))
+            .as("arm"))
+          .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+        val e = (col("n_a") + col("n_b")).cast("double") / lit(2)
+        val chi2 = (col("n_a").cast("double") - e) *
+          (col("n_a").cast("double") - e) / e +
+          (col("n_b").cast("double") - e) * (col("n_b").cast("double") - e) / e
+        agg.select(col("n_a"), col("n_b"), round(chi2, 6).as("chi2"),
+          (chi2 > lit(3.84)).as("mismatch"))
+      },
+      Some(s"""WITH u AS (SELECT DISTINCT user_id FROM events
+                          WHERE user_id IS NOT NULL),
+               a AS (SELECT
+                       CAST(sum(CASE WHEN
+                         (${Portable.p60Sql("CAST(user_id AS VARCHAR)")}) % 2
+                           = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                       CAST(sum(CASE WHEN
+                         (${Portable.p60Sql("CAST(user_id AS VARCHAR)")}) % 2
+                           = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+                     FROM u),
+               c AS (SELECT n_a, n_b,
+                       (CAST(n_a AS DOUBLE)
+                         - CAST(n_a + n_b AS DOUBLE) / 2)
+                       * (CAST(n_a AS DOUBLE)
+                         - CAST(n_a + n_b AS DOUBLE) / 2)
+                       / (CAST(n_a + n_b AS DOUBLE) / 2)
+                       + (CAST(n_b AS DOUBLE)
+                         - CAST(n_a + n_b AS DOUBLE) / 2)
+                       * (CAST(n_b AS DOUBLE)
+                         - CAST(n_a + n_b AS DOUBLE) / 2)
+                       / (CAST(n_a + n_b AS DOUBLE) / 2) AS chi2
+                     FROM a)
+               SELECT n_a, n_b, round(chi2, 6) AS chi2,
+                      chi2 > CAST(3.84 AS DOUBLE) AS mismatch
+               FROM c""")),
+
+    // ---- recommendation coverage & novelty — the beyond-accuracy
+    // metrics q216's precision/NDCG can't see: a recommender that
+    // shows everyone the same 5 bestsellers scores fine on accuracy
+    // while strip-mining the catalog. Catalog coverage = distinct
+    // recommended items / catalog; novelty = mean −log2(popularity
+    // share) of recommended items (high = recommending from the tail),
+    // computed per REC ROW so popular-item repetition is penalized.
+    // The rec list is q216's (same split, same tie order); popularity
+    // shares are exact integer ratios; log2 runs on identical rational
+    // doubles (the q216 libm precedent) and the novelty MEAN is a
+    // defined-order fold over the collected ≤k·|users| novelty list —
+    // never a distributed double sum.
+    GraftQuery(
+      "q271_rec_coverage",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .filter(col("user_id").isNotNull && Tables.propsItem.isNotNull)
+          .select(col("event_id"), col("user_id").as("user"),
+            Tables.propsItem.as("item"))
+        val counts = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .groupBy(col("user"), col("item")).agg(count(lit(1)).as("c"))
+        val recs = counts.withColumn("rank",
+            row_number().over(Window.partitionBy(col("user"))
+              .orderBy(col("c").desc, col("item"))))
+          .filter(col("rank") <= 5)
+          .select(col("user"), col("item"))
+          .localCheckpoint(true) // k·|users| rows; three consumers
+        val pop = ev.groupBy(col("item")).agg(count(lit(1)).as("pc"))
+          .localCheckpoint(true)
+        val catalog = pop.agg(count(lit(1)).as("n_catalog"),
+          sum(col("pc")).as("n_inter"))
+        val novelties = recs.join(broadcast(pop), "item")
+          .crossJoin(broadcast(catalog))
+          .select((-log2(col("pc").cast("double") /
+            col("n_inter").cast("double"))).as("nov"))
+        novelties
+          .agg(array_sort(collect_list(col("nov"))).as("ls"),
+            count(lit(1)).as("n_recs"))
+          .crossJoin(broadcast(recs.agg(
+            countDistinct(col("item")).as("n_rec_items"))))
+          .crossJoin(broadcast(catalog))
+          .select(col("n_recs"), col("n_rec_items"), col("n_catalog"),
+            round(col("n_rec_items").cast("double") /
+              col("n_catalog").cast("double"), 6).as("catalog_coverage"),
+            round(expr(
+              "aggregate(ls, CAST(0.0 AS DOUBLE), (a, x) -> a + x)") /
+              col("n_recs").cast("double"), 6).as("mean_novelty"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id AS u,
+                     CAST(props->>'k' AS INTEGER) AS item
+                   FROM events
+                   WHERE user_id IS NOT NULL
+                     AND (props->>'k') IS NOT NULL),
+              cnt AS (SELECT u, item, CAST(count(*) AS BIGINT) AS c
+                      FROM ev WHERE event_id % 2 = 0 GROUP BY 1, 2),
+              recs AS (SELECT u, item FROM (
+                         SELECT u, item, row_number() OVER (PARTITION BY u
+                           ORDER BY c DESC, item) AS rank
+                         FROM cnt) WHERE rank <= 5),
+              pop AS (SELECT item, CAST(count(*) AS BIGINT) AS pc
+                      FROM ev GROUP BY 1),
+              cat AS (SELECT CAST(count(*) AS BIGINT) AS n_catalog,
+                             CAST(sum(pc) AS BIGINT) AS n_inter FROM pop),
+              nov AS (SELECT -log2(CAST(p.pc AS DOUBLE)
+                        / CAST(cat.n_inter AS DOUBLE)) AS nv
+                      FROM recs r JOIN pop p ON p.item = r.item
+                      CROSS JOIN cat),
+              ls AS (SELECT list_sort(list(nv)) AS l,
+                            CAST(count(*) AS BIGINT) AS n_recs FROM nov),
+              ri AS (SELECT CAST(count(DISTINCT item) AS BIGINT)
+                       AS n_rec_items FROM recs)
+              SELECT ls.n_recs, ri.n_rec_items, cat.n_catalog,
+                     round(CAST(ri.n_rec_items AS DOUBLE)
+                       / CAST(cat.n_catalog AS DOUBLE), 6)
+                       AS catalog_coverage,
+                     round(list_reduce(
+                         list_prepend(CAST(0.0 AS DOUBLE), ls.l),
+                         (a, b) -> a + b)
+                       / CAST(ls.n_recs AS DOUBLE), 6) AS mean_novelty
+              FROM ls CROSS JOIN ri CROSS JOIN cat"""))
   )
 }
