@@ -26,7 +26,9 @@ import org.apache.spark.sql.functions._
   * over the t-ascending list (the q198/q201 sequential-recurrence
   * convention — Spark `aggregate()` and DuckDB `list_reduce` replay
   * the identical IEEE multiply sequence), O(|domain|²) multiplies
-  * total. surv is 6dp-rounded at the reporting edge.
+  * total. surv is 6dp-rounded at the reporting edge; verdicts
+  * ([[medianSurvival]], logRank's significance) gate on the UNROUNDED
+  * values (the q214 discipline).
   */
 object Survival {
 
@@ -51,66 +53,33 @@ object Survival {
       .agg(sum(col("cnt")).as("cnt"), sum(col("d")).as("d"))
 
   /** The survival-curve view of an accumulated [[histState]]. */
-  def kaplanMeierFromHist(hist: DataFrame): DataFrame = {
-    val wSuf = org.apache.spark.sql.expressions.Window
-      .orderBy(col("t").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val factors = hist.select(col("t"),
-        sum(col("cnt")).over(wSuf).as("n_risk"),
-        col("d"), (col("cnt") - col("d")).as("c"))
-      .filter(col("d") > 0)
-      .select(col("t"), col("n_risk"), col("d"), col("c"),
-        ((col("n_risk") - col("d")).cast("double") /
-          col("n_risk").cast("double")).as("factor"))
-    factors
-      .agg(array_sort(collect_list(
-        struct(col("t"), col("n_risk"), col("d"), col("c"),
-          col("factor")))).as("ls"))
-      // sequence(1, 0) DESCENDS in Spark rather than returning empty,
-      // so a zero-event input must be cut BEFORE the index fan-out
-      .filter(size(col("ls")) >= 1)
-      .select(explode(expr(
-        """transform(sequence(1, size(ls)), i -> struct(
-             ls[i-1].t AS t, ls[i-1].n_risk AS n_risk,
-             ls[i-1].d AS d, ls[i-1].c AS c,
-             aggregate(slice(ls, 1, i), CAST(1.0 AS DOUBLE),
-               (acc, x) -> acc * x.factor) AS surv))""")).as("r"))
-      .select(col("r.t").as("t"), col("r.n_risk").as("n_risk"),
-        col("r.d").as("d"), col("r.c").as("c"),
-        round(col("r.surv"), 6).as("surv"))
-  }
-
-  /** Median survival time: the earliest event time where S(t) drops to
-    * 0.5 or below (the standard KM read-out; None when the curve never
-    * reaches 0.5 — more than half the subjects are censored). One
-    * bounded-domain aggregate over the curve frame. */
-  def medianSurvival(curve: DataFrame): Option[Long] =
-    curve.filter(col("surv") <= 0.5)
-      .agg(min(col("t")))
-      .head().getAs[Any](0) match {
-        case null => None
-        case v: Long => Some(v)
-        case v: Number => Some(v.longValue())
-      }
+  def kaplanMeierFromHist(hist: DataFrame): DataFrame =
+    curve(hist.withColumn("grp", lit(0)))
+      .drop("grp", "surv_raw")
 
   /** Per-group Kaplan-Meier — survival curves BY treatment arm /
     * cohort / segment (the canonical side-by-side read-out). Identical
-    * arithmetic to [[kaplanMeier]], with every step partitioned by
-    * `group`: the suffix window, the collected factor list, and the
-    * prefix-product fold all run per group over the same bounded
-    * duration domain. Output adds a leading `grp` column. */
+    * arithmetic to [[kaplanMeier]] (it IS the same implementation,
+    * partitioned), adding a leading `grp` column. */
   def kaplanMeierGrouped(df: DataFrame, group: Column, t: Column,
-      event: Column): DataFrame = {
+      event: Column): DataFrame =
+    curve(df.select(group.as("grp"), t.cast("long").as("t"),
+        event.as("event"))
+      .groupBy(col("grp"), col("t"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("event"), 1L).otherwise(0L)).as("d")))
+      .drop("surv_raw")
+
+  /** ONE pipeline for both the grouped and ungrouped curve (the
+    * ungrouped face passes a constant group): suffix window, factor
+    * select, collect, and the prefix-product fold — including the
+    * zero-event sequence(1, 0) guard — live exactly once. Emits both
+    * the unrounded `surv_raw` (for verdicts) and the 6dp `surv`. */
+  private def curve(hist: DataFrame): DataFrame = {
     val wSuf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp")).orderBy(col("t").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val hist = df
-      .select(group.as("grp"), t.cast("long").as("t"), event.as("event"))
-      .groupBy(col("grp"), col("t"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(when(col("event"), 1L).otherwise(0L)).as("d"))
     val factors = hist.select(col("grp"), col("t"),
         sum(col("cnt")).over(wSuf).as("n_risk"),
         col("d"), (col("cnt") - col("d")).as("c"))
@@ -123,6 +92,8 @@ object Survival {
       .agg(array_sort(collect_list(
         struct(col("t"), col("n_risk"), col("d"), col("c"),
           col("factor")))).as("ls"))
+      // sequence(1, 0) DESCENDS in Spark rather than returning empty,
+      // so a zero-event input must be cut BEFORE the index fan-out
       .filter(size(col("ls")) >= 1)
       .select(col("grp"), explode(expr(
         """transform(sequence(1, size(ls)), i -> struct(
@@ -132,8 +103,25 @@ object Survival {
                (acc, x) -> acc * x.factor) AS surv))""")).as("r"))
       .select(col("grp"), col("r.t").as("t"), col("r.n_risk").as("n_risk"),
         col("r.d").as("d"), col("r.c").as("c"),
+        col("r.surv").as("surv_raw"),
         round(col("r.surv"), 6).as("surv"))
   }
+
+  /** Median survival time: the earliest event time where S(t) drops to
+    * 0.5 or below (the standard KM read-out; None when the curve never
+    * reaches 0.5 — more than half the subjects are censored). The
+    * verdict compares the UNROUNDED survival — a curve sitting at
+    * 0.50000004 has NOT reached its median even though it prints 0.5
+    * at 6dp (round for reporting, never for verdicts). */
+  def medianSurvival(df: DataFrame, t: Column, event: Column): Option[Long] =
+    curve(histState(df, t, event).withColumn("grp", lit(0)))
+      .filter(col("surv_raw") <= 0.5)
+      .agg(min(col("t")))
+      .head().getAs[Any](0) match {
+        case null => None
+        case v: Long => Some(v)
+        case v: Number => Some(v.longValue())
+      }
 
   /** Two-sample log-rank test — "are these two survival curves the
     * same curve?", the standard significance companion to a grouped
@@ -148,9 +136,11 @@ object Survival {
     * 0/1-valued (arm 1 is the tested side). Output (one row): n1/n2 =
     * per-arm at-risk counts at the EARLIEST event time (the largest
     * risk sets), d1/d2 = total observed events per arm, z (6dp),
-    * chi2 (6dp) — both NULL when no variance accrues. */
+    * chi2 (6dp) — both NULL when no variance accrues — and
+    * `different`: |z| > `zCrit` gated on the UNROUNDED statistic
+    * (false when no variance). */
   def logRank(df: DataFrame, group: Column, t: Column,
-      event: Column): DataFrame = {
+      event: Column, zCrit: Double = 1.96): DataFrame = {
     val wSuf = org.apache.spark.sql.expressions.Window
       .orderBy(col("t").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -194,6 +184,9 @@ object Survival {
         when(col("s.v") > 0, round(col("s.oe") / sqrt(col("s.v")), 6))
           .as("z"),
         when(col("s.v") > 0,
-          round(col("s.oe") * col("s.oe") / col("s.v"), 6)).as("chi2"))
+          round(col("s.oe") * col("s.oe") / col("s.v"), 6)).as("chi2"),
+        coalesce(when(col("s.v") > 0,
+          abs(col("s.oe") / sqrt(col("s.v"))) > lit(zCrit)), lit(false))
+          .as("different"))
   }
 }

@@ -884,7 +884,6 @@ object EmbeddingQueries {
     GraftQuery(
       "q263_triplet_mining",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val e = Similarity.withLshBucket(vecs(s, d))
         // every vector anchors (the mining pass IS corpus-wide; pair
         // volume stays per-bucket-block-bounded, the q63 formulation)
@@ -898,19 +897,21 @@ object EmbeddingQueries {
           .select(col("qid"), col("nid"),
             round(expr("array_dot(va, vb)") / (col("qn") * col("nn")), 6)
               .as("cos_sim"))
-        val w = Window.partitionBy(col("qid"))
-          .orderBy(col("cos_sim").desc, col("nid"))
-        val pos = cand.filter(col("cos_sim") >= 0.35)
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("qid"), col("nid").as("pos_id"),
-            col("cos_sim").as("pos_cos"))
-        val neg = cand.filter(col("cos_sim") < 0.35)
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("qid").as("qid2"), col("nid").as("neg_id"),
-            col("cos_sim").as("neg_cos"))
-        pos.join(neg, col("qid") === col("qid2"))
-          .select(col("qid"), col("pos_id"), col("pos_cos"),
-            col("neg_id"), col("neg_cos"))
+        // both picks in ONE aggregate pass over the candidate frame
+        // (two filter+window branches would re-run the bucket
+        // self-join per side): max(struct(cos, −nid)) IS top-1 by
+        // (cos DESC, nid ASC) — the negated id makes the SMALLER
+        // neighbor win cosine ties, matching the window convention
+        cand.groupBy(col("qid"))
+          .agg(
+            max(when(col("cos_sim") >= 0.35,
+              struct(col("cos_sim"), (-col("nid")).as("mn")))).as("p"),
+            max(when(col("cos_sim") < 0.35,
+              struct(col("cos_sim"), (-col("nid")).as("mn")))).as("ng"))
+          .filter(col("p").isNotNull && col("ng").isNotNull)
+          .select(col("qid"), (-col("p.mn")).as("pos_id"),
+            col("p.cos_sim").as("pos_cos"),
+            (-col("ng.mn")).as("neg_id"), col("ng.cos_sim").as("neg_cos"))
           .orderBy(col("qid"))
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

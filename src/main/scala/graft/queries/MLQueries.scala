@@ -69,6 +69,45 @@ object MLQueries {
         coalesce(col("h").isNotNull && col("h") <= 72, lit(false)).as("event"))
   }
 
+  /** The interaction frame + deterministic top-5 rec list the
+    * q216/q271 eval pair shares — ONE definition so the coverage and
+    * novelty read-outs always measure exactly the rec list the
+    * accuracy metrics scored (same even-event split, same (count DESC,
+    * item) tie order). Returns (ev, recs): ev = (event_id, user,
+    * item), recs = (user, item, rank ≤ 5). */
+  private def recEval(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, d, "events")
+      .filter(col("user_id").isNotNull && Tables.propsItem.isNotNull)
+      .select(col("event_id"), col("user_id").as("user"),
+        Tables.propsItem.as("item"))
+    val counts = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      .groupBy(col("user"), col("item")).agg(count(lit(1)).as("c"))
+    val recs = counts.withColumn("rank",
+        row_number().over(Window.partitionBy(col("user"))
+          .orderBy(col("c").desc, col("item"))))
+      .filter(col("rank") <= 5)
+      .select(col("user"), col("item"), col("rank"))
+    (ev, recs)
+  }
+
+  /** The DuckDB twin of [[recEval]]: `ev` + `cnt` + `recs` CTE bodies
+    * (use as `WITH $recEvalSql, ...`; ev has event_id/u/item, recs has
+    * u/item/rank). */
+  private val recEvalSql: String =
+    """ev AS (SELECT event_id, user_id AS u,
+      |              CAST(props->>'k' AS INTEGER) AS item
+      |       FROM events
+      |       WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL),
+      |cnt AS (SELECT u, item, count(*) AS c FROM ev
+      |        WHERE event_id % 2 = 0 GROUP BY 1, 2),
+      |recs AS (SELECT u, item, rank FROM (
+      |           SELECT u, item, row_number() OVER (PARTITION BY u
+      |             ORDER BY c DESC, item) AS rank
+      |           FROM cnt) WHERE rank <= 5)""".stripMargin
+
   /** The DuckDB twin of [[conversion72]]: CTE bodies ending in `lab`
     * (columns user_id, t, event); use as `WITH $conversion72Sql, ...`. */
   private val conversion72Sql: String =
@@ -1884,33 +1923,13 @@ object MLQueries {
     GraftQuery(
       "q216_ranking_metrics",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val ev = t(s, d, "events")
-          .filter(col("user_id").isNotNull && Tables.propsItem.isNotNull)
-          .select(col("event_id"), col("user_id").as("user"),
-            Tables.propsItem.as("item"))
-        val counts = ev.filter(pmod(col("event_id"), lit(2)) === 0)
-          .groupBy(col("user"), col("item")).agg(count(lit(1)).as("c"))
-        val recs = counts.withColumn("rank",
-            row_number().over(Window.partitionBy(col("user"))
-              .orderBy(col("c").desc, col("item"))))
-          .filter(col("rank") <= 5)
-          .select(col("user"), col("item"), col("rank"))
+        val (ev, recs) = recEval(s, d)
         val truth = ev.filter(pmod(col("event_id"), lit(2)) === 1)
           .select(col("user"), col("item")).distinct()
         graft.ops.RankEval.metrics(recs, truth, k = 5)
           .orderBy(col("user"))
       },
-      Some("""WITH ev AS (SELECT event_id, user_id AS u,
-                                 CAST(props->>'k' AS INTEGER) AS item
-                          FROM events
-                          WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL),
-              cnt AS (SELECT u, item, count(*) AS c FROM ev
-                      WHERE event_id % 2 = 0 GROUP BY 1, 2),
-              recs AS (SELECT u, item, rank FROM (
-                         SELECT u, item, row_number() OVER (PARTITION BY u
-                           ORDER BY c DESC, item) AS rank
-                         FROM cnt) WHERE rank <= 5),
+      Some(s"""WITH $recEvalSql,
               truth AS (SELECT DISTINCT u, item FROM ev WHERE event_id % 2 = 1),
               rel AS (SELECT u, CAST(count(*) AS BIGINT) AS n_rel
                       FROM truth GROUP BY 1),
@@ -2471,9 +2490,7 @@ object MLQueries {
           conversion72(s, d).select(
             pmod(Portable.p60(col("user_id").cast("string")), lit(2))
               .as("arm"), col("t"), col("event")),
-          col("arm"), col("t"), col("event"))
-        .withColumn("different",
-          coalesce(abs(col("z")) > lit(1.96), lit(false))),
+          col("arm"), col("t"), col("event")),
       Some(s"""WITH $conversion72Sql,
                armed AS (SELECT
                      CAST((${Portable.p60Sql("CAST(user_id AS VARCHAR)")}) % 2
@@ -2716,18 +2733,8 @@ object MLQueries {
     GraftQuery(
       "q271_rec_coverage",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val ev = t(s, d, "events")
-          .filter(col("user_id").isNotNull && Tables.propsItem.isNotNull)
-          .select(col("event_id"), col("user_id").as("user"),
-            Tables.propsItem.as("item"))
-        val counts = ev.filter(pmod(col("event_id"), lit(2)) === 0)
-          .groupBy(col("user"), col("item")).agg(count(lit(1)).as("c"))
-        val recs = counts.withColumn("rank",
-            row_number().over(Window.partitionBy(col("user"))
-              .orderBy(col("c").desc, col("item"))))
-          .filter(col("rank") <= 5)
-          .select(col("user"), col("item"))
+        val (ev, recList) = recEval(s, d)
+        val recs = recList.select(col("user"), col("item"))
           .localCheckpoint(true) // k·|users| rows; three consumers
         val pop = ev.groupBy(col("item")).agg(count(lit(1)).as("pc"))
           .localCheckpoint(true)
@@ -2750,17 +2757,7 @@ object MLQueries {
               "aggregate(ls, CAST(0.0 AS DOUBLE), (a, x) -> a + x)") /
               col("n_recs").cast("double"), 6).as("mean_novelty"))
       },
-      Some("""WITH ev AS (SELECT event_id, user_id AS u,
-                     CAST(props->>'k' AS INTEGER) AS item
-                   FROM events
-                   WHERE user_id IS NOT NULL
-                     AND (props->>'k') IS NOT NULL),
-              cnt AS (SELECT u, item, CAST(count(*) AS BIGINT) AS c
-                      FROM ev WHERE event_id % 2 = 0 GROUP BY 1, 2),
-              recs AS (SELECT u, item FROM (
-                         SELECT u, item, row_number() OVER (PARTITION BY u
-                           ORDER BY c DESC, item) AS rank
-                         FROM cnt) WHERE rank <= 5),
+      Some(s"""WITH $recEvalSql,
               pop AS (SELECT item, CAST(count(*) AS BIGINT) AS pc
                       FROM ev GROUP BY 1),
               cat AS (SELECT CAST(count(*) AS BIGINT) AS n_catalog,

@@ -230,17 +230,21 @@ class OpsSpec extends SparkSpec {
       (1 to 10).map(i => (0, (if (i <= 4) 8L else if (i <= 8) 9L else 10L),
         i <= 8))).toDF("arm", "t", "event")
     val r = graft.ops.Survival.logRank(divergent, col("arm"), col("t"),
-      col("event")).as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      col("event"))
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double], Boolean)]
       .head()
     assert(r._5.exists(z => math.abs(z) > 1.96), r.toString)
     assert(r._6.exists(_ > 3.84), r.toString)
+    assert(r._7, r.toString)
     val same = (1 to 8).flatMap(i =>
       Seq((1, i.toLong, i % 3 != 0), (0, i.toLong, i % 3 != 0)))
       .toDF("arm", "t", "event")
     val r0 = graft.ops.Survival.logRank(same, col("arm"), col("t"),
-      col("event")).as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      col("event"))
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double], Boolean)]
       .head()
     assert(r0._5.exists(z => math.abs(z) < 1e-9), r0.toString)
+    assert(!r0._7, r0.toString)
   }
 
   test("marginTopMatch: hub demoted — raw-cosine winner loses to the specialist") {
