@@ -107,6 +107,54 @@ object Survival {
         round(col("r.surv"), 6).as("surv"))
   }
 
+  /** Kaplan-Meier with Greenwood 95% confidence bands — the curve
+    * plus the uncertainty that says whether a drop is signal or small-
+    * risk-set noise: se(t) = S(t)·sqrt(Σ_{u≤t} d/(n(n−d))), bands
+    * S ± z·se clamped to [0, 1]. The Greenwood sum is a SECOND
+    * prefix fold over the SAME collected factor list (running product
+    * and running sum share one struct accumulator — one list, two
+    * recurrences, defined order). The d = n edge (every at-risk
+    * subject events: S hits exactly 0, the variance term divides by
+    * zero) emits NULL se/bands, not Inf. */
+  def kaplanMeierCi(hist: DataFrame, zCrit: Double = 1.96): DataFrame = {
+    val wSuf = org.apache.spark.sql.expressions.Window
+      .orderBy(col("t").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val factors = hist.select(col("t"),
+        sum(col("cnt")).over(wSuf).as("n_risk"),
+        col("d"), (col("cnt") - col("d")).as("c"))
+      .filter(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        ((col("n_risk") - col("d")).cast("double") /
+          col("n_risk").cast("double")).as("factor"),
+        when(col("n_risk") - col("d") > 0,
+          col("d").cast("double") /
+            (col("n_risk").cast("double") *
+              (col("n_risk") - col("d")).cast("double"))).as("gterm"))
+    factors
+      .agg(array_sort(collect_list(
+        struct(col("t"), col("n_risk"), col("d"), col("c"),
+          col("factor"), col("gterm")))).as("ls"))
+      .filter(size(col("ls")) >= 1)
+      .select(explode(expr(
+        """transform(sequence(1, size(ls)), i -> struct(
+             ls[i-1].t AS t, ls[i-1].n_risk AS n_risk,
+             ls[i-1].d AS d, ls[i-1].c AS c,
+             aggregate(slice(ls, 1, i), CAST(1.0 AS DOUBLE),
+               (acc, x) -> acc * x.factor) AS surv,
+             aggregate(slice(ls, 1, i), CAST(0.0 AS DOUBLE),
+               (acc, x) -> acc + x.gterm) AS gsum))""")).as("r"))
+      .select(col("r.t").as("t"), col("r.n_risk").as("n_risk"),
+        col("r.d").as("d"), col("r.c").as("c"),
+        round(col("r.surv"), 6).as("surv"),
+        round(col("r.surv") * sqrt(col("r.gsum")), 6).as("se"),
+        round(greatest(lit(0.0), col("r.surv") -
+          lit(zCrit) * (col("r.surv") * sqrt(col("r.gsum")))), 6).as("lo95"),
+        round(least(lit(1.0), col("r.surv") +
+          lit(zCrit) * (col("r.surv") * sqrt(col("r.gsum")))), 6).as("hi95"))
+  }
+
   /** Median survival time: the earliest event time where S(t) drops to
     * 0.5 or below (the standard KM read-out; None when the curve never
     * reaches 0.5 — more than half the subjects are censored). The

@@ -2778,6 +2778,63 @@ object MLQueries {
                          list_prepend(CAST(0.0 AS DOUBLE), ls.l),
                          (a, b) -> a + b)
                        / CAST(ls.n_recs AS DOUBLE), 6) AS mean_novelty
-              FROM ls CROSS JOIN ri CROSS JOIN cat"""))
+              FROM ls CROSS JOIN ri CROSS JOIN cat""")),
+
+    // ---- Kaplan-Meier with Greenwood 95% bands (Survival.
+    // kaplanMeierCi) — q250's curve plus the uncertainty that says
+    // whether a late-horizon drop is signal or a 20-subject risk set
+    // being noisy. The Greenwood sum is a SECOND defined-order prefix
+    // fold over the SAME collected factor list (running product and
+    // running sum, one list); the d = n terminal edge emits NULL
+    // se/bands on both engines, never Inf.
+    GraftQuery(
+      "q272_km_greenwood",
+      (s, d) => graft.ops.Survival.kaplanMeierCi(
+          graft.ops.Survival.histState(
+            conversion72(s, d), col("t"), col("event")))
+        .orderBy(col("t")),
+      Some(s"""WITH $conversion72Sql,
+               hist AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt,
+                               CAST(sum(CASE WHEN event THEN 1 ELSE 0 END)
+                                 AS BIGINT) AS d
+                        FROM lab GROUP BY 1),
+               risk AS (SELECT t,
+                               CAST(sum(cnt) OVER (ORDER BY t DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS n_risk,
+                               d, cnt - d AS c
+                        FROM hist),
+               evt AS (SELECT t, n_risk, d, c,
+                              CAST(n_risk - d AS DOUBLE)
+                                / CAST(n_risk AS DOUBLE) AS factor,
+                              CASE WHEN n_risk - d > 0
+                                THEN CAST(d AS DOUBLE)
+                                  / (CAST(n_risk AS DOUBLE)
+                                    * CAST(n_risk - d AS DOUBLE))
+                              END AS gterm
+                       FROM risk WHERE d > 0),
+               ls AS (SELECT list_sort(list(struct_pack(
+                        t := t, n_risk := n_risk, d := d, c := c,
+                        factor := factor, gterm := gterm))) AS l
+                      FROM evt)
+               SELECT l[i].t AS t, l[i].n_risk AS n_risk,
+                      l[i].d AS d, CAST(l[i].c AS BIGINT) AS c,
+                      round(sv, 6) AS surv,
+                      round(sv * sqrt(gs), 6) AS se,
+                      round(greatest(CAST(0.0 AS DOUBLE),
+                        sv - CAST(1.96 AS DOUBLE) * (sv * sqrt(gs))), 6)
+                        AS lo95,
+                      round(least(CAST(1.0 AS DOUBLE),
+                        sv + CAST(1.96 AS DOUBLE) * (sv * sqrt(gs))), 6)
+                        AS hi95
+               FROM (SELECT l, i,
+                            list_reduce([CAST(1.0 AS DOUBLE)] ||
+                              list_transform(l[1:i], x -> x.factor),
+                              (a, b) -> a * b) AS sv,
+                            list_reduce([CAST(0.0 AS DOUBLE)] ||
+                              list_transform(l[1:i], x -> x.gterm),
+                              (a, b) -> a + b) AS gs
+                     FROM ls, unnest(range(1, len(l) + 1)) AS u(i))
+               ORDER BY t"""))
   )
 }
