@@ -2361,14 +2361,17 @@ object RelationalQueries {
         val brandParts = t(s, d, "part")
           .filter(col("p_brand") === "Brand#12")
           .select(col("p_partkey"))
+        // no forced hints: the brand-part set and its aggregate are
+        // auto-broadcast at this SF but scale with the part table —
+        // at 100 TB they must be free to plan as shuffle joins
         val sel = t(s, d, "lineitem")
-          .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+          .join(brandParts, col("l_partkey") === col("p_partkey"))
           .select(col("l_partkey"),
             floor(col("l_quantity") * 100).cast("long").as("qc"),
             floor(col("l_extendedprice") * 100).cast("long").as("pc"))
         val perPart = sel.groupBy(col("l_partkey").as("agg_partkey"))
           .agg(sum(col("qc")).as("sum_qc"), count(lit(1)).as("cnt"))
-        sel.join(broadcast(perPart), col("l_partkey") === col("agg_partkey"))
+        sel.join(perPart, col("l_partkey") === col("agg_partkey"))
           .filter(col("qc") * lit(5L) * col("cnt") < col("sum_qc"))
           .agg(count(lit(1)).as("n_small"),
             sum(col("pc")).as("revenue_cents"),
@@ -2425,8 +2428,8 @@ object RelationalQueries {
             col("skey") =!= col("skey3"), "left_anti")
           .groupBy(col("skey"))
           .agg(count(lit(1)).as("numwait"))
-          .join(broadcast(t(s, d, "supplier")
-            .select(col("s_suppkey"), col("s_name"))),
+          .join(t(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_name")),
             col("skey") === col("s_suppkey"))
           .select(col("s_name"), col("skey").as("suppkey"), col("numwait"))
           .orderBy(col("numwait").desc, col("suppkey"))
@@ -2842,8 +2845,8 @@ object RelationalQueries {
           .localCheckpoint(true) // |suppliers| rows; max + equality below
         sr.crossJoin(broadcast(sr.agg(max(col("cents")).as("mc"))))
           .filter(col("cents") === col("mc"))
-          .join(broadcast(t(s, d, "supplier")
-            .select(col("s_suppkey"), col("s_name"))),
+          .join(t(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_name")),
             col("l_suppkey") === col("s_suppkey"))
           .select(col("s_name"), col("l_suppkey").as("suppkey"), col("cents"))
           .orderBy(col("suppkey"))
@@ -2866,8 +2869,10 @@ object RelationalQueries {
     // ---- TPC-H Q19 shape: the DISJUNCTIVE join predicate — an OR of
     // three (brand, size-range, quantity-range) conjunctions that mix
     // columns from BOTH sides. The plan point: the partkey equi-key
-    // must still drive the join (broadcast hash on the filtered part
-    // side, the OR evaluated as a post-probe residual); a planner that
+    // must still drive the join (hash join on partkey — auto-broadcast
+    // at this SF, shuffle at 100 TB where the filtered part side is
+    // fact-sized, so no forced hint — with
+    // the OR evaluated as a post-probe residual); a planner that
     // only saw the disjunction would fall to a nested-loop over the
     // fact×part space. The part side is pre-filtered to the union of
     // the three brands scan-side, so the broadcast carries only
@@ -2881,7 +2886,7 @@ object RelationalQueries {
         t(s, d, "lineitem")
           .select(col("l_partkey"), col("l_quantity"),
             floor(col("l_extendedprice") * 100).cast("long").as("pc"))
-          .join(broadcast(p), col("l_partkey") === col("p_partkey") && (
+          .join(p, col("l_partkey") === col("p_partkey") && (
             (col("p_brand") === "Brand#12" &&
               col("l_quantity").between(1, 11) &&
               col("p_size").between(1, 15)) ||
@@ -2935,8 +2940,14 @@ object RelationalQueries {
             .filter(year(col("o_orderdate")) === 1996)
             .select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+          // no broadcast HINT on the supplier/customer maps: they are
+          // key->nation projections, tiny here and auto-broadcast by
+          // AQE, but at 100 TB they are fact-sized and must be free to
+          // plan as shuffle joins — a forced hint would pin the wrong
+          // plan at exactly the scale that matters (only the true
+          // |nations|-row dims above carry hints)
+          .join(supN, col("l_suppkey") === col("s_suppkey"))
+          .join(custN, col("o_custkey") === col("c_custkey"))
           .filter(col("supp_nation") =!= col("cust_nation"))
           .groupBy(col("supp_nation"), col("cust_nation"))
           .agg(count(lit(1)).as("n_lines"), sum(col("pc")).as("revenue_cents"))
