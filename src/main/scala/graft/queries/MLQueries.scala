@@ -2835,6 +2835,60 @@ object MLQueries {
                               list_transform(l[1:i], x -> x.gterm),
                               (a, b) -> a + b) AS gs
                      FROM ls, unnest(range(1, len(l) + 1)) AS u(i))
-               ORDER BY t"""))
+               ORDER BY t""")),
+
+    // ---- power analysis — the experimentation loop's DESIGN half:
+    // q249 analyzes the experiment you ran; this sizes the next one.
+    // From the observed pooled conversion rate, the per-arm sample
+    // size needed to detect a 5% RELATIVE lift at alpha = 0.05 with
+    // 80% power: n = (z_{a/2} + z_b)² · 2·p̄(1−p̄) / δ², δ = 0.05·p̄
+    // — and whether the CURRENT population is already big enough. All
+    // inputs are two integer counts; the formula is one identical-
+    // association IEEE chain with both z constants entering as casts
+    // (1.959964, 0.841621 — the standard two-sided-0.05/power-0.80
+    // quantiles); n_required is ceil'd to an exact integer on
+    // identical doubles. `powered` gates on the UNROUNDED comparison.
+    GraftQuery(
+      "q273_power_analysis",
+      (s, d) => {
+        val u = conversion72(s, d)
+        val agg = u.agg(count(lit(1)).as("n_users"),
+          sum(when(col("event"), 1L).otherwise(0L)).as("k_conv"))
+        val p = col("k_conv").cast("double") / col("n_users").cast("double")
+        val z = lit(1.959964) + lit(0.841621)
+        val delta = lit(0.05) * p
+        val nReq = ceil(z * z * (lit(2) * (p * (lit(1) - p))) /
+          (delta * delta)).cast("long")
+        agg.select(col("n_users"), col("k_conv"),
+          round(p, 6).as("pool_rate"),
+          round(delta, 6).as("delta_abs"),
+          nReq.as("n_required_per_arm"),
+          (col("n_users").cast("double") / lit(2) >=
+            z * z * (lit(2) * (p * (lit(1) - p))) / (delta * delta))
+            .as("powered"))
+      },
+      Some(s"""WITH $conversion72Sql,
+               a AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                            CAST(sum(CASE WHEN event THEN 1 ELSE 0 END)
+                              AS BIGINT) AS k_conv
+                     FROM lab),
+               c AS (SELECT n_users, k_conv,
+                            CAST(k_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+                              AS p,
+                            CAST(1.959964 AS DOUBLE)
+                              + CAST(0.841621 AS DOUBLE) AS z
+                     FROM a)
+               SELECT n_users, k_conv,
+                      round(p, 6) AS pool_rate,
+                      round(CAST(0.05 AS DOUBLE) * p, 6) AS delta_abs,
+                      CAST(ceil(z * z * (2 * (p * (1 - p)))
+                        / ((CAST(0.05 AS DOUBLE) * p)
+                          * (CAST(0.05 AS DOUBLE) * p))) AS BIGINT)
+                        AS n_required_per_arm,
+                      (CAST(n_users AS DOUBLE) / 2 >=
+                        z * z * (2 * (p * (1 - p)))
+                        / ((CAST(0.05 AS DOUBLE) * p)
+                          * (CAST(0.05 AS DOUBLE) * p))) AS powered
+               FROM c"""))
   )
 }
