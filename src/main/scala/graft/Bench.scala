@@ -109,13 +109,20 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.valuesIterator
           .foreach(_.unpersist(blocking = false))
-        // opt-in full GC between queries (SPARK_GRAFT_BENCH_GC=1): the
-        // unpersist above only DROPS references — reclamation waits for
-        // whenever the JVM collects, so query N+1 can pay query N's
-        // garbage as a mid-run pause. Kept opt-in: the r13 experiment
-        // (COVERAGE.md bench watch) showed it shaves the tail spikes
-        // but adds ~0.1s/query of forced-collection cost on the median.
-        if (sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")) System.gc()
+        // full GC between queries, DEFAULT ON since r18 (opt out with
+        // SPARK_GRAFT_BENCH_GC=0): the unpersist above only DROPS
+        // references — reclamation waits for whenever the JVM collects,
+        // so query N+1 can pay query N's garbage as a mid-run pause.
+        // The r13 experiment kept this opt-in (~0.1s/query forced-
+        // collection cost vs occasional tail spikes), but at 274
+        // queries the trade flipped: the r17 OFFICIAL run inflated
+        // ~157s suite-wide vs dev (scattered 5-18x spikes on clean
+        // plans — q257 9.3s vs 0.52s isolated, q11 15.3s on a trivial
+        // project+sort) where the median GC cost would be ~27s. Charging
+        // each query its own garbage is also the honest attribution —
+        // a min-of-n reading should price the plan, not the previous
+        // query's allocation debt.
+        if (!sys.env.get("SPARK_GRAFT_BENCH_GC").contains("0")) System.gc()
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val ok = runs.filter(_._2.isEmpty)

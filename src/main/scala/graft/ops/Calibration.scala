@@ -150,15 +150,25 @@ object Calibration {
     * over the scored data. F1 = 2TP/(2TP+FP+FN), one division of
     * exact integers, never composed from the already-rounded precision
     * and recall; zero-denominator edges emit NULL. The windows run
-    * over ≤`bins` aggregated rows by construction (the q98
-    * bounded-domain convention). */
+    * over exactly `bins` rows by construction (the q98 bounded-domain
+    * convention): the state is DENSIFIED against the full bin domain
+    * 0..bins-1 with zero counts first, so a threshold whose bin holds
+    * no scored rows still emits its row (a consumer sweeping "all
+    * thresholds" must not misread a silent gap) — suffix sums are
+    * unchanged by zero-count rows. */
   def prCurveFromState(state: DataFrame, bins: Int = 10): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("bin").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy()
-    state
+    val dense = state.sparkSession.range(0, bins)
+      .select(col("id").cast("int").as("bin"))
+      .join(state.select(col("bin"), col("n"), col("n_pos")), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"))
+    dense
       .select(col("bin"),
         sum(col("n_pos")).over(w).as("tp"),
         (sum(col("n")).over(w) - sum(col("n_pos")).over(w)).as("fp"),

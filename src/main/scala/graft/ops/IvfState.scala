@@ -94,6 +94,13 @@ object IvfState {
         when(lit(state.fitMeanDist) > 0,
           round(col("new_mean_dist") / lit(state.fitMeanDist), 6))
           .as("drift_ratio"),
-        (col("new_mean_dist") * 100 > lit(state.fitMeanDist) * thresholdPct)
-          .as("refit_due"))
+        // empty assigned batch => avg is NULL, and NULL*100 > x is NULL,
+        // not false — a monitor filtering on refit_due would silently
+        // drop the row and getBoolean would NPE. An empty batch has, by
+        // definition, not drifted: coalesce to false, matching the
+        // verdict-column convention of logRank's `different` and q249's
+        // `significant`.
+        coalesce(
+          col("new_mean_dist") * 100 > lit(state.fitMeanDist) * thresholdPct,
+          lit(false)).as("refit_due"))
 }

@@ -130,6 +130,40 @@ object MentionRecommender {
     * local constant. The local bench entry (q53) passes 4: same math,
     * far fewer stages on a single machine. */
   def recommend(events: DataFrame, k: Int = 5, numBlocks: Int = 0): DataFrame = {
+    val (model, inter) = fitModel(events, numBlocks)
+    val users = inter.select(col("user")).distinct()
+    model.recommendForUserSubset(users, k)
+      .select(col("user").as("user_id"),
+        posexplode(col("recommendations")).as(Seq("pos", "rec")))
+      .select(col("user_id"), (col("pos") + 1).as("rn"),
+        col("rec.item").as("item"), round(col("rec.rating"), 4).as("rating"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** The item-side mirror of [[recommend]] — `recommendForItemSubset`:
+    * for each observed item, the top-k USERS most likely to engage with
+    * it (the "who do we show this item to" face the reference leaves on
+    * the table: COMP5349_2.py:206-208 calls only the user side, but the
+    * fitted model carries both factor matrices). Same fit, same seed —
+    * one model answers both directions; output exploded to
+    * (item, rn, user_id, rating) rows with the same rank/rounding
+    * conventions as the user side. */
+  def recommendItems(events: DataFrame, k: Int = 5, numBlocks: Int = 0): DataFrame = {
+    val (model, inter) = fitModel(events, numBlocks)
+    val items = inter.select(col("item")).distinct()
+    model.recommendForItemSubset(items, k)
+      .select(col("item"),
+        posexplode(col("recommendations")).as(Seq("pos", "rec")))
+      .select(col("item"), (col("pos") + 1).as("rn"),
+        col("rec.user").as("user_id"), round(col("rec.rating"), 4).as("rating"))
+      .orderBy(col("item"), col("rn"))
+  }
+
+  /** Shared W2 fit: interactions → seeded implicit ALS (reference
+    * params), coldStart=drop. Returns the model plus the (user, item, y)
+    * frame it was fitted on so callers can derive the query subsets. */
+  private def fitModel(events: DataFrame, numBlocks: Int)
+      : (org.apache.spark.ml.recommendation.ALSModel, DataFrame) = {
     val inter = interactions(events)
       .select(col("user_id").cast("int").as("user"), col("item"), col("y").cast("float"))
     val als = new ALS()
@@ -139,12 +173,6 @@ object MentionRecommender {
     if (numBlocks > 0) als.setNumBlocks(numBlocks)
     val model = als.fit(inter)
     model.setColdStartStrategy("drop")
-    val users = inter.select(col("user")).distinct()
-    model.recommendForUserSubset(users, k)
-      .select(col("user").as("user_id"),
-        posexplode(col("recommendations")).as(Seq("pos", "rec")))
-      .select(col("user_id"), (col("pos") + 1).as("rn"),
-        col("rec.item").as("item"), round(col("rec.rating"), 4).as("rating"))
-      .orderBy(col("user_id"), col("rn"))
+    (model, inter)
   }
 }

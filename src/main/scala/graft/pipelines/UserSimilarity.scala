@@ -60,7 +60,14 @@ object UserSimilarity {
 
   /** M1-M5 chain: tokenize → CountVectorizer + HashingTF→IDF → L2
     * normalize. Emits `cv_norm` and `tfidf_norm` vector columns —
-    * the two parallel feature spaces of COMP5349_2.py:155-178. */
+    * the two parallel feature spaces of COMP5349_2.py:155-178.
+    *
+    * CACHING CONTRACT: the tokenized corpus is `cache()`d (the two
+    * eager fits AND the returned lazy frame all traverse it) and this
+    * function cannot unpersist it — the caller hasn't executed the
+    * plan yet. In a long-lived session, sweep after materializing the
+    * result (`spark.catalog.clearCache()`); see LIBRARY.md "Session
+    * hygiene". Bench/Verify do this between queries. */
   def featurize(docs: DataFrame, p: Params = Params()): DataFrame = {
     // cached: CountVectorizer.fit, IDF.fit, and the final transform each
     // re-traverse this frame (the reference caches the same point,
@@ -146,8 +153,27 @@ object UserSimilarity {
     * DuckDB-expressible (ln both engines).
     *
     * `queryFilter` bounds the left side (the batch of query users).
+    *
+    * CACHING CONTRACT: the (user, term) tf and weight frames are
+    * `cache()`d (each has 3+ consumers in the returned lazy plan) and
+    * stay cached after return — the caller sweeps once the result is
+    * materialized (LIBRARY.md "Session hygiene").
+    *
+    * The final per-query top-k runs through the mergeable
+    * [[graft.ops.GroupTopK]] Aggregator by default — map-side partial
+    * aggregation folds each input partition to ≤ k (sim, ou) pairs per
+    * query user BEFORE the exchange, so the shuffle carries k·users
+    * rows regardless of how many similarity pairs a hot user
+    * accumulates, and no task ever sorts more than k·fan-in elements —
+    * the skew-immune form this pipeline advertises for 100 TB.
+    * `windowTopK = true` restores the `row_number().over(Window)`
+    * formulation (shuffles and sorts the FULL pair frame; kept for
+    * parity with the reference's driver-side sorted()[:5] semantics and
+    * pinned output-identical to the aggregator in PipelineSpec). Tie
+    * order in both: sim DESC then user id DESC (SURVEY §2.5 T1).
     */
-  def relationalTopK(events: DataFrame, queryMax: Int, k: Int = 5): DataFrame = {
+  def relationalTopK(events: DataFrame, queryMax: Int, k: Int = 5,
+      windowTopK: Boolean = false): DataFrame = {
     // cached: df, the corpus size m, and the weight projection all
     // re-read this aggregate
     val tf = events
@@ -176,9 +202,25 @@ object UserSimilarity {
       .join(broadcast(norms.select(col("user_id").as("qu"), col("nrm").as("nq"))), "qu")
       .join(broadcast(norms.select(col("user_id").as("ou"), col("nrm").as("no"))), "ou")
       .select(col("qu"), col("ou"), round(col("dot") / (col("nq") * col("no")), 6).as("sim"))
-    val w = Window.partitionBy(col("qu")).orderBy(col("sim").desc, col("ou").desc)
-    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("qu"), col("ou"), col("sim"), col("rn"))
-      .orderBy(col("qu"), col("rn"))
+    val ranked =
+      if (windowTopK) {
+        val w = Window.partitionBy(col("qu")).orderBy(col("sim").desc, col("ou").desc)
+        sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+          .select(col("qu"), col("ou"), col("sim"), col("rn"))
+      } else {
+        val spark = sims.sparkSession
+        import spark.implicits._
+        sims.select(col("qu"), col("sim"), col("ou")).as[(Long, Double, Long)]
+          .groupByKey(_._1)
+          .mapValues(r => (r._2, r._3))
+          .agg(new graft.ops.GroupTopK[Long](k).toColumn.name("top"))
+          .flatMap { case (qu, top) =>
+            top.iterator.zipWithIndex.map { case ((sim, ou), i) =>
+              (qu, ou, sim, i + 1)
+            }
+          }
+          .toDF("qu", "ou", "sim", "rn")
+      }
+    ranked.orderBy(col("qu"), col("rn"))
   }
 }

@@ -57,6 +57,47 @@ object InvariantQueries {
               FROM events
               WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL""")),
 
+    // ---- q275 companion: item-side ALS output invariants (the q76
+    // pattern, mirrored). Every observed item gets exactly k user
+    // recommendations (implicit ALS factors every observed user, so the
+    // candidate pool is the full user set and coldStart=drop removes
+    // nothing in-sample), ranks top out at k, ratings are
+    // NON-INCREASING down each item's list (rank order IS score order —
+    // checked on the 4dp-rounded ratings, where rounding preserves
+    // monotonicity), and every recommended user is an observed one
+    // (user factors only exist for observed users).
+    GraftQuery(
+      "q276_als_item_invariants",
+      (s, d) => {
+        val events = t(s, d, "events")
+        val recs = MentionRecommender.recommendItems(events, k = 5, numBlocks = 4).cache()
+        val inter = MentionRecommender.interactions(events).cache()
+        val obsUsers = inter.select(col("user_id").cast("int").as("u")).distinct()
+        val w = Window.partitionBy(col("item")).orderBy(col("rn"))
+        val lists = recs
+          .withColumn("prev_rating", lag(col("rating"), 1).over(w))
+          .groupBy(col("item"))
+          .agg(count(lit(1)).as("len"), max(col("rn")).as("maxrn"),
+            sum(when(col("rating") > col("prev_rating"), 1L).otherwise(0L))
+              .as("rank_viol"))
+          .agg(count(lit(1)).as("n_items_covered"),
+            max(col("maxrn")).cast("long").as("max_rn"),
+            min(col("len")).as("min_list_len"),
+            sum(col("rank_viol")).as("n_rank_violations"))
+        val closure = recs
+          .join(obsUsers, recs("user_id") === obsUsers("u"), "left")
+          .agg(sum(when(col("u").isNull, 1L).otherwise(0L)).as("n_bad_users"))
+        lists.crossJoin(closure)
+      },
+      Some("""SELECT CAST(count(DISTINCT CAST(props->>'k' AS INTEGER)) AS BIGINT)
+                       AS n_items_covered,
+              CAST(5 AS BIGINT) AS max_rn,
+              CAST(5 AS BIGINT) AS min_list_len,
+              CAST(0 AS BIGINT) AS n_rank_violations,
+              CAST(0 AS BIGINT) AS n_bad_users
+              FROM events
+              WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL""")),
+
     // ---- q24 companion: the HLL estimate stays within bound per group.
     // 0.02 rsd with a 0.10 acceptance band (5 sigma; same band OpsSpec
     // pins) — the oracle asserts the bound holds, not the sketch value.

@@ -683,6 +683,16 @@ object MLQueries {
       (s, d) => MentionRecommender.recommend(t(s, d, "events"), k = 5, numBlocks = 4),
       None, companion = Some("q76_als_invariants")),
 
+    // ---- M7's item side: recommendForItemSubset — top-5 users per
+    // observed item from the SAME fitted model (the surface the
+    // reference leaves unused, COMP5349_2.py:206-208). Float ratings
+    // aren't oracle-expressible; invariants in q276's companion +
+    // ALSSpec.
+    GraftQuery(
+      "q275_w2_als_item_top5",
+      (s, d) => MentionRecommender.recommendItems(t(s, d, "events"), k = 5, numBlocks = 4),
+      None, companion = Some("q276_als_item_invariants")),
+
     // ---- Streaming transform run on the batch frame (unified path;
     // the readStream variant of the same function is exercised in
     // StreamingSpec). Oracle = plain SQL over the same window arithmetic.
@@ -1963,7 +1973,10 @@ object MLQueries {
     // (the bin edges ARE the thresholds), so TP/FP/FN/TN per
     // threshold are integer-exact without a second scan or a 10×
     // row fan-out of the corpus. The suffix window runs over 10 rows
-    // by construction (the q98 bounded-domain convention). F1 is
+    // by construction (the q98 bounded-domain convention); the bin
+    // frame is densified against the full 0..9 domain with zero
+    // counts, so every threshold emits a row even when no score
+    // landed in its bin (suffix sums unchanged by zero rows). F1 is
     // computed as 2TP/(2TP+FP+FN) — one division of exact integers —
     // never from the already-rounded precision and recall;
     // zero-denominator edges (no predicted positives at t=0.9 etc.)
@@ -1978,9 +1991,14 @@ object MLQueries {
                bn AS (SELECT LEAST(9, GREATEST(0,
                         CAST(floor(p * 10) AS INTEGER))) AS bin, y
                       FROM sc),
-               b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
-                            CAST(sum(y) AS BIGINT) AS np
-                     FROM bn GROUP BY 1),
+               b0 AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                             CAST(sum(y) AS BIGINT) AS np
+                      FROM bn GROUP BY 1),
+               b AS (SELECT f.bin,
+                            coalesce(b0.n, CAST(0 AS BIGINT)) AS n,
+                            coalesce(b0.np, CAST(0 AS BIGINT)) AS np
+                     FROM (SELECT unnest(range(0, 10)) AS bin) f
+                     LEFT JOIN b0 ON f.bin = b0.bin),
                s AS (SELECT bin,
                             CAST(sum(np) OVER w AS BIGINT) AS tp,
                             CAST(sum(n) OVER w - sum(np) OVER w AS BIGINT) AS fp,

@@ -1001,6 +1001,50 @@ object RelationalQueries {
       Some("""SELECT doc_id, length(text) AS text_len, lang, n_chars
               FROM documents ORDER BY doc_id""")),
 
+    // ---- S1's file face, driver-visible: a MULTILINE JSON ARRAY file —
+    // the reference's actual input shape (COMP5349_2.py:138 reads
+    // tweets.json, a single pretty-printed JSON array, with
+    // multiline=true) — written as a fixture and read back through
+    // Spark's multiLine JSON path with an explicit schema. The write
+    // side is a driver-scale fixture op (one array document, ~1% of
+    // events via the deterministic event_id % 97 cut — the reference's
+    // file is likewise a single-document array, which is inherently
+    // unsplittable: a 100 TB ingest would land as MANY such files, one
+    // task each, so per-file size, not corpus size, bounds the reader);
+    // the point under test is the multiLine READ (whole-file document
+    // parse, schema application, null omission). The oracle aggregates
+    // the parquet directly, so any parse/escape drift is a hash
+    // mismatch. Completes S1's last spec-only face (r17 verdict item 1);
+    // infer-vs-explicit agreement stays pinned in TweetParitySpec.
+    GraftQuery(
+      "q274_multiline_json_source",
+      (s, d) => {
+        val dir = Scratch.dir("graft_mljson", d)
+        t(s, d, "events")
+          .filter(pmod(col("event_id"), lit(97)) === 0)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .agg(concat_ws(",\n  ", collect_list(to_json(struct(
+            col("event_id"), col("user_id"), col("event_type"), col("value")))))
+            .as("body"))
+          .select(concat(lit("[\n  "), col("body"), lit("\n]")).as("doc"))
+          .coalesce(1)
+          .write.mode("overwrite").text(dir)
+        s.read
+          .option("multiLine", "true")
+          .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+          .json(dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("user_id")).as("user_sum"),
+            round(sum(col("value")), 4).as("value_sum"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(user_id) AS BIGINT) AS user_sum,
+                     round(sum(value), 4) AS value_sum
+              FROM events WHERE event_id % 97 = 0
+              GROUP BY event_type ORDER BY event_type""")),
+
     // ---- schema evolution across ingest batches: an early crawl batch
     // lands without the lang column, a later one with it; the unified
     // read applies mergeSchema + recursiveFileLookup and the missing
@@ -2021,7 +2065,12 @@ object RelationalQueries {
     // (l_returnflag = 'R'), customer/nation dims broadcast, one
     // map-side-combined revenue aggregate, global top-20 as
     // TakeOrderedAndProject (never a full sort at 100 TB). Ties broken
-    // by custkey so the cut is deterministic.
+    // by custkey so the cut is deterministic. Revenue is summed as
+    // floor-cent LONGS (the q242/q258 convention): ranking the top-20
+    // cut on a double sum would expose accumulation order at a .005
+    // rounding boundary — the per-line product is bit-identical
+    // cross-engine (correctly-rounded IEEE *), floor(×100) makes it an
+    // exact integer, and the long sum is association-free.
     GraftQuery(
       "q236_returned_revenue",
       (s, d) => {
@@ -2031,8 +2080,8 @@ object RelationalQueries {
         returned
           .join(orders, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_custkey"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-            .as("lost_revenue"),
+          .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long")).as("lost_cents"),
             count(lit(1)).as("n_returned"))
           .join(broadcast(t(s, d, "customer")
             .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
@@ -2041,22 +2090,22 @@ object RelationalQueries {
             .select(col("n_nationkey"), col("n_name"))),
             col("c_nationkey") === col("n_nationkey"))
           .select(col("c_custkey").as("custkey"), col("c_name"),
-            col("n_name"), col("n_returned"), col("lost_revenue"))
-          .orderBy(col("lost_revenue").desc, col("custkey"))
+            col("n_name"), col("n_returned"), col("lost_cents"))
+          .orderBy(col("lost_cents").desc, col("custkey"))
           .limit(20)
       },
-      Some("""SELECT custkey, c_name, n_name, n_returned, lost_revenue FROM (
+      Some("""SELECT custkey, c_name, n_name, n_returned, lost_cents FROM (
                 SELECT c.c_custkey AS custkey, c.c_name, n.n_name,
                        CAST(count(*) AS BIGINT) AS n_returned,
-                       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2)
-                         AS lost_revenue
+                       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS lost_cents
                 FROM lineitem l
                 JOIN orders o   ON o.o_orderkey = l.l_orderkey
                 JOIN customer c ON c.c_custkey = o.o_custkey
                 JOIN nation n   ON n.n_nationkey = c.c_nationkey
                 WHERE l.l_returnflag = 'R'
                 GROUP BY 1, 2, 3)
-              ORDER BY lost_revenue DESC, custkey LIMIT 20""")),
+              ORDER BY lost_cents DESC, custkey LIMIT 20""")),
 
     // ---- TPC-H Q18 shape: large-volume orders — the HAVING-on-sum
     // pattern: per-order quantity totals (map-side combined), the

@@ -37,4 +37,28 @@ class ALSSpec extends SparkSpec {
     assert(perUser.values.forall(_ <= 5))
     assert(r1.map(_._2).forall(rn => rn >= 1 && rn <= 5))
   }
+
+  test("M7 item side: recommendForItemSubset mirrors the user side's contract") {
+    // same fitted model, item direction: per-item user lists are
+    // k-bounded and rank-ordered (non-increasing 4dp ratings), every
+    // recommended user is an observed interacting user, and the run is
+    // seed-reproducible like the user side.
+    val events = Tables(spark, sf, "events")
+    val r1 = MentionRecommender.recommendItems(events, k = 5)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val r2 = MentionRecommender.recommendItems(events, k = 5)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(r1 == r2)
+    assert(r1.nonEmpty)
+    val obsUsers = MentionRecommender.interactions(events)
+      .select($"user_id").as[Long].collect().toSet
+    assert(r1.map(_._3).forall(obsUsers.contains))
+    r1.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.size <= 5)
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2) == (1 to rows.size))
+      val ratings = byRank.map(_._4)
+      assert(ratings.zip(ratings.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
