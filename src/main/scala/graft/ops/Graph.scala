@@ -48,6 +48,112 @@ object Graph {
     override def outputEncoder: Encoder[Long] = ExpressionEncoder()
   }
 
+  /** Bounded CO-ACTIVITY edge builder: undirected user–user edges from
+    * shared (blockKey) membership, with a per-block CONCURRENCY CAP —
+    * the stop-shingle discipline ([[Dedup.shingles]] maxShingleDf)
+    * applied to co-occurrence graphs.
+    *
+    * Why the cap is load-bearing, with numbers: co-activity pair volume
+    * is Σ_b n_b² over block occupancies, and on a corpus whose entity
+    * domain and time window are FIXED while volume grows (this repo's
+    * generator, and any real stream with a stable catalog), occupancies
+    * grow linearly with corpus size — so the edge count grows
+    * QUADRATICALLY. Measured on the r18 10× rehearsal: sf0.1 →
+    * sf1-equivalent multiplied distinct co-activity edges 67k → 6.78M
+    * (101×), and triangle counting over them blew up 138×. Capping each
+    * block at `maxBlockUsers` deterministic representatives bounds
+    * per-block pairs at cap², restoring ~linear edge growth (699k =
+    * 10.4× at cap 9 on the same rehearsal) while keeping every block
+    * represented — a hyper-crowded (item, hour) contributes a bounded
+    * affinity sample instead of a quadratic near-clique of noise.
+    *
+    * Determinism & cross-engine replay: representatives are the cap
+    * lowest values of (p60(blk|user) DIV 256, user) — a pseudo-random
+    * but portable hash rank (the q87/q151 hash-gated-sampling
+    * convention; DIV 256 keeps the 60-bit hash inside double's exact
+    * range for the aggregator's score), so an oracle replays the exact
+    * selection with row_number OVER (ORDER BY (md5-hash) // 256, user).
+    * Blocks with ≤ cap users are passed through UNCHANGED — on corpora
+    * where no block exceeds the cap the output is identical to the
+    * uncapped join (sf0.01/sf0.1 today), so the cap is invisible until
+    * the density hazard it bounds actually appears.
+    *
+    * Plan shape: one hash aggregate per block via [[GroupTopK]]
+    * (map-side partial fold to ≤ cap entries per block per task — a hot
+    * block never concentrates its full membership in one sort), then
+    * per-block pair expansion (≤ cap²/2 rows each) and a distinct.
+    * No window, no block self-join, no unbounded task state.
+    *
+    * Input: (blockCol, userCol) rows; multiplicity within a block is
+    * collapsed. Output: distinct (u1 < u2) long pairs. */
+  def coActivityEdges(activity: DataFrame, blockCol: Column, userCol: Column,
+      maxBlockUsers: Int): DataFrame =
+    blockPairs(activity, blockCol, userCol, maxBlockUsers).distinct()
+
+  /** [[coActivityEdges]] keeping MULTIPLICITY: (u1, u2, w) with w = how
+    * many (capped) blocks bind the pair — the affinity weight the
+    * weighted-BFS/path queries consume. Same cap, same representatives,
+    * so w counts exactly the blocks where BOTH users survived the
+    * rank. */
+  def coActivityEdgesWeighted(activity: DataFrame, blockCol: Column,
+      userCol: Column, maxBlockUsers: Int): DataFrame =
+    blockPairs(activity, blockCol, userCol, maxBlockUsers)
+      .groupBy(col("u1"), col("u2")).agg(count(lit(1)).as("w"))
+
+  /** Shared body: per-block capped representatives → within-block user
+    * pairs (u1 < u2), one row per (block, pair). */
+  private def blockPairs(activity: DataFrame, blockCol: Column, userCol: Column,
+      maxBlockUsers: Int): DataFrame = {
+    require(maxBlockUsers >= 2, s"maxBlockUsers must be >= 2, got $maxBlockUsers")
+    val spark = activity.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    activity.select(blockCol.cast("string").as("blk"),
+        userCol.cast("long").as("u")).distinct()
+      .select(col("blk"), col("u"),
+        // negated so GroupTopK's score-DESC keeps the LOWEST hashes;
+        // exact: h < 2^52 after DIV 256
+        expr("CAST(-(p60(concat_ws('|', blk, u)) DIV 256) AS DOUBLE)").as("s"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._3, r._2))
+      // reversed id ordering => hash ties keep the SMALLEST user first,
+      // matching the oracle's (hash, user ASC) rank
+      .agg(new GroupTopK[Long](maxBlockUsers)(
+        implicitly, Ordering[Long].reverse, implicitly).toColumn.name("top"))
+      .flatMap { case (_, top) =>
+        val us = top.map(_._2)
+        for {
+          i <- us.indices.iterator
+          j <- (i + 1 until us.length).iterator
+        } yield (math.min(us(i), us(j)), math.max(us(i), us(j)))
+      }
+      .toDF("u1", "u2")
+  }
+
+  /** The [[coActivityEdges]] cap's cost, surfaced as telemetry (the
+    * q101/q184 convention): full vs capped pair volume from the block
+    * occupancy histogram alone — |blocks| input rows, pure integer
+    * arithmetic, no pair materialization. One row out. */
+  def coActivityCapTelemetry(activity: DataFrame, blockCol: Column,
+      userCol: Column, maxBlockUsers: Int): DataFrame = {
+    val cap = maxBlockUsers.toLong
+    val sizes = activity
+      .select(blockCol.cast("string").as("blk"), userCol.cast("long").as("u"))
+      .distinct()
+      .groupBy(col("blk")).agg(count(lit(1)).as("n"))
+    val full = expr("n * (n - 1) DIV 2")
+    val capped = when(col("n") <= cap, full)
+      .otherwise(lit(cap * (cap - 1) / 2))
+    sizes.agg(
+      count(lit(1)).as("n_blocks"),
+      sum(when(col("n") > cap, 1L).otherwise(0L)).as("n_blocks_capped"),
+      max(col("n")).as("max_block_users"),
+      sum(full).as("n_pairs_full"),
+      sum(capped).as("n_pairs_capped"))
+      .withColumn("n_pairs_dropped", col("n_pairs_full") - col("n_pairs_capped"))
+  }
+
   /** PageRank over directed edges (src, dst): returns (node, rank) for
     * every node appearing as source or destination. Parallel edges are
     * collapsed (simple-graph semantics). Dangling nodes (no out-edges)

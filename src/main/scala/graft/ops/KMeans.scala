@@ -49,38 +49,94 @@ object KMeans {
     (assign(v, cents).select(col("id"), col("cluster")), cents)
   }
 
-  /** [[lloyd]] with the BROADCAST-JOIN assignment ([[assignJoin]]) in
-    * every iteration and the final pass — the large-k production face.
-    * The two faces share the determinism contract (double cast,
-    * 6dp-rounded distance, ties to the lowest index, 6dp-rounded
-    * centroid means, lowest-id seeding), so for any (k, iters) they
-    * return IDENTICAL centroids and assignments (pinned in KMeansSpec)
-    * and [[oracleCtes]]/[[oracleCtesScaledK]] describe both. Reach for
-    * this face when k is corpus-scaled (SemDeDup's prescription — see
-    * [[scaledK]]): the inline face's k×d expression literals hit
-    * codegen/plan-size ceilings at O(100s) of centroids, broadcast data
-    * does not. Cost per iteration vs [[lloyd]]: the argmin's one
-    * pre-combined exchange plus an id-keyed join to rebind vectors for
-    * the centroid update — both N-row bounded, never N×k. */
+  /** [[lloyd]] for corpus-scaled k (SemDeDup's prescription — see
+    * [[scaledK]]) — every iteration and the final pass assign through
+    * [[assignScan]]: ONE scan per pass, centroids riding the task
+    * closure as k×d primitive doubles, argmin in a tight loop per row.
+    * The three assignment faces (inline-literal [[assign]],
+    * broadcast-join [[assignJoin]], closure-scan [[assignScan]]) share
+    * the determinism contract (double cast, 6dp-rounded distance, ties
+    * to the lowest index, 6dp-rounded centroid means, lowest-id
+    * seeding), so for any (k, iters) they return IDENTICAL centroids
+    * and assignments (pinned in KMeansSpec) and
+    * [[oracleCtes]]/[[oracleCtesScaledK]] describe all of them.
+    *
+    * Why the scan face: the inline face's k×d expression literals hit
+    * codegen/plan-size ceilings at O(100s) of centroids, and the
+    * broadcast-join face — while shuffle-bounded — MATERIALIZES N×k
+    * intermediate rows per pass, each paying interpreted higher-order-
+    * function evaluation (zip_with + aggregate are not whole-stage-
+    * codegen'd) plus ObjectHashAggregate row handling. At the r18 10×
+    * rehearsal (N = 20k, scaled k = 200, 4 passes = 16M joined rows)
+    * that shape read 74× sf0.1's time; the closure scan does the same
+    * k·d flops per row with NO intermediate rows and NO aggregate,
+    * restoring ~linear scaling. Per iteration the only exchange left is
+    * the (cluster, dim) centroid-update aggregate, k·d groups. */
   def lloydJoin(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int): (DataFrame, Seq[Seq[Double]]) = {
     require(k > 0, s"k must be > 0, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     // iterative-access cache (the S2 exception family): each iteration
-    // reads v TWICE (argmin input + the id-join rebinding vectors for
-    // the update), so the loop would otherwise re-scan and re-cast the
-    // corpus 2·iters times. Released before returning — the final
-    // assignment pays one uncached scan rather than leaking cache into
-    // the caller's session.
+    // re-reads v (argmin input carrying the vectors for the update), so
+    // the loop would otherwise re-scan and re-cast the corpus per
+    // round. Released before returning — the final assignment pays one
+    // uncached scan rather than leaking cache into the caller's
+    // session.
     val v = normalize(emb, idCol, vecCol).cache()
     try {
       var cents = seedCents(v, k)
+      // assignScanV keeps the vector column, so the centroid update
+      // reads it directly — no id-join rebind pass at all
       for (_ <- 1 to iters)
-        cents = updatedCents(assignJoinV(v, cents).join(v, "id"), cents)
-      (assignJoinV(normalize(emb, idCol, vecCol), cents), cents)
+        cents = updatedCents(assignScanV(v, cents), cents)
+      (assignScanV(normalize(emb, idCol, vecCol), cents).select(col("id"), col("cluster")),
+        cents)
     } finally {
       v.unpersist(blocking = false): Unit
     }
+  }
+
+  /** Closure-scan nearest-centroid assignment — the LARGE-k production
+    * face: (id, cluster, d) in one pass, no join, no aggregate, no N×k
+    * intermediates (rationale on [[lloydJoin]]). Centroids ship once
+    * per task as primitive arrays; per row the argmin loop replays
+    * EXACTLY the join face's arithmetic — squared diffs summed in dim
+    * order (bit-identical IEEE), sqrt, then the same
+    * BigDecimal-HALF_UP 6dp round Spark's `round()` applies, ties to
+    * the lowest centroid index — so all faces and the SQL oracle agree
+    * on every assignment (pinned in KMeansSpec). */
+  def assignScan(emb: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Seq[Double]]): DataFrame =
+    assignScanV(normalize(emb, idCol, vecCol), cents)
+      .select(col("id"), col("cluster"), col("d"))
+
+  private def assignScanV(v: DataFrame,
+      cents: Seq[Seq[Double]]): DataFrame = {
+    require(cents.nonEmpty, "assignScan needs at least one centroid")
+    val cs: Array[Array[Double]] = cents.map(_.toArray).toArray
+    val pick = udf { (vec: Seq[Double]) =>
+      val x = vec.toArray
+      var bi = 0
+      var bd = Double.PositiveInfinity
+      var i = 0
+      while (i < cs.length) {
+        val c = cs(i)
+        var s = 0.0
+        var j = 0
+        while (j < x.length) { val t = x(j) - c(j); s += t * t; j += 1 }
+        // the exact semantics of Spark's round(sqrt(d2), 6) on doubles:
+        // scala BigDecimal(double) routes through Double.toString, as
+        // the Catalyst Round expression does
+        val d = BigDecimal(math.sqrt(s))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (d < bd) { bd = d; bi = i }
+        i += 1
+      }
+      (bi, bd)
+    }
+    v.select(col("id"), col("v"), pick(col("v")).as("r"))
+      .select(col("id"), col("v"), col("r").getField("_1").as("cluster"),
+        col("r").getField("_2").as("d"))
   }
 
   /** SemDeDup-style corpus-scaled cluster count: k = max(kmin,

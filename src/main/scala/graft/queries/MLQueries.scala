@@ -18,6 +18,76 @@ import graft.streaming.EventStreams
 object MLQueries {
   import Tables.{apply => t}
 
+  /** Per-(item, hour) concurrency cap for the co-engagement graph
+    * family (q135/q138/q144/q145/q156/q158/q187/q200) —
+    * [[graft.ops.Graph.coActivityEdges]]'s maxBlockUsers. 12 does not
+    * bind on today's fixtures (max block occupancy: 3 at sf0.01, 9 at
+    * sf0.1 — results identical to the uncapped join), but on the r18
+    * 10× rehearsal it is load-bearing: occupancies densify linearly
+    * with corpus volume over the fixed item/time domain, so uncapped
+    * co-activity edges grew 101× (67k → 6.78M) for 10× data and
+    * triangle counting blew up 138×; capped, edge growth is ~linear.
+    * q277 surfaces what the cap drops (the q101/q184 telemetry
+    * convention). */
+  private val CoActivityCap = 12
+
+  /** ONE co-engagement activity frame for the whole graph family:
+    * (blk = "item|epoch-micros-of-hour", u = user). The epoch form
+    * (unix_micros / epoch_us) keeps the block key — and therefore the
+    * portable rank hash — free of timestamp-to-string format drift
+    * between engines. */
+  private def coActivity(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    t(s, d, "events")
+      .filter(col("user_id").isNotNull && Tables.propsItem.isNotNull)
+      .select(concat_ws("|", Tables.propsItem,
+        unix_micros(date_trunc("hour", col("ts")))).as("blk"),
+        col("user_id").as("u"))
+
+  private def coEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.ops.Graph.coActivityEdges(
+      coActivity(s, d), col("blk"), col("u"), CoActivityCap)
+
+  private def coEdgesWeighted(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.ops.Graph.coActivityEdgesWeighted(
+      coActivity(s, d), col("blk"), col("u"), CoActivityCap)
+
+  /** The blocked-activity CTE both [[coEdgeSql]] and the q277
+    * telemetry oracle build on. */
+  private val coActivitySqlCte: String =
+    """i AS (SELECT DISTINCT CAST(props->>'k' AS INTEGER) || '|' ||
+      |             epoch_us(date_trunc('hour', ts)) AS blk, user_id AS u
+      |      FROM events
+      |      WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL)""".stripMargin
+
+  /** The DuckDB twin of [[coEdges]]/[[coEdgesWeighted]]: CTEs `i`
+    * (blocked activity), `r` (portable hash rank within block), `kept`
+    * (capped representatives), and `e` (distinct pairs `u1 < u2`, or
+    * (u1, u2, w) multiplicity when `weighted`). The rank replays
+    * [[graft.ops.Graph.coActivityEdges]]'s selection exactly:
+    * p60(blk|u) DIV 256 ascending, ties by user ascending. */
+  private def coEdgeSql(weighted: Boolean = false, eMat: Boolean = false,
+      eName: String = "e"): String = {
+    val mat = if (eMat) "MATERIALIZED " else ""
+    val e =
+      if (weighted)
+        s"""$eName AS $mat(SELECT a.u AS u1, b.u AS u2, CAST(count(*) AS BIGINT) AS w
+           |     FROM kept a JOIN kept b ON a.blk = b.blk AND a.u < b.u
+           |     GROUP BY 1, 2)""".stripMargin
+      else
+        s"""$eName AS $mat(SELECT DISTINCT a.u AS u1, b.u AS u2
+           |     FROM kept a JOIN kept b ON a.blk = b.blk AND a.u < b.u)""".stripMargin
+    s"""$coActivitySqlCte,
+       |r AS (SELECT blk, u, row_number() OVER (PARTITION BY blk
+       |        ORDER BY ('0x' || substring(md5(blk || '|' || u), 1, 15))::BIGINT // 256,
+       |                 u) AS rk
+       |      FROM i),
+       |kept AS (SELECT blk, u FROM r WHERE rk <= $CoActivityCap),
+       |$e""".stripMargin
+  }
+
   /** The deterministic rational quality score + weak label the
     * q232/q238 calibration pair shares — ONE definition for both faces
     * and (via [[qualityScoredSql]]) both oracles, so the heuristic
@@ -371,37 +441,20 @@ object MLQueries {
     // O(m^1.5) wedges regardless of hubs; rationale there): users are
     // adjacent when they touched the SAME item within the SAME hour —
     // temporally-correlated affinity, not mere shared taste. The
-    // composite (item, hour) blocking key is what makes the edge build
-    // scale: blocking on the item alone puts every item's full user
-    // base in one block (users² pairs per item — 26M intermediates at
-    // sf0.1 on this 100-item domain); adding the hour bounds each
-    // block at concurrent-users size, cutting pair volume ~380× here
-    // and keeping it proportional to genuine co-activity at any scale.
+    // composite (item, hour) blocking key bounds each block at
+    // concurrent-users size (item alone would put every item's full
+    // user base in one block — 26M pair intermediates at sf0.1 on this
+    // 100-item domain), and the shared capped builder (coEdges /
+    // Graph.coActivityEdges; CoActivityCap rationale above) bounds
+    // what a DENSIFYING corpus does to those blocks — the r18 10×
+    // rehearsal measured 101× edge growth uncapped, 138× runtime here.
     // The oracle recounts triangles with the plain id-ordered 3-way
     // join — a different enumeration order than the degree-ordered
     // library path, forced to land on identical per-node counts.
     GraftQuery(
       "q135_triangles",
-      (s, d) => {
-        val i = t(s, d, "events")
-          .filter(col("user_id").isNotNull && Tables.propsItem.isNotNull)
-          .select(col("user_id"), Tables.propsItem.as("item"),
-            date_trunc("hour", col("ts")).as("hr"))
-          .distinct()
-        val edges = i.select(col("user_id").as("u1"), col("item"), col("hr"))
-          .join(i.select(col("user_id").as("u2"), col("item"), col("hr")),
-            Seq("item", "hr"))
-          .filter(col("u1") < col("u2"))
-          .select(col("u1"), col("u2"))
-        graft.ops.Graph.triangleStats(edges).orderBy(col("node"))
-      },
-      Some("""WITH i AS (SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item,
-                                date_trunc('hour', ts) AS hr
-                         FROM events
-                         WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL),
-              e AS (SELECT DISTINCT a.user_id AS u1, b.user_id AS u2
-                    FROM i a JOIN i b
-                      ON a.item = b.item AND a.hr = b.hr AND a.user_id < b.user_id),
+      (s, d) => graft.ops.Graph.triangleStats(coEdges(s, d)).orderBy(col("node")),
+      Some(s"""WITH ${coEdgeSql()},
               deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
                         (SELECT u1 AS node FROM e UNION ALL SELECT u2 FROM e)
                       GROUP BY 1),
@@ -420,6 +473,34 @@ object MLQueries {
                           END AS clustering
               FROM deg d LEFT JOIN pn USING (node) ORDER BY d.node""")),
 
+    // ---- what the co-engagement concurrency cap costs (the q101/q184
+    // telemetry convention): one row of full vs capped pair volume
+    // from the block-occupancy histogram alone — |blocks| input rows,
+    // pure integer arithmetic, no pair materialization. On today's
+    // fixtures n_blocks_capped = 0 and dropped = 0 (the cap is
+    // invisible until blocks densify past it); on a densified corpus
+    // this is the monitored recall-vs-cost number for the whole graph
+    // family, not a silent filter.
+    GraftQuery(
+      "q277_coactivity_cap_telemetry",
+      (s, d) => graft.ops.Graph.coActivityCapTelemetry(
+        coActivity(s, d), col("blk"), col("u"), CoActivityCap),
+      Some(s"""WITH $coActivitySqlCte,
+              b AS (SELECT blk, CAST(count(*) AS BIGINT) AS n FROM i GROUP BY 1)
+              SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                     CAST(sum(CASE WHEN n > $CoActivityCap THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_blocks_capped,
+                     CAST(max(n) AS BIGINT) AS max_block_users,
+                     CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_pairs_full,
+                     CAST(sum(CASE WHEN n <= $CoActivityCap THEN n * (n - 1) // 2
+                              ELSE ${CoActivityCap.toLong * (CoActivityCap - 1) / 2} END)
+                       AS BIGINT) AS n_pairs_capped,
+                     CAST(sum(n * (n - 1) // 2)
+                          - sum(CASE WHEN n <= $CoActivityCap THEN n * (n - 1) // 2
+                                ELSE ${CoActivityCap.toLong * (CoActivityCap - 1) / 2} END)
+                       AS BIGINT) AS n_pairs_dropped
+              FROM b""")),
+
     // ---- 3-core of the co-engagement graph (Graph.kCore — bounded
     // synchronous peeling: drop degree<3 nodes in rounds, 4 rounds
     // here): the "dense enough to matter" membership filter next to
@@ -430,20 +511,8 @@ object MLQueries {
     // twice-referenced chain links 2^k times otherwise).
     GraftQuery(
       "q144_kcore",
-      (s, d) => {
-        val i = t(s, d, "events")
-          .filter(col("user_id").isNotNull && Tables.propsItem.isNotNull)
-          .select(col("user_id"), Tables.propsItem.as("item"),
-            date_trunc("hour", col("ts")).as("hr"))
-          .distinct()
-        val edges = i.select(col("user_id").as("u1"), col("item"), col("hr"))
-          .join(i.select(col("user_id").as("u2"), col("item"), col("hr")),
-            Seq("item", "hr"))
-          .filter(col("u1") < col("u2"))
-          .select(col("u1"), col("u2"))
-        graft.ops.Graph.kCore(edges, k = 3, maxRounds = 4)
-          .orderBy(col("node"))
-      },
+      (s, d) => graft.ops.Graph.kCore(coEdges(s, d), k = 3, maxRounds = 4)
+        .orderBy(col("node")),
       Some {
         def peel(r: Int, prev: String): String =
           s"""d$r AS (SELECT node, count(*) AS degree FROM
@@ -453,13 +522,8 @@ object MLQueries {
               e$r AS MATERIALIZED (SELECT p.a, p.b FROM $prev p
                                    JOIN k$r ka ON p.a = ka.node
                                    JOIN k$r kb ON p.b = kb.node)"""
-        s"""WITH i AS (SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item,
-                              date_trunc('hour', ts) AS hr
-                       FROM events
-                       WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL),
-            e0 AS MATERIALIZED (SELECT DISTINCT a.user_id AS a, b.user_id AS b
-                  FROM i a JOIN i b
-                    ON a.item = b.item AND a.hr = b.hr AND a.user_id < b.user_id),
+        s"""WITH ${coEdgeSql()},
+            e0 AS MATERIALIZED (SELECT u1 AS a, u2 AS b FROM e),
             ${peel(1, "e0")},
             ${peel(2, "e1")},
             ${peel(3, "e2")},
@@ -479,17 +543,7 @@ object MLQueries {
     GraftQuery(
       "q138_label_propagation",
       (s, d) => {
-        val i = t(s, d, "events")
-          .filter(col("user_id").isNotNull && Tables.propsItem.isNotNull)
-          .select(col("user_id"), Tables.propsItem.as("item"),
-            date_trunc("hour", col("ts")).as("hr"))
-          .distinct()
-        val edges = i.select(col("user_id").as("u1"), col("item"), col("hr"))
-          .join(i.select(col("user_id").as("u2"), col("item"), col("hr")),
-            Seq("item", "hr"))
-          .filter(col("u1") < col("u2"))
-          .select(col("u1"), col("u2"))
-        val labels = graft.ops.Graph.labelPropagation(edges, iters = 3)
+        val labels = graft.ops.Graph.labelPropagation(coEdges(s, d), iters = 3)
         labels.join(
             labels.groupBy(col("label")).agg(count(lit(1)).as("community_size")),
             "label")
@@ -504,13 +558,7 @@ object MLQueries {
                         (SELECT node, label, row_number() OVER (PARTITION BY node
                            ORDER BY cnt DESC, label) AS rn FROM c$k)
                       WHERE rn = 1)"""
-        s"""WITH i AS (SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item,
-                              date_trunc('hour', ts) AS hr
-                       FROM events
-                       WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL),
-            e AS (SELECT DISTINCT a.user_id AS u1, b.user_id AS u2
-                  FROM i a JOIN i b
-                    ON a.item = b.item AND a.hr = b.hr AND a.user_id < b.user_id),
+        s"""WITH ${coEdgeSql()},
             und AS (SELECT u1 AS src, u2 AS dst FROM e
                     UNION ALL SELECT u2, u1 FROM e),
             l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
@@ -537,21 +585,9 @@ object MLQueries {
     GraftQuery(
       "q145_graph_profile",
       (s, d) => {
-        val i = t(s, d, "events")
-          .filter(col("user_id").isNotNull && Tables.propsItem.isNotNull)
-          .select(col("user_id"), Tables.propsItem.as("item"),
-            date_trunc("hour", col("ts")).as("hr"))
-          .distinct()
-        val edges = i.select(col("user_id").as("u1"), col("item"), col("hr"))
-          .join(i.select(col("user_id").as("u2"), col("item"), col("hr")),
-            Seq("item", "hr"))
-          .filter(col("u1") < col("u2"))
-          .select(col("u1"), col("u2"))
-          .distinct() // all four consumers dedup anyway (simple-graph
-          // reading, the oracle's DISTINCT e) — dedup ONCE before the
-          // cache so the cached frame is the small one and the
-          // consumers' internal distincts are no-ops on it
-          .cache() // one edge build, four consumers
+        // capped shared builder (already distinct) — dedup once, cache
+        // once, all consumers' internal distincts are no-ops on it
+        val edges = coEdges(s, d).cache()
         val und = edges.select(col("u1").as("src"), col("u2").as("dst"))
           .union(edges.select(col("u2").as("src"), col("u1").as("dst")))
         // ~10s at sf0.1 is fixed per-job scheduler overhead (~40 small
@@ -608,13 +644,8 @@ object MLQueries {
               ke$r AS MATERIALIZED (SELECT p.a, p.b FROM $prev p
                                     JOIN kk$r ka ON p.a = ka.node
                                     JOIN kk$r kb ON p.b = kb.node)"""
-        s"""WITH i AS (SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item,
-                              date_trunc('hour', ts) AS hr
-                       FROM events
-                       WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL),
-            e AS MATERIALIZED (SELECT DISTINCT a.user_id AS a, b.user_id AS b
-                  FROM i a JOIN i b
-                    ON a.item = b.item AND a.hr = b.hr AND a.user_id < b.user_id),
+        s"""WITH ${coEdgeSql(eMat = true, eName = "ce")},
+            e AS (SELECT u1 AS a, u2 AS b FROM ce),
             und AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
                                  UNION ALL SELECT b, a FROM e),
             -- transitive closure scoped INSIDE this one CTE: a
@@ -1200,16 +1231,7 @@ object MLQueries {
     GraftQuery(
       "q156_modularity",
       (s, d) => {
-        val i = t(s, d, "events")
-          .filter(col("user_id").isNotNull && Tables.propsItem.isNotNull)
-          .select(col("user_id"), Tables.propsItem.as("item"),
-            date_trunc("hour", col("ts")).as("hr"))
-          .distinct()
-        val edges = i.select(col("user_id").as("u1"), col("item"), col("hr"))
-          .join(i.select(col("user_id").as("u2"), col("item"), col("hr")),
-            Seq("item", "hr"))
-          .filter(col("u1") < col("u2"))
-          .select(col("u1"), col("u2"))
+        val edges = coEdges(s, d)
           .cache() // feeds both LPA and the modularity terms
         val labels = graft.ops.Graph.labelPropagation(edges, iters = 3)
         graft.ops.Graph.modularity(edges, labels)
@@ -1223,13 +1245,7 @@ object MLQueries {
                         (SELECT node, label, row_number() OVER (PARTITION BY node
                            ORDER BY cnt DESC, label) AS rn FROM c$k)
                       WHERE rn = 1)"""
-        s"""WITH i AS (SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item,
-                              date_trunc('hour', ts) AS hr
-                       FROM events
-                       WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL),
-            e AS MATERIALIZED (SELECT DISTINCT a.user_id AS u1, b.user_id AS u2
-                  FROM i a JOIN i b
-                    ON a.item = b.item AND a.hr = b.hr AND a.user_id < b.user_id),
+        s"""WITH ${coEdgeSql(eMat = true)},
             und AS (SELECT u1 AS src, u2 AS dst FROM e
                     UNION ALL SELECT u2, u1 FROM e),
             l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
@@ -1267,16 +1283,7 @@ object MLQueries {
     GraftQuery(
       "q158_bfs_distances",
       (s, d) => {
-        val i = t(s, d, "events")
-          .filter(col("user_id").isNotNull && Tables.propsItem.isNotNull)
-          .select(col("user_id"), Tables.propsItem.as("item"),
-            date_trunc("hour", col("ts")).as("hr"))
-          .distinct()
-        val edges = i.select(col("user_id").as("u1"), col("item"), col("hr"))
-          .join(i.select(col("user_id").as("u2"), col("item"), col("hr")),
-            Seq("item", "hr"))
-          .filter(col("u1") < col("u2"))
-          .select(col("u1"), col("u2"))
+        val edges = coEdges(s, d)
         val seeds = edges.select(col("u1").as("node"))
           .union(edges.select(col("u2").as("node")))
           .distinct().filter(col("node").isin(0, 1, 2))
@@ -1291,13 +1298,7 @@ object MLQueries {
                 SELECT u.dst, p.seed, p.dist + 1 FROM $prev p
                 JOIN und u ON p.node = u.src)
               GROUP BY 1, 2)"""
-        s"""WITH i AS (SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item,
-                              date_trunc('hour', ts) AS hr
-                       FROM events
-                       WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL),
-            e AS MATERIALIZED (SELECT DISTINCT a.user_id AS u1, b.user_id AS u2
-                  FROM i a JOIN i b
-                    ON a.item = b.item AND a.hr = b.hr AND a.user_id < b.user_id),
+        s"""WITH ${coEdgeSql(eMat = true)},
             und AS MATERIALIZED (SELECT u1 AS src, u2 AS dst FROM e
                                  UNION ALL SELECT u2, u1 FROM e),
             h0 AS (SELECT DISTINCT src AS node, src AS seed, CAST(0 AS BIGINT) AS dist
@@ -1322,17 +1323,7 @@ object MLQueries {
     GraftQuery(
       "q187_bfs_weighted_directed",
       (s, d) => {
-        val i = t(s, d, "events")
-          .filter(col("user_id").isNotNull && Tables.propsItem.isNotNull)
-          .select(col("user_id"), Tables.propsItem.as("item"),
-            date_trunc("hour", col("ts")).as("hr"))
-          .distinct()
-        val wedges = i.select(col("user_id").as("u1"), col("item"), col("hr"))
-          .join(i.select(col("user_id").as("u2"), col("item"), col("hr")),
-            Seq("item", "hr"))
-          .filter(col("u1") < col("u2"))
-          .groupBy(col("u1"), col("u2"))
-          .agg(count(lit(1)).as("w"))
+        val wedges = coEdgesWeighted(s, d)
         val seeds = wedges.select(col("u1").as("node"))
           .union(wedges.select(col("u2").as("node")))
           .distinct().filter(col("node").isin(0, 1, 2))
@@ -1348,15 +1339,7 @@ object MLQueries {
                 SELECT e.u2, p.seed, p.dist + e.w FROM $prev p
                 JOIN e ON p.node = e.u1)
               GROUP BY 1, 2)"""
-        s"""WITH i AS (SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item,
-                              date_trunc('hour', ts) AS hr
-                       FROM events
-                       WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL),
-            e AS MATERIALIZED (SELECT a.user_id AS u1, b.user_id AS u2,
-                                      CAST(count(*) AS BIGINT) AS w
-                  FROM i a JOIN i b
-                    ON a.item = b.item AND a.hr = b.hr AND a.user_id < b.user_id
-                  GROUP BY 1, 2),
+        s"""WITH ${coEdgeSql(weighted = true, eMat = true)},
             h0 AS (SELECT DISTINCT node, node AS seed, CAST(0 AS BIGINT) AS dist
                    FROM (SELECT u1 AS node FROM e UNION SELECT u2 FROM e)
                    WHERE node IN (0, 1, 2)),
@@ -1593,17 +1576,7 @@ object MLQueries {
     GraftQuery(
       "q200_shortest_path_tree",
       (s, d) => {
-        val i = t(s, d, "events")
-          .filter(col("user_id").isNotNull && Tables.propsItem.isNotNull)
-          .select(col("user_id"), Tables.propsItem.as("item"),
-            date_trunc("hour", col("ts")).as("hr"))
-          .distinct()
-        val wedges = i.select(col("user_id").as("u1"), col("item"), col("hr"))
-          .join(i.select(col("user_id").as("u2"), col("item"), col("hr")),
-            Seq("item", "hr"))
-          .filter(col("u1") < col("u2"))
-          .groupBy(col("u1"), col("u2"))
-          .agg(count(lit(1)).as("w"))
+        val wedges = coEdgesWeighted(s, d)
         val seeds = wedges.select(col("u1").as("node"))
           .union(wedges.select(col("u2").as("node")))
           .distinct().filter(col("node").isin(0, 1, 2))
@@ -1622,15 +1595,7 @@ object MLQueries {
                       SELECT e.u2, p.seed, p.dist + e.w, p.node
                       FROM $prev p JOIN e ON p.node = e.u1))
               WHERE rn = 1)"""
-        s"""WITH i AS (SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item,
-                              date_trunc('hour', ts) AS hr
-                       FROM events
-                       WHERE user_id IS NOT NULL AND (props->>'k') IS NOT NULL),
-            e AS MATERIALIZED (SELECT a.user_id AS u1, b.user_id AS u2,
-                                      CAST(count(*) AS BIGINT) AS w
-                  FROM i a JOIN i b
-                    ON a.item = b.item AND a.hr = b.hr AND a.user_id < b.user_id
-                  GROUP BY 1, 2),
+        s"""WITH ${coEdgeSql(weighted = true, eMat = true)},
             h0 AS (SELECT DISTINCT node, node AS seed, CAST(0 AS BIGINT) AS dist,
                           CAST(-1 AS BIGINT) AS pred
                    FROM (SELECT u1 AS node FROM e UNION SELECT u2 FROM e)

@@ -55,6 +55,47 @@ class GraphSpec extends SparkSpec {
     assert(rk.forall(_ == ((3L, 3L, 1.0))), rk.toSeq.toString)
   }
 
+  test("coActivityEdges: invisible below the cap, bounded and deterministic above it") {
+    // two blocks: A with 3 users (under any cap), B with 6. At cap 6
+    // the output must equal the plain within-block pair join; at cap 3
+    // block B contributes exactly C(3,2) = 3 pairs over a hash-chosen
+    // 3-user subset — the same subset every run — and block A is
+    // untouched.
+    val act = (Seq((1L, "A"), (2L, "A"), (3L, "A")) ++
+      (10L to 15L).map(u => (u, "B"))).toDF("u", "blk")
+    def edges(cap: Int) =
+      Graph.coActivityEdges(act, col("blk"), col("u"), cap)
+        .as[(Long, Long)].collect().toSet
+    val full = edges(6)
+    val naive = (for {
+      Seq(a, b) <- Seq(1L, 2L, 3L).combinations(2)
+    } yield (a, b)).toSet ++
+      (for { Seq(a, b) <- (10L to 15L).combinations(2) } yield (a, b)).toSet
+    assert(full == naive)
+    val capped = edges(3)
+    assert(capped.count(p => p._1 < 10) == 3)     // block A intact
+    assert(capped.count(p => p._1 >= 10) == 3)    // C(3,2) from block B
+    assert(capped == edges(3))                    // deterministic
+    assert(capped.subsetOf(full))
+  }
+
+  test("coActivityEdgesWeighted: w counts capped shared blocks") {
+    // pair (1,2) shares blocks X and Y; block Z holds users 1..5 — at
+    // cap 2 Z contributes exactly one pair with weight 1, and (1,2)'s
+    // weight stays 2 iff both users survive X and Y's trivial caps
+    val act = Seq((1L, "X"), (2L, "X"), (1L, "Y"), (2L, "Y"),
+      (1L, "Z"), (2L, "Z"), (3L, "Z"), (4L, "Z"), (5L, "Z")).toDF("u", "blk")
+    val w = Graph.coActivityEdgesWeighted(act, col("blk"), col("u"), 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    val zPairs = w.filter { case (a, b, _) => !(a == 1L && b == 2L) }
+    // Z's capped 2 representatives yield exactly one extra pair (or
+    // none extra if Z's survivors ARE {1,2}, folding into their weight)
+    val p12 = w.find { case (a, b, _) => a == 1L && b == 2L }.get
+    assert(zPairs.size + (if (p12._3 == 3L) 1 else 0) == 1)
+    assert(p12._3 == 2L || p12._3 == 3L)
+    assert(w.map(_._3).forall(_ >= 1L))
+  }
+
   test("triangleStats matches a naive id-ordered count on random graphs") {
     val rnd = new scala.util.Random(7)
     for (_ <- 0 until 3) {

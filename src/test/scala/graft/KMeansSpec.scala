@@ -83,6 +83,30 @@ class KMeansSpec extends SparkSpec {
     assert(got == Map(0L -> 0, 1L -> 500, 2L -> 599))
   }
 
+  test("assignScan == assignJoin on real embeddings (rounding + tie parity)") {
+    // the closure-scan face hand-replicates round(sqrt(d2), 6)'s
+    // BigDecimal HALF_UP semantics — pin it against the Catalyst
+    // expression on all 2000 real vectors × 20 real centroids, distance
+    // included (the d column is where a rounding divergence would show
+    // first, before it ever flips an argmin)
+    val emb = graft.queries.Tables(spark, sf, "embeddings")
+    val (_, cents) = KMeans.lloyd(emb, "vec_id", "embedding", k = 20, iters = 2)
+    val scan = KMeans.assignScan(emb, "vec_id", "embedding", cents)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val join = KMeans.assignJoinWithDist(emb, "vec_id", "embedding", cents)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(scan == join)
+    assert(scan.map(_._2).distinct.size > 1)
+  }
+
+  test("assignScan ties break to the lowest centroid index, like the other faces") {
+    val dupCents = Seq(Seq(1.0, 1.0), Seq(1.0, 1.0))
+    val asg = KMeans.assignScan(fixture, "vec_id", "embedding", dupCents)
+    assert(asg.collect().map(_.getInt(1)).toSet == Set(0))
+  }
+
   test("lloydJoin == lloyd at the q203 scaled k (real embeddings, k = 20)") {
     // the corpus-scaled-k face must land on the inline face's exact
     // centroids and assignments — the shared determinism contract, pinned
