@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * incremental family's pattern (q90's signature store, q204's
   * flagged rebuild) applied to ANN: the model is k·d doubles plus two
   * fit-time scalars — parquet state, sketch-sized — so a NEW embedding
-  * batch pays one broadcast-join assignment pass against the loaded
+  * batch pays one closure-scan assignment pass against the loaded
   * centroids, never a re-fit, and a DRIFT GATE (mean assigned distance
   * vs fit-time) says when a re-fit is actually due.
   *
@@ -39,7 +39,7 @@ object IvfState {
   def fitAndSave(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, path: String): Loaded = {
     val (_, cents) = KMeans.lloyd(emb, idCol, vecCol, k, iters)
-    val fit = KMeans.assignJoinWithDist(emb, idCol, vecCol, cents)
+    val fit = KMeans.assignScan(emb, idCol, vecCol, cents)
       .agg(round(avg(col("d")), 6).as("m"), count(lit(1)).as("n"))
       .head()
     val (meanD, n) = (fit.getDouble(0), fit.getLong(1))
@@ -64,11 +64,13 @@ object IvfState {
     Loaded(cents.toIndexedSeq, rows.head.getDouble(2), rows.head.getLong(3))
   }
 
-  /** The assign-only path: one broadcast-join pass of the new batch
-    * against the loaded centroids — (id, cluster, d), no re-fit. */
+  /** The assign-only path: one closure-scan pass of the new batch
+    * against the loaded centroids ([[KMeans.assignScan]] — same argmin
+    * as the join face, no N×k intermediates) — (id, cluster, d), no
+    * re-fit. */
   def assignOnly(newBatch: DataFrame, idCol: String, vecCol: String,
       state: Loaded): DataFrame =
-    KMeans.assignJoinWithDist(newBatch, idCol, vecCol, state.cents)
+    KMeans.assignScan(newBatch, idCol, vecCol, state.cents)
 
   /** One-row drift gate over an [[assignOnly]] frame: mean assigned
     * distance of the new batch vs fit-time, refit flagged when the

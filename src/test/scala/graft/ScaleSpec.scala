@@ -582,19 +582,21 @@ class ScaleSpec extends SparkSpec {
       phys.take(600))
   }
 
-  test("IvfState.assignOnly plans like assignJoin: broadcast centroids + hash argmin") {
-    // the q233 assign-only pass must inherit assignJoin's plan shape —
-    // broadcast centroid DATA (keyless BNLJ), ObjectHashAggregate
-    // argmin with map-side combine; keeping the distance column must
-    // not demote the aggregate to a sort
+  test("IvfState.assignOnly is a pure scan: no join, no exchange, no aggregate") {
+    // since r18 the assign-only pass rides KMeans.assignScan — the
+    // argmin happens INSIDE one projection with centroids in the task
+    // closure, so the plan must contain no join (the old keyless-BNLJ
+    // face materialized N×k rows), no exchange, and no aggregate of any
+    // kind: a new-batch assignment costs exactly one scan.
     val emb = Tables(spark, sf, "embeddings")
     val cents = (0 until 8).map(i => Seq.fill(10)(i.toDouble))
     val st = graft.ops.IvfState.Loaded(cents.toIndexedSeq, 1.0, 1L)
     val asg = graft.ops.IvfState.assignOnly(emb, "vec_id", "embedding", st)
     val plan = asg.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan.take(900))
-    assert(plan.contains("ObjectHashAggregate"), plan.take(900))
-    assert(!plan.contains("SortAggregate"), plan.take(900))
+    assert(!plan.contains("Join"), plan.take(900))
+    assert(!plan.contains("Exchange"), plan.take(900))
+    assert(!plan.contains("Aggregate"), plan.take(900))
+    assert(plan.contains("FileScan"), plan.take(900))
   }
 
   test("Q21 shape: semi/anti self-joins stay equi-keyed, never nested-loop") {
