@@ -31,11 +31,30 @@ object FuzzyJoin {
   /** Near-match pairs (idA < idB, distance) among rows sharing
     * `blockKey`, where levenshtein of the two `cmp` strings is <=
     * `maxDist`. `id` must be unique per row; `cmp` is typically a
-    * normalized fixed-length prefix of the payload. */
+    * normalized fixed-length prefix of the payload.
+    *
+    * `maxBlock` is BLOCK PURGING (the standard ER mitigation for
+    * low-information keys — a block everyone lands in carries no
+    * discriminative signal and quadratic cost): blocks with more than
+    * `maxBlock` members are excluded from pairing entirely. Like the
+    * stop-shingle and co-activity caps, it is invisible until block
+    * occupancies densify past it — size the cap above the observed max
+    * at validation SFs so oracle results are unchanged there, and
+    * monitor the trade with [[blockTelemetry]] rather than letting it
+    * purge silently. Default unbounded. */
   def blockedPairs(df: DataFrame, id: Column, blockKey: Column, cmp: Column,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, maxBlock: Int = Int.MaxValue): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val side = df.select(id.as("id"), blockKey.as("blk"), cmp.as("cmp"))
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    val side0 = df.select(id.as("id"), blockKey.as("blk"), cmp.as("cmp"))
+    val side =
+      if (maxBlock == Int.MaxValue) side0
+      else {
+        // post-agg block histogram is tiny; AQE broadcasts the semi-join
+        val ok = side0.groupBy(col("blk")).agg(count(lit(1)).as("n"))
+          .filter(col("n") <= maxBlock).select(col("blk"))
+        side0.join(ok, Seq("blk"), "left_semi")
+      }
     val a = side.select(col("id").as("id_a"), col("blk"), col("cmp").as("cmp_a"))
     val b = side.select(col("id").as("id_b"), col("blk"), col("cmp").as("cmp_b"))
     a.join(b, "blk")
@@ -43,5 +62,23 @@ object FuzzyJoin {
       .select(col("id_a"), col("id_b"),
         levenshtein(col("cmp_a"), col("cmp_b")).as("dist"))
       .filter(col("dist") <= maxDist)
+  }
+
+  /** What [[blockedPairs]]' purge costs (the q101/q184/q277 telemetry
+    * convention): one row of full vs purged pair volume from the block
+    * histogram alone — |blocks| input rows, integer arithmetic, no
+    * pair materialization. */
+  def blockTelemetry(df: DataFrame, blockKey: Column,
+      maxBlock: Int): DataFrame = {
+    val sizes = df.select(blockKey.as("blk"))
+      .groupBy(col("blk")).agg(count(lit(1)).as("n"))
+    val full = expr("n * (n - 1) DIV 2")
+    sizes.agg(
+      count(lit(1)).as("n_blocks"),
+      sum(when(col("n") > maxBlock, 1L).otherwise(0L)).as("n_blocks_purged"),
+      max(col("n")).as("max_block"),
+      sum(full).as("n_pairs_full"),
+      sum(when(col("n") <= maxBlock, full).otherwise(lit(0L))).as("n_pairs_kept"))
+      .withColumn("n_pairs_purged", col("n_pairs_full") - col("n_pairs_kept"))
   }
 }

@@ -94,11 +94,32 @@ object Similarity {
       .filter(col("cos_sim") >= minCosine)
   }
 
+  /** Corpus-scaled sign-LSH plane count: enough hyperplanes that the
+    * EXPECTED bucket occupancy stays ≈ `targetBlock` as the corpus
+    * grows — planes = max(minPlanes, ⌈log2(n / targetBlock)⌉). A pinned
+    * plane count is the scaledK trap in LSH form: fixed 2^p buckets
+    * make per-bucket blocks Θ(n), and the "per-bucket blocks, never
+    * N²" claim goes quietly quadratic again (r18 10× rehearsal: the
+    * triplet-mining face read 27× on 6 pinned planes). n comes from a
+    * one-row count — plan state, like [[KMeans.scaledK]]'s k — and the
+    * oracle computes the SAME planes in SQL (greatest(minPlanes,
+    * ceil(log2(count/target)))), so one oracle string is correct at
+    * every SF. */
+  def scaledPlanes(n: Long, targetBlock: Long = 64L, minPlanes: Int = 4): Int = {
+    require(targetBlock > 0 && minPlanes >= 1,
+      s"targetBlock/minPlanes must be positive, got $targetBlock/$minPlanes")
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBlock)) / math.log(2.0)).toInt
+    math.max(minPlanes, needed)
+  }
+
   /** Deterministic sign-LSH bucket id from `planes` pseudo-random
     * integer hyperplanes (LCG weights — engine-portable). Computed by
     * the codegen [[graft.functions.SignLsh]] expression — bit-identical
     * to the HOF formulation it replaced and to the DuckDB oracle, minus
-    * the planes×dim interpreted lambda evaluations per row. */
+    * the planes×dim interpreted lambda evaluations per row. Pass
+    * [[scaledPlanes]] of the corpus count when the corpus grows —
+    * the default 6 is the small-fixture parity setting. */
   def withLshBucket(prepared: DataFrame, planes: Int = 6, dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(prepared.sparkSession)
     prepared.withColumn("bucket", expr(s"sign_lsh(v, $planes, $dim)"))

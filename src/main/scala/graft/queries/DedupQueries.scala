@@ -301,7 +301,9 @@ object DedupQueries {
                       CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
                FROM v GROUP BY doc_id ORDER BY doc_id""")),
 
-    // ---- SimHash near-dup pairs: byte-banded candidates, Hamming <= 2.
+    // ---- SimHash near-dup pairs: minimal-band (3×11/11/10-bit)
+    // candidates, Hamming <= 2 (Dedup.simhashPairs — tightest-pigeonhole
+    // rationale there).
     GraftQuery(
       "q38_simhash_pairs",
       (s, d) => Dedup.simhashPairs(Dedup.simhash(t(s, d, "documents")), maxHamming = 2)
@@ -314,24 +316,30 @@ object DedupQueries {
                fp AS (SELECT doc_id,
                              CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
                       FROM v GROUP BY doc_id),
-               banded AS (SELECT doc_id, simhash, k, (simhash // CAST(pow(2, 8 * k) AS BIGINT)) % 256 AS byte
-                          FROM fp, range(0, 4) t(k)),
+               banded AS (SELECT doc_id, simhash, k,
+                                 CASE k WHEN 0 THEN simhash & 2047
+                                        WHEN 1 THEN (simhash >> 11) & 2047
+                                        ELSE (simhash >> 22) & 1023 END AS part
+                          FROM fp, range(0, 3) t(k)),
                cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS h1, b.simhash AS h2
                         FROM banded a JOIN banded b
-                          ON a.k = b.k AND a.byte = b.byte AND a.doc_id < b.doc_id)
+                          ON a.k = b.k AND a.part = b.part AND a.doc_id < b.doc_id)
                SELECT d1, d2, bit_count(xor(h1, h2)) AS hamming FROM cand
                WHERE bit_count(xor(h1, h2)) <= 2 ORDER BY d1, d2""")),
 
     // ---- 64-bit SimHash near-dup pairs — the width a 100 TB corpus
-    // actually runs (q37/q38 pin the 32-bit parity form): 8 byte-bands
-    // over 64 signal bits keep the pigeonhole guarantee to hamming <= 7
-    // while in-bucket collision fan-out drops ~2^32-fold vs the 32-bit
-    // width. The 64 bits per token are two independent portable 32-bit
-    // hashes (p60(tk) and p60(tk || '#')), so the oracle rebuilds the
-    // full fingerprint relationally: two's-complement assembly for the
-    // sign bit (sum of 2^j for j < 63, minus 2^63 when vote 63 is
-    // positive), shift-and-mask byte banding (sign-safe on both
-    // engines), bit_count(xor) hamming.
+    // actually runs (q37/q38 pin the 32-bit parity form): FOUR 16-bit
+    // bands — the minimal pigeonhole for hamming <= 3 — so each
+    // bucket's keyspace is 2^16 and in-bucket fan-out stays tractable
+    // even on a vocabulary-correlated corpus where hot 8-bit byte
+    // values collapse thousands of docs into one bucket (the r18 10×
+    // rehearsal measured 311M byte-banded candidates vs 5.9M with
+    // 16-bit bands, identical output). The 64 bits per token are two
+    // independent portable 32-bit hashes (p60(tk) and p60(tk || '#')),
+    // so the oracle rebuilds the full fingerprint relationally:
+    // two's-complement assembly for the sign bit (sum of 2^j for
+    // j < 63, minus 2^63 when vote 63 is positive), shift-and-mask
+    // banding (sign-safe on both engines), bit_count(xor) hamming.
     GraftQuery(
       "q100_simhash64_pairs",
       (s, d) => Dedup.simhashPairs(
@@ -351,11 +359,11 @@ object DedupQueries {
                              + CASE WHEN max(CASE WHEN j = 63 AND v > 0 THEN 1 ELSE 0 END) = 1
                                     THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END AS simhash
                       FROM v GROUP BY doc_id),
-               banded AS (SELECT doc_id, simhash, k, (simhash >> CAST(8 * k AS INTEGER)) & 255 AS byte
-                          FROM fp, range(0, 8) t(k)),
+               banded AS (SELECT doc_id, simhash, k, (simhash >> CAST(16 * k AS INTEGER)) & 65535 AS part
+                          FROM fp, range(0, 4) t(k)),
                cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS h1, b.simhash AS h2
                         FROM banded a JOIN banded b
-                          ON a.k = b.k AND a.byte = b.byte AND a.doc_id < b.doc_id)
+                          ON a.k = b.k AND a.part = b.part AND a.doc_id < b.doc_id)
                SELECT d1, d2, bit_count(xor(h1, h2)) AS hamming FROM cand
                WHERE bit_count(xor(h1, h2)) <= 3 ORDER BY d1, d2""")),
 
@@ -600,9 +608,13 @@ object DedupQueries {
     // inside a 12-char-prefix block — ~6k compared pairs at sf0.1 where
     // the unblocked all-pairs is ~4.4M. Levenshtein catches the
     // single-character edits MinHash/SimHash shingle methods are
-    // blindest to (q35-q38's complement, not their twin). The oracle
-    // runs the identical blocked join in SQL; the spec pins the
-    // semantic claims (within-block exactness, cross-block miss).
+    // blindest to (q35-q38's complement, not their twin). maxBlock=64
+    // is block purging (a low-information prefix everyone shares costs
+    // n² comparisons and discriminates nothing) — it does not bind at
+    // validation SFs (max block 13 at sf0.1), bounds the r18 rehearsal's
+    // 54× densified pair growth, and is mirrored in the oracle's HAVING.
+    // The spec pins the semantic claims (within-block exactness,
+    // cross-block miss).
     GraftQuery(
       "q153_fuzzy_blocked_pairs",
       (s, d) => {
@@ -610,7 +622,7 @@ object DedupQueries {
           lower(trim(col("text"))).as("nt"))
         graft.ops.FuzzyJoin.blockedPairs(docs, col("doc_id"),
             substring(col("nt"), 1, 12), substring(col("nt"), 1, 40),
-            maxDist = 5)
+            maxDist = 5, maxBlock = 64)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
             col("dist"))
           .orderBy(col("doc_a"), col("doc_b"))
@@ -618,11 +630,39 @@ object DedupQueries {
       Some("""WITH b AS (SELECT doc_id,
                                 substr(lower(trim(text)), 1, 12) AS blk,
                                 substr(lower(trim(text)), 1, 40) AS cmp
-                         FROM documents)
+                         FROM documents),
+              ok AS (SELECT blk FROM b GROUP BY blk HAVING count(*) <= 64),
+              bb AS (SELECT b.* FROM b JOIN ok USING (blk))
               SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
                      levenshtein(x.cmp, y.cmp) AS dist
-              FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
+              FROM bb x JOIN bb y ON x.blk = y.blk AND x.doc_id < y.doc_id
               WHERE levenshtein(x.cmp, y.cmp) <= 5
-              ORDER BY doc_a, doc_b"""))
+              ORDER BY doc_a, doc_b""")),
+
+    // ---- what q153's block purge costs (the q101/q184/q277 telemetry
+    // convention): full vs purged pair volume from the prefix-block
+    // histogram alone — no pair materialization. n_blocks_purged = 0 on
+    // today's fixtures (cap 64 vs max block 13 at sf0.1); on a
+    // densified corpus this is the monitored recall-vs-cost number.
+    GraftQuery(
+      "q278_fuzzy_block_telemetry",
+      (s, d) => graft.ops.FuzzyJoin.blockTelemetry(
+        t(s, d, "documents").select(
+          substring(lower(trim(col("text"))), 1, 12).as("blk")),
+        col("blk"), maxBlock = 64),
+      Some("""WITH o AS (SELECT substr(lower(trim(text)), 1, 12) AS blk,
+                                CAST(count(*) AS BIGINT) AS n
+                         FROM documents GROUP BY 1)
+              SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                     CAST(sum(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_blocks_purged,
+                     CAST(max(n) AS BIGINT) AS max_block,
+                     CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_pairs_full,
+                     CAST(sum(CASE WHEN n <= 64 THEN n * (n - 1) // 2 ELSE 0 END)
+                       AS BIGINT) AS n_pairs_kept,
+                     CAST(sum(n * (n - 1) // 2)
+                          - sum(CASE WHEN n <= 64 THEN n * (n - 1) // 2 ELSE 0 END)
+                       AS BIGINT) AS n_pairs_purged
+              FROM o"""))
   )
 }

@@ -21,6 +21,19 @@ object EmbeddingQueries {
   private def vecs(s: SparkSession, d: String): DataFrame =
     Similarity.prepare(t(s, d, "embeddings"))
 
+  /** Corpus-scaled sign-LSH planes for the embeddings table (one count
+    * job — plan state, the scaledK convention; rationale on
+    * [[Similarity.scaledPlanes]]). sf0.01 → 4, sf0.1 → 5, 10× → 9. */
+  private def nPlanes(s: SparkSession, d: String): Int =
+    Similarity.scaledPlanes(t(s, d, "embeddings").count())
+
+  /** The SQL twin of [[nPlanes]] — a 1-row CTE over `e` the bucketed
+    * oracles splice in, with `range(0, (SELECT pl FROM pp))` as the
+    * plane loop bound. */
+  private val ppCte: String =
+    "pp AS (SELECT greatest(4, CAST(ceil(log2(count(*) / 64.0)) AS INTEGER)) AS pl FROM e)"
+  private val pRange: String = "range(0, (SELECT pl FROM pp))"
+
   val all: Seq[GraftQuery] = Seq(
 
     // ---- brute-force cosine top-5 for a fixed query subset (|Q| x N
@@ -132,20 +145,24 @@ object EmbeddingQueries {
         .orderBy(col("qid"), col("rn")),
       None, companion = Some("q78_ivf_valid")),
 
-    // ---- LSH-bucketed ANN: 6 deterministic sign hyperplanes -> 64
-    // buckets; candidates share a bucket; exact cosine rerank top-3.
+    // ---- LSH-bucketed ANN: corpus-scaled deterministic sign
+    // hyperplanes (Similarity.scaledPlanes — ~64-vector expected
+    // buckets at any SF); candidates share a bucket; exact cosine
+    // rerank top-3.
     GraftQuery(
       "q42_ann_lsh",
-      (s, d) => Similarity.annTopK(vecs(s, d), col("id") < 50, k = 3)
+      (s, d) => Similarity.annTopK(vecs(s, d), col("id") < 50, k = 3,
+          planes = nPlanes(s, d))
         .select(col("qid"), col("nid"), col("cos_sim"), col("rn"))
         .orderBy(col("qid"), col("rn")),
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              $ppCte,
               n AS (SELECT vec_id, v, nrm FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)),
               bk AS (SELECT vec_id, v, nrm,
                        CAST(list_sum([CASE WHEN list_sum([v[dm] * CAST((CAST(1103515245 AS BIGINT) * (p * 64 + dm) + 12345) % 2001 - 1000 AS DOUBLE)
                                                           FOR dm IN range(1, 65)]) > 0
                                            THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END
-                                      FOR p IN range(0, 6)]) AS BIGINT) AS bucket
+                                      FOR p IN $pRange]) AS BIGINT) AS bucket
                      FROM n),
               p AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
                            round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) AS cos_sim
@@ -166,16 +183,18 @@ object EmbeddingQueries {
     GraftQuery(
       "q63_embed_dedup_groups",
       (s, d) => graft.ops.Dedup.connectedComponents(
-          Similarity.lshNearDupPairs(vecs(s, d), minCosine = 0.35)
+          Similarity.lshNearDupPairs(vecs(s, d), minCosine = 0.35,
+              planes = nPlanes(s, d))
             .select(col("d1"), col("d2")))
         .orderBy(col("id")),
-      Some("""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      Some(s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              $ppCte,
               n AS (SELECT vec_id, v, nrm FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)),
               bk AS (SELECT vec_id, v, nrm,
                        CAST(list_sum([CASE WHEN list_sum([v[dm] * CAST((CAST(1103515245 AS BIGINT) * (p * 64 + dm) + 12345) % 2001 - 1000 AS DOUBLE)
                                                           FOR dm IN range(1, 65)]) > 0
                                            THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END
-                                      FOR p IN range(0, 6)]) AS BIGINT) AS bucket
+                                      FOR p IN $pRange]) AS BIGINT) AS bucket
                      FROM n),
               pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2
                         FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -368,7 +387,8 @@ object EmbeddingQueries {
       (s, d) => {
         val prep = Similarity.prepare(t(s, d, "embeddings"), keep = Seq("label"))
         val dropped = graft.ops.Dedup.connectedComponents(
-            Similarity.lshNearDupPairs(vecs(s, d), minCosine = 0.35)
+            Similarity.lshNearDupPairs(vecs(s, d), minCosine = 0.35,
+                planes = nPlanes(s, d))
               .select(col("d1"), col("d2")))
           .filter(col("id") =!= col("component"))
           .select(col("id").as("drop_id"))
@@ -381,13 +401,14 @@ object EmbeddingQueries {
             col("cos_centroid"), (col("r") <= 3).as("is_outlier"))
           .orderBy(col("label"), col("vec_id"))
       },
-      Some("""WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      Some(s"""WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              $ppCte,
               n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
               bk AS (SELECT vec_id, v, nrm,
                        CAST(list_sum([CASE WHEN list_sum([v[dm] * CAST((CAST(1103515245 AS BIGINT) * (p * 64 + dm) + 12345) % 2001 - 1000 AS DOUBLE)
                                                           FOR dm IN range(1, 65)]) > 0
                                            THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END
-                                      FOR p IN range(0, 6)]) AS BIGINT) AS bucket
+                                      FOR p IN $pRange]) AS BIGINT) AS bucket
                      FROM n),
               pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2
                         FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -884,7 +905,7 @@ object EmbeddingQueries {
     GraftQuery(
       "q263_triplet_mining",
       (s, d) => {
-        val e = Similarity.withLshBucket(vecs(s, d))
+        val e = Similarity.withLshBucket(vecs(s, d), planes = nPlanes(s, d))
         // every vector anchors (the mining pass IS corpus-wide; pair
         // volume stays per-bucket-block-bounded, the q63 formulation)
         val q = e
@@ -914,13 +935,14 @@ object EmbeddingQueries {
             (-col("ng.mn")).as("neg_id"), col("ng.cos_sim").as("neg_cos"))
           .orderBy(col("qid"))
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              $ppCte,
               n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
               bk AS (SELECT vec_id, v, nrm,
                        CAST(list_sum([CASE WHEN list_sum([v[dm] * CAST((CAST(1103515245 AS BIGINT) * (p * 64 + dm) + 12345) % 2001 - 1000 AS DOUBLE)
                                                           FOR dm IN range(1, 65)]) > 0
                                            THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END
-                                      FOR p IN range(0, 6)]) AS BIGINT) AS bucket
+                                      FOR p IN $pRange]) AS BIGINT) AS bucket
                      FROM n),
               cand AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
                               round(list_dot_product(q.v, x.v)

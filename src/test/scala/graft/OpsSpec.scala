@@ -116,8 +116,8 @@ class OpsSpec extends SparkSpec {
     // the mixed hash really populates the high 32 bits (a zero-padded
     // 32-bit fingerprint would band trivially and void the fan-out claim)
     assert(fps.exists { case (_, h) => (h >>> 32) != 0L })
-    // banded candidate generation (8 byte-bands) finds exactly the
-    // brute-force hamming <= 2 pairs — pigeonhole completeness holds at
+    // minimal-band candidate generation (3 bands at hamming <= 2) finds
+    // exactly the brute-force pairs — pigeonhole completeness holds at
     // the wider width
     val viaBands = graft.ops.Dedup.simhashPairs(fp, maxHamming = 2, fpBytes = 8)
       .select(col("d1"), col("d2"), col("hamming"))
@@ -127,8 +127,9 @@ class OpsSpec extends SparkSpec {
       d = java.lang.Long.bitCount(h1 ^ h2) if d <= 2
     } yield (i1, i2, d)).toSet
     assert(viaBands == brute)
-    // 32-bit path through the generalized byte extraction is unchanged
-    // vs the DIV/mod formulation the q38 oracle pins
+    // the minimal-band output equals the historical byte-banded DIV/mod
+    // formulation's — different candidate sets, same exact pairs (both
+    // are complete supersets at hamming <= 2)
     val fp32 = graft.ops.Dedup.simhash(docs).cache()
     val shifted = graft.ops.Dedup.simhashPairs(fp32, maxHamming = 2)
       .as[(Long, Long, Int)].collect().toSet
