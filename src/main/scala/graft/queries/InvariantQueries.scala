@@ -399,6 +399,109 @@ object InvariantQueries {
               SELECT '_union', CAST(count(DISTINCT user_id) AS BIGINT), true FROM events
               ORDER BY event_type""")),
 
+    // ---- KMV (bottom-k) sketch INTERSECTION — the set operation
+    // q91's HLL union can't deliver (HLL unions losslessly but cannot
+    // intersect; inclusion-exclusion on three ±2% estimates is noise
+    // when the intersection is small): clickers ∩ purchasers from two
+    // 256-value sketches. Bottom-k of the p60 hash is FULLY
+    // DETERMINISTIC, so unlike the banded q91 this oracle matches the
+    // ESTIMATES bit-for-bit — DuckDB replays the identical sketch —
+    // and the error-band booleans ride along against the exact counts
+    // (k=256 ⇒ ~6% rsd on the union; the intersection inherits it
+    // scaled by union/inter, band 0.25·union). Union sketch = bottom-k
+    // of the two sketches' union (any global bottom-k member must be
+    // in one side's bottom-k); ρ = in-both share of the union sketch;
+    // est∩ = ρ·(k−1)·2⁶⁰/v. Degenerate guard: a union smaller than k
+    // IS its own sketch — exact counts, no extrapolation. Scale:
+    // bottom-k is TakeOrderedAndProject (per-partition k then merge —
+    // the sketch build IS the distributed plan); the exact sides here
+    // are validation-only companions.
+    GraftQuery(
+      "q283_kmv_intersection",
+      (s, d) => {
+        val k = 256
+        val M = 1152921504606846976L // 2^60, the p60 range
+        val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+        def hs(et: String) = ev.filter(col("event_type") === et)
+          .select(graft.ops.Portable.p60(col("user_id").cast("string")).as("h"))
+          .distinct()
+        val a = hs("click").localCheckpoint(true)
+        val b = hs("purchase").localCheckpoint(true)
+        val skA = a.orderBy(col("h")).limit(k).localCheckpoint(true)
+        val skB = b.orderBy(col("h")).limit(k).localCheckpoint(true)
+        val u = skA.unionByName(skB).distinct().orderBy(col("h")).limit(k)
+        val sk = u
+          .join(broadcast(skA.withColumn("ina", lit(1L))), Seq("h"), "left_outer")
+          .join(broadcast(skB.withColumn("inb", lit(1L))), Seq("h"), "left_outer")
+          .agg(count(lit(1)).as("sk_size"), max(col("h")).as("v"),
+            sum(when(col("ina").isNotNull && col("inb").isNotNull, 1L)
+              .otherwise(0L)).as("c"))
+        val ex = a.agg(count(lit(1)).as("n_a"))
+          .crossJoin(b.agg(count(lit(1)).as("n_b")))
+          .crossJoin(a.unionByName(b).distinct()
+            .agg(count(lit(1)).as("exact_union")))
+          .crossJoin(a.join(b, "h").agg(count(lit(1)).as("exact_inter")))
+        val estU = when(col("sk_size") < k, col("sk_size").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(M.toDouble) /
+            col("v").cast("double"))
+        val estI = when(col("sk_size") < k, col("c").cast("double"))
+          .otherwise(col("c").cast("double") / lit(k.toDouble) *
+            (lit((k - 1).toDouble) * lit(M.toDouble) / col("v").cast("double")))
+        sk.crossJoin(broadcast(ex))
+          .select(lit(k.toLong).as("k"), col("n_a"), col("n_b"),
+            col("exact_union"), col("exact_inter"),
+            col("sk_size"), col("c").as("in_both"),
+            round(estU, 4).as("est_union"), round(estI, 4).as("est_inter"),
+            (abs(estU - col("exact_union").cast("double")) <=
+              lit(0.20) * col("exact_union").cast("double")).as("union_ok"),
+            (abs(estI - col("exact_inter").cast("double")) <=
+              lit(0.25) * col("exact_union").cast("double")).as("inter_ok"))
+      },
+      Some(s"""WITH a AS (SELECT DISTINCT
+                            (${graft.ops.Portable.p60Sql("CAST(user_id AS VARCHAR)")}) AS h
+                          FROM events
+                          WHERE user_id IS NOT NULL AND event_type = 'click'),
+               b AS (SELECT DISTINCT
+                            (${graft.ops.Portable.p60Sql("CAST(user_id AS VARCHAR)")}) AS h
+                          FROM events
+                          WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+               ska AS (SELECT h FROM a ORDER BY h LIMIT 256),
+               skb AS (SELECT h FROM b ORDER BY h LIMIT 256),
+               u AS (SELECT DISTINCT h FROM
+                       (SELECT h FROM ska UNION ALL SELECT h FROM skb)
+                     ORDER BY h LIMIT 256),
+               sk AS (SELECT CAST(count(*) AS BIGINT) AS sk_size,
+                             CAST(max(u.h) AS BIGINT) AS v,
+                             CAST(sum(CASE WHEN ska.h IS NOT NULL
+                                            AND skb.h IS NOT NULL
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS c
+                      FROM u LEFT JOIN ska ON u.h = ska.h
+                             LEFT JOIN skb ON u.h = skb.h),
+               ex AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+                             (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+                             (SELECT CAST(count(*) AS BIGINT) FROM
+                                (SELECT h FROM a UNION SELECT h FROM b))
+                               AS exact_union,
+                             (SELECT CAST(count(*) AS BIGINT)
+                              FROM a JOIN b USING (h)) AS exact_inter),
+               es AS (SELECT sk.*, ex.*,
+                        CASE WHEN sk_size < 256 THEN CAST(sk_size AS DOUBLE)
+                             ELSE 255.0 * 1152921504606846976.0
+                                  / CAST(v AS DOUBLE) END AS est_u,
+                        CASE WHEN sk_size < 256 THEN CAST(c AS DOUBLE)
+                             ELSE CAST(c AS DOUBLE) / 256.0 *
+                                  (255.0 * 1152921504606846976.0
+                                   / CAST(v AS DOUBLE)) END AS est_i
+                      FROM sk CROSS JOIN ex)
+               SELECT CAST(256 AS BIGINT) AS k, n_a, n_b,
+                      exact_union, exact_inter, sk_size, c AS in_both,
+                      round(est_u, 4) AS est_union, round(est_i, 4) AS est_inter,
+                      abs(est_u - CAST(exact_union AS DOUBLE))
+                        <= 0.20 * CAST(exact_union AS DOUBLE) AS union_ok,
+                      abs(est_i - CAST(exact_inter AS DOUBLE))
+                        <= 0.25 * CAST(exact_union AS DOUBLE) AS inter_ok
+               FROM es""")),
+
     // ---- q148's shard-merge face (the q98/q91 convention for this
     // sketch): Count-min sketches built INDEPENDENTLY over four
     // disjoint document shards, merged with mergeInPlace, must equal

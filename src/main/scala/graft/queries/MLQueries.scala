@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
 import graft.multimodal.Multimodal
 import graft.ops.Portable
 import graft.pipelines.{MentionRecommender, UserSimilarity}
@@ -2109,6 +2110,174 @@ object MLQueries {
                         THEN abs((p1 - p2) / se) > CAST(1.96 AS DOUBLE) END,
                         false) AS significant
                FROM e""")),
+
+    // ---- Welch's unequal-variance t-test on purchase spend between
+    // the q249 arms — the CONTINUOUS-metric read-out next to q249's
+    // rate z (pooled-variance t would be wrong the moment one arm's
+    // spend is burstier). Inputs are three exact longs per arm (n,
+    // Σcents, Σcents² — the floor-cent convention; c² sums stay under
+    // 2^63 to ~10¹³ rows at this price scale), the variance uses the
+    // (Σc² − (Σc)²/n)/(n−1) form with the squaring done in DOUBLES
+    // ((Σc)² would overflow longs first — the one term exact longs
+    // can't carry), and t + Welch–Satterthwaite df are one identical-
+    // association IEEE chain on both engines. `significant` is gated
+    // on the unrounded t (the q249 coalesce convention); df ≫ 30 so
+    // the 1.96 normal cut is the declared approximation.
+    GraftQuery(
+      "q281_welch_ttest",
+      (s, d) => {
+        val p = t(s, d, "events")
+          .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+          .select(pmod(Portable.p60(col("user_id").cast("string")), lit(2))
+              .as("arm"),
+            floor(col("value") * 100).cast("long").as("c"))
+        val agg = p.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 0, col("c")).otherwise(0L)).as("s_a"),
+          sum(when(col("arm") === 0, col("c") * col("c")).otherwise(0L)).as("q_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("arm") === 1, col("c")).otherwise(0L)).as("s_b"),
+          sum(when(col("arm") === 1, col("c") * col("c")).otherwise(0L)).as("q_b"))
+        def v(qc: Column, sc: Column, nc: Column): Column =
+          (qc.cast("double") - sc.cast("double") * sc.cast("double") /
+            nc.cast("double")) / (nc.cast("double") - lit(1.0))
+        val va = v(col("q_a"), col("s_a"), col("n_a"))
+        val vb = v(col("q_b"), col("s_b"), col("n_b"))
+        val se2 = va / col("n_a").cast("double") + vb / col("n_b").cast("double")
+        val tstat = (col("s_a").cast("double") / col("n_a").cast("double") -
+          col("s_b").cast("double") / col("n_b").cast("double")) / sqrt(se2)
+        val df = se2 * se2 /
+          ((va / col("n_a").cast("double")) * (va / col("n_a").cast("double")) /
+            (col("n_a").cast("double") - lit(1.0)) +
+           (vb / col("n_b").cast("double")) * (vb / col("n_b").cast("double")) /
+            (col("n_b").cast("double") - lit(1.0)))
+        agg.select(col("n_a"), col("n_b"),
+          round(col("s_a").cast("double") / col("n_a").cast("double"), 6)
+            .as("mean_a"),
+          round(col("s_b").cast("double") / col("n_b").cast("double"), 6)
+            .as("mean_b"),
+          round(va, 6).as("var_a"), round(vb, 6).as("var_b"),
+          when(se2 > 0, round(tstat, 6)).as("t"),
+          when(se2 > 0, round(df, 6)).as("df"),
+          coalesce(when(se2 > 0, abs(tstat) > lit(1.96)), lit(false))
+            .as("significant"))
+      },
+      Some(s"""WITH p AS (SELECT (${Portable.p60Sql("CAST(user_id AS VARCHAR)")}) % 2
+                                  AS arm,
+                                CAST(floor(value * 100) AS BIGINT) AS c
+                         FROM events
+                         WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+               a AS (SELECT
+                       CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                       CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS s_a,
+                       CAST(sum(CASE WHEN arm = 0 THEN c * c ELSE 0 END) AS BIGINT) AS q_a,
+                       CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                       CAST(sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS s_b,
+                       CAST(sum(CASE WHEN arm = 1 THEN c * c ELSE 0 END) AS BIGINT) AS q_b
+                     FROM p),
+               vv AS (SELECT a.*,
+                        (CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+                          / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS va,
+                        (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+                          / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS vb
+                      FROM a),
+               ss AS (SELECT vv.*,
+                        va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) AS se2,
+                        (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                          - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS md
+                      FROM vv)
+               SELECT n_a, n_b,
+                      round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS mean_a,
+                      round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS mean_b,
+                      round(va, 6) AS var_a, round(vb, 6) AS var_b,
+                      CASE WHEN se2 > 0 THEN round(md / sqrt(se2), 6) END AS t,
+                      CASE WHEN se2 > 0 THEN round(se2 * se2 /
+                        ((va / CAST(n_a AS DOUBLE)) * (va / CAST(n_a AS DOUBLE))
+                           / (CAST(n_a AS DOUBLE) - 1.0)
+                         + (vb / CAST(n_b AS DOUBLE)) * (vb / CAST(n_b AS DOUBLE))
+                           / (CAST(n_b AS DOUBLE) - 1.0)), 6) END AS df,
+                      COALESCE(CASE WHEN se2 > 0
+                        THEN abs(md / sqrt(se2)) > CAST(1.96 AS DOUBLE) END,
+                        false) AS significant
+               FROM ss""")),
+
+    // ---- uplift by pre-exposure activity stratum — the heterogeneity
+    // read-out q249's single pooled z averages away: does the
+    // treatment move LIGHT users differently from heavy ones. Strata
+    // are FIXED buckets of the user's first-fortnight event count
+    // (0 / 1-2 / 3-5 / 6-10 / 11+ — fixed boundaries, not ntile: an
+    // unpartitioned |users| quantile sort is exactly the scale smell
+    // the q98 convention exists to avoid, and pre-period bucketing
+    // keeps the stratum assignment untouched by treatment), outcome is
+    // any post-cut purchase, arms are the q249 p60 split. Everything
+    // is exact counts; per-stratum uplift and its pooled ALL row (a
+    // rollup) are final divisions. An empty arm in a stratum yields
+    // NULL uplift, not a throw.
+    GraftQuery(
+      "q285_uplift_strata",
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+        val mn = ev.agg(min(to_date(col("ts"))).as("d0"))
+        val base = ev.crossJoin(broadcast(mn))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(to_date(col("ts")) < date_add(col("d0"), 14), 1L)
+              .otherwise(0L)).as("pre_n"),
+            max(when(to_date(col("ts")) >= date_add(col("d0"), 14) &&
+              col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+          .select(
+            pmod(Portable.p60(col("user_id").cast("string")), lit(2)).as("arm"),
+            when(col("pre_n") === 0, "0: none")
+              .when(col("pre_n") <= 2, "1: 1-2")
+              .when(col("pre_n") <= 5, "2: 3-5")
+              .when(col("pre_n") <= 10, "3: 6-10")
+              .otherwise("4: 11+").as("stratum"),
+            col("conv"))
+        base.rollup(col("stratum"))
+          .agg(
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+            sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("k_c"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+            sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("k_t"))
+          .select(coalesce(col("stratum"), lit("ALL")).as("stratum"),
+            col("n_c"), col("k_c"), col("n_t"), col("k_t"),
+            when(col("n_c") > 0 && col("n_t") > 0,
+              round(col("k_t").cast("double") / col("n_t").cast("double") -
+                col("k_c").cast("double") / col("n_c").cast("double"), 6))
+              .as("uplift"))
+          .orderBy(col("stratum"))
+      },
+      Some(s"""WITH ev AS (SELECT user_id, ts, event_type FROM events
+                          WHERE user_id IS NOT NULL),
+               mn AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM ev),
+               u AS (SELECT user_id,
+                       CAST(sum(CASE WHEN CAST(ts AS DATE) < d0 + 14
+                         THEN 1 ELSE 0 END) AS BIGINT) AS pre_n,
+                       CAST(max(CASE WHEN CAST(ts AS DATE) >= d0 + 14
+                         AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS conv
+                     FROM ev CROSS JOIN mn GROUP BY 1),
+               b AS (SELECT (${Portable.p60Sql("CAST(user_id AS VARCHAR)")}) % 2
+                              AS arm,
+                            CASE WHEN pre_n = 0 THEN '0: none'
+                                 WHEN pre_n <= 2 THEN '1: 1-2'
+                                 WHEN pre_n <= 5 THEN '2: 3-5'
+                                 WHEN pre_n <= 10 THEN '3: 6-10'
+                                 ELSE '4: 11+' END AS stratum,
+                            conv
+                     FROM u),
+               r AS (SELECT coalesce(stratum, 'ALL') AS stratum,
+                       CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+                       CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS k_c,
+                       CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+                       CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS k_t
+                     FROM b GROUP BY ROLLUP (stratum))
+               SELECT stratum, n_c, k_c, n_t, k_t,
+                      CASE WHEN n_c > 0 AND n_t > 0 THEN
+                        round(CAST(k_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                          - CAST(k_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)
+                      END AS uplift
+               FROM r ORDER BY stratum""")),
 
     // ---- Kaplan-Meier survival over time-to-first-conversion — the
     // censoring-correct version of "median time to purchase": users

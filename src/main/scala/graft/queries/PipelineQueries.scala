@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
 import graft.ops.{MisraGries, Portable, Sampling, TextPipeline}
 
 /** Training-data-pipeline operators beyond the dedup/similarity families:
@@ -1627,6 +1628,93 @@ object PipelineQueries {
                           THEN round((ln(CAST(n AS DOUBLE)) - clc / n)
                                      / ln(CAST(bins AS DOUBLE)), 6) END AS evenness
               FROM agg ORDER BY lang""")),
+
+    // ---- mutual information between event type and hour-of-day —
+    // q211's entropy extended to the TWO-variable question every
+    // feature audit asks ("does this categorical actually carry
+    // signal about that one"): MI = Σ_ij (n_ij/N)·ln(N·n_ij/(n_i·n_j))
+    // plus both marginal entropies and the normalized MI/min(H). All
+    // log arguments are ratios of EXACT LONGS (N·n_ij stays under
+    // 2^63 to ~3·10⁹ rows/cell); unlike q211's few-term same-sign sum,
+    // MI terms CANCEL (log-ratios straddle 0), so the cell sum runs as
+    // a DEFINED-ORDER head-seeded fold over the (type, hour)-sorted
+    // term list — q198's convention, immune to accumulation order —
+    // and the two marginal sums follow suit. Scale: one partial-
+    // aggregating pass to |types|·24 cells; folds and margins are
+    // broadcast-tiny.
+    GraftQuery(
+      "q282_mutual_information",
+      (s, d) => {
+        val cells = t(s, d, "events")
+          .groupBy(col("event_type").as("a"), hour(col("ts")).as("h"))
+          .agg(count(lit(1)).as("nij"))
+          .localCheckpoint(true) // |types|·24 rows; margins + terms below
+        val ma = cells.groupBy(col("a")).agg(sum(col("nij")).as("ni"))
+        val mb = cells.groupBy(col("h")).agg(sum(col("nij")).as("nj"))
+        val nn = cells.agg(sum(col("nij")).as("nt"),
+          count(lit(1)).as("n_cells"))
+        def foldSum(c: Column): Column = {
+          val xs = transform(array_sort(c), s => s.getField("term"))
+          aggregate(slice(xs, lit(2), size(xs) - 1), element_at(xs, 1),
+            (acc, x) => acc + x)
+        }
+        val mi = cells.join(broadcast(ma), "a").join(broadcast(mb), "h")
+          .crossJoin(broadcast(nn))
+          .select(struct(col("a"), col("h"),
+            (col("nij").cast("double") *
+              log((col("nt") * col("nij")).cast("double") /
+                (col("ni") * col("nj")).cast("double"))).as("term")).as("c"))
+          .agg(foldSum(collect_list(col("c"))).as("smi"))
+        def hFold(m: DataFrame, key: String, cnt: String): DataFrame =
+          m.select(struct(col(key),
+              (col(cnt).cast("double") * log(col(cnt).cast("double")))
+                .as("term")).as("c"))
+            .agg(foldSum(collect_list(col("c"))).as(s"s_$key"))
+        mi.crossJoin(broadcast(hFold(ma, "a", "ni")))
+          .crossJoin(broadcast(hFold(mb, "h", "nj")))
+          .crossJoin(broadcast(nn))
+          .select(col("nt").as("n"), col("n_cells"),
+            round(col("smi") / col("nt").cast("double"), 6).as("mi_nats"),
+            round(log(col("nt").cast("double")) -
+              col("s_a") / col("nt").cast("double"), 6).as("h_type"),
+            round(log(col("nt").cast("double")) -
+              col("s_h") / col("nt").cast("double"), 6).as("h_hour"),
+            round((col("smi") / col("nt").cast("double")) /
+              least(
+                log(col("nt").cast("double")) - col("s_a") / col("nt").cast("double"),
+                log(col("nt").cast("double")) - col("s_h") / col("nt").cast("double")),
+              6).as("nmi"))
+      },
+      Some("""WITH cells AS (SELECT event_type AS a, extract(hour FROM ts) AS h,
+                                    CAST(count(*) AS BIGINT) AS nij
+                             FROM events GROUP BY 1, 2),
+              ma AS (SELECT a, CAST(sum(nij) AS BIGINT) AS ni FROM cells GROUP BY 1),
+              mb AS (SELECT h, CAST(sum(nij) AS BIGINT) AS nj FROM cells GROUP BY 1),
+              nn AS (SELECT CAST(sum(nij) AS BIGINT) AS nt,
+                            CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+              tm AS (SELECT list(CAST(nij AS DOUBLE)
+                               * ln(CAST(nt * nij AS DOUBLE)
+                                    / CAST(ni * nj AS DOUBLE))
+                               ORDER BY a, h) AS xs
+                     FROM cells JOIN ma USING (a) JOIN mb USING (h) CROSS JOIN nn),
+              smi AS (SELECT list_reduce(xs, (acc, x) -> acc + x) AS smi FROM tm),
+              ha AS (SELECT list_reduce(list(CAST(ni AS DOUBLE)
+                              * ln(CAST(ni AS DOUBLE)) ORDER BY a),
+                            (acc, x) -> acc + x) AS s_a FROM ma),
+              hb AS (SELECT list_reduce(list(CAST(nj AS DOUBLE)
+                              * ln(CAST(nj AS DOUBLE)) ORDER BY h),
+                            (acc, x) -> acc + x) AS s_h FROM mb)
+              SELECT nt AS n, n_cells,
+                     round(smi / CAST(nt AS DOUBLE), 6) AS mi_nats,
+                     round(ln(CAST(nt AS DOUBLE)) - s_a / CAST(nt AS DOUBLE), 6)
+                       AS h_type,
+                     round(ln(CAST(nt AS DOUBLE)) - s_h / CAST(nt AS DOUBLE), 6)
+                       AS h_hour,
+                     round((smi / CAST(nt AS DOUBLE)) /
+                       least(ln(CAST(nt AS DOUBLE)) - s_a / CAST(nt AS DOUBLE),
+                             ln(CAST(nt AS DOUBLE)) - s_h / CAST(nt AS DOUBLE)), 6)
+                       AS nmi
+              FROM nn CROSS JOIN smi CROSS JOIN ha CROSS JOIN hb""")),
 
     // ---- exact WEIGHTED median — the robust center when rows carry
     // integer mass (line items weighted by quantity here; docs by

@@ -2834,6 +2834,237 @@ object RelationalQueries {
                        / CAST(agg.saf AS DOUBLE), 6) AS smape
               FROM sc CROSS JOIN agg ORDER BY dy""")),
 
+    // ---- CUSUM changepoint per event type — where did the daily
+    // level SHIFT: the classic max-|cumulative-deviation| detector,
+    // computed entirely in EXACT INTEGERS. S_i = Σ_{j≤i}(x_j − x̄)
+    // would be float; multiplying through by D (= n_days) gives
+    // D·S_i = D·pre_i − i·total — a long — so the argmax day, the
+    // tie-break (earliest day on equal excursion) and the before/after
+    // means are all decided on exact arithmetic; doubles appear only
+    // in the final reporting divisions (identical association both
+    // engines, then 6dp). Scale shape: one partial-aggregating pass to
+    // the (type, day) frame (|types|·|days| rows), prefix window
+    // per-type over the bounded day domain (the q98 convention), tiny
+    // broadcast of per-type totals. Magnitudes: D·pre ≤ |days|·|rows|
+    // — 2^63 allows ~10¹⁴ daily events over a 3-year span.
+    GraftQuery(
+      "q279_cusum_changepoint",
+      (s, d) => {
+        val dc = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("dy"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("dy"))
+        val tot = dc.groupBy(col("event_type"))
+          .agg(sum(col("n")).as("total"), count(lit(1)).as("nd"))
+        val exc = dc
+          .select(col("event_type"), col("dy"), col("n"),
+            sum(col("n")).over(w).as("pre"),
+            row_number().over(w).cast("long").as("i"))
+          .join(broadcast(tot), "event_type")
+          .withColumn("dexc", col("nd") * col("pre") - col("i") * col("total"))
+        val pick = Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("dexc")).desc, col("dy"))
+        exc.withColumn("rk", row_number().over(pick))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("nd").as("n_days"),
+            col("dy").cast("string").as("cp_day"),
+            round(abs(col("dexc")).cast("double") /
+              col("nd").cast("double"), 6).as("cusum_max"),
+            round(col("pre").cast("double") / col("i").cast("double"), 6)
+              .as("mean_before"),
+            when(col("i") < col("nd"),
+              round((col("total") - col("pre")).cast("double") /
+                (col("nd") - col("i")).cast("double"), 6)).as("mean_after"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS dy,
+                     CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+              pre AS (SELECT event_type, dy, n,
+                             CAST(sum(n) OVER (PARTITION BY event_type
+                               ORDER BY dy) AS BIGINT) AS pre,
+                             CAST(row_number() OVER (PARTITION BY event_type
+                               ORDER BY dy) AS BIGINT) AS i
+                      FROM dc),
+              tt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+                            CAST(count(*) AS BIGINT) AS nd
+                     FROM dc GROUP BY 1),
+              ex AS (SELECT pre.*, tt.total, tt.nd,
+                            tt.nd * pre.pre - pre.i * tt.total AS dexc
+                     FROM pre JOIN tt USING (event_type)),
+              pk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                       ORDER BY abs(dexc) DESC, dy) AS rk FROM ex)
+              SELECT event_type, nd AS n_days, CAST(dy AS VARCHAR) AS cp_day,
+                     round(CAST(abs(dexc) AS DOUBLE) / CAST(nd AS DOUBLE), 6)
+                       AS cusum_max,
+                     round(CAST(pre AS DOUBLE) / CAST(i AS DOUBLE), 6)
+                       AS mean_before,
+                     CASE WHEN i < nd THEN
+                       round(CAST(total - pre AS DOUBLE)
+                         / CAST(nd - i AS DOUBLE), 6) END AS mean_after
+              FROM pk WHERE rk = 1 ORDER BY event_type""")),
+
+    // ---- Holt linear-trend backtest — q257's seasonal-naive baseline
+    // challenged by a level+trend smoother (α=0.3, β=0.1): fit on all
+    // days except the final week, forecast the 7 held-out days as
+    // l + h·b, score per day. The recurrence has TWO mutually
+    // recursive states, so the q198 scalar-fold convention extends to
+    // a VECTOR-STATE fold: one (ts-sorted) collected day list, state
+    // (l, b) carried as a struct through aggregate() — both engines
+    // replay the identical IEEE op sequence (the l' expression is
+    // inlined twice in b' on BOTH sides, same association), classic
+    // init l₀=x₂, b₀=x₂−x₁. Scale: the fold is |train-days| work on
+    // one row; everything before it is the q257 daily-count shape.
+    // ORACLE NOTE: DuckDB 1.0's list_reduce cannot replay a COUPLED
+    // two-field recurrence — from the second application on, a struct
+    // field expression that reads an acc field which another field
+    // expression also reads observes the NEW value (measured:
+    // (a:=acc.a+acc.b, b:=acc.a) over [(1,10),_,_] yields (12,12),
+    // correct (12,11); single-read-per-field folds like q201's TWAP
+    // are unaffected). The oracle therefore replays the recurrence as
+    // a RECURSIVE CTE — one fresh row per step, no aliasing — with
+    // the same association.
+    GraftQuery(
+      "q280_holt_backtest",
+      (s, d) => {
+        val dc = t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("dy"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true) // |days| rows; cut + fit + score below
+        val mx = dc.agg(max(col("dy")).as("mxd"))
+        val fit = dc.crossJoin(broadcast(mx))
+          .filter(col("dy") <= date_sub(col("mxd"), 7))
+          .agg(array_sort(collect_list(struct(col("dy"),
+            col("n").cast("double").as("v")))).as("xs"))
+          .select(expr(
+            """aggregate(slice(xs, 3, size(xs) - 2),
+              |named_struct('lv', xs[1].v, 'b', xs[1].v - xs[0].v),
+              |(acc, e) -> named_struct(
+              |  'lv', 0.3 * e.v + 0.7 * (acc.lv + acc.b),
+              |  'b',  0.1 * (0.3 * e.v + 0.7 * (acc.lv + acc.b) - acc.lv)
+              |        + 0.9 * acc.b))""".stripMargin).as("st"),
+            element_at(col("xs"), -1).getField("dy").as("cut"))
+        dc.crossJoin(broadcast(fit))
+          .filter(col("dy") > col("cut"))
+          .select(col("dy").cast("string").as("dy"), col("n").as("actual"),
+            round(col("st.lv") +
+              datediff(col("dy"), col("cut")).cast("double") * col("st.b"), 6)
+              .as("forecast"),
+            round(abs(col("n").cast("double") - (col("st.lv") +
+              datediff(col("dy"), col("cut")).cast("double") * col("st.b"))), 6)
+              .as("abs_err"))
+          .orderBy(col("dy"))
+      },
+      Some("""WITH RECURSIVE dc AS (SELECT CAST(ts AS DATE) AS dy,
+                     CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1),
+              mx AS (SELECT max(dy) AS mxd FROM dc),
+              tr AS (SELECT list(struct_pack(dy := dy,
+                                             v := CAST(n AS DOUBLE))
+                              ORDER BY dy) AS xs
+                     FROM dc CROSS JOIN mx WHERE dy <= mxd - 7),
+              st AS (SELECT 2 AS i, xs[2].v AS lv,
+                            xs[2].v - xs[1].v AS b
+                     FROM tr
+                     UNION ALL
+                     SELECT i + 1,
+                            0.3 * xs[i + 1].v + 0.7 * (lv + b),
+                            0.1 * (0.3 * xs[i + 1].v + 0.7 * (lv + b)
+                                   - lv) + 0.9 * b
+                     FROM st CROSS JOIN tr WHERE i < len(xs)),
+              ft AS (SELECT st.lv, st.b, xs[-1].dy AS cut
+                     FROM st CROSS JOIN tr WHERE i = len(xs))
+              SELECT CAST(dy AS VARCHAR) AS dy, n AS actual,
+                     round(ft.lv + (dy - cut) * ft.b, 6) AS forecast,
+                     round(abs(CAST(n AS DOUBLE)
+                       - (ft.lv + (dy - cut) * ft.b)), 6) AS abs_err
+              FROM dc CROSS JOIN ft WHERE dy > cut ORDER BY dy""")),
+
+    // ---- next-event prediction eval — q176's transition matrix used
+    // as a MODEL and scored honestly: train transitions are those
+    // whose source event falls before the final week (exact calendar
+    // cut on the global max day, a 1-row broadcast), the predictor is
+    // per-source argmax train count with the engine-deterministic
+    // (count DESC, successor ASC) tie order, test accuracy counts
+    // exact matches; the global-majority baseline sits beside it —
+    // the number a model must beat. All counts exact; the two
+    // accuracies are final divisions. Scale: transitions are the q176
+    // one-shuffle lead window; predictor + baseline are |types|-sized
+    // broadcasts against the test frame.
+    GraftQuery(
+      "q284_markov_eval",
+      (s, d) => {
+        val seq = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val tr = t(s, d, "events")
+          .withColumn("nxt", lead(col("event_type"), 1).over(seq))
+          .filter(col("nxt").isNotNull)
+          .select(col("event_type").as("cur"), col("nxt"),
+            to_date(col("ts")).as("dy"))
+        val mx = tr.agg(max(col("dy")).as("mxd"))
+        val split = tr.crossJoin(broadcast(mx))
+          .withColumn("is_train", col("dy") <= date_sub(col("mxd"), 7))
+          .localCheckpoint(true) // reread by train counts + test score
+        val cnt = split.filter(col("is_train"))
+          .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("c"))
+        val pred = cnt.withColumn("rk",
+            row_number().over(Window.partitionBy(col("cur"))
+              .orderBy(col("c").desc, col("nxt"))))
+          .filter(col("rk") === 1)
+          .select(col("cur"), col("nxt").as("pred"))
+        val base = cnt.groupBy(col("nxt")).agg(sum(col("c")).as("c"))
+          .orderBy(col("c").desc, col("nxt")).limit(1)
+          .select(col("nxt").as("bpred"))
+        val test = split.filter(!col("is_train"))
+        test.join(broadcast(pred), Seq("cur"), "left_outer")
+          .crossJoin(broadcast(base))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("nxt") === col("pred"), 1L).otherwise(0L))
+              .as("n_correct"),
+            sum(when(col("nxt") === col("bpred"), 1L).otherwise(0L))
+              .as("n_base_correct"))
+          .crossJoin(broadcast(split.filter(col("is_train"))
+            .agg(count(lit(1)).as("n_train"))))
+          .select(col("n_train"), col("n_test"), col("n_correct"),
+            round(col("n_correct").cast("double") /
+              col("n_test").cast("double"), 6).as("accuracy"),
+            col("n_base_correct"),
+            round(col("n_base_correct").cast("double") /
+              col("n_test").cast("double"), 6).as("base_accuracy"))
+      },
+      Some("""WITH tr AS (SELECT cur, nxt, dy FROM (
+                     SELECT event_type AS cur,
+                            lead(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS nxt,
+                            CAST(ts AS DATE) AS dy
+                     FROM events) WHERE nxt IS NOT NULL),
+              mx AS (SELECT max(dy) AS mxd FROM tr),
+              sp AS (SELECT tr.*, dy <= mxd - 7 AS is_train
+                     FROM tr CROSS JOIN mx),
+              cnt AS (SELECT cur, nxt, count(*) AS c FROM sp
+                      WHERE is_train GROUP BY 1, 2),
+              pred AS (SELECT cur, nxt AS pred FROM (
+                         SELECT cur, nxt, row_number() OVER (PARTITION BY cur
+                           ORDER BY c DESC, nxt) AS rk FROM cnt)
+                       WHERE rk = 1),
+              base AS (SELECT nxt AS bpred FROM cnt
+                       GROUP BY nxt ORDER BY sum(c) DESC, nxt LIMIT 1),
+              tst AS (SELECT sp.nxt, pred.pred FROM sp
+                      LEFT JOIN pred USING (cur) WHERE NOT is_train)
+              SELECT (SELECT CAST(count(*) AS BIGINT) FROM sp WHERE is_train)
+                       AS n_train,
+                     CAST(count(*) AS BIGINT) AS n_test,
+                     CAST(sum(CASE WHEN nxt = pred THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_correct,
+                     round(CAST(sum(CASE WHEN nxt = pred THEN 1 ELSE 0 END)
+                         AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS accuracy,
+                     CAST(sum(CASE WHEN nxt = (SELECT bpred FROM base)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_base_correct,
+                     round(CAST(sum(CASE WHEN nxt = (SELECT bpred FROM base)
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6) AS base_accuracy
+              FROM tst""")),
+
     // ---- TPC-H Q11 shape: groups cut against a FRACTION OF THE
     // GLOBAL aggregate — per-part revenue kept only above the MEAN
     // part share (Q11 proper uses a fixed 0.0001 fraction, which on
