@@ -663,6 +663,68 @@ object DedupQueries {
                      CAST(sum(n * (n - 1) // 2)
                           - sum(CASE WHEN n <= 64 THEN n * (n - 1) // 2 ELSE 0 END)
                        AS BIGINT) AS n_pairs_purged
-              FROM o"""))
+              FROM o""")),
+
+    // ---- effective token budget per source — the number a corpus
+    // mixture planner actually allocates against: raw docs/tokens per
+    // source vs what SURVIVES global exact dedup (canonical = min
+    // doc_id across ALL sources, so a source that re-feeds another's
+    // content loses those tokens — the q223 cross-source question
+    // turned into a budget). Corpus includes the deterministic
+    // 'recrawl' clone (q223/q189 convention: the generator only
+    // plants organic exact dups at sf0.1, the clone keeps the metric
+    // non-vacuous at every SF). Token counts are whitespace-split
+    // sizes (q30 convention); dup_token_share is one exact-long
+    // division. Scale: the same single fingerprint exchange as q34
+    // plus a |sources| aggregate — nothing new materializes.
+    GraftQuery(
+      "q292_effective_tokens",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val corpus = docs.select(col("doc_id"), col("source"), col("text"))
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              lit("recrawl").as("source"), col("text")))
+        val fp = corpus.select(col("doc_id"), col("source"),
+          size(Portable.tokens(col("text"))).cast("long").as("ntok"),
+          Portable.p60(Portable.normText(col("text"))).as("fp"))
+        val keep = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+        fp.join(keep, Seq("fp"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ntok")).as("n_tokens"),
+            sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L))
+              .as("n_canonical_docs"),
+            sum(when(col("doc_id") === col("keep_id"), col("ntok"))
+              .otherwise(0L)).as("n_canonical_tokens"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("n_canonical_docs"), col("n_canonical_tokens"),
+            round((col("n_tokens") - col("n_canonical_tokens")).cast("double")
+              / col("n_tokens").cast("double"), 6).as("dup_token_share"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH corpus AS (SELECT doc_id, source, text FROM documents
+                               UNION ALL
+                               SELECT doc_id + 1000000, 'recrawl', text
+                               FROM documents WHERE doc_id % 17 = 0),
+               fp AS (SELECT doc_id, source,
+                        CAST(len(string_split_regex(trim(text), '\\s+'))
+                          AS BIGINT) AS ntok,
+                        ${Portable.p60Sql(Portable.normTextSql("text"))} AS fp
+                      FROM corpus),
+               keep AS (SELECT fp, min(doc_id) AS keep_id
+                        FROM fp GROUP BY 1)
+               SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(ntok) AS BIGINT) AS n_tokens,
+                      CAST(sum(CASE WHEN doc_id = keep_id
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical_docs,
+                      CAST(sum(CASE WHEN doc_id = keep_id
+                        THEN ntok ELSE 0 END) AS BIGINT)
+                        AS n_canonical_tokens,
+                      round(CAST(sum(ntok) - sum(CASE WHEN doc_id = keep_id
+                          THEN ntok ELSE 0 END) AS DOUBLE)
+                        / CAST(sum(ntok) AS DOUBLE), 6) AS dup_token_share
+               FROM fp JOIN keep USING (fp)
+               GROUP BY source ORDER BY source"""))
   )
 }

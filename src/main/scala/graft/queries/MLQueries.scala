@@ -3041,6 +3041,542 @@ object MLQueries {
                         z * z * (2 * (p * (1 - p)))
                         / ((CAST(0.05 AS DOUBLE) * p)
                           * (CAST(0.05 AS DOUBLE) * p))) AS powered
-               FROM c"""))
+               FROM c""")),
+
+    // ---- Poisson bootstrap CI for mean purchase spend — the
+    // DISTRIBUTED bootstrap: classical resampling needs B passes over
+    // shuffled data; the Poisson(1) trick (each row enters replicate b
+    // with weight w ~ Poisson(1), independence across rows is exact in
+    // the n→∞ limit) needs ONE scan. Weights are decided by comparing
+    // the 60-bit hash of (event_id, b) against PRECOMPUTED integer
+    // thresholds floor(CDF_Poisson(1)(k)·2⁶⁰) — pure long comparisons,
+    // no float in the sampling path, identical literals both engines;
+    // the w≥9 tail (p≈1.1e-6) is capped at 9 (bias ≪ CI width,
+    // documented). Replicate means are exact-long Σwc/Σw single
+    // divisions; the CI is an ORDER-STATISTIC pick (2nd/63rd of the 64
+    // sorted means — a 96.9% percentile interval, no interpolation).
+    // Scale: the 64× row inflation lives entirely between the scan and
+    // the map-side partial aggregate — the exchange carries 64 rows
+    // per task; the final sort is 64 values on one row. The one
+    // degenerate guard (a replicate with Σw=0, p≈e^(-n)) nulls the
+    // division explicitly to keep /0 semantics engine-aligned.
+    GraftQuery(
+      "q286_poisson_bootstrap",
+      (s, d) => {
+        val th = Seq(424136118829305344L, 848272237658610688L,
+          1060340297073263360L, 1131029650211480960L, 1148701988496035328L,
+          1152236456152946176L, 1152825534095764608L, 1152909688087595776L,
+          1152920207336574720L)
+        val p = t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), floor(col("value") * 100).cast("long").as("c"))
+        val h = Portable.p60(concat(col("event_id").cast("string"), lit(":"),
+          col("b").cast("string")))
+        val w = th.zipWithIndex.foldRight(lit(9): Column) {
+          case ((thr, k), els) => when(col("h") < thr, lit(k)).otherwise(els)
+        }
+        val reps = p
+          .select(col("event_id"), col("c"),
+            explode(sequence(lit(0), lit(63))).as("b"))
+          .withColumn("h", h)
+          .withColumn("w", w.cast("long"))
+          .groupBy(col("b"))
+          .agg(sum(col("w")).as("nw"), sum(col("w") * col("c")).as("sw"))
+          .select(when(col("nw") > 0,
+            col("sw").cast("double") / col("nw").cast("double")).as("m"))
+        val ci = reps.agg(sort_array(collect_list(col("m"))).as("ms"))
+        p.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+          .crossJoin(broadcast(ci))
+          .select(col("n"),
+            round(col("sc").cast("double") / col("n").cast("double"), 6)
+              .as("mean_cents"),
+            round(element_at(col("ms"), 2), 6).as("ci_lo"),
+            round(element_at(col("ms"), 63), 6).as("ci_hi"))
+      },
+      Some("""WITH p AS (SELECT event_id,
+                     CAST(floor(value * 100) AS BIGINT) AS c
+                   FROM events WHERE event_type = 'purchase'),
+              r AS (SELECT p.c, b.b,
+                      ('0x' || substring(md5(p.event_id::VARCHAR || ':'
+                        || b.b::VARCHAR), 1, 15))::BIGINT AS h
+                    FROM p CROSS JOIN
+                      (SELECT unnest(range(0, 64)) AS b) b),
+              w AS (SELECT b, c,
+                      CASE WHEN h < 424136118829305344 THEN 0
+                           WHEN h < 848272237658610688 THEN 1
+                           WHEN h < 1060340297073263360 THEN 2
+                           WHEN h < 1131029650211480960 THEN 3
+                           WHEN h < 1148701988496035328 THEN 4
+                           WHEN h < 1152236456152946176 THEN 5
+                           WHEN h < 1152825534095764608 THEN 6
+                           WHEN h < 1152909688087595776 THEN 7
+                           WHEN h < 1152920207336574720 THEN 8
+                           ELSE 9 END AS w
+                    FROM r),
+              m AS (SELECT CASE WHEN CAST(sum(w) AS BIGINT) > 0
+                      THEN CAST(sum(w * c) AS DOUBLE)
+                           / CAST(sum(w) AS DOUBLE) END AS m
+                    FROM w GROUP BY b),
+              ms AS (SELECT list_sort(list(m)) AS ms FROM m),
+              base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(c) AS BIGINT) AS sc FROM p)
+              SELECT n,
+                     round(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                       AS mean_cents,
+                     round(ms[2], 6) AS ci_lo,
+                     round(ms[63], 6) AS ci_hi
+              FROM base CROSS JOIN ms""")),
+
+    // ---- exact AUC (Mann-Whitney with tie handling) — does PAST
+    // activity rank users by FUTURE conversion: score = non-purchase
+    // events before the final week, label = any purchase inside it
+    // (the q284 honest-split discipline applied to a ranking metric;
+    // q216's NDCG ranks items per user, this ranks USERS by a scalar).
+    // The pairwise definition is computed from per-SCORE-VALUE group
+    // counts: 2U = Σ_g (2·p_g·negbelow_g + p_g·q_g) — wins double,
+    // ties count once — ALL EXACT LONGS; AUC = 2U / (2·P·N) is one
+    // division of exact integers (bit-identical, emitted unrounded).
+    // Scale: the grouped frame has one row per DISTINCT score (an
+    // activity count — domain bounded by max per-user activity, the
+    // q98 bounded-domain window convention); no per-user sort, no
+    // |users|² pair join anywhere.
+    GraftQuery(
+      "q287_auc",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+        val mx = ev.agg(max(to_date(col("ts"))).as("mxd"))
+        val u = ev.crossJoin(broadcast(mx))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(to_date(col("ts")) <= date_sub(col("mxd"), 7) &&
+              col("event_type") =!= "purchase", 1L).otherwise(0L)).as("score"),
+            max(when(to_date(col("ts")) > date_sub(col("mxd"), 7) &&
+              col("event_type") === "purchase", 1L).otherwise(0L)).as("pos"))
+        val g = u.groupBy(col("score"))
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+        val w = Window.orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        g.select(col("p"), (col("n") - col("p")).as("q"),
+            coalesce(sum(col("n") - col("p")).over(w), lit(0L)).as("negbelow"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
+            sum(lit(2L) * col("p") * col("negbelow") +
+              col("p") * col("q")).as("num2"))
+          .select(col("n_groups"), col("n_pos"), col("n_neg"),
+            when(col("n_pos") > 0 && col("n_neg") > 0,
+              col("num2").cast("double") /
+                (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+              .as("auc"))
+      },
+      Some("""WITH mx AS (SELECT max(CAST(ts AS DATE)) AS mxd FROM events),
+              u AS (SELECT user_id,
+                      sum(CASE WHEN CAST(ts AS DATE) <= mxd - 7
+                               AND event_type <> 'purchase'
+                          THEN 1 ELSE 0 END) AS score,
+                      max(CASE WHEN CAST(ts AS DATE) > mxd - 7
+                               AND event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS pos
+                    FROM events CROSS JOIN mx
+                    WHERE user_id IS NOT NULL GROUP BY 1),
+              g AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(pos) AS BIGINT) AS p
+                    FROM u GROUP BY 1),
+              sx AS (SELECT p, n - p AS q,
+                       CAST(COALESCE(sum(n - p) OVER (ORDER BY score
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) AS negbelow
+                     FROM g),
+              a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                           CAST(sum(p) AS BIGINT) AS n_pos,
+                           CAST(sum(q) AS BIGINT) AS n_neg,
+                           CAST(sum(2 * p * negbelow + p * q) AS BIGINT)
+                             AS num2
+                    FROM sx)
+              SELECT n_groups, n_pos, n_neg,
+                     CASE WHEN n_pos > 0 AND n_neg > 0
+                          THEN CAST(num2 AS DOUBLE)
+                               / CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc
+              FROM a""")),
+
+    // ---- difference-in-differences — the panel estimator the A/B
+    // family still lacked (q249 rates, q269 CUPED variance reduction,
+    // q281 Welch on spend; DiD is the PRE-TREND-ROBUST causal read):
+    // per-user purchase cents in the pre and post halves of the
+    // calendar (exact midpoint cut), per-user delta d = post − pre (a
+    // long), DiD = mean(d | treated) − mean(d | control) with a Welch
+    // SE on d — exactly q281's three-longs-per-arm machinery applied
+    // to the delta. Arms are the q249 p60 hash split (a NULL
+    // experiment by construction — the registered negative control);
+    // `significant` gated on the unrounded z, coalesced false. Scale:
+    // one partial-aggregating pass to |users| rows, then six exact
+    // longs.
+    GraftQuery(
+      "q288_did",
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+        val bounds = ev.agg(min(to_date(col("ts"))).as("d0"),
+          max(to_date(col("ts"))).as("d1"))
+        val dd = ev.crossJoin(broadcast(bounds))
+          .withColumn("mid",
+            date_add(col("d0"),
+              floor(datediff(col("d1"), col("d0")) / 2).cast("int")))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("event_type") === "purchase" &&
+              to_date(col("ts")) <= col("mid"),
+              floor(col("value") * 100).cast("long")).otherwise(0L)).as("pre_c"),
+            sum(when(col("event_type") === "purchase" &&
+              to_date(col("ts")) > col("mid"),
+              floor(col("value") * 100).cast("long")).otherwise(0L)).as("post_c"))
+          .select(pmod(Portable.p60(col("user_id").cast("string")), lit(2))
+            .as("arm"), (col("post_c") - col("pre_c")).as("dd"))
+        val a = dd.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("arm") === 0, col("dd")).otherwise(0L)).as("s_c"),
+          sum(when(col("arm") === 0, col("dd") * col("dd")).otherwise(0L)).as("q_c"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("arm") === 1, col("dd")).otherwise(0L)).as("s_t"),
+          sum(when(col("arm") === 1, col("dd") * col("dd")).otherwise(0L)).as("q_t"))
+        val v = a.select(col("n_c"), col("n_t"),
+          (col("s_c").cast("double") / col("n_c").cast("double")).as("m_c"),
+          (col("s_t").cast("double") / col("n_t").cast("double")).as("m_t"),
+          ((col("q_c").cast("double") -
+            col("s_c").cast("double") * col("s_c").cast("double") /
+              col("n_c").cast("double")) /
+            (col("n_c").cast("double") - lit(1.0))).as("v_c"),
+          ((col("q_t").cast("double") -
+            col("s_t").cast("double") * col("s_t").cast("double") /
+              col("n_t").cast("double")) /
+            (col("n_t").cast("double") - lit(1.0))).as("v_t"))
+        v.select(col("n_c"), col("n_t"),
+            round(col("m_c"), 6).as("mean_delta_ctl"),
+            round(col("m_t"), 6).as("mean_delta_trt"),
+            round(col("m_t") - col("m_c"), 6).as("did_cents"),
+            (col("v_t") / col("n_t").cast("double") +
+              col("v_c") / col("n_c").cast("double")).as("se2"))
+          .select(col("n_c"), col("n_t"), col("mean_delta_ctl"),
+            col("mean_delta_trt"), col("did_cents"),
+            when(col("se2") > 0, round(sqrt(col("se2")), 6)).as("se"),
+            coalesce(when(col("se2") > 0,
+              abs((col("mean_delta_trt") - col("mean_delta_ctl")) /
+                sqrt(col("se2"))) > lit(1.96)), lit(false)).as("significant"))
+      },
+      Some(s"""WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0,
+                      max(CAST(ts AS DATE)) AS d1 FROM events),
+               dd AS (SELECT ${Portable.p60Sql("user_id::VARCHAR")} % 2
+                        AS arm,
+                        CAST(sum(CASE WHEN event_type = 'purchase'
+                          AND CAST(ts AS DATE) <= d0 + CAST((d1 - d0) // 2 AS INTEGER)
+                          THEN CAST(floor(value * 100) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS pre_c,
+                        CAST(sum(CASE WHEN event_type = 'purchase'
+                          AND CAST(ts AS DATE) > d0 + CAST((d1 - d0) // 2 AS INTEGER)
+                          THEN CAST(floor(value * 100) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS post_c
+                      FROM events CROSS JOIN b
+                      WHERE user_id IS NOT NULL GROUP BY user_id, arm),
+               dl AS (SELECT arm, post_c - pre_c AS dd FROM dd),
+               a AS (SELECT
+                       CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+                       CAST(sum(CASE WHEN arm = 0 THEN dd ELSE 0 END) AS BIGINT) AS s_c,
+                       CAST(sum(CASE WHEN arm = 0 THEN dd * dd ELSE 0 END) AS BIGINT) AS q_c,
+                       CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+                       CAST(sum(CASE WHEN arm = 1 THEN dd ELSE 0 END) AS BIGINT) AS s_t,
+                       CAST(sum(CASE WHEN arm = 1 THEN dd * dd ELSE 0 END) AS BIGINT) AS q_t
+                     FROM dl),
+               v AS (SELECT n_c, n_t,
+                       CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS m_c,
+                       CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS m_t,
+                       (CAST(q_c AS DOUBLE)
+                         - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE)
+                           / CAST(n_c AS DOUBLE))
+                         / (CAST(n_c AS DOUBLE) - 1.0) AS v_c,
+                       (CAST(q_t AS DOUBLE)
+                         - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE)
+                           / CAST(n_t AS DOUBLE))
+                         / (CAST(n_t AS DOUBLE) - 1.0) AS v_t
+                     FROM a),
+               e AS (SELECT n_c, n_t,
+                       round(m_c, 6) AS mean_delta_ctl,
+                       round(m_t, 6) AS mean_delta_trt,
+                       round(m_t - m_c, 6) AS did_cents,
+                       v_t / CAST(n_t AS DOUBLE)
+                         + v_c / CAST(n_c AS DOUBLE) AS se2
+                     FROM v)
+               SELECT n_c, n_t, mean_delta_ctl, mean_delta_trt, did_cents,
+                      CASE WHEN se2 > 0 THEN round(sqrt(se2), 6) END AS se,
+                      COALESCE(CASE WHEN se2 > 0 THEN
+                        abs((mean_delta_trt - mean_delta_ctl) / sqrt(se2))
+                          > CAST(1.96 AS DOUBLE) END, false) AS significant
+               FROM e""")),
+
+    // ---- peeking audit — the sequential-testing hazard every A/B
+    // platform must surface: the DAILY CUMULATIVE two-proportion z
+    // (q249's exact formula on prefix counts) with the naive 1.96
+    // stop flag per day. On the registered null experiment (the p60
+    // split) any crossing is a false stop — the audit row a platform
+    // shows next to "your test reached significance". Exposure =
+    // user's first event day, conversion = first purchase day; both
+    // cumulate as per-arm prefix windows over the BOUNDED day domain
+    // (q98 convention), so the whole audit is |days| rows after one
+    // |users| aggregate. Early days with an empty arm or se = 0 yield
+    // NULL z and a false flag (coalesce convention).
+    GraftQuery(
+      "q289_peeking_audit",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+        val fu = ev.groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("fday"),
+            min(when(col("event_type") === "purchase", to_date(col("ts"))))
+              .as("cday"))
+          .select(pmod(Portable.p60(col("user_id").cast("string")), lit(2))
+            .as("arm"), col("fday"), col("cday"))
+        val deltas = fu
+          .select(col("arm"), col("fday").as("dy"), lit(1L).as("e"),
+            lit(0L).as("k"))
+          .unionByName(fu.filter(col("cday").isNotNull)
+            .select(col("arm"), col("cday").as("dy"), lit(0L).as("e"),
+              lit(1L).as("k")))
+          .groupBy(col("arm"), col("dy"))
+          .agg(sum(col("e")).as("e"), sum(col("k")).as("k"))
+        val spine = ev.select(to_date(col("ts")).as("dy")).distinct()
+          .crossJoin(s.range(2).select(col("id").as("arm")))
+        val w = Window.partitionBy(col("arm")).orderBy(col("dy"))
+        val cum = spine.join(deltas, Seq("arm", "dy"), "left")
+          .select(col("arm"), col("dy"),
+            sum(coalesce(col("e"), lit(0L))).over(w).as("cn"),
+            sum(coalesce(col("k"), lit(0L))).over(w).as("ck"))
+        val byDay = cum.groupBy(col("dy"))
+          .agg(max(when(col("arm") === 0, col("cn"))).as("n_a"),
+            max(when(col("arm") === 0, col("ck"))).as("k_a"),
+            max(when(col("arm") === 1, col("cn"))).as("n_b"),
+            max(when(col("arm") === 1, col("ck"))).as("k_b"))
+        val z = byDay
+          .withColumn("p1", when(col("n_a") > 0,
+            col("k_a").cast("double") / col("n_a").cast("double")))
+          .withColumn("p2", when(col("n_b") > 0,
+            col("k_b").cast("double") / col("n_b").cast("double")))
+          .withColumn("ph", when(col("n_a") + col("n_b") > 0,
+            (col("k_a") + col("k_b")).cast("double") /
+              (col("n_a") + col("n_b")).cast("double")))
+          .withColumn("se", when(col("n_a") > 0 && col("n_b") > 0,
+            sqrt(col("ph") * (lit(1.0) - col("ph")) *
+              (lit(1.0) / col("n_a").cast("double") +
+                lit(1.0) / col("n_b").cast("double")))))
+          .withColumn("zv", when(col("se") > 0,
+            (col("p1") - col("p2")) / col("se")))
+        z.select(col("dy").cast("string").as("dy"),
+            col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+            round(col("zv"), 6).as("z"),
+            coalesce(abs(col("zv")) > lit(1.96), lit(false)).as("naive_stop"))
+          .orderBy(col("dy"))
+      },
+      Some(s"""WITH fu AS (SELECT
+                      ${Portable.p60Sql("user_id::VARCHAR")} % 2 AS arm,
+                      min(CAST(ts AS DATE)) AS fday,
+                      min(CASE WHEN event_type = 'purchase'
+                          THEN CAST(ts AS DATE) END) AS cday
+                    FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+               dl AS (SELECT arm, dy, CAST(sum(e) AS BIGINT) AS e,
+                             CAST(sum(k) AS BIGINT) AS k
+                      FROM (SELECT arm, fday AS dy, 1 AS e, 0 AS k FROM fu
+                            UNION ALL
+                            SELECT arm, cday, 0, 1 FROM fu
+                            WHERE cday IS NOT NULL)
+                      GROUP BY 1, 2),
+               sp AS (SELECT dy, arm
+                      FROM (SELECT DISTINCT CAST(ts AS DATE) AS dy
+                            FROM events)
+                      CROSS JOIN (SELECT unnest(range(0, 2)) AS arm)),
+               cm AS (SELECT sp.arm, sp.dy,
+                        CAST(sum(COALESCE(dl.e, 0)) OVER (PARTITION BY sp.arm
+                          ORDER BY sp.dy) AS BIGINT) AS cn,
+                        CAST(sum(COALESCE(dl.k, 0)) OVER (PARTITION BY sp.arm
+                          ORDER BY sp.dy) AS BIGINT) AS ck
+                      FROM sp LEFT JOIN dl
+                        ON sp.arm = dl.arm AND sp.dy = dl.dy),
+               bd AS (SELECT dy,
+                        max(CASE WHEN arm = 0 THEN cn END) AS n_a,
+                        max(CASE WHEN arm = 0 THEN ck END) AS k_a,
+                        max(CASE WHEN arm = 1 THEN cn END) AS n_b,
+                        max(CASE WHEN arm = 1 THEN ck END) AS k_b
+                      FROM cm GROUP BY 1),
+               zc AS (SELECT *,
+                        CASE WHEN n_a > 0 THEN CAST(k_a AS DOUBLE)
+                          / CAST(n_a AS DOUBLE) END AS p1,
+                        CASE WHEN n_b > 0 THEN CAST(k_b AS DOUBLE)
+                          / CAST(n_b AS DOUBLE) END AS p2,
+                        CASE WHEN n_a + n_b > 0
+                          THEN CAST(k_a + k_b AS DOUBLE)
+                            / CAST(n_a + n_b AS DOUBLE) END AS ph
+                      FROM bd),
+               ze AS (SELECT *,
+                        CASE WHEN n_a > 0 AND n_b > 0 THEN
+                          sqrt(ph * (1 - ph)
+                            * (1 / CAST(n_a AS DOUBLE)
+                               + 1 / CAST(n_b AS DOUBLE))) END AS se
+                      FROM zc),
+               zf AS (SELECT *, CASE WHEN se > 0
+                        THEN (p1 - p2) / se END AS zv FROM ze)
+               SELECT CAST(dy AS VARCHAR) AS dy, n_a, k_a, n_b, k_b,
+                      round(zv, 6) AS z,
+                      COALESCE(abs(zv) > CAST(1.96 AS DOUBLE), false)
+                        AS naive_stop
+               FROM zf ORDER BY dy""")),
+
+    // ---- WoE / Information Value scorecard — the feature-screening
+    // stat credit models run before any fit: per-bucket weight of
+    // evidence ln((pos_i/P)/(neg_i/N)) and the total IV. Bucket =
+    // customer market segment, label = placed at least one URGENT
+    // order. WoE's log argument is ONE division of exact longs
+    // (pos·N / neg·P) so only the ln carries libm jitter (6dp-rounded
+    // per convention); IV's terms are sign-mixed, so the total is a
+    // defined-order head-seeded fold over the segment-sorted term
+    // list (the q282 convention), emitted as a '_total' rollup row
+    // (the q285 shape). Zero cells would null the WoE and drop out of
+    // the fold (documented; non-binding on this data). Scale: one
+    // |customers| partial aggregate, then |segments| rows.
+    GraftQuery(
+      "q290_iv_woe",
+      (s, d) => {
+        val lab = t(s, d, "customer")
+          .join(t(s, d, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")).distinct(),
+            col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_mktsegment").as("segment"),
+            when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("pos"))
+        val g = lab.groupBy(col("segment"))
+          .agg(sum(col("pos")).as("n_pos"),
+            (count(lit(1)) - sum(col("pos"))).as("n_neg"))
+          .localCheckpoint(true) // |segments| rows
+        val tot = g.agg(sum(col("n_pos")).as("tp"), sum(col("n_neg")).as("tn"))
+        val woe = g.crossJoin(broadcast(tot))
+          .select(col("segment"), col("n_pos"), col("n_neg"),
+            when(col("n_pos") > 0 && col("n_neg") > 0,
+              log((col("n_pos") * col("tn")).cast("double") /
+                (col("n_neg") * col("tp")).cast("double"))).as("w"),
+            (col("n_pos").cast("double") / col("tp").cast("double") -
+              col("n_neg").cast("double") / col("tn").cast("double")).as("sd"))
+        val ivFold = {
+          val xs = transform(array_sort(collect_list(
+            struct(col("segment"), (col("sd") * col("w")).as("term")))),
+            e => e.getField("term"))
+          aggregate(slice(xs, lit(2), size(xs) - 1), element_at(xs, 1),
+            (acc, x) => acc + x)
+        }
+        val iv = woe.filter(col("w").isNotNull)
+          .agg(ivFold.as("iv"))
+        woe.select(col("segment"), col("n_pos"), col("n_neg"),
+            round(col("w"), 6).as("woe"), lit(null).cast("double").as("iv"))
+          .unionByName(tot.crossJoin(broadcast(iv))
+            .select(lit("_total").as("segment"), col("tp").as("n_pos"),
+              col("tn").as("n_neg"), lit(null).cast("double").as("woe"),
+              round(col("iv"), 6).as("iv")))
+          .orderBy(col("segment"))
+      },
+      Some("""WITH lab AS (SELECT c.c_mktsegment AS segment,
+                      CASE WHEN u.o_custkey IS NOT NULL
+                           THEN 1 ELSE 0 END AS pos
+                    FROM customer c LEFT JOIN
+                      (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderpriority = '1-URGENT') u
+                      ON c.c_custkey = u.o_custkey),
+              g AS (SELECT segment, CAST(sum(pos) AS BIGINT) AS n_pos,
+                           CAST(count(*) - sum(pos) AS BIGINT) AS n_neg
+                    FROM lab GROUP BY 1),
+              tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+                             CAST(sum(n_neg) AS BIGINT) AS tn FROM g),
+              woe AS (SELECT segment, n_pos, n_neg,
+                        CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                          ln(CAST(n_pos * tn AS DOUBLE)
+                             / CAST(n_neg * tp AS DOUBLE)) END AS w,
+                        CAST(n_pos AS DOUBLE) / CAST(tp AS DOUBLE)
+                          - CAST(n_neg AS DOUBLE) / CAST(tn AS DOUBLE) AS sd
+                      FROM g CROSS JOIN tot),
+              iv AS (SELECT list_reduce(
+                       list_transform(
+                         list(struct_pack(segment := segment,
+                                          term := sd * w) ORDER BY segment),
+                         e -> e.term),
+                       (a, x) -> a + x) AS iv
+                     FROM woe WHERE w IS NOT NULL)
+              SELECT segment, n_pos, n_neg, round(w, 6) AS woe,
+                     CAST(NULL AS DOUBLE) AS iv
+              FROM woe
+              UNION ALL
+              SELECT '_total', tp, tn, CAST(NULL AS DOUBLE),
+                     round(iv, 6)
+              FROM tot CROSS JOIN iv
+              ORDER BY segment""")),
+
+    // ---- split-conformal coverage — the distribution-free
+    // uncertainty wrapper modern pipelines put around ANY point
+    // predictor: calibrate |y − ŷ| on a hash-gated 25% split
+    // (deterministic, so the calibration set is reproducible — the
+    // q110 sampling discipline), take the ⌈0.9·(n+1)⌉-th smallest
+    // calibration residual as q̂ (an EXACT order statistic, integer
+    // index computed as (9(n+1)+9)//10 in longs, no interpolation),
+    // and report empirical test coverage of ŷ ± q̂ — the ~90%
+    // guarantee. Predictor: per-lang calibration-mean n_chars (one
+    // exact division). Residuals are exact subtractions of one-division
+    // doubles → bit-identical; the rank pick totals its order with
+    // (r, doc_id). Scale: the rank sort is over the CALIBRATION split
+    // only — by design a bounded sample (gate the hash harder to cap
+    // it); the test side is one scan + broadcast of (lang-mean, q̂).
+    GraftQuery(
+      "q293_conformal_coverage",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            (pmod(Portable.p60(col("doc_id").cast("string")), lit(4)) === 0)
+              .as("cal"))
+        val mu = docs.filter(col("cal")).groupBy(col("lang"))
+          .agg((sum(col("n_chars")).cast("double") /
+            count(lit(1)).cast("double")).as("mu"))
+        val res = docs.join(broadcast(mu), "lang")
+          .select(col("doc_id"), col("cal"),
+            abs(col("n_chars").cast("double") - col("mu")).as("r"))
+        val calR = res.filter(col("cal"))
+        val nCal = calR.agg(count(lit(1)).as("n_cal"))
+        val rk = Window.orderBy(col("r"), col("doc_id"))
+        val qhat = calR.select(col("r"), row_number().over(rk).as("rn"))
+          .crossJoin(broadcast(nCal))
+          .filter(col("rn") === expr("((n_cal + 1) * 9 + 9) DIV 10"))
+          .select(col("n_cal"), col("r").as("qhat"))
+        res.filter(!col("cal"))
+          .crossJoin(broadcast(qhat))
+          .agg(max(col("n_cal")).as("n_cal"),
+            count(lit(1)).as("n_test"),
+            max(round(col("qhat"), 6)).as("qhat"),
+            (sum(when(col("r") <= col("qhat"), 1L).otherwise(0L))
+              .cast("double") / count(lit(1)).cast("double")).as("coverage"))
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, lang, n_chars,
+                      ${Portable.p60Sql("doc_id::VARCHAR")} % 4 = 0 AS cal
+                    FROM documents),
+               mu AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE) AS mu
+                      FROM docs WHERE cal GROUP BY 1),
+               res AS (SELECT d.doc_id, d.cal,
+                         abs(CAST(d.n_chars AS DOUBLE) - mu.mu) AS r
+                       FROM docs d JOIN mu USING (lang)),
+               nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal
+                      FROM res WHERE cal),
+               qh AS (SELECT n_cal, r AS qhat
+                      FROM (SELECT r, row_number() OVER (ORDER BY r, doc_id)
+                              AS rn
+                            FROM res WHERE cal)
+                      CROSS JOIN nc
+                      WHERE rn = ((n_cal + 1) * 9 + 9) // 10)
+               SELECT max(n_cal) AS n_cal,
+                      CAST(count(*) AS BIGINT) AS n_test,
+                      max(round(qhat, 6)) AS qhat,
+                      CAST(sum(CASE WHEN r <= qhat THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
+               FROM res CROSS JOIN qh WHERE NOT cal"""))
   )
 }

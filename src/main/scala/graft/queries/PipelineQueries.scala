@@ -2325,6 +2325,103 @@ object PipelineQueries {
                      round(CAST(alloc AS DOUBLE) / 10000.0, 6) AS share_temp,
                      round(CAST(alloc AS DOUBLE) / CAST(n AS DOUBLE), 6)
                        AS epochs
-              FROM alloc ORDER BY lang"""))
+              FROM alloc ORDER BY lang""")),
+
+    // ---- Jensen–Shannon divergence between two sources' term
+    // distributions — the SYMMETRIC, always-finite companion to the
+    // drift family (q115 PSI needs bins, q191 KS needs an order,
+    // q208 χ² blows up on rare cells; JSD is the one corpus-mixing
+    // papers quote). Vocabulary is the top-1000 terms by combined
+    // count under the (count DESC, term) total order (the q264 zipf
+    // cut — non-binding on today's tiny synthetic vocab, the declared
+    // cap at scale), distributions renormalized WITHIN the cap
+    // (documented). Per-term contributions are identical IEEE chains
+    // (exact-long divisions, one ln each); they are sign-mixed, so
+    // the total is a defined-order head-seeded fold over the
+    // term-sorted list (q282 convention). Scale: one token explode +
+    // one |vocab| aggregate; the fold is a 1000-element list on one
+    // row.
+    GraftQuery(
+      "q291_jsd_sources",
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .filter(col("source").isin("src0", "src1"))
+          .select(col("source"),
+            explode(Portable.tokens(col("text"))).as("term"))
+        val cnt = tok.groupBy(col("term"))
+          .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("source") === "src1", 1L).otherwise(0L)).as("cb"))
+          .orderBy((col("ca") + col("cb")).desc, col("term"))
+          .limit(1000)
+          .localCheckpoint(true) // <=1000 rows; totals + fold below
+        val tot = cnt.agg(sum(col("ca")).as("sa"), sum(col("cb")).as("sb"))
+        val terms = cnt.crossJoin(broadcast(tot))
+          .select(col("term"), col("ca"), col("cb"),
+            (col("ca").cast("double") / col("sa").cast("double")).as("pa"),
+            (col("cb").cast("double") / col("sb").cast("double")).as("pb"))
+          .select(col("term"), col("ca"), col("cb"),
+            (coalesce(when(col("ca") > 0,
+              lit(0.5) * col("pa") *
+                log(col("pa") / (lit(0.5) * (col("pa") + col("pb"))))),
+              lit(0.0)) +
+             coalesce(when(col("cb") > 0,
+               lit(0.5) * col("pb") *
+                 log(col("pb") / (lit(0.5) * (col("pa") + col("pb"))))),
+               lit(0.0))).as("contrib"))
+        val fold = {
+          val xs = transform(array_sort(collect_list(
+            struct(col("term"), col("contrib").as("term_v")))),
+            e => e.getField("term_v"))
+          aggregate(slice(xs, lit(2), size(xs) - 1), element_at(xs, 1),
+            (acc, x) => acc + x)
+        }
+        terms.agg(count(lit(1)).as("n_terms"),
+            sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L))
+              .as("n_shared"),
+            fold.as("jsd"))
+          .select(col("n_terms"), col("n_shared"),
+            round(col("jsd"), 6).as("jsd_nats"),
+            round(col("jsd") / log(lit(2.0)), 6).as("jsd_bits"))
+      },
+      Some("""WITH tok AS (SELECT source,
+                      unnest(string_split_regex(trim(text), '\s+')) AS term
+                    FROM documents WHERE source IN ('src0', 'src1')),
+              cnt AS (SELECT term,
+                        CAST(sum(CASE WHEN source = 'src0'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                        CAST(sum(CASE WHEN source = 'src1'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                      FROM tok GROUP BY 1
+                      ORDER BY ca + cb DESC, term LIMIT 1000),
+              tot AS (SELECT CAST(sum(ca) AS BIGINT) AS sa,
+                             CAST(sum(cb) AS BIGINT) AS sb FROM cnt),
+              pr AS (SELECT term, ca, cb,
+                       CAST(ca AS DOUBLE) / CAST(sa AS DOUBLE) AS pa,
+                       CAST(cb AS DOUBLE) / CAST(sb AS DOUBLE) AS pb
+                     FROM cnt CROSS JOIN tot),
+              tm AS (SELECT term, ca, cb,
+                       COALESCE(CASE WHEN ca > 0 THEN
+                         CAST(0.5 AS DOUBLE) * pa
+                           * ln(pa / (CAST(0.5 AS DOUBLE) * (pa + pb)))
+                         END, CAST(0.0 AS DOUBLE))
+                       + COALESCE(CASE WHEN cb > 0 THEN
+                         CAST(0.5 AS DOUBLE) * pb
+                           * ln(pb / (CAST(0.5 AS DOUBLE) * (pa + pb)))
+                         END, CAST(0.0 AS DOUBLE)) AS contrib
+                     FROM pr),
+              fd AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                       CAST(sum(CASE WHEN ca > 0 AND cb > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+                       list_reduce(
+                         list_transform(
+                           list(struct_pack(term := term,
+                                            term_v := contrib)
+                             ORDER BY term),
+                           e -> e.term_v),
+                         (a, x) -> a + x) AS jsd
+                     FROM tm)
+              SELECT n_terms, n_shared, round(jsd, 6) AS jsd_nats,
+                     round(jsd / ln(CAST(2.0 AS DOUBLE)), 6) AS jsd_bits
+              FROM fd"""))
   )
 }
