@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Independent validation of the r18 evaluation/statistics family
+  * (q286–q293) — checks the DuckDB oracle can't express: the grouped
+  * AUC formula against the brute-force pairwise definition, the
+  * Poisson-bootstrap threshold table against a from-scratch
+  * recomputation, the conformal order-statistic index against the
+  * ceiling definition, and the structural invariants of the audit
+  * outputs. */
+class StatsEvalSpec extends SparkSpec {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("q287 grouped Mann-Whitney AUC == brute-force pairwise AUC") {
+    // recompute per-user (score, pos) exactly as the query defines them,
+    // then count won/tied pairs directly — the O(P·N) definition the
+    // grouped formula must reproduce (fine at sf0.001: 150 users)
+    val ev = queries.Tables(spark, sf, "events")
+      .filter(col("user_id").isNotNull)
+    val mxd = ev.agg(max(to_date(col("ts")))).head.getDate(0)
+    val users = ev.groupBy(col("user_id"))
+      .agg(
+        sum(when(to_date(col("ts")) <= date_sub(lit(mxd), 7) &&
+          col("event_type") =!= "purchase", 1L).otherwise(0L)).as("score"),
+        max(when(to_date(col("ts")) > date_sub(lit(mxd), 7) &&
+          col("event_type") === "purchase", 1L).otherwise(0L)).as("pos"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val posS = users.filter(_._2 == 1L).map(_._1)
+    val negS = users.filter(_._2 == 0L).map(_._1)
+    var num2 = 0L // wins double, ties single — 2U in half-win units
+    for (p <- posS; n <- negS) {
+      if (p > n) num2 += 2L else if (p == n) num2 += 1L
+    }
+    val brute = num2.toDouble / (2L * posS.length * negS.length).toDouble
+    val row = run("q287_auc").head
+    assert(row.getAs[Long]("n_pos") == posS.length.toLong)
+    assert(row.getAs[Long]("n_neg") == negS.length.toLong)
+    assert(row.getAs[Double]("auc") == brute,
+      s"grouped AUC ${row.getAs[Double]("auc")} != pairwise $brute")
+  }
+
+  test("q286 Poisson(1) threshold table matches a from-scratch CDF") {
+    // floor(CDF_Poisson(1)(k) * 2^60) for k = 0..8 — the literals the
+    // query (and its oracle) hardcode; a typo in either would shift
+    // sampled weights silently
+    val expected = Seq(424136118829305344L, 848272237658610688L,
+      1060340297073263360L, 1131029650211480960L, 1148701988496035328L,
+      1152236456152946176L, 1152825534095764608L, 1152909688087595776L,
+      1152920207336574720L)
+    var cdf = 0.0
+    var fact = 1.0
+    val got = (0 to 8).map { k =>
+      if (k > 0) fact *= k
+      cdf += math.exp(-1.0) / fact
+      math.floor(cdf * math.pow(2.0, 60)).toLong
+    }
+    assert(got == expected, s"threshold drift: $got")
+    assert(expected == expected.sorted && expected.distinct == expected)
+  }
+
+  test("q286 bootstrap CI brackets the point mean and is ordered") {
+    val r = run("q286_poisson_bootstrap").head
+    val (mean, lo, hi) = (r.getAs[Double]("mean_cents"),
+      r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(lo < hi)
+    assert(lo <= mean && mean <= hi,
+      s"CI [$lo, $hi] does not bracket the point mean $mean")
+  }
+
+  test("q293 conformal index is the exact ceiling and coverage is sane") {
+    // (9(n+1)+9) DIV 10 == ceil(0.9 (n+1)) for every n — the integer
+    // form the query uses to avoid float index arithmetic
+    (1 to 1000).foreach { n =>
+      assert((9L * (n + 1) + 9) / 10 == math.ceil(0.9 * (n + 1)).toLong, s"n=$n")
+    }
+    val r = run("q293_conformal_coverage").head
+    val cov = r.getAs[Double]("coverage")
+    assert(cov >= 0.8 && cov <= 1.0, s"coverage $cov outside [0.8, 1]")
+    assert(r.getAs[Double]("qhat") > 0.0)
+  }
+
+  test("q289 peeking audit cumulative counts are monotone and consistent") {
+    val rows = run("q289_peeking_audit").collect()
+    assert(rows.nonEmpty)
+    var (pna, pka, pnb, pkb) = (0L, 0L, 0L, 0L)
+    rows.foreach { r =>
+      val (na, ka, nb, kb) = (r.getAs[Long]("n_a"), r.getAs[Long]("k_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("k_b"))
+      assert(na >= pna && ka >= pka && nb >= pnb && kb >= pkb,
+        s"cumulative counts regressed at ${r.getAs[String]("dy")}")
+      assert(ka <= na && kb <= nb, "conversions exceed exposures")
+      pna = na; pka = ka; pnb = nb; pkb = kb
+    }
+  }
+
+  test("q288 DiD on the hash-split null experiment reads not significant") {
+    val r = run("q288_did").head
+    assert(!r.getAs[Boolean]("significant"),
+      "null experiment flagged significant — assignment or arithmetic bias")
+  }
+
+  test("q291 JSD is within [0, ln 2] and bits <= 1") {
+    val r = run("q291_jsd_sources").head
+    val nats = r.getAs[Double]("jsd_nats")
+    assert(nats >= 0.0 && nats <= math.log(2.0) + 1e-12)
+    assert(r.getAs[Double]("jsd_bits") <= 1.0)
+  }
+
+  test("q292 recrawl clone loses every token to the canonical source") {
+    val rows = run("q292_effective_tokens").collect()
+    val re = rows.find(_.getAs[String]("source") == "recrawl").get
+    assert(re.getAs[Long]("n_canonical_tokens") == 0L)
+    assert(re.getAs[Double]("dup_token_share") == 1.0)
+    // organic sources keep the overwhelming share
+    rows.filter(_.getAs[String]("source") != "recrawl").foreach { r =>
+      assert(r.getAs[Double]("dup_token_share") < 0.5,
+        s"${r.getAs[String]("source")} lost most of its tokens")
+    }
+  }
+}
