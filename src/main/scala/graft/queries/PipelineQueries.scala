@@ -2422,6 +2422,107 @@ object PipelineQueries {
                      FROM tm)
               SELECT n_terms, n_shared, round(jsd, 6) AS jsd_nats,
                      round(jsd / ln(CAST(2.0 AS DOUBLE)), 6) AS jsd_bits
-              FROM fd"""))
+              FROM fd""")),
+
+    // ---- k-anonymity audit — the privacy gate a corpus passes before
+    // release: how many documents sit in quasi-identifier equivalence
+    // classes smaller than k (here (lang, source, length-centile
+    // bucket) — the metadata an adversary joins on), swept over the
+    // standard k thresholds from ONE class-size frame (no rescan per
+    // k). Every count exact; risk_share is one division of exact
+    // longs. min_class_size = 1 means unique-fingerprint rows exist —
+    // the headline number. Scale: one partial-aggregating pass to
+    // |classes| rows; the sweep is a 4-way conditional aggregate over
+    // that frame.
+    GraftQuery(
+      "q294_k_anonymity",
+      (s, d) => {
+        val g = t(s, d, "documents")
+          .groupBy(col("lang"), col("source"), expr("n_chars DIV 100").as("szb"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true) // |classes| rows; swept 4 ways below
+        val tot = g.agg(sum(col("n")).as("total"),
+          count(lit(1)).as("n_classes"), min(col("n")).as("min_class"))
+        g.crossJoin(broadcast(tot))
+          .select(col("n"), col("total"), col("n_classes"), col("min_class"),
+            explode(array(lit(2L), lit(5L), lit(10L), lit(20L))).as("k"))
+          .groupBy(col("k"))
+          .agg(max(col("n_classes")).as("n_classes"),
+            max(col("min_class")).as("min_class_size"),
+            sum(when(col("n") < col("k"), 1L).otherwise(0L))
+              .as("n_violating_classes"),
+            sum(when(col("n") < col("k"), col("n")).otherwise(0L))
+              .as("docs_at_risk"),
+            round(sum(when(col("n") < col("k"), col("n")).otherwise(0L))
+              .cast("double") / max(col("total")).cast("double"), 6)
+              .as("risk_share"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH g AS (SELECT lang, source, n_chars // 100 AS szb,
+                     CAST(count(*) AS BIGINT) AS n
+                   FROM documents GROUP BY 1, 2, 3),
+              tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                             CAST(count(*) AS BIGINT) AS n_classes,
+                             CAST(min(n) AS BIGINT) AS min_class FROM g),
+              sw AS (SELECT g.n, tot.total, tot.n_classes, tot.min_class,
+                            k.k
+                     FROM g CROSS JOIN tot
+                     CROSS JOIN (SELECT unnest([2, 5, 10, 20]) AS k) k)
+              SELECT CAST(k AS BIGINT) AS k,
+                     max(n_classes) AS n_classes,
+                     max(min_class) AS min_class_size,
+                     CAST(sum(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violating_classes,
+                     CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+                       AS docs_at_risk,
+                     round(CAST(sum(CASE WHEN n < k THEN n ELSE 0 END)
+                         AS DOUBLE) / CAST(max(total) AS DOUBLE), 6)
+                       AS risk_share
+              FROM sw GROUP BY k ORDER BY k""")),
+
+    // ---- leave-one-source-out impact — data valuation's cheapest
+    // honest form: how much does REMOVING each source move the corpus
+    // mean document length. LOO on a mean needs only the sufficient
+    // statistics (n, Σ) per source — one pass, every source's
+    // counterfactual priced simultaneously, no retraining/rescan per
+    // source (the property that makes this viable at 100 TB where
+    // true ablations are one-run-per-source). Deltas are differences
+    // of two exact-long divisions (6dp-rounded at the edge); positive
+    // delta = the corpus mean RISES without the source (it was
+    // dragging quality down). Guard: a single-source corpus nulls the
+    // counterfactual instead of dividing by zero.
+    GraftQuery(
+      "q295_loo_source_impact",
+      (s, d) => {
+        val g = t(s, d, "documents")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"))
+          .localCheckpoint(true) // |sources| rows
+        val tot = g.agg(sum(col("n")).as("tn"), sum(col("sc")).as("ts"))
+        g.crossJoin(broadcast(tot))
+          .select(col("source"), col("n").as("n_docs"),
+            round(col("sc").cast("double") / col("n").cast("double"), 6)
+              .as("mean_chars"),
+            when(col("tn") > col("n"),
+              round((col("ts") - col("sc")).cast("double") /
+                (col("tn") - col("n")).cast("double") -
+                col("ts").cast("double") / col("tn").cast("double"), 6))
+              .as("loo_delta"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(n_chars) AS BIGINT) AS sc
+                   FROM documents GROUP BY 1),
+              tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                             CAST(sum(sc) AS BIGINT) AS ts FROM g)
+              SELECT source, n AS n_docs,
+                     round(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                       AS mean_chars,
+                     CASE WHEN tn > n THEN
+                       round(CAST(ts - sc AS DOUBLE)
+                           / CAST(tn - n AS DOUBLE)
+                         - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE), 6)
+                     END AS loo_delta
+              FROM g CROSS JOIN tot ORDER BY source"""))
   )
 }
