@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed evaluation statistics with exact-arithmetic contracts —
+  * the reusable cores behind the q286/q287 registry faces.
+  *
+  * Both operators follow the library's cross-engine determinism rules:
+  * decisions (sampling, ranking, selection) happen on exact longs;
+  * doubles appear only in final single divisions, which are
+  * correctly-rounded IEEE ops and therefore bit-identical on any
+  * engine replaying the same integers. */
+object Stats {
+
+  /** floor(CDF_Poisson(1)(k) · 2⁶⁰) for k = 0..8 — the integer
+    * thresholds that turn a uniform 60-bit hash into a Poisson(1)
+    * replicate weight without any float in the sampling path. The
+    * w ≥ 9 tail (p ≈ 1.1e-6) is capped at 9: its contribution to a
+    * replicate mean is orders of magnitude below CI width.
+    * StatsEvalSpec pins this table to a from-scratch recomputation. */
+  val PoissonThresholds: Seq[Long] = Seq(
+    424136118829305344L, 848272237658610688L, 1060340297073263360L,
+    1131029650211480960L, 1148701988496035328L, 1152236456152946176L,
+    1152825534095764608L, 1152909688087595776L, 1152920207336574720L)
+
+  /** Poisson-bootstrap percentile CI for the mean of `value` (an exact
+    * long column, e.g. floor-cents): ONE scan, `b` simultaneous
+    * replicates. Each row enters replicate i with weight
+    * Poisson(1)(hash(id, i)) — the classical multinomial resample's
+    * n→∞ limit — so no resampling passes exist; the b× row inflation
+    * is collapsed by the map-side partial aggregate (the exchange
+    * carries b rows per task). Replicate means are exact-long Σwc/Σw
+    * single divisions; the interval is an order-statistic pick
+    * (`drop`-th from each end of the sorted means — no
+    * interpolation). Returns one row:
+    * (n, mean_cents, ci_lo, ci_hi). Σw = 0 replicates (p ≈ e^(−n))
+    * null their mean explicitly rather than inheriting engine /0
+    * semantics.
+    *
+    * `id` must be unique per row (it seeds the weight hash). */
+  def poissonBootstrapCi(df: DataFrame, id: Column, value: Column,
+      b: Int = 64, drop: Int = 1): DataFrame = {
+    require(b >= 4 && drop >= 1 && 2 * drop < b,
+      s"need at least 4 replicates and 2*drop < b, got b=$b drop=$drop")
+    val base = df.select(id.cast("string").as("_id"), value.as("c"))
+    val h = Portable.p60(concat(col("_id"), lit(":"), col("b").cast("string")))
+    val w = PoissonThresholds.zipWithIndex.foldRight(lit(9): Column) {
+      case ((thr, k), els) => when(col("h") < thr, lit(k)).otherwise(els)
+    }
+    val reps = base
+      .select(col("_id"), col("c"),
+        explode(sequence(lit(0), lit(b - 1))).as("b"))
+      .withColumn("h", h)
+      .withColumn("w", w.cast("long"))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("nw"), sum(col("w") * col("c")).as("sw"))
+      .select(when(col("nw") > 0,
+        col("sw").cast("double") / col("nw").cast("double")).as("m"))
+    val ci = reps.agg(sort_array(collect_list(col("m"))).as("ms"))
+    base.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+      .crossJoin(broadcast(ci))
+      .select(col("n"),
+        round(col("sc").cast("double") / col("n").cast("double"), 6)
+          .as("mean_cents"),
+        round(element_at(col("ms"), drop + 1), 6).as("ci_lo"),
+        round(element_at(col("ms"), b - drop), 6).as("ci_hi"))
+  }
+
+  /** Exact AUC (Mann-Whitney U with tie handling) of an integer-valued
+    * `score` against a binary `label` (0/1 long). Computed from
+    * per-SCORE-VALUE group counts: 2U = Σ_g (2·p_g·negbelow_g +
+    * p_g·q_g) — wins count double, ties once — all exact longs; AUC is
+    * the single division 2U / (2·P·N), emitted UNROUNDED
+    * (bit-identical cross-engine). Returns one row:
+    * (n_groups, n_pos, n_neg, auc); auc is NULL when either class is
+    * empty.
+    *
+    * Scale: no per-row sort and no P×N pair join anywhere — the only
+    * ordered structure is a prefix window over the DISTINCT-score
+    * frame, whose size is bounded by the score's domain (pre-bucket a
+    * continuous score to keep that bound; StatsEvalSpec pins this
+    * grouped form to the brute-force pairwise definition). */
+  def auc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val g = df.select(score.as("score"), label.as("pos"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.select(col("p"), (col("n") - col("p")).as("q"),
+        coalesce(sum(col("n") - col("p")).over(w), lit(0L)).as("negbelow"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
+        sum(lit(2L) * col("p") * col("negbelow") +
+          col("p") * col("q")).as("num2"))
+      .select(col("n_groups"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("num2").cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+          .as("auc"))
+  }
+}

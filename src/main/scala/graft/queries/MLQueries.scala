@@ -3062,37 +3062,12 @@ object MLQueries {
     // division explicitly to keep /0 semantics engine-aligned.
     GraftQuery(
       "q286_poisson_bootstrap",
-      (s, d) => {
-        val th = Seq(424136118829305344L, 848272237658610688L,
-          1060340297073263360L, 1131029650211480960L, 1148701988496035328L,
-          1152236456152946176L, 1152825534095764608L, 1152909688087595776L,
-          1152920207336574720L)
-        val p = t(s, d, "events")
+      (s, d) => graft.ops.Stats.poissonBootstrapCi(
+        t(s, d, "events")
           .filter(col("event_type") === "purchase")
-          .select(col("event_id"), floor(col("value") * 100).cast("long").as("c"))
-        val h = Portable.p60(concat(col("event_id").cast("string"), lit(":"),
-          col("b").cast("string")))
-        val w = th.zipWithIndex.foldRight(lit(9): Column) {
-          case ((thr, k), els) => when(col("h") < thr, lit(k)).otherwise(els)
-        }
-        val reps = p
-          .select(col("event_id"), col("c"),
-            explode(sequence(lit(0), lit(63))).as("b"))
-          .withColumn("h", h)
-          .withColumn("w", w.cast("long"))
-          .groupBy(col("b"))
-          .agg(sum(col("w")).as("nw"), sum(col("w") * col("c")).as("sw"))
-          .select(when(col("nw") > 0,
-            col("sw").cast("double") / col("nw").cast("double")).as("m"))
-        val ci = reps.agg(sort_array(collect_list(col("m"))).as("ms"))
-        p.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
-          .crossJoin(broadcast(ci))
-          .select(col("n"),
-            round(col("sc").cast("double") / col("n").cast("double"), 6)
-              .as("mean_cents"),
-            round(element_at(col("ms"), 2), 6).as("ci_lo"),
-            round(element_at(col("ms"), 63), 6).as("ci_hi"))
-      },
+          .select(col("event_id"),
+            floor(col("value") * 100).cast("long").as("c")),
+        col("event_id"), col("c")),
       Some("""WITH p AS (SELECT event_id,
                      CAST(floor(value * 100) AS BIGINT) AS c
                    FROM events WHERE event_type = 'purchase'),
@@ -3143,7 +3118,6 @@ object MLQueries {
     GraftQuery(
       "q287_auc",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val ev = t(s, d, "events").filter(col("user_id").isNotNull)
         val mx = ev.agg(max(to_date(col("ts"))).as("mxd"))
         val u = ev.crossJoin(broadcast(mx))
@@ -3153,21 +3127,7 @@ object MLQueries {
               col("event_type") =!= "purchase", 1L).otherwise(0L)).as("score"),
             max(when(to_date(col("ts")) > date_sub(col("mxd"), 7) &&
               col("event_type") === "purchase", 1L).otherwise(0L)).as("pos"))
-        val g = u.groupBy(col("score"))
-          .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
-        val w = Window.orderBy(col("score"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        g.select(col("p"), (col("n") - col("p")).as("q"),
-            coalesce(sum(col("n") - col("p")).over(w), lit(0L)).as("negbelow"))
-          .agg(count(lit(1)).as("n_groups"),
-            sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
-            sum(lit(2L) * col("p") * col("negbelow") +
-              col("p") * col("q")).as("num2"))
-          .select(col("n_groups"), col("n_pos"), col("n_neg"),
-            when(col("n_pos") > 0 && col("n_neg") > 0,
-              col("num2").cast("double") /
-                (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
-              .as("auc"))
+        graft.ops.Stats.auc(u, col("score"), col("pos"))
       },
       Some("""WITH mx AS (SELECT max(CAST(ts AS DATE)) AS mxd FROM events),
               u AS (SELECT user_id,

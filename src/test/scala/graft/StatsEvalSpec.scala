@@ -46,10 +46,7 @@ class StatsEvalSpec extends SparkSpec {
     // floor(CDF_Poisson(1)(k) * 2^60) for k = 0..8 — the literals the
     // query (and its oracle) hardcode; a typo in either would shift
     // sampled weights silently
-    val expected = Seq(424136118829305344L, 848272237658610688L,
-      1060340297073263360L, 1131029650211480960L, 1148701988496035328L,
-      1152236456152946176L, 1152825534095764608L, 1152909688087595776L,
-      1152920207336574720L)
+    val expected = ops.Stats.PoissonThresholds
     var cdf = 0.0
     var fact = 1.0
     val got = (0 to 8).map { k =>
