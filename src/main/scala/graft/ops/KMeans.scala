@@ -116,20 +116,46 @@ object KMeans {
     val cs: Array[Array[Double]] = cents.map(_.toArray).toArray
     val pick = udf { (vec: Seq[Double]) =>
       val x = vec.toArray
-      var bi = 0
-      var bd = Double.PositiveInfinity
+      // pass 1 — unrounded min squared distance, pure flops. The exact
+      // contract rounds each distance (BigDecimal via Double.toString —
+      // the Catalyst Round semantics) BEFORE comparing, but rounding is
+      // monotone non-decreasing, so the winning ROUNDED value is
+      // round6(sqrt(sMin)), and any centroid tying it must satisfy
+      // sqrt(s_i) <= sqrt(sMin) + 1e-6 (each side sits within 0.5e-6 of
+      // the shared grid point). Restricting the BigDecimal work to that
+      // band is therefore EXACT — and drops the per-row
+      // Double.toString+BigDecimal count from k to ~1 (measured on the
+      // r18 100x rehearsal: q203 814s -> the flop-bound cost; the
+      // all-centroid rounding was 490x super-linear).
+      var sMin = Double.PositiveInfinity
       var i = 0
       while (i < cs.length) {
         val c = cs(i)
         var s = 0.0
         var j = 0
         while (j < x.length) { val t = x(j) - c(j); s += t * t; j += 1 }
-        // the exact semantics of Spark's round(sqrt(d2), 6) on doubles:
-        // scala BigDecimal(double) routes through Double.toString, as
-        // the Catalyst Round expression does
-        val d = BigDecimal(math.sqrt(s))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        if (d < bd) { bd = d; bi = i }
+        if (s < sMin) sMin = s
+        i += 1
+      }
+      // pass 2 — original rounded-argmin semantics over the ambiguity
+      // band only (threshold slightly generous against float error in
+      // T itself: out-of-band centroids round strictly above the
+      // winning value, so extras can only lose, never win)
+      val tBound = math.sqrt(sMin) + 1.000001e-6
+      val t2 = tBound * tBound
+      var bi = 0
+      var bd = Double.PositiveInfinity
+      i = 0
+      while (i < cs.length) {
+        val c = cs(i)
+        var s = 0.0
+        var j = 0
+        while (j < x.length) { val t = x(j) - c(j); s += t * t; j += 1 }
+        if (s <= t2) {
+          val d = BigDecimal(math.sqrt(s))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (d < bd) { bd = d; bi = i }
+        }
         i += 1
       }
       (bi, bd)

@@ -145,29 +145,39 @@ object DedupQueries {
         // this replaces was the repo's one bimodal plan (5.7s vs 54.6s
         // across rounds): AQE sized the *cached* sig frame inconsistently
         // and flipped those joins between broadcast and full exchange.
-        val cand = Dedup.lshCandidates(sigs, BandRows, keepSigs = true).cache()
+        // localCheckpoint, not cache: the candidate frame is re-read
+        // three times (est, candDocs twice), and eager materialization
+        // hands AQE its TRUE size — the historical bimodality was AQE
+        // under-reporting CACHED frame stats and flipping the joins
+        // below between broadcast and full exchange run-to-run. With
+        // truthful stats the hint becomes unnecessary, and dropping it
+        // is load-bearing at scale: the r18 100x rehearsal (100
+        // mutually-similar copies per base doc — the viral-template
+        // adversary) grew the candidate set to where the old pinned
+        // broadcast(inter) built a 10 GiB broadcast table and aborted.
+        // Candidate volume is corpus-proportional by design (LSH's
+        // false-positive load at the chosen band operating point), so
+        // no corpus-derived frame here may carry an unconditional
+        // broadcast hint; AQE still broadcasts them at small scale
+        // where they genuinely fit.
+        val cand = Dedup.lshCandidates(sigs, BandRows, keepSigs = true)
+          .localCheckpoint(true)
         val est = cand
           .select(col("d1"), col("d2"),
             round(expr("size(filter(zip_with(sig1, sig2, (a, b) -> a = b), x -> x))")
               .cast("double") / K, 4).as("est_jaccard"))
         val candDocs = cand.select(col("d1").as("id"))
           .union(cand.select(col("d2").as("id"))).distinct()
-        val shC = sh.join(candDocs, "id").cache()
+        val shC = sh.join(candDocs, "id").localCheckpoint(true)
         val sizes = shC.groupBy(col("id")).agg(count(lit(1)).as("n"))
         val inter = shC.select(col("id").as("d1"), col("s"))
           .join(shC.select(col("id").as("d2"), col("s").as("s2")),
             col("s") === col("s2") && col("d1") < col("d2"))
           .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
-        // explicit broadcast hints: every frame here derives from CACHED
-        // inputs, whose stats AQE has under-reported in past rounds,
-        // flipping these joins between broadcast and full exchange
-        // run-to-run (the suite's one bimodal query). sizes is |candidate
-        // docs| rows of (id, n) and inter is ≤ |candidate pairs| rows —
-        // both genuinely tiny next to a full shuffle's fixed cost.
         est
-          .join(broadcast(inter), Seq("d1", "d2"), "left").na.fill(0L, Seq("c"))
-          .join(broadcast(sizes.select(col("id").as("d1"), col("n").as("n1"))), "d1")
-          .join(broadcast(sizes.select(col("id").as("d2"), col("n").as("n2"))), "d2")
+          .join(inter, Seq("d1", "d2"), "left").na.fill(0L, Seq("c"))
+          .join(sizes.select(col("id").as("d1"), col("n").as("n1")), "d1")
+          .join(sizes.select(col("id").as("d2"), col("n").as("n2")), "d2")
           .select(col("d1"), col("d2"), col("est_jaccard"),
             round(col("c").cast("double") / (col("n1") + col("n2") - col("c")), 6).as("jaccard"))
           .orderBy(col("d1"), col("d2"))
