@@ -407,7 +407,12 @@ object TextPipeline {
       .select(col("doc_id"), explode(expr(s"word_shingles(w, $n)")).as("s"))
     val benchGrams = grams(benchmark).select(col("s")).distinct()
       .select(col("s"), lit(1).as("hit"))
-    val shared = grams(train).distinct()
+    // no .distinct() on the train side: word_shingles already emits
+    // per-doc DISTINCT grams (LinkedHashSet), so (doc_id, s) rows are
+    // distinct by construction — the former distinct was a redundant
+    // full exchange of the exploded frame (caught by the r18 100x
+    // rehearsal: the train gram frame is the corpus-sized side)
+    val shared = grams(train)
       .join(broadcast(benchGrams), Seq("s"), "left")
       .groupBy(col("doc_id"))
       .agg(coalesce(sum(col("hit")), lit(0)).cast("long").as("n_shared_grams"))
