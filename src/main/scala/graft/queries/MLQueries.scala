@@ -3537,6 +3537,76 @@ object MLQueries {
                       max(round(qhat, 6)) AS qhat,
                       CAST(sum(CASE WHEN r <= qhat THEN 1 ELSE 0 END)
                         AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
-               FROM res CROSS JOIN qh WHERE NOT cal"""))
+               FROM res CROSS JOIN qh WHERE NOT cal""")),
+
+    // ---- McNemar's test — the PAIRED classifier comparison (two
+    // models scored on the SAME documents; the unpaired q249/q281
+    // machinery would throw away the pairing and lose power): which
+    // of two deterministic language-ID heuristics (stopword-ratio ≥ 6%
+    // vs contains-' the ') is better at predicting lang='en', decided
+    // on the DISAGREEMENT cells only — b = A right & B wrong,
+    // c = B right & A wrong, χ² = (b−c)²/(b+c). Every cell is an
+    // exact long (the ratio cut uses integer floor division, the q229
+    // DIV discipline); χ² is one division; `better` names the winner
+    // and `significant` gates on the unrounded statistic vs the 1-df
+    // 5% critical value 3.841459 (coalesced false when the classifiers
+    // never disagree). Scale: one scan, six conditional longs.
+    GraftQuery(
+      "q296_mcnemar",
+      (s, d) => {
+        val sws = Seq("the", "a", "of", "and", "to", "in", "is")
+        val toks = Portable.tokens(col("text"))
+        val base = t(s, d, "documents")
+          .select((col("lang") === "en").as("truth"),
+            size(filter(toks, w => w.isInCollection(sws))).cast("long")
+              .as("sc"),
+            size(toks).cast("long").as("nt"),
+            concat(lit(" "), trim(col("text")), lit(" "))
+              .contains(" the ").as("pb"))
+          .select(col("truth"), col("pb"),
+            expr("(100 * sc) DIV nt >= 6").as("pa"))
+        val a = base.agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pa") === col("truth") && col("pb") =!= col("truth"),
+            1L).otherwise(0L)).as("b"),
+          sum(when(col("pa") =!= col("truth") && col("pb") === col("truth"),
+            1L).otherwise(0L)).as("c"))
+        a.select(col("n_docs"), col("b"), col("c"),
+            when(col("b") + col("c") > 0,
+              ((col("b") - col("c")) * (col("b") - col("c"))).cast("double")
+                / (col("b") + col("c")).cast("double")).as("chi2"))
+          .select(col("n_docs"), col("b"), col("c"),
+            round(col("chi2"), 6).as("chi2"),
+            when(col("b") > col("c"), "stopword_ratio")
+              .when(col("c") > col("b"), "contains_the")
+              .otherwise("tie").as("better"),
+            coalesce(col("chi2") > lit(3.841459), lit(false))
+              .as("significant"))
+      },
+      Some("""WITH d AS (SELECT lang = 'en' AS truth,
+                     (100 * len(list_filter(
+                         string_split_regex(trim(text), '\s+'),
+                         t -> t IN ('the', 'a', 'of', 'and', 'to', 'in',
+                                    'is')))
+                       // len(string_split_regex(trim(text), '\s+')))
+                       >= 6 AS pa,
+                     contains(' ' || trim(text) || ' ', ' the ') AS pb
+                   FROM documents),
+              a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(CASE WHEN pa = truth AND pb <> truth
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                      CAST(sum(CASE WHEN pa <> truth AND pb = truth
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c
+                    FROM d),
+              e AS (SELECT *, CASE WHEN b + c > 0 THEN
+                      CAST((b - c) * (b - c) AS DOUBLE)
+                        / CAST(b + c AS DOUBLE) END AS chi2
+                    FROM a)
+              SELECT n_docs, b, c, round(chi2, 6) AS chi2,
+                     CASE WHEN b > c THEN 'stopword_ratio'
+                          WHEN c > b THEN 'contains_the'
+                          ELSE 'tie' END AS better,
+                     COALESCE(chi2 > CAST(3.841459 AS DOUBLE), false)
+                       AS significant
+              FROM e"""))
   )
 }

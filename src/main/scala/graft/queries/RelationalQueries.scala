@@ -3245,6 +3245,82 @@ object RelationalQueries {
               JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
               WHERE year(o.o_orderdate) = 1996
                 AND ns.n_name <> nc.n_name
-              GROUP BY 1, 2 ORDER BY supp_nation, cust_nation"""))
+              GROUP BY 1, 2 ORDER BY supp_nation, cust_nation""")),
+
+    // ---- day-of-week seasonality strength — how much of the daily
+    // event-count variance the weekly cycle EXPLAINS (the R² behind
+    // q256's lag-7 autocorrelation and q257's seasonal-naive choice):
+    // 1 − SSE/SST with SST = Q − S²/D over all days and SSE the same
+    // form summed within each of the 7 dow groups. Every (D, S, Q) is
+    // an exact long; each group's term is one identical IEEE chain,
+    // and because the 7 terms are same-form but float, the SSE total
+    // is a defined-order head-seeded fold over the dow-sorted list
+    // (q282 convention) rather than an order-exposed sum. Engines
+    // number weekdays differently (Spark Sun=1, DuckDB Sun=0) but
+    // both START the ascending order at Sunday, so the fold order and
+    // the partition agree without a mapping. Scale: |days| frame from
+    // one partial agg; everything after is 7 rows.
+    GraftQuery(
+      "q297_dow_strength",
+      (s, d) => {
+        val dc = t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("dy"))
+          .agg(count(lit(1)).as("x"))
+        val g = dc.groupBy(dayofweek(col("dy")).as("dow"))
+          .agg(count(lit(1)).as("dg"), sum(col("x")).as("sg"),
+            sum(col("x") * col("x")).as("qg"))
+          .localCheckpoint(true) // 7 rows
+        val tot = g.agg(sum(col("dg")).as("dn"), sum(col("sg")).as("sn"),
+          sum(col("qg")).as("qn"))
+        val terms = g.select(struct(col("dow"),
+          (col("qg").cast("double") -
+            col("sg").cast("double") * col("sg").cast("double") /
+              col("dg").cast("double")).as("term_v")).as("c"))
+        val sse = {
+          val xs = transform(array_sort(collect_list(col("c"))),
+            e => e.getField("term_v"))
+          terms.agg(aggregate(slice(xs, lit(2), size(xs) - 1),
+            element_at(xs, 1), (acc, x) => acc + x).as("sse"))
+        }
+        tot.crossJoin(broadcast(sse))
+          .select(col("dn").as("n_days"),
+            (col("qn").cast("double") -
+              col("sn").cast("double") * col("sn").cast("double") /
+                col("dn").cast("double")).as("sst"), col("sse"))
+          .select(col("n_days"), round(col("sst"), 6).as("sst"),
+            round(col("sse"), 6).as("sse"),
+            when(col("sst") > 0,
+              round(lit(1.0) - col("sse") / col("sst"), 6)).as("dow_r2"))
+      },
+      Some("""WITH dc AS (SELECT CAST(ts AS DATE) AS dy,
+                     CAST(count(*) AS BIGINT) AS x
+                   FROM events GROUP BY 1),
+              g AS (SELECT dayofweek(dy) AS dow,
+                      CAST(count(*) AS BIGINT) AS dg,
+                      CAST(sum(x) AS BIGINT) AS sg,
+                      CAST(sum(x * x) AS BIGINT) AS qg
+                    FROM dc GROUP BY 1),
+              tot AS (SELECT CAST(sum(dg) AS BIGINT) AS dn,
+                             CAST(sum(sg) AS BIGINT) AS sn,
+                             CAST(sum(qg) AS BIGINT) AS qn FROM g),
+              se AS (SELECT list_reduce(
+                       list_transform(
+                         list(struct_pack(dow := dow,
+                           term_v := CAST(qg AS DOUBLE)
+                             - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                               / CAST(dg AS DOUBLE)) ORDER BY dow),
+                         e -> e.term_v),
+                       (a, x) -> a + x) AS sse
+                     FROM g),
+              f AS (SELECT dn AS n_days,
+                      CAST(qn AS DOUBLE)
+                        - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+                          / CAST(dn AS DOUBLE) AS sst,
+                      sse
+                    FROM tot CROSS JOIN se)
+              SELECT n_days, round(sst, 6) AS sst, round(sse, 6) AS sse,
+                     CASE WHEN sst > 0
+                          THEN round(1.0 - sse / sst, 6) END AS dow_r2
+              FROM f"""))
   )
 }
