@@ -39,20 +39,30 @@ os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
 con.sql("SET threads TO 16")
 
-def shift(table):
-    """(max+1) shift constant per key domain of `table`."""
-    return con.sql(f"SELECT max({table}) + 1 FROM t").fetchone()[0]
+def domain_shift(table, col):
+    """(max+1) shift constant for `col`'s key domain in src/table."""
+    return con.sql(
+        f"SELECT max({col}) + 1 FROM '{src}/{table}.parquet'").fetchone()[0]
 
-def replicate(name, key_shifts, extra=""):
-    """Write K key-shifted copies of src/name.parquet to dst."""
+def replicate(name, key_shifts):
+    """Write K key-shifted copies of src/name.parquet to dst.
+
+    key_shifts maps each shifted column to the (table, column) that OWNS
+    its key domain — for a foreign key, the PARENT table's key, exactly
+    as the lineitem block below derives l_orderkey/l_partkey/l_suppkey
+    shifts from orders/part/supplier. Deriving an FK's shift from the
+    child's own max would silently misalign replica FKs whenever the top
+    parent keys have no child rows (r18 advice: today's fixture happens
+    to have max(o_custkey) == max(c_custkey), but that is a coincidence,
+    not an invariant)."""
+    shifts = {c: domain_shift(tbl, col)
+              for c, (tbl, col) in key_shifts.items()}
     con.sql(f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{src}/{name}.parquet'")
-    shifts = {c: con.sql(f"SELECT max({c}) + 1 FROM t").fetchone()[0]
-              for c in key_shifts}
     cols = [r[0] for r in con.sql("DESCRIBE t").fetchall()]
     parts = []
     for i in range(K):
         sel = ", ".join(
-            f"{c} + {i * shifts[key_shifts[c]]} AS {c}" if c in key_shifts
+            f"{c} + {i * shifts[c]} AS {c}" if c in key_shifts
             else c for c in cols)
         parts.append(f"SELECT {sel} FROM t")
     con.sql(f"COPY ({' UNION ALL '.join(parts)}) TO '{dst}/{name}.parquet' (FORMAT PARQUET)")
@@ -64,41 +74,18 @@ for name in ["region", "nation"]:
     shutil.copyfile(f"{src}/{name}.parquet", f"{dst}/{name}.parquet")
     print(f"{name}: copied verbatim")
 
-replicate("customer", {"c_custkey": "c_custkey"})
-replicate("supplier", {"s_suppkey": "s_suppkey"})
-replicate("part", {"p_partkey": "p_partkey"})
-replicate("orders", {"o_orderkey": "o_orderkey", "o_custkey": "o_custkey"})
-
-# lineitem: FK shifts must match the parents' own key domains
-con.sql(f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{src}/orders.parquet'")
-ok_shift = con.sql("SELECT max(o_orderkey) + 1 FROM t").fetchone()[0]
-con.sql(f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{src}/part.parquet'")
-pk_shift = con.sql("SELECT max(p_partkey) + 1 FROM t").fetchone()[0]
-con.sql(f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{src}/supplier.parquet'")
-sk_shift = con.sql("SELECT max(s_suppkey) + 1 FROM t").fetchone()[0]
-con.sql(f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{src}/lineitem.parquet'")
-cols = [r[0] for r in con.sql("DESCRIBE t").fetchall()]
-parts = []
-for i in range(K):
-    sub = {"l_orderkey": i * ok_shift, "l_partkey": i * pk_shift,
-           "l_suppkey": i * sk_shift}
-    sel = ", ".join(f"{c} + {sub[c]} AS {c}" if c in sub else c for c in cols)
-    parts.append(f"SELECT {sel} FROM t")
-con.sql(f"COPY ({' UNION ALL '.join(parts)}) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)")
-print("lineitem:", con.sql(f"SELECT count(*) FROM '{dst}/lineitem.parquet'").fetchone()[0], "rows")
+replicate("customer", {"c_custkey": ("customer", "c_custkey")})
+replicate("supplier", {"s_suppkey": ("supplier", "s_suppkey")})
+replicate("part", {"p_partkey": ("part", "p_partkey")})
+replicate("orders", {"o_orderkey": ("orders", "o_orderkey"),
+                     "o_custkey": ("customer", "c_custkey")})
+replicate("lineitem", {"l_orderkey": ("orders", "o_orderkey"),
+                       "l_partkey": ("part", "p_partkey"),
+                       "l_suppkey": ("supplier", "s_suppkey")})
 
 # events: shift event_id and user_id, keep ts/type/value/props
-con.sql(f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{src}/events.parquet'")
-ev_shift = con.sql("SELECT max(event_id) + 1 FROM t").fetchone()[0]
-u_shift = con.sql("SELECT max(user_id) + 1 FROM t").fetchone()[0]
-cols = [r[0] for r in con.sql("DESCRIBE t").fetchall()]
-parts = []
-for i in range(K):
-    sub = {"event_id": i * ev_shift, "user_id": i * u_shift}
-    sel = ", ".join(f"{c} + {sub[c]} AS {c}" if c in sub else c for c in cols)
-    parts.append(f"SELECT {sel} FROM t")
-con.sql(f"COPY ({' UNION ALL '.join(parts)}) TO '{dst}/events.parquet' (FORMAT PARQUET)")
-print("events:", con.sql(f"SELECT count(*) FROM '{dst}/events.parquet'").fetchone()[0], "rows")
+replicate("events", {"event_id": ("events", "event_id"),
+                     "user_id": ("events", "user_id")})
 
 # documents: doc_id shift + copy-tagged token churn (copy 0 verbatim)
 con.sql(f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{src}/documents.parquet'")

@@ -100,15 +100,13 @@ object Bench {
         // are load-bearing within the query but dead after it; without
         // this the full-suite session accumulates storage memory until
         // eviction churn dominates (observed 8x slowdowns late in suite).
-        // clearCache only drops SQL-cached plans; localCheckpoint blocks
-        // (dedup components' per-round label frames) live outside the
+        // Sessions.sweep also drops localCheckpoint blocks (dedup
+        // components' per-round label frames), which live outside the
         // cache manager and otherwise linger until a GC happens to run
         // the ContextCleaner — the prime suspect for the bimodal
         // late-suite inflation (queries sorting after q46 spiked 5-12x
         // in some rounds and not others).
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.valuesIterator
-          .foreach(_.unpersist(blocking = false))
+        Sessions.sweep(spark)
         // GC between queries, ADAPTIVE by default since r18: the
         // unpersist above only DROPS references — reclamation waits for
         // whenever the JVM collects, so query N+1 can pay query N's
@@ -153,13 +151,19 @@ object Bench {
     // past ~70 queries (BENCH_r14 retained q31-q99 only), so the file
     // is what lets every timing be audited without a dev rerun.
     // Best-effort: a write failure must not kill the stdout artifact.
+    // written BOTH to target/ (dev scratch) and to the repo root as
+    // bench_full_latest.json: BENCH_rN.json's stdout tail keeps only
+    // ~70 of the per-query timings, and target/ is gitignored — the
+    // root copy is the committable artifact that lets every timing be
+    // audited across rounds without a dev rerun (r18 verdict task 3).
     try {
+      val line = (s"""{"metric":"per_query","queries":$qs,"errors":$errs,""" +
+        s""""total":${f(total)},"n_queries":${results.size},"sf":"$sfDir"}""" + "\n")
+        .getBytes("UTF-8")
       val dir = java.nio.file.Paths.get("target")
       java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.write(dir.resolve("bench_full.json"),
-        (s"""{"metric":"per_query","queries":$qs,"errors":$errs,""" +
-          s""""total":${f(total)},"n_queries":${results.size},"sf":"$sfDir"}""" + "\n")
-          .getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("bench_full.json"), line)
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full_latest.json"), line)
     } catch {
       case e: Throwable =>
         System.err.println(s"graft.Bench: bench_full.json write failed: $e")

@@ -26,12 +26,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop each query's cached intermediates before the next runs (same
-      // session-hygiene rationale as Bench); localCheckpoint blocks sit
-      // outside the SQL cache manager, so sweep persistent RDDs too
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = false))
+      // drop each query's cached intermediates before the next runs
+      // (same session-hygiene rationale as Bench — see Sessions.sweep)
+      Sessions.sweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -37,7 +37,13 @@ object Stats {
     * interpolation). Returns one row:
     * (n, mean_cents, ci_lo, ci_hi). Σw = 0 replicates (p ≈ e^(−n))
     * null their mean explicitly rather than inheriting engine /0
-    * semantics.
+    * semantics — and those NULL means are then FILTERED before the
+    * order-statistic pick, with the upper index taken relative to the
+    * filtered length: Spark's collect_list drops NULLs while DuckDB's
+    * list() keeps them (sorted NULLS-first), so any scheme that keeps
+    * NULLs or indexes off the constant `b` would make the two engines
+    * pick different order statistics in exactly the degenerate case
+    * the guard exists for (r18 advice).
     *
     * `id` must be unique per row (it seeds the weight hash). */
   def poissonBootstrapCi(df: DataFrame, id: Column, value: Column,
@@ -58,6 +64,7 @@ object Stats {
       .agg(sum(col("w")).as("nw"), sum(col("w") * col("c")).as("sw"))
       .select(when(col("nw") > 0,
         col("sw").cast("double") / col("nw").cast("double")).as("m"))
+      .filter(col("m").isNotNull)
     val ci = reps.agg(sort_array(collect_list(col("m"))).as("ms"))
     base.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
       .crossJoin(broadcast(ci))
@@ -65,7 +72,9 @@ object Stats {
         round(col("sc").cast("double") / col("n").cast("double"), 6)
           .as("mean_cents"),
         round(element_at(col("ms"), drop + 1), 6).as("ci_lo"),
-        round(element_at(col("ms"), b - drop), 6).as("ci_hi"))
+        // -(drop+1): drop-th from the END of the FILTERED list —
+        // equals ms[b-drop] whenever no replicate degenerated
+        round(element_at(col("ms"), -(drop + 1)), 6).as("ci_hi"))
   }
 
   /** Exact AUC (Mann-Whitney U with tie handling) of an integer-valued

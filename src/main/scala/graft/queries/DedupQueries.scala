@@ -735,6 +735,137 @@ object DedupQueries {
                           THEN ntok ELSE 0 END) AS DOUBLE)
                         / CAST(sum(ntok) AS DOUBLE), 6) AS dup_token_share
                FROM fp JOIN keep USING (fp)
-               GROUP BY source ORDER BY source"""))
+               GROUP BY source ORDER BY source""")),
+
+    // ---- dup GROUPS over banded-LSH candidates — the 100 TB
+    // composition the exact faces can't scale to. q46/q83 build
+    // components from the exact inverted-index jaccard join, which the
+    // r18 100x rehearsal adjudicated OUTPUT-bound: ~13M genuinely-
+    // qualifying J>=0.1 pairs took 702s just to enumerate. The
+    // production lever is q36's banded candidate generation (102.8s on
+    // the same corpus: band collisions at the 4x4 operating point keep
+    // the pair set proportional to TRUE near-dups, not to every loose
+    // J>=0.1 overlap) — this query composes the same min-label-
+    // propagation rounds on top of it, so dup GROUPS, not just pairs,
+    // have a candidate-bounded face. Semantics note: the component
+    // closure is over the CANDIDATE edge set — the LSH operating point
+    // (P[cand] = 1-(1-J^4)^4) IS the grouping threshold, which is the
+    // point; q299 prices the difference against the exact face.
+    // Scale shape: banding is map-side, the band join shuffles on
+    // (band, value), and each component round is a shuffle join on doc
+    // id over a pairs-sized frame — nothing corpus-quadratic anywhere.
+    GraftQuery(
+      "q298_lsh_components",
+      (s, d) => Dedup.connectedComponents(
+          Dedup.lshCandidates(
+            Dedup.minhashSignatures(docShingles(s, d), K), BandRows))
+        .orderBy(col("id")),
+      Some(s"""WITH RECURSIVE $shinglesSql,
+               hx AS (SELECT doc_id, ${Portable.p60Sql("s")} % $P AS hx FROM sh),
+               sig AS (SELECT doc_id, i, min((CAST(2*i+3 AS BIGINT) * hx + CAST(5*i+7 AS BIGINT)) % $P) AS m
+                       FROM hx, range(0, $K) t(i) GROUP BY doc_id, i),
+               band AS (SELECT doc_id, CAST(i // $BandRows AS INTEGER) AS b,
+                               string_agg(CAST(m AS VARCHAR), ':' ORDER BY i) AS v
+                        FROM sig GROUP BY 1, 2),
+               cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                        FROM band a JOIN band b ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id),
+               edges AS (SELECT d1 AS a, d2 AS b FROM cand
+                         UNION ALL SELECT d2, d1 FROM cand),
+               reach(node, r) AS (
+                 SELECT DISTINCT a, a FROM edges
+                 UNION
+                 SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node)
+               SELECT node AS id, min(r) AS component FROM reach
+               GROUP BY node ORDER BY id""")),
+
+    // ---- what the LSH-candidate grouping (q298) trades against the
+    // exact J>=0.1 face (q46), as oracle-checked numbers (the
+    // q101/q277/q278 telemetry convention): candidate pair volume vs
+    // exact pair volume, candidate precision against J>=0.1
+    // (n_cand_true), and the group structure both faces induce — the
+    // same discipline as q101 pricing the df-cap. Measured at sf0.1:
+    // 740 candidate pairs capture 256 of the 260 exact J>=0.1 pairs
+    // (the fixture's dups are high-J, above the 4x4 operating point's
+    // 50%-at-J~0.56 knee, so band recall is near-total) plus 484
+    // band false-positives below the threshold; groups: 266 LSH vs
+    // 237 exact over 477 shared docs. On a corpus whose near-dups sit
+    // BELOW the knee the recall side inverts — which is exactly what
+    // this row is registered to surface. Scale: both pair frames and
+    // both component closures are the already-priced q35/q36/q46
+    // shapes; the final assembly is eight scalar aggregates
+    // crossJoined on one row.
+    GraftQuery(
+      "q299_lsh_group_telemetry",
+      (s, d) => {
+        val sh = docShingles(s, d).cache()
+        // localCheckpoint (eager), not cache: each frame is re-read by a
+        // components loop AND the recall join/aggregates, and truthful
+        // AQE sizing is the q36 rule — no corpus-derived frame may rely
+        // on cached-stats broadcast planning.
+        val cand = Dedup.lshCandidates(
+            Dedup.minhashSignatures(sh, K), BandRows)
+          .localCheckpoint(true)
+        val exact = Dedup.jaccardPairs(sh, minJaccard = 0.1)
+          .select(col("d1"), col("d2")).localCheckpoint(true)
+        val lshComp = Dedup.connectedComponents(cand)
+        val exComp = Dedup.connectedComponents(exact)
+        cand.agg(count(lit(1)).as("n_cand_pairs"))
+          .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact_pairs"))))
+          .crossJoin(broadcast(cand.join(exact, Seq("d1", "d2"))
+            .agg(count(lit(1)).as("n_cand_true"))))
+          .crossJoin(broadcast(lshComp.agg(count(lit(1)).as("lsh_docs"),
+            countDistinct(col("component")).as("lsh_groups"))))
+          .crossJoin(broadcast(exComp.agg(count(lit(1)).as("exact_docs"),
+            countDistinct(col("component")).as("exact_groups"))))
+          .crossJoin(broadcast(lshComp.select(col("id"))
+            .join(exComp.select(col("id")), "id")
+            .agg(count(lit(1)).as("docs_in_both"))))
+      },
+      Some(s"""WITH RECURSIVE $shinglesSql,
+               hx AS (SELECT doc_id, ${Portable.p60Sql("s")} % $P AS hx FROM sh),
+               sig AS (SELECT doc_id, i, min((CAST(2*i+3 AS BIGINT) * hx + CAST(5*i+7 AS BIGINT)) % $P) AS m
+                       FROM hx, range(0, $K) t(i) GROUP BY doc_id, i),
+               band AS (SELECT doc_id, CAST(i // $BandRows AS INTEGER) AS b,
+                               string_agg(CAST(m AS VARCHAR), ':' ORDER BY i) AS v
+                        FROM sig GROUP BY 1, 2),
+               cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                        FROM band a JOIN band b ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id),
+               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                         GROUP BY 1, 2),
+               ex AS (SELECT d1, d2 FROM
+                        (SELECT d1, d2, round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+                         FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
+                      WHERE jaccard >= 0.1),
+               cedges AS (SELECT d1 AS a, d2 AS b FROM cand
+                          UNION ALL SELECT d2, d1 FROM cand),
+               creach(node, r) AS (
+                 SELECT DISTINCT a, a FROM cedges
+                 UNION
+                 SELECT e.b, creach.r FROM creach JOIN cedges e ON e.a = creach.node),
+               ccomp AS (SELECT node AS id, min(r) AS component
+                         FROM creach GROUP BY node),
+               eedges AS (SELECT d1 AS a, d2 AS b FROM ex
+                          UNION ALL SELECT d2, d1 FROM ex),
+               ereach(node, r) AS (
+                 SELECT DISTINCT a, a FROM eedges
+                 UNION
+                 SELECT e.b, ereach.r FROM ereach JOIN eedges e ON e.a = ereach.node),
+               ecomp AS (SELECT node AS id, min(r) AS component
+                         FROM ereach GROUP BY node)
+               SELECT
+                 (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand_pairs,
+                 (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact_pairs,
+                 (SELECT CAST(count(*) AS BIGINT)
+                  FROM cand JOIN ex USING (d1, d2)) AS n_cand_true,
+                 (SELECT CAST(count(*) AS BIGINT) FROM ccomp) AS lsh_docs,
+                 (SELECT CAST(count(DISTINCT component) AS BIGINT) FROM ccomp)
+                   AS lsh_groups,
+                 (SELECT CAST(count(*) AS BIGINT) FROM ecomp) AS exact_docs,
+                 (SELECT CAST(count(DISTINCT component) AS BIGINT) FROM ecomp)
+                   AS exact_groups,
+                 (SELECT CAST(count(*) AS BIGINT)
+                  FROM ccomp JOIN ecomp USING (id)) AS docs_in_both"""))
   )
 }

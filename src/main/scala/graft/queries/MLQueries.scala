@@ -3059,7 +3059,11 @@ object MLQueries {
     // the map-side partial aggregate — the exchange carries 64 rows
     // per task; the final sort is 64 values on one row. The one
     // degenerate guard (a replicate with Σw=0, p≈e^(-n)) nulls the
-    // division explicitly to keep /0 semantics engine-aligned.
+    // division explicitly to keep /0 semantics engine-aligned — and
+    // both sides then FILTER the NULL means and take the upper bound
+    // relative to the filtered length (Spark collect_list drops NULLs,
+    // DuckDB list() keeps them NULLS-first: indexing off the constant
+    // 64 would pick different order statistics exactly there).
     GraftQuery(
       "q286_poisson_bootstrap",
       (s, d) => graft.ops.Stats.poissonBootstrapCi(
@@ -3092,14 +3096,15 @@ object MLQueries {
                       THEN CAST(sum(w * c) AS DOUBLE)
                            / CAST(sum(w) AS DOUBLE) END AS m
                     FROM w GROUP BY b),
-              ms AS (SELECT list_sort(list(m)) AS ms FROM m),
+              ms AS (SELECT list_sort(list(m)) AS ms FROM m
+                     WHERE m IS NOT NULL),
               base AS (SELECT CAST(count(*) AS BIGINT) AS n,
                               CAST(sum(c) AS BIGINT) AS sc FROM p)
               SELECT n,
                      round(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE), 6)
                        AS mean_cents,
                      round(ms[2], 6) AS ci_lo,
-                     round(ms[63], 6) AS ci_hi
+                     round(ms[len(ms) - 1], 6) AS ci_hi
               FROM base CROSS JOIN ms""")),
 
     // ---- exact AUC (Mann-Whitney with tie handling) — does PAST

@@ -157,6 +157,24 @@ class OpsSpec extends SparkSpec {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("LSH components (q298): band-chains group transitively, isolated docs absent") {
+    // hand-built 16-long signatures, 4x4 bands: doc 2 shares only band 0
+    // with doc 1, doc 3 shares only band 1 with doc 2 (and nothing with
+    // doc 1) — the candidate edges are (1,2),(2,3) and the COMPOSITION
+    // must close them transitively into one group; doc 4 collides with
+    // nobody and must be absent from the output (q46 semantics)
+    val sigs = Seq(
+      1L -> Seq(1L, 1L, 1L, 1L, 5L, 5L, 5L, 5L, 9L, 9L, 9L, 9L, 13L, 13L, 13L, 13L),
+      2L -> Seq(1L, 1L, 1L, 1L, 6L, 6L, 6L, 6L, 10L, 10L, 10L, 10L, 14L, 14L, 14L, 14L),
+      3L -> Seq(2L, 2L, 2L, 2L, 6L, 6L, 6L, 6L, 11L, 11L, 11L, 11L, 15L, 15L, 15L, 15L),
+      4L -> Seq(3L, 3L, 3L, 3L, 7L, 7L, 7L, 7L, 12L, 12L, 12L, 12L, 16L, 16L, 16L, 16L)
+    ).toDF("id", "sig")
+    val comps = graft.ops.Dedup.connectedComponents(
+      graft.ops.Dedup.lshCandidates(sigs, bandRows = 4))
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("canonical: best-scored doc kept per component, singletons keep themselves") {
     // component {1,2,3}: doc 2 has the top score; {10,11}: tie -> smaller
     // id; doc 99 never paired -> its own component, kept
