@@ -5,14 +5,15 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions._
-import graft.plans.{AsOfJoinStrategy, PushFilterThroughAsOfJoin}
+import graft.plans.{AsOfJoinStrategy, PushFilterThroughAsOfJoin, RewriteCosineTopK}
 
 /** Cluster-deploy registration point:
   *
   * {{{ spark.sql.extensions=graft.GraftExtensions }}}
   *
   * injects the custom as-of-join planner strategy, its filter-pushdown
-  * optimizer rule, and graft's codegen SQL functions at session BUILD
+  * optimizer rule, the CosineTopK exact-vs-LSH rewrite rule, and
+  * graft's codegen SQL functions at session BUILD
   * time — the production form of what the library otherwise does
   * per-session at runtime (`AsOfJoin.register` /
   * `GraftFunctions.register`, both idempotent, kept for notebooks and
@@ -31,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
+    ext.injectOptimizerRule(_ => RewriteCosineTopK)
     ext.injectFunction(fn("array_dot", es => ArrayDot(es(0), es(1))))
     ext.injectFunction(fn("p60", es => Portable60(es.head)))
     ext.injectFunction(fn("p60_rolling8_min", es => RollingMin60(es.head)))

@@ -38,6 +38,19 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Declarative cosine top-k: a Catalyst [[graft.plans.CosineTopKPlan]]
+    * node the optimizer rewrites to [[cosineTopK]] (exact, broadcast-NLJ
+    * shape) when the corpus size estimate is at or below
+    * `exactMaxBytes`, and to [[annTopK]] (sign-LSH buckets) above it —
+    * the exact-vs-sublinear choice as PLAN STATE instead of caller
+    * code. Identical output contract either way (qid, nid, cos_sim,
+    * rn; 6dp rounding; cos DESC, nid ASC ties); the face flip changes
+    * recall only, which is the documented LSH trade. */
+  def cosineTopKAuto(prepared: DataFrame, queryFilter: Column, k: Int,
+      planes: Int = 6, dim: Int = 64,
+      exactMaxBytes: Long = 256L << 20): DataFrame =
+    graft.plans.CosineTopK.auto(prepared, queryFilter, k, planes, dim, exactMaxBytes)
+
   /** [[cosineTopK]] re-planned through the mergeable
     * [[graft.ops.GroupTopK]] Aggregator instead of a window: the cosine
     * pair frame folds map-side to ≤ k (cos, nid) pairs per query BEFORE

@@ -37,10 +37,17 @@ object EmbeddingQueries {
   val all: Seq[GraftQuery] = Seq(
 
     // ---- brute-force cosine top-5 for a fixed query subset (|Q| x N
-    // work, not N²; at cluster scale Q is the query batch).
+    // work, not N²; at cluster scale Q is the query batch). Expressed
+    // through the declarative CosineTopKPlan node since r19: the
+    // optimizer rewrite picks the face by corpus size, and the 1 GiB
+    // threshold pins THIS registration to the exact face at every test
+    // SF — same plan, same hashes as the direct cosineTopK call
+    // (CosineTopKSpec asserts both the rewrite choice and the
+    // row-for-row identity).
     GraftQuery(
       "q40_embed_topk",
-      (s, d) => Similarity.cosineTopK(vecs(s, d), col("id") < 20, k = 5)
+      (s, d) => Similarity.cosineTopKAuto(vecs(s, d), col("id") < 20, k = 5,
+          exactMaxBytes = 1L << 30)
         .select(col("qid"), col("nid"), col("cos_sim"), col("rn"))
         .orderBy(col("qid"), col("rn")),
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -148,11 +155,14 @@ object EmbeddingQueries {
     // ---- LSH-bucketed ANN: corpus-scaled deterministic sign
     // hyperplanes (Similarity.scaledPlanes — ~64-vector expected
     // buckets at any SF); candidates share a bucket; exact cosine
-    // rerank top-3.
+    // rerank top-3. Expressed through the declarative CosineTopKPlan
+    // node since r19 with threshold 0 — every corpus size estimate
+    // exceeds it, so the rewrite always picks the sign-LSH face here:
+    // same plan, same hashes as the direct annTopK call.
     GraftQuery(
       "q42_ann_lsh",
-      (s, d) => Similarity.annTopK(vecs(s, d), col("id") < 50, k = 3,
-          planes = nPlanes(s, d))
+      (s, d) => Similarity.cosineTopKAuto(vecs(s, d), col("id") < 50, k = 3,
+          planes = nPlanes(s, d), exactMaxBytes = 0L)
         .select(col("qid"), col("nid"), col("cos_sim"), col("rn"))
         .orderBy(col("qid"), col("rn")),
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
