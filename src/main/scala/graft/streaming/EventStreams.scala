@@ -175,11 +175,25 @@ object EventStreams {
     * everything kept today. State lives in the two parquet directories,
     * never executor memory: the stream restarts from its checkpoint
     * with the corpus intact, and the corpus side scales past RAM.
-    * Signature appends land in a per-batch subdirectory
-    * (`batch_<id>/`), so the append job never writes into files its own
-    * probe scan is reading; the store is read recursively. Within-batch
-    * self-dups are deliberately NOT dropped (q90's semantics is batch
-    * vs corpus); compose [[dedupStream]] upstream for those.
+    * Within-batch self-dups are deliberately NOT dropped (q90's
+    * semantics is batch vs corpus); compose [[dedupStream]] upstream
+    * for those.
+    *
+    * Exactly-once discipline (foreachBatch is at-least-once — a crash
+    * between the batch body and the offset commit REPLAYS the batch
+    * with the same batchId): both the sink output and the signature
+    * append land in per-batch subdirectories (`batch_<id>/`) written
+    * with OVERWRITE, so a replay rewrites the same directories instead
+    * of appending duplicates — and the probe reads only COMMITTED
+    * (`_SUCCESS`-marked) signature dirs of EARLIER batches, excluding
+    * `batch_<batchId>` itself. That exclusion is load-bearing: a
+    * replayed batch whose first attempt already wrote its signatures
+    * would otherwise collide with ITSELF, drop every document as a
+    * near-dup, and overwrite both dirs with empty survivor sets —
+    * silent data loss on the exact crash the checkpoint exists to
+    * survive. Read the sink with `recursiveFileLookup`
+    * ([[ingestedDocs]]). The per-batch layout also means the append
+    * job never writes into files its own probe scan is reading.
     *
     * Usage: `docs.writeStream.foreachBatch(ingestDedupBatch(sigDir,
     * outDir) _).start()`. `broadcastBatch` as in corpusCollisions:
@@ -194,22 +208,36 @@ object EventStreams {
       Dedup.shingles(batch, idCol = idCol, textCol = textCol), k).cache()
     val storePath = new org.apache.hadoop.fs.Path(corpusSigDir)
     val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val priorDirs =
+      if (fs.exists(storePath))
+        fs.listStatus(storePath).filter(_.isDirectory).map(_.getPath)
+          .filter(p => p.getName != s"batch_$batchId" &&
+            fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+          .map(_.toString).toSeq
+      else Seq.empty[String]
     val survivors =
-      if (fs.exists(storePath) && fs.listStatus(storePath).nonEmpty) {
-        val corpusSigs = spark.read
-          .option("recursiveFileLookup", "true").parquet(corpusSigDir)
+      if (priorDirs.nonEmpty) {
+        val corpusSigs = spark.read.parquet(priorDirs: _*)
         val hits = Dedup.corpusCollisions(sigs, corpusSigs, bandRows, broadcastBatch)
         batch.join(hits.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
       } else batch
     val kept = survivors.cache()
-    kept.write.mode("append").parquet(sinkDir)
+    kept.write.mode("overwrite").parquet(s"$sinkDir/batch_$batchId")
     // only survivors' signatures enter the store: a dropped near-dup must
-    // not shadow future docs that resemble it but not the kept original
+    // not shadow future docs that resemble it but not the kept original.
+    // Sink first, then store: a crash between the two replays with the
+    // store view unchanged, so the recomputed survivors are identical
+    // and both overwrites converge to the same content.
     sigs.join(kept.select(col(idCol).as("id")), "id")
       .write.mode("overwrite").parquet(s"$corpusSigDir/batch_$batchId")
     kept.unpersist()
     sigs.unpersist()
   }
+
+  /** The committed sink of [[ingestDedupBatch]] (survivor docs across
+    * all per-batch dirs). */
+  def ingestedDocs(spark: SparkSession, sinkDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(sinkDir)
 
   /** foreachBatch body for incremental aggregate-JOIN view maintenance —
     * the streaming face of the batch q178 pattern: each micro-batch of

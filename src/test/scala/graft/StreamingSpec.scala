@@ -272,7 +272,7 @@ class StreamingSpec extends SparkSpec {
         ms.addData(crawl: _*)
         q.processAllAvailable()
       }
-      val streamed = spark.read.parquet(sinkDir)
+      val streamed = EventStreams.ingestedDocs(spark, sinkDir)
         .select($"doc_id").as[Long].collect().toSet
       // sequential reference: the same three days through the BATCH
       // incremental-dedup primitive, corpus store accumulating
@@ -344,10 +344,137 @@ class StreamingSpec extends SparkSpec {
       assert(sizes.drop(1).toSet.size == 1,
         s"store grew under pure redelivery: $sizes")
       // sink kept only the original ids (near-dup redeliveries dropped)
-      val keptIds = spark.read.parquet(sinkDir).select($"doc_id")
+      val keptIds = EventStreams.ingestedDocs(spark, sinkDir).select($"doc_id")
         .as[Long].collect().toSet
       assert(keptIds == base.map(_._1).toSet)
     } finally q.stop()
+  }
+
+  test("ingestDedupBatch: kill + restart from checkpoint == uninterrupted run") {
+    // the r18 verdict's failure-recovery gap: the soak pins state
+    // boundedness, but nothing killed a query and restarted it from its
+    // checkpoint. Two incarnations over a FILE source (wave 1, stop,
+    // wave 2 arrives during downtime, new query object from the same
+    // checkpoint) must land the exact sink content of one uninterrupted
+    // query seeing the same two micro-batches — no reprocessed
+    // duplicates, no lost wave, near-dup redeliveries still dropped.
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf, "documents").select($"doc_id", $"text")
+      .filter($"doc_id" < 60).as[(Long, String)].collect().toSeq
+    val wave1 = docs.filter(_._1 % 2 == 0)
+    // wave 2: fresh odd docs + near-dup redeliveries of wave 1 under new ids
+    val wave2 = docs.filter(_._1 % 2 == 1) ++
+      wave1.map { case (id, tx) => (id + 10000L, tx) }
+    def run(interrupted: Boolean): (Set[Long], Long) = {
+      val src = java.nio.file.Files.createTempDirectory("rst_src").toString
+      val corpusDir = java.nio.file.Files.createTempDirectory("rst_sigs").toString
+      val sinkDir = java.nio.file.Files.createTempDirectory("rst_sink").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("rst_ckpt").toString
+      def start() = spark.readStream.schema("doc_id LONG, text STRING")
+        .parquet(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(EventStreams.ingestDedupBatch(corpusDir, sinkDir) _)
+        .start()
+      wave1.toDF("doc_id", "text").write.mode("append").parquet(src)
+      if (interrupted) {
+        val q1 = start(); try q1.processAllAvailable() finally q1.stop()
+        wave2.toDF("doc_id", "text").write.mode("append").parquet(src)
+        val q2 = start(); try q2.processAllAvailable() finally q2.stop()
+      } else {
+        val q = start()
+        try {
+          q.processAllAvailable() // batch 0 = wave 1
+          wave2.toDF("doc_id", "text").write.mode("append").parquet(src)
+          q.processAllAvailable() // batch 1 = wave 2
+        } finally q.stop()
+      }
+      val sink = EventStreams.ingestedDocs(spark, sinkDir).select($"doc_id")
+        .as[Long].collect().toSeq
+      (sink.toSet, sink.length.toLong)
+    }
+    val (gotRestart, nRestart) = run(interrupted = true)
+    val (gotStraight, nStraight) = run(interrupted = false)
+    assert(gotRestart == gotStraight)
+    assert(nRestart == gotRestart.size.toLong, "duplicate rows after restart")
+    assert(nStraight == gotStraight.size.toLong)
+    // semantics held across the restart: all originals kept, every
+    // near-dup redelivery dropped
+    assert(gotRestart == docs.map(_._1).toSet)
+  }
+
+  test("ingestDedupBatch: a replayed batch overwrites — no duplicates, no self-collision") {
+    // foreachBatch is at-least-once: a crash between the batch body and
+    // the offset commit re-runs the SAME batchId. The replay must (a)
+    // not append duplicate survivors, and (b) not probe its own first
+    // attempt's signatures — self-collision would drop every doc of the
+    // replayed batch and overwrite both dirs with empty survivor sets.
+    // Driving the body directly with a repeated batchId is exactly the
+    // replay the runtime performs.
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf, "documents").select($"doc_id", $"text")
+      .filter($"doc_id" < 40).as[(Long, String)].collect().toSeq
+    val corpusDir = java.nio.file.Files.createTempDirectory("rpl_sigs").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("rpl_sink").toString
+    val body = EventStreams.ingestDedupBatch(corpusDir, sinkDir) _
+    val b0 = docs.filter(_._1 % 2 == 0)
+    val b1 = docs.filter(_._1 % 2 == 1) ++
+      b0.map { case (id, tx) => (id + 10000L, tx) } // near-dups of batch 0
+    body(b0.toDF("doc_id", "text"), 0L)
+    body(b1.toDF("doc_id", "text"), 1L)
+    def sinkRows() = EventStreams.ingestedDocs(spark, sinkDir)
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    def storeRows() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(corpusDir).select($"id").as[Long].collect().toSeq.sorted
+    val (sinkBefore, storeBefore) = (sinkRows(), storeRows())
+    assert(sinkBefore.toSet == docs.map(_._1).toSet) // dups dropped, fresh kept
+    body(b1.toDF("doc_id", "text"), 1L) // the post-crash replay
+    assert(sinkRows() == sinkBefore, "replay changed the sink")
+    assert(storeRows() == storeBefore, "replay changed the signature store")
+  }
+
+  test("incrementalJoinViewBatch: kill + restart from checkpoint == full recompute") {
+    // same recovery contract for the versioned-state view: batch 0
+    // lands, the query dies, the remaining facts arrive during
+    // downtime, a new incarnation resumes from the checkpoint — the
+    // finished view must equal the one-shot recompute over everything,
+    // with history never refolded (the replay guard plus offset resume)
+    import org.apache.spark.sql.functions._
+    import graft.ops.Incremental
+    val src = java.nio.file.Files.createTempDirectory("rstiv_src").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("rstiv_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rstiv_ckpt").toString
+    val dim = Tables(spark, sf, "customer").select($"c_custkey", $"c_mktsegment")
+    val orders = Tables(spark, sf, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .as[(Long, Long, Double)].collect().toSeq
+    def start() = spark.readStream
+      .schema("o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE")
+      .parquet(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(EventStreams.incrementalJoinViewBatch(
+        dim, "o_custkey", "c_custkey", "c_mktsegment", "o_totalprice", stateDir) _)
+      .start()
+    orders.filter(_._1 % 2 == 0).toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("append").parquet(src)
+    val q1 = start(); try q1.processAllAvailable() finally q1.stop()
+    orders.filter(_._1 % 2 == 1).toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("append").parquet(src)
+    val q2 = start(); try q2.processAllAvailable() finally q2.stop()
+    val got = Incremental.finish(
+        EventStreams.incrementalViewState(spark, stateDir).get)
+      .orderBy("key")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    val want = Incremental.finish(Incremental.merge(Seq(Incremental.partial(
+        Tables(spark, sf, "orders").join(dim, $"o_custkey" === $"c_custkey"),
+        $"c_mktsegment", $"o_totalprice"))))
+      .orderBy("key")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == want.map(_._1))
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._2 == w._2 && g._4 == w._4 && g._5 == w._5, s"$g vs $w")
+      assert(math.abs(g._3 - w._3) < 1e-6 && math.abs(g._6 - w._6) < 1e-9,
+        s"$g vs $w")
+    }
   }
 
   test("incrementalJoinViewBatch: 3 streamed fact batches == one full recompute") {
