@@ -589,24 +589,47 @@ object MLQueries {
         // capped shared builder (already distinct) — dedup once, cache
         // once, all consumers' internal distincts are no-ops on it
         val edges = coEdges(s, d).cache()
+        // materialize the shared frame BEFORE forking so the concurrent
+        // consumers hit the cache instead of racing to fill it
+        edges.count()
         val und = edges.select(col("u1").as("src"), col("u2").as("dst"))
           .union(edges.select(col("u2").as("src"), col("u1").as("dst")))
-        // ~10s at sf0.1 is fixed per-job scheduler overhead (~40 small
-        // jobs across the four algorithms), not data volume — measured:
-        // lazy rounds (checkpointEvery > iters) change nothing. At
-        // cluster scale the same composition amortizes the one
-        // corpus-scale edge build; the per-round jobs are graph-sized.
-        val pr = graft.ops.Graph.pageRank(und, iters = 2)
-          .select(col("node"), round(col("rank"), 6).as("rank"))
-        val lpa = graft.ops.Graph.labelPropagation(edges, iters = 2)
-        val lsz = lpa.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
-        val core = graft.ops.Graph.kCore(edges, k = 3, maxRounds = 2)
-          .select(col("node"), lit(true).as("in_3core"))
+        // The five profile components are INDEPENDENT given the cached
+        // edge frame, and each is latency-bound, not data-bound (~10
+        // small driver-sequential jobs per iterative algorithm:
+        // per-round joins, eager checkpoints, convergence counts —
+        // measured r13: lazy rounds change nothing because the floor
+        // is round-trip count, not materialization). So build them on
+        // CONCURRENT driver threads: Spark's scheduler interleaves the
+        // small jobs and the scheduling waits overlap instead of
+        // summing (r19 measured: 15.4s sequential → 9.4s isolated
+        // min-of-5; hashes unchanged — same per-algorithm arithmetic,
+        // only submission order differs). This is also the cluster
+        // shape: a profile pipeline fans independent graph jobs out
+        // against one shared edge build, it doesn't queue them.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val prF = Future(graft.ops.Graph.pageRank(und, iters = 2)
+          .select(col("node"), round(col("rank"), 6).as("rank")))
+        val lpaF = Future(graft.ops.Graph.labelPropagation(edges, iters = 2))
+        val coreF = Future(graft.ops.Graph.kCore(edges, k = 3, maxRounds = 2)
+          .select(col("node"), lit(true).as("in_3core")))
         // components via the Graph-module API (the Dedup loop's
         // first-class graph face) — every profiled node has an edge,
         // so the join is total
-        val cc = graft.ops.Graph.connectedComponents(edges)
-        graft.ops.Graph.triangleStats(edges)
+        val ccF = Future(graft.ops.Graph.connectedComponents(edges))
+        // triangleStats is the one NON-iterative component — returned
+        // lazily it would execute during the final write, sequential
+        // with nothing; the eager checkpoint materializes it inside the
+        // overlap window instead (values unchanged)
+        val triF = Future(graft.ops.Graph.triangleStats(edges).localCheckpoint(true))
+        val pr = Await.result(prF, Duration.Inf)
+        val lpa = Await.result(lpaF, Duration.Inf)
+        val lsz = lpa.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+        val core = Await.result(coreF, Duration.Inf)
+        val cc = Await.result(ccF, Duration.Inf)
+        Await.result(triF, Duration.Inf)
           .join(pr, "node")
           .join(lpa, "node").join(lsz, "label")
           .join(core, Seq("node"), "left")
