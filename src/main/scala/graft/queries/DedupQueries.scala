@@ -793,7 +793,12 @@ object DedupQueries {
     // this row is registered to surface. Scale: both pair frames and
     // both component closures are the already-priced q35/q36/q46
     // shapes; the final assembly is eight scalar aggregates
-    // crossJoined on one row.
+    // crossJoined on one row. This is the AUDIT face and inherits the
+    // exact side's output-bound cost by construction (measured 1069s
+    // at the 100x corpus, of which the q35-class exact join is ~715s)
+    // — at production scale run it on an audit stratum or at audit
+    // cadence; the production grouping path is q298 (42.3s on the
+    // same corpus).
     GraftQuery(
       "q299_lsh_group_telemetry",
       (s, d) => {
@@ -866,6 +871,102 @@ object DedupQueries {
                  (SELECT CAST(count(DISTINCT component) AS BIGINT) FROM ecomp)
                    AS exact_groups,
                  (SELECT CAST(count(*) AS BIGINT)
-                  FROM ccomp JOIN ecomp USING (id)) AS docs_in_both"""))
+                  FROM ccomp JOIN ecomp USING (id)) AS docs_in_both""")),
+
+    // ---- the KEEP decision over the LSH-candidate groups — q83's
+    // canonical-document selection composed on q298's candidate-bounded
+    // components instead of the exact pair join, completing the 100 TB
+    // dedup story end to end: band candidates → groups → one kept
+    // representative per group (token count DESC, id ASC), singletons
+    // their own component. Every stage is the already-priced shape:
+    // banding map-side, components pairs-sized, the keep window
+    // partitioned on component (skew bounded by the largest dup
+    // cluster, which the band operating point itself bounds).
+    GraftQuery(
+      "q300_lsh_canonical_docs",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val comps = Dedup.connectedComponents(
+          Dedup.lshCandidates(
+            Dedup.minhashSignatures(docShingles(s, d), K), BandRows))
+        val scored = docs.select(col("doc_id"),
+          size(Portable.tokens(col("text"))).as("score"))
+        Dedup.canonical(scored, comps)
+          .select(col("component"), col("doc_id"),
+            col("score").as("n_toks"), col("keep"))
+          .orderBy(col("component"), col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $shinglesSql,
+               hx AS (SELECT doc_id, ${Portable.p60Sql("s")} % $P AS hx FROM sh),
+               sig AS (SELECT doc_id, i, min((CAST(2*i+3 AS BIGINT) * hx + CAST(5*i+7 AS BIGINT)) % $P) AS m
+                       FROM hx, range(0, $K) t(i) GROUP BY doc_id, i),
+               band AS (SELECT doc_id, CAST(i // $BandRows AS INTEGER) AS b,
+                               string_agg(CAST(m AS VARCHAR), ':' ORDER BY i) AS v
+                        FROM sig GROUP BY 1, 2),
+               cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                        FROM band a JOIN band b ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id),
+               edges AS (SELECT d1 AS a, d2 AS b FROM cand
+                         UNION ALL SELECT d2, d1 FROM cand),
+               reach(node, r) AS (
+                 SELECT DISTINCT a, a FROM edges
+                 UNION
+                 SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+               comp AS (SELECT node AS id, min(r) AS component FROM reach
+                        GROUP BY node),
+               tk AS (SELECT doc_id,
+                             CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_toks
+                      FROM documents),
+               lab AS (SELECT t.doc_id, coalesce(c.component, t.doc_id) AS component, n_toks
+                       FROM tk t LEFT JOIN comp c ON c.id = t.doc_id)
+               SELECT component, doc_id, n_toks,
+                      (row_number() OVER (PARTITION BY component
+                                          ORDER BY n_toks DESC, doc_id) = 1) AS keep
+               FROM lab ORDER BY component, doc_id""")),
+
+    // ---- capture-recapture corpus-coverage estimate (Chapman's
+    // nearly-unbiased form): treat two deterministic hash-gated 50%
+    // samples of the DISTINCT content fingerprints as independent
+    // "crawls"; the overlap rate estimates the total population the
+    // way field ecology counts fish — and the way a crawl operator
+    // estimates how much of a source two crawl passes actually saw
+    // (the fingerprints double as the dedup keys, so this rides the
+    // same single exchange as q34). The estimator is exact integer
+    // arithmetic end to end: N̂ = (n1+1)(n2+1) DIV (m+1) − 1 (DIV vs
+    // // spelled on both engines, the q229 rule); n_total is in the
+    // output so the estimate is audited against the truth it
+    // estimates at every SF. Independence of the two gates comes from
+    // salting the SAME fingerprint hash two ways — no second scan of
+    // the text.
+    GraftQuery(
+      "q301_capture_recapture",
+      (s, d) => {
+        val fp = t(s, d, "documents")
+          .select(Portable.p60(Portable.normText(col("text"))).as("fp"))
+          .distinct()
+        fp.select(col("fp"),
+            (Portable.p60(concat(col("fp").cast("string"), lit(":a"))) % 10000 < 5000).as("g1"),
+            (Portable.p60(concat(col("fp").cast("string"), lit(":b"))) % 10000 < 5000).as("g2"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
+            sum(when(col("g2"), 1L).otherwise(0L)).as("n2"),
+            sum(when(col("g1") && col("g2"), 1L).otherwise(0L)).as("n_both"))
+          .select(col("n_total"), col("n1"), col("n2"), col("n_both"),
+            expr("(n1 + 1) * (n2 + 1) DIV (n_both + 1) - 1").as("chapman_est"))
+      },
+      Some(s"""WITH fp AS (SELECT DISTINCT ${Portable.p60Sql(Portable.normTextSql("text"))} AS fp
+                           FROM documents),
+               fl AS (SELECT fp,
+                        ${Portable.p60Sql("CAST(fp AS VARCHAR) || ':a'")} % 10000 < 5000 AS g1,
+                        ${Portable.p60Sql("CAST(fp AS VARCHAR) || ':b'")} % 10000 < 5000 AS g2
+                      FROM fp),
+               a AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+                            CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                            CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                            CAST(sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+                     FROM fl)
+               SELECT n_total, n1, n2, n_both,
+                      CAST((n1 + 1) * (n2 + 1) // (n_both + 1) - 1 AS BIGINT)
+                        AS chapman_est
+               FROM a"""))
   )
 }

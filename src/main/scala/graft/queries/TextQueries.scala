@@ -803,7 +803,102 @@ object TextQueries {
                          / (CAST(st.n AS DOUBLE) * st.sxx - st.sx * st.sx)
                          * st.sx) / CAST(st.n AS DOUBLE), 6)
                        AS intercept
-              FROM s"""))
+              FROM s""")),
+
+    // ---- Good-Turing unseen-mass estimate over TRIGRAM types:
+    // p0 ≈ f1/N (Good 1953) with f1 = types occurring in exactly one
+    // document and N = total (doc, type) postings — the number that
+    // tells a training pipeline how under-sampled a source still is
+    // (high singleton share = keep crawling; near zero = the source is
+    // exhausted). Trigram shingles, not unigrams, deliberately: the
+    // registration probe showed the generator's unigram vocabulary is
+    // 31 closed-class types (f1 = 0 at every SF — vacuous), while the
+    // trigram space is combinatorial (f1 = 9414 at sf0.001 falling to
+    // 207 at sf0.1 — the corpus genuinely saturating its source,
+    // which is exactly the signal the estimator exists to report).
+    // One df exchange (the q101 frame, uncapped: pure aggregate, no
+    // postings join for the cap to bound) folded to four exact-long
+    // constants; p_unseen is the single division of exact longs,
+    // emitted UNROUNDED. f2 rides along for the classic
+    // r* = (r+1)·f_{r+1}/f_r discount audit downstream.
+    GraftQuery(
+      "q302_good_turing",
+      (s, d) => graft.ops.Dedup.shingles(t(s, d, "documents"))
+        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .agg(sum(col("df")).as("n_postings"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("df") === 2, 1L).otherwise(0L)).as("f2"))
+        .select(col("n_postings"), col("n_types"), col("f1"), col("f2"),
+          (col("f1").cast("double") / col("n_postings").cast("double"))
+            .as("p_unseen")),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                            FROM documents),
+              sh0 AS (SELECT DISTINCT doc_id, s FROM
+                      (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                              FOR i IN range(1, len(w) - 1)]) AS s FROM toks)),
+              d AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh0 GROUP BY s),
+              a AS (SELECT CAST(sum(df) AS BIGINT) AS n_postings,
+                           CAST(count(*) AS BIGINT) AS n_types,
+                           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                           CAST(sum(CASE WHEN df = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+                    FROM d)
+              SELECT n_postings, n_types, f1, f2,
+                     CAST(f1 AS DOUBLE) / CAST(n_postings AS DOUBLE) AS p_unseen
+              FROM a""")),
+
+    // ---- Heaps'-law growth checkpoints over TRIGRAM types (same
+    // unigram-vacuousness rationale as q302): type inventory after
+    // each id-domain quartile of the corpus — the curve whose
+    // flattening says when more of the same source stops buying new
+    // types (the planning twin of q302's instantaneous p0). Cutoffs
+    // are max(doc_id)·k DIV 4 (scale-free id-domain quartiles, no
+    // global sort; the generator's ids are dense so the quartiles are
+    // non-vacuous at every SF); inventory-at-cutoff comes from ONE
+    // first_seen = min(doc_id) aggregate per type, so the four
+    // checkpoints cost one type exchange total, not four corpus
+    // scans — the property that makes the curve affordable at 100 TB.
+    // All counts exact longs.
+    GraftQuery(
+      "q303_heaps_checkpoints",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val cuts = docs.agg(max(col("doc_id")).as("mx"))
+          .select(explode(expr("sequence(1, 4)")).as("k"), col("mx"))
+          .select(col("k"), expr("mx * k DIV 4").as("cutoff"))
+        val first = graft.ops.Dedup.shingles(docs)
+          .groupBy(col("s")).agg(min(col("id")).as("first_seen"))
+        val vocab = first.crossJoin(broadcast(cuts))
+          .filter(col("first_seen") <= col("cutoff"))
+          .groupBy(col("k"), col("cutoff")).agg(count(lit(1)).as("n_types"))
+        val vol = docs
+          .select(col("doc_id"), size(Portable.tokens(col("text"))).cast("long").as("nt"))
+          .crossJoin(broadcast(cuts))
+          .filter(col("doc_id") <= col("cutoff"))
+          .groupBy(col("k")).agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        vocab.join(vol, "k")
+          .select(col("k").cast("long").as("k"), col("cutoff"),
+            col("n_docs"), col("n_tokens"), col("n_types"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+              cuts AS (SELECT k, mx * k // 4 AS cutoff FROM mx, range(1, 5) t(k)),
+              toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                       FROM documents),
+              sh0 AS (SELECT DISTINCT doc_id, s FROM
+                      (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                              FOR i IN range(1, len(w) - 1)]) AS s FROM toks)),
+              fs AS (SELECT s, min(doc_id) AS first_seen FROM sh0 GROUP BY 1),
+              vocab AS (SELECT k, cutoff, CAST(count(*) AS BIGINT) AS n_types
+                        FROM fs, cuts WHERE first_seen <= cutoff GROUP BY 1, 2),
+              dt AS (SELECT doc_id,
+                            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+                     FROM documents),
+              vol AS (SELECT k, CAST(count(*) AS BIGINT) AS n_docs,
+                             CAST(sum(nt) AS BIGINT) AS n_tokens
+                      FROM dt, cuts WHERE doc_id <= cutoff GROUP BY 1)
+              SELECT CAST(v.k AS BIGINT) AS k, cutoff, n_docs, n_tokens, n_types
+              FROM vocab v JOIN vol USING (k) ORDER BY k"""))
   )
 
   /** Spark-SQL fragment of [[Portable.p60]] for use inside `expr` lambdas
