@@ -328,6 +328,31 @@ object Dedup {
     labels.select(col("id"), col("component"))
   }
 
+  /** Incremental component maintenance: fold a NEW batch of pair edges
+    * into a prior (id, component) state, producing the exact components
+    * of the cumulative edge set — without ever revisiting old pairs.
+    * The prior state re-enters the closure as STAR edges (id →
+    * component): stars preserve the connectivity classes and collapse
+    * in one propagation round, so the per-batch cost is dominated by
+    * the NEW edges plus one star pass over |state| rows — the
+    * day-over-day shape of dup grouping at crawl scale, where
+    * recomputing components over every pair ever seen grows without
+    * bound. Labels stay canonical min-ids: each class's label IS its
+    * minimum member, a star keeps that member in the class, and the
+    * min-label propagation re-derives the global minimum across any
+    * classes a new edge merges. Min-id nodes carry their state row as
+    * a self-edge (d1 = d2), which [[connectedComponents]] tolerates —
+    * that is what keeps a class's anchor present even when no new edge
+    * touches it. */
+  def mergeComponents(prior: Option[DataFrame], newPairs: DataFrame): DataFrame = {
+    val np = newPairs.select(col("d1"), col("d2"))
+    val edges = prior
+      .map(p => p.select(col("id").as("d1"), col("component").as("d2"))
+        .unionByName(np))
+      .getOrElse(np)
+    connectedComponents(edges)
+  }
+
   /** One representative per near-dup component — what a production
     * dedup keeps (the min-id label of [[connectedComponents]] is a group
     * key, not a retention policy). `scored` is the full corpus as

@@ -967,6 +967,49 @@ object DedupQueries {
                SELECT n_total, n1, n2, n_both,
                       CAST((n1 + 1) * (n2 + 1) // (n_both + 1) - 1 AS BIGINT)
                         AS chapman_est
-               FROM a"""))
+               FROM a""")),
+
+    // ---- incremental dup-group maintenance == one-shot grouping: the
+    // q298 candidate edges arrive in three "daily" chunks (hash of the
+    // pair) and fold through Dedup.mergeComponents — prior state
+    // re-enters each round as star edges, old pairs are never
+    // revisited — and the final state must be BIT-IDENTICAL to the
+    // one-shot closure, so the oracle is q298's recursive CTE
+    // verbatim. This is the day-over-day shape of dup grouping at
+    // crawl scale (recomputing components over every pair ever seen
+    // grows without bound; the star fold's per-day cost is the new
+    // edges plus one |state| pass), and the streaming twin
+    // (EventStreams.componentsBatch) runs the same fold under
+    // checkpointed versioned state.
+    GraftQuery(
+      "q304_incremental_components",
+      (s, d) => {
+        val cand = Dedup.lshCandidates(
+            Dedup.minhashSignatures(docShingles(s, d), K), BandRows)
+          .localCheckpoint(true) // re-read by all three daily folds
+        var state: Option[org.apache.spark.sql.DataFrame] = None
+        (0 until 3).foreach { day =>
+          val chunk = cand.filter(pmod(col("d1") + col("d2"), lit(3)) === day)
+          state = Some(Dedup.mergeComponents(state, chunk).localCheckpoint(true))
+        }
+        state.get.orderBy(col("id"))
+      },
+      Some(s"""WITH RECURSIVE $shinglesSql,
+               hx AS (SELECT doc_id, ${Portable.p60Sql("s")} % $P AS hx FROM sh),
+               sig AS (SELECT doc_id, i, min((CAST(2*i+3 AS BIGINT) * hx + CAST(5*i+7 AS BIGINT)) % $P) AS m
+                       FROM hx, range(0, $K) t(i) GROUP BY doc_id, i),
+               band AS (SELECT doc_id, CAST(i // $BandRows AS INTEGER) AS b,
+                               string_agg(CAST(m AS VARCHAR), ':' ORDER BY i) AS v
+                        FROM sig GROUP BY 1, 2),
+               cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                        FROM band a JOIN band b ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id),
+               edges AS (SELECT d1 AS a, d2 AS b FROM cand
+                         UNION ALL SELECT d2, d1 FROM cand),
+               reach(node, r) AS (
+                 SELECT DISTINCT a, a FROM edges
+                 UNION
+                 SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node)
+               SELECT node AS id, min(r) AS component FROM reach
+               GROUP BY node ORDER BY id"""))
   )
 }

@@ -273,6 +273,24 @@ object EventStreams {
           col(groupCol), col(valueCol)) +: prev.toSeq)
     }
 
+  /** foreachBatch body for incremental dup-GROUP maintenance — the
+    * streaming face of [[graft.ops.Dedup.mergeComponents]] (q304's
+    * batch invariant): each micro-batch of candidate pair edges
+    * (d1, d2) — from any generator upstream: banded-LSH collisions,
+    * embedding buckets, exact fingerprint matches — folds into the
+    * persisted (id, component) state by closing the new edges against
+    * the prior state's star edges. Old pairs are never revisited; the
+    * per-batch cost is the new edges plus one |state| pass, and the
+    * state after every batch equals the one-shot components of every
+    * edge ever streamed. Same versioned-dir discipline as the other
+    * maintenance bodies (copy-on-write v<id> dirs, `_SUCCESS`-gated
+    * replay guard, prune after commit); read with
+    * [[incrementalViewState]]. */
+  def componentsBatch(stateDir: String)(batch: DataFrame, batchId: Long): Unit =
+    versionedFold(batch.sparkSession, stateDir, batchId) { prev =>
+      graft.ops.Dedup.mergeComponents(prev, batch)
+    }
+
   /** foreachBatch body for RETRACTION-AWARE incremental view
     * maintenance — the streaming face of the q185/q204 delta chain:
     * the stream is CDC rows carrying a signed `weightCol` (+1 insert /

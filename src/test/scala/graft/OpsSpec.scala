@@ -175,6 +175,27 @@ class OpsSpec extends SparkSpec {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("mergeComponents: star fold over batches == one-shot components") {
+    // batch 1 builds {1,2} and {5,6}; batch 2 adds {3,4}; batch 3's
+    // single edge (2,3) must merge {1,2} with {3,4} THROUGH the star
+    // state (the old pairs are gone), while {5,6} — untouched by any
+    // later batch — must survive via its self-anchored star edges
+    val batches = Seq(
+      Seq((1L, 2L), (5L, 6L)),
+      Seq((3L, 4L)),
+      Seq((2L, 3L)))
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    batches.foreach { b =>
+      state = Some(graft.ops.Dedup.mergeComponents(state, b.toDF("d1", "d2"))
+        .localCheckpoint(true))
+    }
+    val got = state.get.as[(Long, Long)].collect().toMap
+    val oneShot = graft.ops.Dedup.connectedComponents(
+      batches.flatten.toDF("d1", "d2")).as[(Long, Long)].collect().toMap
+    assert(got == oneShot)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("canonical: best-scored doc kept per component, singletons keep themselves") {
     // component {1,2,3}: doc 2 has the top score; {10,11}: tie -> smaller
     // id; doc 99 never paired -> its own component, kept

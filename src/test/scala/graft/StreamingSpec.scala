@@ -432,6 +432,37 @@ class StreamingSpec extends SparkSpec {
     assert(storeRows() == storeBefore, "replay changed the signature store")
   }
 
+  test("componentsBatch: streamed edge batches == one-shot components, cross-batch merges close") {
+    // dup-group maintenance as a stream: candidate edges arrive over
+    // three micro-batches; the persisted state must equal the one-shot
+    // closure of everything streamed, including a batch-3 edge that
+    // merges two components born in DIFFERENT earlier batches (the
+    // star-fold property q304 pins in batch form, here under the
+    // checkpointed versioned-state discipline)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val stateDir = java.nio.file.Files.createTempDirectory("cc_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)]
+    val q = ms.toDF().toDF("d1", "d2")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(EventStreams.componentsBatch(stateDir) _)
+      .start()
+    val batches = Seq(
+      Seq((1L, 2L), (5L, 6L)),
+      Seq((3L, 4L), (10L, 11L)),
+      Seq((2L, 3L))) // merges {1,2} with {3,4} across batch boundaries
+    try {
+      batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = EventStreams.incrementalViewState(spark, stateDir).get
+      .as[(Long, Long)].collect().toMap
+    val oneShot = graft.ops.Dedup.connectedComponents(
+      batches.flatten.toDF("d1", "d2")).as[(Long, Long)].collect().toMap
+    assert(got == oneShot)
+    assert(got(4L) == 1L && got(10L) == 10L)
+  }
+
   test("incrementalJoinViewBatch: kill + restart from checkpoint == full recompute") {
     // same recovery contract for the versioned-state view: batch 0
     // lands, the query dies, the remaining facts arrive during
