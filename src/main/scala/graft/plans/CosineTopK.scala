@@ -82,6 +82,13 @@ object RewriteCosineTopK extends Rule[LogicalPlan] {
       val spark = SparkSession.active
       val corpusDf = GraftSqlBridge.ofRows(spark, n.corpus)
       val pred = GraftSqlBridge.column(n.queryPredicate)
+      // deliberately NOT an IVF rewrite target: ivfTopK FITS a k-means
+      // quantizer at call time — an estimator fit (real Spark jobs,
+      // possibly re-entering this optimizer) has no business running
+      // inside a plan rewrite. IVF's home is the stateful path:
+      // IvfState's persisted centroids + assign-only incremental face,
+      // where the fit is an explicit, owned artifact. The stateless
+      // rewrite chooses between the two stateless faces only.
       val face =
         if (n.corpus.stats.sizeInBytes <= BigInt(n.exactMaxBytes))
           graft.ops.Similarity.cosineTopK(corpusDf, pred, n.k)

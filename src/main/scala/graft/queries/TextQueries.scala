@@ -898,7 +898,67 @@ object TextQueries {
                              CAST(sum(nt) AS BIGINT) AS n_tokens
                       FROM dt, cuts WHERE doc_id <= cutoff GROUP BY 1)
               SELECT CAST(v.k AS BIGINT) AS k, cutoff, n_docs, n_tokens, n_types
-              FROM vocab v JOIN vol USING (k) ORDER BY k"""))
+              FROM vocab v JOIN vol USING (k) ORDER BY k""")),
+
+    // ---- token-budget waterfill across languages — the mixture
+    // allocator behind "don't let the head language crowd out the
+    // tail": given a budget (4/5 of total token mass — a scale-free
+    // fraction, so the cut binds at every SF), find the integer water
+    // level c* = max c with Σ min(n_i, c) ≤ B; languages below the
+    // level keep everything, languages above are capped at it (on
+    // this corpus: en capped, de/es/zh whole at every SF — both
+    // branches live). ENTIRELY integer: the level is the first
+    // violator's (B − P_{j−1}) DIV (k−j+1) over the count-ascending
+    // order (the classic waterfill closed form; P/j/k from one window
+    // pass over the |languages|-sized frame — the windows here are
+    // bounded by the GROUP count, not the corpus). The corpus-scale
+    // work is one per-language token aggregate; everything after is
+    // |languages| rows. Chunk-level enforcement of the allocation is
+    // Sampling.capPerKey's job; this query decides the levels.
+    GraftQuery(
+      "q305_budget_waterfill",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val psrc = t(s, d, "documents")
+          .groupBy(col("lang"))
+          .agg(sum(size(Portable.tokens(col("text"))).cast("long")).as("n"))
+        val consts = psrc.agg(sum(col("n")).as("tot"), count(lit(1)).as("k"))
+          .select(col("tot"), col("k"), expr("tot * 4 DIV 5").as("b"))
+        val ord = w.orderBy(col("n"), col("lang"))
+        val o = psrc.crossJoin(broadcast(consts))
+          .withColumn("j", row_number().over(ord))
+          .withColumn("pf", sum(col("n")).over(
+            ord.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .withColumn("cj", expr("(b - (pf - n)) DIV (k - j + 1)"))
+        // first violator by j (min struct, lexicographic) or, if the
+        // budget covers everything, the max count (level above all)
+        val capRow = o.agg(
+            min(when(col("cj") < col("n"), struct(col("j"), col("cj")))).as("v"),
+            max(col("n")).as("mx"))
+          .select(coalesce(col("v.cj"), col("mx")).as("cap"))
+        o.crossJoin(broadcast(capRow))
+          .select(col("lang"), col("n").as("n_tokens"), col("b").as("budget"),
+            col("cap"), least(col("n"), col("cap")).as("allocated"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH psrc AS (SELECT lang,
+                     CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n
+                   FROM documents GROUP BY 1),
+              c AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+                           CAST(count(*) AS BIGINT) AS k,
+                           CAST(sum(n) AS BIGINT) * 4 // 5 AS b FROM psrc),
+              o AS (SELECT lang, n, b, k,
+                      row_number() OVER (ORDER BY n, lang) AS j,
+                      CAST(sum(n) OVER (ORDER BY n, lang
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pf
+                    FROM psrc, c),
+              cap AS (SELECT coalesce(
+                        (SELECT (b - (pf - n)) // (k - j + 1) FROM o
+                         WHERE (b - (pf - n)) // (k - j + 1) < n ORDER BY j LIMIT 1),
+                        (SELECT max(n) FROM o)) AS cap)
+              SELECT lang, n AS n_tokens, b AS budget, cap,
+                     least(n, cap) AS allocated
+              FROM o, cap ORDER BY lang"""))
   )
 
   /** Spark-SQL fragment of [[Portable.p60]] for use inside `expr` lambdas
