@@ -163,7 +163,11 @@ object Bench {
       val dir = java.nio.file.Paths.get("target")
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.write(dir.resolve("bench_full.json"), line)
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full_latest.json"), line)
+      // the committable root artifact only for FULL-suite runs: a
+      // dev-time subset invocation must not clobber the 300-query
+      // record the round's regression judging reads
+      if (args.isEmpty)
+        java.nio.file.Files.write(java.nio.file.Paths.get("bench_full_latest.json"), line)
     } catch {
       case e: Throwable =>
         System.err.println(s"graft.Bench: bench_full.json write failed: $e")
