@@ -972,6 +972,51 @@ object EmbeddingQueries {
                       WHERE rn = 1)
               SELECT p.qid, p.pos_id, p.pos_cos, ng.neg_id, ng.neg_cos
               FROM pos p JOIN neg ng ON ng.qid = p.qid
-              ORDER BY p.qid"""))
+              ORDER BY p.qid""")),
+
+    // ---- SEMANTIC decontamination: eval↔train near-dups at the
+    // embedding level — the contamination n-gram matching (q81)
+    // structurally misses: a paraphrased or translated eval item
+    // shares no 8-gram with its training twin but sits next to it in
+    // embedding space. Split = label 0 (the held-out class) vs the
+    // rest; candidates must share a corpus-scaled sign-LSH bucket
+    // (per-bucket blocks, never |eval|×|train|), exact-cosine gated
+    // at 0.35 (the q41 threshold; probe: 9/12/83 flagged pairs at
+    // sf0.001/0.01/0.1 — non-vacuous at every SF). At 100 TB this is
+    // the standing pre-release gate: the train side streams through
+    // the bucket join, the eval side is the small batch.
+    GraftQuery(
+      "q306_semantic_decontam",
+      (s, d) => {
+        val e = Similarity.withLshBucket(
+          Similarity.prepare(t(s, d, "embeddings"), keep = Seq("label")),
+          planes = nPlanes(s, d))
+        val ev = e.filter(col("label") === 0)
+          .select(col("id").as("eval_id"), col("v").as("va"),
+            col("nrm").as("qn"), col("bucket"))
+        val tr = e.filter(col("label") =!= 0)
+          .select(col("id").as("train_id"), col("v").as("vb"),
+            col("nrm").as("nn"), col("bucket").as("b2"))
+        ev.join(tr, col("bucket") === col("b2"))
+          .select(col("eval_id"), col("train_id"),
+            round(expr("array_dot(va, vb)") / (col("qn") * col("nn")), 6).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.35)
+          .orderBy(col("eval_id"), col("train_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              $ppCte,
+              n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+              bk AS (SELECT vec_id, label, v, nrm,
+                       CAST(list_sum([CASE WHEN list_sum([v[dm] * CAST((CAST(1103515245 AS BIGINT) * (p * 64 + dm) + 12345) % 2001 - 1000 AS DOUBLE)
+                                                          FOR dm IN range(1, 65)]) > 0
+                                           THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END
+                                      FOR p IN $pRange]) AS BIGINT) AS bucket
+                     FROM n)
+              SELECT eval_id, train_id, cos_sim FROM
+                (SELECT q.vec_id AS eval_id, x.vec_id AS train_id,
+                        round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) AS cos_sim
+                 FROM bk q JOIN bk x ON q.bucket = x.bucket
+                   AND q.label = 0 AND x.label <> 0)
+              WHERE cos_sim >= 0.35 ORDER BY eval_id, train_id"""))
   )
 }
