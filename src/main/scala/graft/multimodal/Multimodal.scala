@@ -129,6 +129,59 @@ object Multimodal {
     }
   }
 
+  /** Perceptual 64-bit average-hash of an image payload, as a 64-char
+    * '0'/'1' string (8×8 grid, row-major: char 8·cy+cx+1 is cell
+    * (cx, cy)). Bit = cell mean luma above the whole-image mean,
+    * decided by exact integer cross-multiplication
+    * (cellSum·totalCount > totalSum·cellCount) so the identical
+    * comparison is recomputable in oracle SQL with no float division.
+    * A bit STRING, not a long, deliberately: cell 63 would land on the
+    * long's sign bit and the banding/compare SQL would inherit signed
+    * semantics. Brightness-shift invariant by construction (a constant
+    * added to every pixel shifts cell and global means equally) — the
+    * near-dup class this hash exists to catch (re-encodes, gamma/level
+    * tweaks of the same image). None on undecodable payloads (same
+    * degrade contract as [[decodeImage]]). At corpus scale, pair
+    * generation over these hashes is the q153 prefix-block /
+    * q37-banding shape: bucket on a 16-char substring band, compare
+    * full hashes only within buckets — never |images|². */
+  def aHashBits(content: Array[Byte]): Option[String] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+    else {
+      val (wd, ht) = (img.getWidth, img.getHeight)
+      val cellSum = new Array[Long](64)
+      val cellCnt = new Array[Long](64)
+      var total = 0L
+      var y = 0
+      while (y < ht) {
+        val cy = math.min((y.toLong * 8 / ht).toInt, 7)
+        var x = 0
+        while (x < wd) {
+          val cx = math.min((x.toLong * 8 / wd).toInt, 7)
+          val rgb = img.getRGB(x, y)
+          val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          cellSum(8 * cy + cx) += luma
+          cellCnt(8 * cy + cx) += 1
+          total += luma
+          x += 1
+        }
+        y += 1
+      }
+      val totalCnt = wd.toLong * ht
+      val sb = new StringBuilder(64)
+      var i = 0
+      while (i < 64) {
+        sb.append(if (cellSum(i) * totalCnt > total * cellCnt(i)) '1' else '0')
+        i += 1
+      }
+      Some(sb.toString)
+    }
+  }
+
   /** REAL decoder branch for PCM audio containers via the JDK's
     * built-in javax.sound.sampled readers — WAV, AIFF and AU all ship
     * in every JVM (the java.desktop module), no external dependency.

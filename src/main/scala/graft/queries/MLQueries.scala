@@ -1070,6 +1070,81 @@ object MLQueries {
                      string_agg(CAST(q AS VARCHAR), ':' ORDER BY j) AS features_str
               FROM allq GROUP BY 1, 2 ORDER BY media_id""")),
 
+    // ---- perceptual image dedup over REAL decodes (the q139
+    // generated-blob discipline): six PNGs — three column-band
+    // structures × two brightness levels — round-trip scratch parquet,
+    // decode through javax.imageio, and hash with the 64-bit
+    // average-hash (Multimodal.aHashBits: bit = cell mean luma above
+    // the image mean, exact integer cross-multiplication). The
+    // brightness-shifted re-encode of each structure must collide at
+    // hamming 0 (aHash's invariance class — the mean shifts with the
+    // cells) while distinct structures sit at hamming 32, so the ≤8
+    // gate keeps EXACTLY the three re-encode pairs. The oracle
+    // recomputes the hashes from the pattern constants in literal SQL
+    // (uniform rows ⇒ bit(cx) ⟺ 8·g(cx) > Σg, repeated 8 rows) — a
+    // hash mismatch means the real decoder or the hash changed. Pair
+    // generation here is the tiny all-pairs audit; the corpus-scale
+    // path is banding on a 16-char hash substring (q153/q37 shape).
+    GraftQuery(
+      "q307_image_ahash_dedup",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val profiles = Seq(
+          Seq(10, 90, 10, 90, 10, 90, 10, 90),
+          Seq(10, 10, 90, 90, 10, 10, 90, 90),
+          Seq(10, 10, 10, 10, 90, 90, 90, 90))
+        val pngs = (0 until 6).map { m =>
+          val img = new java.awt.image.BufferedImage(16, 16,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until 16; x <- 0 until 16) {
+            val g = profiles(m % 3)(x / 2) + 5 * (m / 3)
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val b = bos.toByteArray
+          Multimodal.MediaRow(101L + m, "image", b, "image/png", b.length.toLong)
+        }
+        val scratch = Scratch.dir("q307", d)
+        pngs.toDS().write.mode("overwrite").parquet(scratch)
+        val hashes = s.read.parquet(scratch).as[Multimodal.MediaRow]
+          .map(r => (r.media_id, Multimodal.aHashBits(r.content).getOrElse("")))
+          .toDF("media_id", "ahash")
+        hashes.select(col("media_id").as("a"), col("ahash").as("h1"))
+          .crossJoin(hashes.select(col("media_id").as("b"), col("ahash").as("h2")))
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"),
+            expr("CAST(size(filter(sequence(1, 64), " +
+              "i -> substring(h1, i, 1) != substring(h2, i, 1))) AS BIGINT)")
+              .as("hamming"))
+          .filter(col("hamming") <= 8)
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH prof AS (SELECT * FROM (VALUES
+                     (0, [10,90,10,90,10,90,10,90]),
+                     (1, [10,10,90,90,10,10,90,90]),
+                     (2, [10,10,10,10,90,90,90,90])) p(s, pr)),
+              imgs AS (SELECT 101 + m AS media_id, CAST(m % 3 AS INTEGER) AS s,
+                              (m // 3) * 5 AS bshift
+                       FROM range(0, 6) t(m)),
+              cells AS (SELECT media_id, cx, pr[CAST(cx AS INTEGER) + 1] + bshift AS g
+                        FROM imgs JOIN prof USING (s) CROSS JOIN range(0, 8) t2(cx)),
+              stats AS (SELECT media_id, CAST(sum(g) AS BIGINT) AS sg
+                        FROM cells GROUP BY 1),
+              rowbits AS (SELECT c.media_id,
+                                 string_agg(CASE WHEN 8 * g > sg THEN '1' ELSE '0' END,
+                                            '' ORDER BY cx) AS rb
+                          FROM cells c JOIN stats USING (media_id) GROUP BY 1),
+              hashes AS (SELECT media_id, repeat(rb, 8) AS ahash FROM rowbits)
+              SELECT a, b, hamming FROM
+                (SELECT x.media_id AS a, y.media_id AS b,
+                        CAST(len(list_filter(range(1, 65),
+                          i -> x.ahash[CAST(i AS INTEGER)] != y.ahash[CAST(i AS INTEGER)]))
+                          AS BIGINT) AS hamming
+                 FROM hashes x JOIN hashes y ON x.media_id < y.media_id)
+              WHERE hamming <= 8 ORDER BY a, b""")),
+
     // ---- model-based quality filter (graft.pipelines.QualityClassifier
     // — the fastText/LR distillation stage; scale shape there). Raw
     // probabilities are float model output, so the driver row is the

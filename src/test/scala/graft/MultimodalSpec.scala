@@ -159,6 +159,32 @@ class MultimodalSpec extends SparkSpec {
     assert(m8.toSeq == Seq(0f, 0f, 0.5f, 0.5f), m8.toSeq.toString)
   }
 
+  test("aHashBits: brightness-invariant, structure-sensitive, corrupt -> None") {
+    // non-multiple-of-8 dims (10x12) exercise the uneven-cell
+    // cross-multiplication path; +40 brightness must not flip a bit
+    // (cell and global means shift together); flipping the structure
+    // (left-dark vs top-dark) must
+    def grad(wd: Int, ht: Int, shift: Int, vertical: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(wd, ht,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until ht; x <- 0 until wd) {
+        val g = (if (vertical) { if (x < wd / 2) 20 else 180 }
+                 else { if (y < ht / 2) 20 else 180 }) + shift
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val base = Multimodal.aHashBits(grad(10, 12, 0, vertical = true)).get
+    assert(base.length == 64 && base.count(_ == '1') == 32) // half dark/half bright
+    assert(Multimodal.aHashBits(grad(10, 12, 40, vertical = true)).get == base)
+    val horiz = Multimodal.aHashBits(grad(10, 12, 0, vertical = false)).get
+    assert(base != horiz)
+    assert(Multimodal.aHashBits(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.aHashBits(grad(4, 4, 0, vertical = true)).isEmpty) // < 8px
+  }
+
   test("subsample keeps every Nth byte") {
     val sub = Multimodal.subsample(media, everyN = 4).collect()
     val orig = media.collect().map(r => r.media_id -> r.content).toMap
