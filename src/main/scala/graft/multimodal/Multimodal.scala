@@ -244,6 +244,79 @@ object Multimodal {
     finally ais.close()
   }
 
+  /** Volume-invariant audio fingerprint: bit i says whether the mean
+    * absolute amplitude RISES from temporal band i to band i+1
+    * (`bands`−1 chars, '0'/'1') — the classic energy-delta fingerprint
+    * (Shazam-family intuition at its smallest): re-encodes and volume
+    * changes scale every band's energy by the same factor, so the
+    * delta SIGNS — and the fingerprint — survive, while different
+    * material orders its energy differently. Decode mirrors
+    * [[decodeAudio]] (integer PCM via javax.sound, channels summed),
+    * but accumulation stays in exact INTEGER sample units and each
+    * comparison is a cross-multiplication
+    * (sum(i+1)·cnt(i) > sum(i)·cnt(i+1), in BigInt — corpus-length
+    * audio overflows a long product), so the oracle can restate the
+    * bits exactly from generated-signal constants. None on
+    * non-PCM/corrupt payloads (the [[decodeImage]] degrade contract).
+    * Corpus-scale pairing: substring-band buckets, as [[aHashBits]]. */
+  def audioFingerprint(content: Array[Byte], bands: Int = 16): Option[String] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    require(bands >= 2, s"need at least 2 bands, got $bands")
+    val ais =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (ais == null) return None
+    try {
+      val fmt = ais.getFormat
+      val bits = fmt.getSampleSizeInBits
+      val ch = fmt.getChannels
+      val signed = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+      if (!(signed || unsigned) || (bits != 8 && bits != 16) || ch < 1) return None
+      val bytes = ais.readAllBytes()
+      val bytesPerSample = bits / 8
+      val frameBytes = bytesPerSample * ch
+      val nFrames = bytes.length / frameBytes
+      if (nFrames < bands) return None
+      val sums = new Array[Long](bands)
+      val counts = new Array[Long](bands)
+      var i = 0
+      while (i < nFrames) {
+        val band = math.min((i.toLong * bands / nFrames).toInt, bands - 1)
+        var c = 0
+        var acc = 0L
+        while (c < ch) {
+          val off = i * frameBytes + c * bytesPerSample
+          val v =
+            if (bits == 8) {
+              if (signed) bytes(off).toInt
+              else (bytes(off) & 0xff) - 128
+            } else {
+              val s16 =
+                if (fmt.isBigEndian) ((bytes(off) << 8) | (bytes(off + 1) & 0xff)).toShort
+                else ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+              if (unsigned) ((s16 & 0xffff) - 32768) else s16.toInt
+            }
+          acc += math.abs(v.toLong)
+          c += 1
+        }
+        sums(band) += acc
+        counts(band) += 1
+        i += 1
+      }
+      val sb = new StringBuilder(bands - 1)
+      var j = 0
+      while (j < bands - 1) {
+        sb.append(
+          if (BigInt(sums(j + 1)) * counts(j) > BigInt(sums(j)) * counts(j + 1)) '1'
+          else '0')
+        j += 1
+      }
+      Some(sb.toString)
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally ais.close()
+  }
+
   /** Content-type dispatch: a real decoder where the JVM has a codec
     * (every image-prefixed type javax.imageio can sniff: PNG, JPEG,
     * GIF, BMP — and every PCM audio container javax.sound reads: WAV,

@@ -1145,6 +1145,81 @@ object MLQueries {
                  FROM hashes x JOIN hashes y ON x.media_id < y.media_id)
               WHERE hamming <= 8 ORDER BY a, b""")),
 
+    // ---- audio-fingerprint dedup over REAL decodes — q307's twin for
+    // the audio modality: six WAVs (three band-energy profiles × two
+    // volumes) through javax.sound, fingerprinted by
+    // Multimodal.audioFingerprint (bit i = band i+1's mean |amplitude|
+    // above band i's, exact integer cross-multiplication). The ×2
+    // volume re-encode scales every band's energy equally, so its
+    // fingerprint is IDENTICAL (hamming 0) while different profiles
+    // order their energy differently — the ≤2 gate keeps exactly the
+    // three volume pairs. The oracle restates the delta signs straight
+    // from the amplitude-profile literals (volume never enters — that
+    // IS the invariance); a mismatch means the PCM decoder or the
+    // fingerprint changed.
+    GraftQuery(
+      "q308_audio_fingerprint_dedup",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val profiles = Seq(
+          Seq(1, 2, 1, 2, 1, 2, 1, 2, 1, 2, 1, 2, 1, 2, 1, 2),
+          Seq(1, 1, 2, 2, 1, 1, 2, 2, 1, 1, 2, 2, 1, 1, 2, 2),
+          Seq(3, 1, 2, 3, 3, 1, 2, 3, 3, 1, 2, 3, 3, 1, 2, 3))
+        val wavs = (0 until 6).map { m =>
+          val nFrames = 512 // 32 frames per temporal band
+          val vol = 1 + m / 3
+          val pcm = new Array[Byte](nFrames * 2)
+          for (i <- 0 until nFrames) {
+            val a = profiles(m % 3)(i * 16 / nFrames) * 1024 * vol
+            val v = (if (i % 2 == 0) a else -a).toShort
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          val b = bos.toByteArray
+          Multimodal.MediaRow(301L + m, "audio", b, "audio/x-wav", b.length.toLong)
+        }
+        val scratch = Scratch.dir("q308", d)
+        wavs.toDS().write.mode("overwrite").parquet(scratch)
+        val fps = s.read.parquet(scratch).as[Multimodal.MediaRow]
+          .map(r => (r.media_id, Multimodal.audioFingerprint(r.content).getOrElse("")))
+          .toDF("media_id", "fp")
+        fps.select(col("media_id").as("a"), col("fp").as("f1"))
+          .crossJoin(fps.select(col("media_id").as("b"), col("fp").as("f2")))
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"),
+            expr("CAST(size(filter(sequence(1, 15), " +
+              "i -> substring(f1, i, 1) != substring(f2, i, 1))) AS BIGINT)")
+              .as("hamming"))
+          .filter(col("hamming") <= 2)
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH prof AS (SELECT * FROM (VALUES
+                     (0, [1,2,1,2,1,2,1,2,1,2,1,2,1,2,1,2]),
+                     (1, [1,1,2,2,1,1,2,2,1,1,2,2,1,1,2,2]),
+                     (2, [3,1,2,3,3,1,2,3,3,1,2,3,3,1,2,3])) p(s, pr)),
+              snds AS (SELECT 301 + m AS media_id, CAST(m % 3 AS INTEGER) AS s
+                       FROM range(0, 6) t(m)),
+              fps AS (SELECT media_id,
+                             string_agg(CASE WHEN pr[CAST(i AS INTEGER) + 2]
+                                                  > pr[CAST(i AS INTEGER) + 1]
+                                             THEN '1' ELSE '0' END, '' ORDER BY i) AS fp
+                      FROM snds JOIN prof USING (s) CROSS JOIN range(0, 15) t2(i)
+                      GROUP BY 1)
+              SELECT a, b, hamming FROM
+                (SELECT x.media_id AS a, y.media_id AS b,
+                        CAST(len(list_filter(range(1, 16),
+                          i -> x.fp[CAST(i AS INTEGER)] != y.fp[CAST(i AS INTEGER)]))
+                          AS BIGINT) AS hamming
+                 FROM fps x JOIN fps y ON x.media_id < y.media_id)
+              WHERE hamming <= 2 ORDER BY a, b""")),
+
     // ---- model-based quality filter (graft.pipelines.QualityClassifier
     // — the fastText/LR distillation stage; scale shape there). Raw
     // probabilities are float model output, so the driver row is the

@@ -185,6 +185,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.aHashBits(grad(4, 4, 0, vertical = true)).isEmpty) // < 8px
   }
 
+  test("audioFingerprint: volume-invariant, material-sensitive, corrupt -> None") {
+    def wav(amps: Seq[Int], vol: Int): Array[Byte] = {
+      val nFrames = amps.length * 32
+      val pcm = new Array[Byte](nFrames * 2)
+      for (i <- 0 until nFrames) {
+        val a = amps(i * amps.length / nFrames) * 512 * vol
+        val v = (if (i % 2 == 0) a else -a).toShort
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rising = Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+    val fp = Multimodal.audioFingerprint(wav(rising, 1)).get
+    assert(fp == "1" * 15) // monotone energy -> every delta rises
+    assert(Multimodal.audioFingerprint(wav(rising, 3)).get == fp) // volume x3
+    val falling = rising.reverse
+    assert(Multimodal.audioFingerprint(wav(falling, 1)).get == "0" * 15)
+    assert(Multimodal.audioFingerprint(Array[Byte](9, 9, 9)).isEmpty)
+  }
+
   test("subsample keeps every Nth byte") {
     val sub = Multimodal.subsample(media, everyN = 4).collect()
     val orig = media.collect().map(r => r.media_id -> r.content).toMap
