@@ -1010,6 +1010,49 @@ object DedupQueries {
                  UNION
                  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node)
                SELECT node AS id, min(r) AS component FROM reach
-               GROUP BY node ORDER BY id"""))
+               GROUP BY node ORDER BY id""")),
+
+    // ---- dup-cluster size distribution — the standing monitor for
+    // the exact adversary the r18 100× rehearsal hit: a viral template
+    // (one document re-posted with edits N times) shows up here as
+    // mass migrating into large group sizes LONG before it breaks an
+    // LSH operating point (candidate volume within a cluster is
+    // quadratic in its size — the q36 broadcast abort was a 100-copy
+    // cluster). One aggregate over q298's component frame: (size,
+    // n_groups, n_docs), all exact longs; the reader watches
+    // max(group_size) and the doc mass above a size threshold. At
+    // 100 TB this is pairs-sized input, |distinct sizes| output.
+    GraftQuery(
+      "q309_dup_cluster_histogram",
+      (s, d) => Dedup.connectedComponents(
+          Dedup.lshCandidates(
+            Dedup.minhashSignatures(docShingles(s, d), K), BandRows))
+        .groupBy(col("component")).agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(count(lit(1)).as("n_groups"))
+        .select(col("group_size"), col("n_groups"),
+          (col("group_size") * col("n_groups")).as("n_docs"))
+        .orderBy(col("group_size")),
+      Some(s"""WITH RECURSIVE $shinglesSql,
+               hx AS (SELECT doc_id, ${Portable.p60Sql("s")} % $P AS hx FROM sh),
+               sig AS (SELECT doc_id, i, min((CAST(2*i+3 AS BIGINT) * hx + CAST(5*i+7 AS BIGINT)) % $P) AS m
+                       FROM hx, range(0, $K) t(i) GROUP BY doc_id, i),
+               band AS (SELECT doc_id, CAST(i // $BandRows AS INTEGER) AS b,
+                               string_agg(CAST(m AS VARCHAR), ':' ORDER BY i) AS v
+                        FROM sig GROUP BY 1, 2),
+               cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                        FROM band a JOIN band b ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id),
+               edges AS (SELECT d1 AS a, d2 AS b FROM cand
+                         UNION ALL SELECT d2, d1 FROM cand),
+               reach(node, r) AS (
+                 SELECT DISTINCT a, a FROM edges
+                 UNION
+                 SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+               comp AS (SELECT node AS id, min(r) AS component FROM reach
+                        GROUP BY node),
+               sz AS (SELECT component, CAST(count(*) AS BIGINT) AS group_size
+                      FROM comp GROUP BY 1)
+               SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups,
+                      CAST(group_size * count(*) AS BIGINT) AS n_docs
+               FROM sz GROUP BY group_size ORDER BY group_size"""))
   )
 }
