@@ -463,6 +463,32 @@ class StreamingSpec extends SparkSpec {
     assert(got(4L) == 1L && got(10L) == 10L)
   }
 
+  test("componentsBatch: kill + restart from checkpoint == one-shot components") {
+    // recovery symmetry with the other two maintenance bodies: edges
+    // land in batch 1, the query dies, a cross-batch merging edge
+    // arrives during downtime, a new incarnation resumes — the state
+    // must equal the one-shot closure with nothing refolded
+    val src = java.nio.file.Files.createTempDirectory("ccr_src").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("ccr_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ccr_ckpt").toString
+    def start() = spark.readStream.schema("d1 LONG, d2 LONG").parquet(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(EventStreams.componentsBatch(stateDir) _)
+      .start()
+    val wave1 = Seq((1L, 2L), (5L, 6L))
+    val wave2 = Seq((3L, 4L), (2L, 3L)) // (2,3) merges across the restart
+    wave1.toDF("d1", "d2").write.mode("append").parquet(src)
+    val q1 = start(); try q1.processAllAvailable() finally q1.stop()
+    wave2.toDF("d1", "d2").write.mode("append").parquet(src)
+    val q2 = start(); try q2.processAllAvailable() finally q2.stop()
+    val got = EventStreams.incrementalViewState(spark, stateDir).get
+      .as[(Long, Long)].collect().toMap
+    val oneShot = graft.ops.Dedup.connectedComponents(
+      (wave1 ++ wave2).toDF("d1", "d2")).as[(Long, Long)].collect().toMap
+    assert(got == oneShot)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("incrementalJoinViewBatch: kill + restart from checkpoint == full recompute") {
     // same recovery contract for the versioned-state view: batch 0
     // lands, the query dies, the remaining facts arrive during
