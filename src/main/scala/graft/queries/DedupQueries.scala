@@ -1053,6 +1053,97 @@ object DedupQueries {
                       FROM comp GROUP BY 1)
                SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups,
                       CAST(group_size * count(*) AS BIGINT) AS n_docs
-               FROM sz GROUP BY group_size ORDER BY group_size"""))
+               FROM sz GROUP BY group_size ORDER BY group_size""")),
+
+    // ---- group-aware train/val/test split — the leakage rule naive
+    // per-document splitting breaks: a near-dup GROUP must land whole
+    // in one split, or the test set contains paraphrases of training
+    // documents and every eval number is inflated. Split key = the
+    // component label (singletons: the doc itself), hashed 80/10/10;
+    // every member inherits its group's split. The row carries BOTH
+    // invariants: leaky_groups_grouped = 0 (groups never straddle — by
+    // construction, and the counterfactual next to it proves the check
+    // isn't vacuous) and leaky_groups_naive = what per-doc hashing
+    // would have leaked (7/11/99 groups at sf0.001/0.01/0.1). Scale:
+    // the components are q298's candidate-bounded frame; the split
+    // assignment is a map-side hash on the joined label; the leak
+    // audits are |groups|-sized aggregates.
+    GraftQuery(
+      "q310_group_aware_split",
+      (s, d) => {
+        val comps = Dedup.connectedComponents(
+          Dedup.lshCandidates(
+            Dedup.minhashSignatures(docShingles(s, d), K), BandRows))
+        def splitOf(key: org.apache.spark.sql.Column) = {
+          val h = Portable.p60(concat(key.cast("string"), lit(":split"))) % 100
+          when(h < 80, "train").when(h < 90, "val").otherwise("test")
+        }
+        val assigned = t(s, d, "documents")
+          .select(col("doc_id"), size(Portable.tokens(col("text"))).cast("long").as("ntok"))
+          .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .withColumn("component", coalesce(col("component"), col("doc_id")))
+          .withColumn("split", splitOf(col("component")))
+          .withColumn("naive_split", splitOf(col("doc_id")))
+        val core = assigned.agg(
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("train_docs"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("val_docs"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("test_docs"),
+          sum(when(col("split") === "train", col("ntok")).otherwise(0L)).as("train_tokens"),
+          sum(when(col("split") === "val", col("ntok")).otherwise(0L)).as("val_tokens"),
+          sum(when(col("split") === "test", col("ntok")).otherwise(0L)).as("test_tokens"),
+          countDistinct(col("component")).as("n_groups"))
+        def leaky(splitCol: String, as: String) = assigned
+          .groupBy(col("component"))
+          .agg(countDistinct(col(splitCol)).as("ns"))
+          .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as(as))
+        core
+          .crossJoin(broadcast(leaky("split", "leaky_groups_grouped")))
+          .crossJoin(broadcast(leaky("naive_split", "leaky_groups_naive")))
+      },
+      Some(s"""WITH RECURSIVE $shinglesSql,
+               hx AS (SELECT doc_id, ${Portable.p60Sql("s")} % $P AS hx FROM sh),
+               sig AS (SELECT doc_id, i, min((CAST(2*i+3 AS BIGINT) * hx + CAST(5*i+7 AS BIGINT)) % $P) AS m
+                       FROM hx, range(0, $K) t(i) GROUP BY doc_id, i),
+               band AS (SELECT doc_id, CAST(i // $BandRows AS INTEGER) AS b,
+                               string_agg(CAST(m AS VARCHAR), ':' ORDER BY i) AS v
+                        FROM sig GROUP BY 1, 2),
+               cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                        FROM band a JOIN band b ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id),
+               edges AS (SELECT d1 AS a, d2 AS b FROM cand
+                         UNION ALL SELECT d2, d1 FROM cand),
+               reach(node, r) AS (
+                 SELECT DISTINCT a, a FROM edges
+                 UNION
+                 SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+               comp AS (SELECT node AS id, min(r) AS component FROM reach
+                        GROUP BY node),
+               lab AS (SELECT d.doc_id,
+                              CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS ntok,
+                              coalesce(c.component, d.doc_id) AS component
+                       FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+               asg AS (SELECT doc_id, ntok, component,
+                         CASE WHEN ${Portable.p60Sql("CAST(component AS VARCHAR) || ':split'")} % 100 < 80 THEN 'train'
+                              WHEN ${Portable.p60Sql("CAST(component AS VARCHAR) || ':split'")} % 100 < 90 THEN 'val'
+                              ELSE 'test' END AS split,
+                         CASE WHEN ${Portable.p60Sql("CAST(doc_id AS VARCHAR) || ':split'")} % 100 < 80 THEN 'train'
+                              WHEN ${Portable.p60Sql("CAST(doc_id AS VARCHAR) || ':split'")} % 100 < 90 THEN 'val'
+                              ELSE 'test' END AS naive_split
+                       FROM lab),
+               core AS (SELECT
+                   CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS train_docs,
+                   CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS val_docs,
+                   CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS test_docs,
+                   CAST(sum(CASE WHEN split = 'train' THEN ntok ELSE 0 END) AS BIGINT) AS train_tokens,
+                   CAST(sum(CASE WHEN split = 'val' THEN ntok ELSE 0 END) AS BIGINT) AS val_tokens,
+                   CAST(sum(CASE WHEN split = 'test' THEN ntok ELSE 0 END) AS BIGINT) AS test_tokens,
+                   CAST(count(DISTINCT component) AS BIGINT) AS n_groups
+                 FROM asg),
+               lg AS (SELECT CAST(count(*) AS BIGINT) AS leaky_groups_grouped FROM
+                        (SELECT component FROM asg GROUP BY component
+                         HAVING count(DISTINCT split) > 1)),
+               ln AS (SELECT CAST(count(*) AS BIGINT) AS leaky_groups_naive FROM
+                        (SELECT component FROM asg GROUP BY component
+                         HAVING count(DISTINCT naive_split) > 1))
+               SELECT * FROM core, lg, ln"""))
   )
 }
