@@ -227,7 +227,9 @@ object MLQueries {
                 FROM wn q JOIN wn o ON q.item = o.item AND q.user_id <> o.user_id
                 WHERE q.user_id < 30 GROUP BY 1, 2)"""
 
-  val all: Seq[GraftQuery] = Seq(
+  // lazy so `rankCompare` (and its RboK constant, both declared below
+  // for file locality) are fully initialized before concatenation
+  lazy val all: Seq[GraftQuery] = rankCompare ++ Seq(
 
     // ---- W1 as sparse relational TF-IDF cosine (the scale path;
     // oracle-checked — this pins the IDF closed form and the reference's
@@ -3785,6 +3787,267 @@ object MLQueries {
                           ELSE 'tie' END AS better,
                      COALESCE(chi2 > CAST(3.841459 AS DOUBLE), false)
                        AS significant
-              FROM e"""))
+              FROM e""")),
+
+    // ---- Bradley–Terry preference strengths — the batch MLE behind
+    // preference-data pipelines (RLHF reward modeling aggregates
+    // pairwise "A beats B" judgments into per-item strengths; Elo is
+    // the sequential-global cousin that CANNOT distribute, BT is the
+    // order-free batch face that can). Comparisons are derived
+    // deterministically from events: per user, consecutive events
+    // (ts, event_id order) of DIFFERENT types form a game, winner =
+    // larger value, ties to the lexicographically smaller type. Wins
+    // and games are exact longs over a |types|²-bounded matrix; the
+    // strengths are 25 rounds of the Hunter (2004) MM update
+    // p_i ← w_i / Σ_j N_ij/(p_i+p_j), run as ONE vector-state
+    // expression fold on a single bounded-width row (the q280
+    // convention, extended from a scalar recurrence to a |types|-
+    // vector): both engines replay the identical IEEE sequence —
+    // opponents fold in (a,b) order, items update synchronously from
+    // the previous round's vector, Z folds in item order. The oracle
+    // replays the rounds as a RECURSIVE CTE carrying the vector as a
+    // list (fresh row per round — the q280 oracle note's aliasing-safe
+    // form). Precondition: every item plays ≥1 game (holds by
+    // construction — a type with no inter-type adjacency anywhere in
+    // the corpus would drop from the output). Scale: the only
+    // data-sized work is the q176 lead-window shape (one shuffle on
+    // user_id); the MM iteration touches |types|+|types|² values.
+    GraftQuery(
+      "q312_bradley_terry",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val nx = t(s, d, "events").filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type").as("et"), col("value"))
+          .withColumn("net", lead(col("et"), 1).over(w))
+          .withColumn("nv", lead(col("value"), 1).over(w))
+          .filter(col("net").isNotNull && col("et") =!= col("net"))
+        val wins = nx.select(
+            when(col("value") > col("nv"), col("et"))
+              .when(col("nv") > col("value"), col("net"))
+              .otherwise(least(col("et"), col("net"))).as("winner"),
+            when(col("value") > col("nv"), col("net"))
+              .when(col("nv") > col("value"), col("et"))
+              .otherwise(greatest(col("et"), col("net"))).as("loser"))
+          .groupBy(col("winner"), col("loser"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true) // ≤ |types|² rows; read 3 ways below
+        val games = wins.select(col("winner").as("ga"),
+            col("loser").as("gb"), col("n"))
+          .unionByName(wins.select(col("loser").as("ga"),
+            col("winner").as("gb"), col("n")))
+          .groupBy(col("ga"), col("gb")).agg(sum(col("n")).as("g"))
+          .localCheckpoint(true) // directed pair matrix; read 2 ways
+        val per = games.groupBy(col("ga").as("item"))
+          .agg(sum(col("g")).as("games"))
+          .join(wins.groupBy(col("winner").as("item"))
+            .agg(sum(col("n")).as("wins")), Seq("item"), "left")
+          .na.fill(0L, Seq("wins"))
+          .localCheckpoint(true) // |types| rows; folded + joined below
+        val strengths = per
+          .agg(array_sort(collect_list(struct(col("item"),
+            col("wins").cast("double").as("w")))).as("st0"))
+          .crossJoin(games.agg(array_sort(collect_list(struct(
+            col("ga").as("a"), col("gb").as("b"),
+            col("g").cast("double").as("n")))).as("gm")))
+          .select(expr(
+            """aggregate(sequence(1, 25),
+              |transform(st0, e -> named_struct(
+              |  'item', e.item, 'w', e.w, 'p', cast(1.0 as double))),
+              |(st, i) -> transform(st, e -> named_struct(
+              |  'item', e.item, 'w', e.w,
+              |  'p', e.w / aggregate(
+              |    transform(filter(gm, g -> g.a = e.item),
+              |      g -> g.n / (e.p +
+              |        element_at(filter(st, x -> x.item = g.b), 1).p)),
+              |    cast(0.0 as double), (acc, x) -> acc + x))))"""
+              .stripMargin).as("st"))
+          .select(col("st"), expr(
+            """aggregate(transform(st, e -> e.p),
+              |cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
+            .as("z"))
+          .select(explode(col("st")).as("u"), col("z"))
+          .select(col("u.item").as("item"),
+            round(col("u.p") / col("z"), 6).as("strength"))
+        per.join(strengths, "item")
+          .select(col("item").as("event_type"), col("wins"), col("games"),
+            col("strength"))
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("strength").desc, col("event_type")))
+            .cast("long")) // |types| rows: the single-task window is bounded
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH RECURSIVE
+              ev AS (SELECT user_id, event_id, ts, event_type AS et, value
+                     FROM events WHERE user_id IS NOT NULL),
+              nx AS (SELECT et, value,
+                       lead(et) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS net,
+                       lead(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS nv
+                     FROM ev),
+              wins AS (SELECT CASE WHEN value > nv THEN et
+                                   WHEN nv > value THEN net
+                                   ELSE least(et, net) END AS winner,
+                              CASE WHEN value > nv THEN net
+                                   WHEN nv > value THEN et
+                                   ELSE greatest(et, net) END AS loser,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM (SELECT * FROM nx
+                             WHERE net IS NOT NULL AND et <> net)
+                       GROUP BY 1, 2),
+              games AS (SELECT ga, gb, CAST(sum(n) AS BIGINT) AS g
+                        FROM (SELECT winner AS ga, loser AS gb, n FROM wins
+                              UNION ALL
+                              SELECT loser, winner, n FROM wins)
+                        GROUP BY 1, 2),
+              per AS (SELECT gg.item, gg.games,
+                             COALESCE(ww.wins, CAST(0 AS BIGINT)) AS wins
+                      FROM (SELECT ga AS item, CAST(sum(g) AS BIGINT)
+                              AS games FROM games GROUP BY 1) gg
+                      LEFT JOIN (SELECT winner AS item,
+                              CAST(sum(n) AS BIGINT) AS wins
+                            FROM wins GROUP BY 1) ww USING (item)),
+              st0 AS (SELECT list(struct_pack(item := item,
+                          w := CAST(wins AS DOUBLE),
+                          p := CAST(1.0 AS DOUBLE)) ORDER BY item) AS st
+                      FROM per),
+              gmt AS (SELECT list(struct_pack(a := ga, b := gb,
+                          n := CAST(g AS DOUBLE)) ORDER BY ga, gb) AS gm
+                      FROM games),
+              it(iter, st) AS (
+                SELECT 0, st FROM st0
+                UNION ALL
+                SELECT iter + 1,
+                  list_transform(st, e -> struct_pack(item := e.item,
+                    w := e.w,
+                    p := e.w / list_reduce(
+                      list_transform(list_filter(gmt.gm, g -> g.a = e.item),
+                        g -> g.n / (e.p +
+                          list_filter(st, x -> x.item = g.b)[1].p)),
+                      (acc, x) -> acc + x)))
+                FROM it CROSS JOIN gmt WHERE iter < 25),
+              fin AS (SELECT st, list_reduce(list_transform(st, e -> e.p),
+                        (acc, x) -> acc + x) AS z
+                      FROM it WHERE iter = 25),
+              outp AS (SELECT u.item AS item, round(u.p / z, 6) AS strength
+                       FROM fin, unnest(st) AS t(u))
+              SELECT p.item AS event_type, p.wins, p.games, o.strength,
+                     row_number() OVER (ORDER BY o.strength DESC, p.item)
+                       AS rnk
+              FROM per p JOIN outp o USING (item)
+              ORDER BY event_type"""))
+  )
+
+  /** RBO truncation depth and persistence (q315). */
+  private val RboK = 50
+
+  // lazy: declared below `all`, which concatenates it at object init
+  lazy val rankCompare: Seq[GraftQuery] = Seq(
+    // ---- rank-biased overlap between two rankers — the "did the new
+    // ranker change what users actually SEE" eval that q216's
+    // truth-based metrics can't ask (they need relevance labels; RBO
+    // compares two RANKINGS directly, top-weighted so disagreement at
+    // rank 2 matters more than at rank 49). Rankers: part revenue
+    // computed on the two l_orderkey-parity halves of lineitem — two
+    // estimates of the same ranking from disjoint data, so RBO here
+    // doubles as a ranking-stability probe. Determinism: per-row
+    // floor-cents (one identical IEEE chain), exact-long revenue sums,
+    // rank order (cents DESC, pk ASC) total; the prefix-weight series
+    // (1−p)·Σ p^(d−1)·|A_d∩B_d|/d folds in depth order with exact-long
+    // overlap counts (power() cross-engine exposure is 1-ulp under the
+    // 6dp round, the ln/exp precedent). Scale: the only corpus-sized
+    // work is one (half, part) exact aggregate; top-50 is the
+    // skew-immune GroupTopK aggregator (map-side k-bounded, no
+    // parts-domain window sort); everything after runs on ≤ k² rows.
+    GraftQuery(
+      "q315_rbo",
+      (s, d) => {
+        import s.implicits._
+        val cents = t(s, d, "lineitem")
+          .select(pmod(col("l_orderkey"), lit(2)).as("h"),
+            col("l_partkey").as("pk"),
+            floor((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              * 100).cast("long").as("c"))
+          .groupBy(col("h"), col("pk")).agg(sum(col("c")).as("cents"))
+        implicit val tieAsc: Ordering[Long] = Ordering.Long.reverse
+        val top = cents.as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          // cents < 2^53 by orders of magnitude: the double is exact
+          .mapValues(r => (r._3.toDouble, r._2))
+          .agg(new graft.ops.GroupTopK[Long](RboK).toColumn.name("top"))
+          .flatMap { case (h, tp) =>
+            tp.iterator.zipWithIndex.map { case ((_, pk), i) =>
+              (h, pk, (i + 1).toLong) }
+          }
+          .toDF("h", "pk", "rk")
+          .localCheckpoint(true) // ≤ 2k rows; read 3 ways below
+        val a = top.filter(col("h") === 0)
+          .select(col("pk"), col("rk").as("ra"))
+        val b = top.filter(col("h") === 1)
+          .select(col("pk"), col("rk").as("rb"))
+        val mx = a.join(b, "pk")
+          .select(greatest(col("ra"), col("rb")).as("mx"))
+          .localCheckpoint(true) // ≤ k rows
+        // x_d = |A_d ∩ B_d| per depth: a k×overlap bounded expansion
+        val xd = s.range(1, RboK + 1).toDF("dd")
+          .join(broadcast(mx), col("mx") <= col("dd"), "left")
+          .groupBy(col("dd")).agg(count(col("mx")).as("x"))
+        val fold = xd
+          .agg(array_sort(collect_list(struct(col("dd"), col("x"))))
+            .as("xs"))
+          .select(expr(
+            """aggregate(
+              |transform(xs, e -> power(0.9, cast(e.dd - 1 as double))
+              |  * (cast(e.x as double) / cast(e.dd as double))),
+              |cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
+            .as("sm"),
+            element_at(col("xs"), RboK).getField("x").as("xk"))
+        top.groupBy()
+          .agg(sum(when(col("h") === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("h") === 1, 1L).otherwise(0L)).as("n_b"))
+          .crossJoin(broadcast(mx.agg(count(lit(1)).as("n_common"))))
+          .crossJoin(broadcast(fold))
+          .select(col("n_a"), col("n_b"), col("n_common"),
+            round(col("xk").cast("double") / lit(RboK.toDouble), 6)
+              .as("agree_at_k"),
+            round(lit(0.1) * col("sm"), 6).as("rbo"))
+      },
+      Some(s"""WITH cents AS (SELECT l_orderkey % 2 AS h, l_partkey AS pk,
+                     CAST(sum(CAST(floor((l_extendedprice
+                         * (1.0 - l_discount)) * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+                   FROM lineitem GROUP BY 1, 2),
+              rk AS (SELECT h, pk, row_number() OVER (PARTITION BY h
+                       ORDER BY cents DESC, pk) AS rk
+                     FROM cents),
+              tp AS (SELECT h, pk, rk FROM rk WHERE rk <= $RboK),
+              a AS (SELECT pk, rk AS ra FROM tp WHERE h = 0),
+              b AS (SELECT pk, rk AS rb FROM tp WHERE h = 1),
+              mx AS (SELECT greatest(ra, rb) AS mx FROM a JOIN b USING (pk)),
+              xd AS (SELECT dd, CAST(count(mx) AS BIGINT) AS x
+                     FROM generate_series(1, $RboK) g(dd)
+                     LEFT JOIN mx ON mx <= dd GROUP BY dd),
+              fold AS (SELECT list_reduce(
+                         list_transform(
+                           list(struct_pack(dd := dd, x := x) ORDER BY dd),
+                           e -> power(0.9, CAST(e.dd - 1 AS DOUBLE))
+                             * (CAST(e.x AS DOUBLE) / CAST(e.dd AS DOUBLE))),
+                         (acc, t) -> acc + t) AS sm,
+                       max(CASE WHEN dd = $RboK THEN x END) AS xk
+                       FROM xd),
+              sz AS (SELECT CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_a,
+                            CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_b
+                     FROM tp),
+              nc AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM mx)
+              SELECT sz.n_a, sz.n_b, nc.n_common,
+                     round(CAST(fold.xk AS DOUBLE)
+                       / CAST($RboK AS DOUBLE), 6) AS agree_at_k,
+                     round(CAST(0.1 AS DOUBLE) * fold.sm, 6) AS rbo
+              FROM sz CROSS JOIN nc CROSS JOIN fold"""))
   )
 }

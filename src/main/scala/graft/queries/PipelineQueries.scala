@@ -2523,6 +2523,241 @@ object PipelineQueries {
                            / CAST(tn - n AS DOUBLE)
                          - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE), 6)
                      END AS loo_delta
-              FROM g CROSS JOIN tot ORDER BY source"""))
+              FROM g CROSS JOIN tot ORDER BY source""")),
+
+    // ---- l-diversity audit — q294's k-anonymity checks classes are
+    // BIG enough; this checks the sensitive attribute inside each
+    // class is VARIED enough (a class of 10,000 docs all from one
+    // source still leaks membership the moment the adversary knows
+    // the class). Quasi-identifiers here are (lang, length-centile
+    // bucket); the sensitive attribute is `source`; l per class is an
+    // exact countDistinct, swept over the standard l thresholds from
+    // ONE class frame (the q294 no-rescan-per-threshold shape).
+    // min_l = 1 is the headline: single-source classes exist. Scale:
+    // one partial-aggregating pass to |classes| rows; the sweep is a
+    // conditional aggregate over that frame.
+    GraftQuery(
+      "q311_l_diversity",
+      (s, d) => {
+        val g = t(s, d, "documents")
+          .groupBy(col("lang"), expr("n_chars DIV 100").as("szb"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("source")).as("l"))
+          .localCheckpoint(true) // |classes| rows; swept 3 ways below
+        val tot = g.agg(sum(col("n")).as("total"),
+          count(lit(1)).as("n_classes"), min(col("l")).as("min_l"))
+        g.crossJoin(broadcast(tot))
+          .select(col("n"), col("l"), col("total"), col("n_classes"),
+            col("min_l"), explode(array(lit(2L), lit(3L), lit(5L))).as("lt"))
+          .groupBy(col("lt"))
+          .agg(max(col("n_classes")).as("n_classes"),
+            max(col("min_l")).as("min_l"),
+            sum(when(col("l") < col("lt"), 1L).otherwise(0L))
+              .as("n_violating_classes"),
+            sum(when(col("l") < col("lt"), col("n")).otherwise(0L))
+              .as("docs_at_risk"),
+            round(sum(when(col("l") < col("lt"), col("n")).otherwise(0L))
+              .cast("double") / max(col("total")).cast("double"), 6)
+              .as("risk_share"))
+          .orderBy(col("lt"))
+      },
+      Some("""WITH g AS (SELECT lang, n_chars // 100 AS szb,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(DISTINCT source) AS BIGINT) AS l
+                   FROM documents GROUP BY 1, 2),
+              tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                             CAST(count(*) AS BIGINT) AS n_classes,
+                             CAST(min(l) AS BIGINT) AS min_l FROM g),
+              sw AS (SELECT g.n, g.l, tot.total, tot.n_classes, tot.min_l,
+                            k.lt
+                     FROM g CROSS JOIN tot
+                     CROSS JOIN (SELECT unnest([2, 3, 5]) AS lt) k)
+              SELECT CAST(lt AS BIGINT) AS lt,
+                     max(n_classes) AS n_classes,
+                     max(min_l) AS min_l,
+                     CAST(sum(CASE WHEN l < lt THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violating_classes,
+                     CAST(sum(CASE WHEN l < lt THEN n ELSE 0 END) AS BIGINT)
+                       AS docs_at_risk,
+                     round(CAST(sum(CASE WHEN l < lt THEN n ELSE 0 END)
+                         AS DOUBLE) / CAST(max(total) AS DOUBLE), 6)
+                       AS risk_share
+              FROM sw GROUP BY lt ORDER BY lt""")),
+
+    // ---- one exponentiated-gradient mixture-reweight step — the
+    // DoReMi-shaped corpus-mixing move (Xie et al. 2023): upweight the
+    // sources whose tokens the current model finds SURPRISING. The
+    // "model" is the corpus's own global unigram distribution (the
+    // q133/q69 convention — self-contained, no external LM), per-source
+    // loss is mean cross-entropy of the source's tokens under it, and
+    // the update is w'_s ∝ w0_s·exp(η·loss_s) with uniform w0 and η=1.
+    // Determinism discipline: token counts are exact longs; each
+    // per-source cross-entropy is a DEFINED-ORDER fold over the
+    // (bounded-vocab) token list, and the normalizer Z folds the
+    // per-source terms in source order — both engines replay one IEEE
+    // sequence (the q291 JSD convention). Scale: one token scan to
+    // |sources|×|vocab| exact counts; everything after runs on frames
+    // bounded by the source and vocab domains.
+    GraftQuery(
+      "q313_mixture_reweight",
+      (s, d) => {
+        val st = t(s, d, "documents")
+          .select(col("source"),
+            explode(Portable.tokens(col("text"))).as("tk"))
+          .groupBy(col("source"), col("tk")).agg(count(lit(1)).as("c"))
+          .localCheckpoint(true) // |sources|x|vocab| rows; read 2 ways
+        val glob = st.groupBy(col("tk")).agg(sum(col("c")).as("ct"))
+        val tt = glob.agg(sum(col("ct")).as("tt"))
+        val per = st.join(glob, "tk").crossJoin(broadcast(tt))
+          .select(col("source"), col("tk"), col("c"),
+            (col("c").cast("double") *
+              -log(col("ct").cast("double") / col("tt").cast("double")))
+              .as("v"))
+          .groupBy(col("source"))
+          .agg(sum(col("c")).as("nt"),
+            array_sort(collect_list(struct(col("tk"), col("v")))).as("xs"))
+          .select(col("source"), col("nt"),
+            (expr("""aggregate(transform(xs, e -> e.v),
+                    |cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
+              / col("nt").cast("double")).as("loss"))
+        per.agg(array_sort(collect_list(
+            struct(col("source"), col("nt"), col("loss")))).as("ss"))
+          .crossJoin(broadcast(tt))
+          .select(col("tt"), col("ss"),
+            expr("""aggregate(
+                   |transform(ss, e -> exp(e.loss) / cast(size(ss) as double)),
+                   |cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
+              .as("z"),
+            size(col("ss")).cast("double").as("ns"))
+          .select(explode(col("ss")).as("u"), col("tt"), col("z"), col("ns"))
+          .select(col("u.source").as("source"), col("u.nt").as("n_tokens"),
+            round(col("u.nt").cast("double") / col("tt").cast("double"), 6)
+              .as("token_share"),
+            round(col("u.loss"), 6).as("xent_nats"),
+            round((exp(col("u.loss")) / col("ns")) / col("z"), 6)
+              .as("weight_new"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH tok AS (SELECT source,
+                     unnest(string_split_regex(trim(text), '\s+')) AS tk
+                   FROM documents),
+              st AS (SELECT source, tk, CAST(count(*) AS BIGINT) AS c
+                     FROM tok GROUP BY 1, 2),
+              gcnt AS (SELECT tk, CAST(sum(c) AS BIGINT) AS ct
+                       FROM st GROUP BY 1),
+              tt AS (SELECT CAST(sum(ct) AS BIGINT) AS tt FROM gcnt),
+              per AS (SELECT source, CAST(sum(c) AS BIGINT) AS nt,
+                        list_reduce(
+                          list_transform(
+                            list(struct_pack(tk := tk,
+                                v := CAST(c AS DOUBLE)
+                                  * -ln(CAST(ct AS DOUBLE)
+                                        / CAST(tt AS DOUBLE)))
+                              ORDER BY tk),
+                            e -> e.v),
+                          (acc, x) -> acc + x) AS ce
+                      FROM st JOIN gcnt USING (tk) CROSS JOIN tt
+                      GROUP BY source),
+              ss AS (SELECT list(struct_pack(source := source, nt := nt,
+                         loss := ce / CAST(nt AS DOUBLE)) ORDER BY source)
+                       AS ss
+                     FROM per),
+              zz AS (SELECT ss, CAST(len(ss) AS DOUBLE) AS ns,
+                       list_reduce(
+                         list_transform(ss,
+                           e -> exp(e.loss) / CAST(len(ss) AS DOUBLE)),
+                         (acc, x) -> acc + x) AS z
+                     FROM ss)
+              SELECT u.source AS source, u.nt AS n_tokens,
+                     round(CAST(u.nt AS DOUBLE) / CAST(tt AS DOUBLE), 6)
+                       AS token_share,
+                     round(u.loss, 6) AS xent_nats,
+                     round((exp(u.loss) / ns) / z, 6) AS weight_new
+              FROM zz CROSS JOIN tt, unnest(ss) AS t(u)
+              ORDER BY source""")),
+
+    // ---- cross-source quantile normalization — before mixing, map
+    // each document's quality score (n_chars here) onto the GLOBAL
+    // score distribution at the document's WITHIN-SOURCE percentile,
+    // so a single global keep-threshold treats a "good for src3" doc
+    // and a "good for src9" doc alike even when the sources' raw score
+    // scales differ (the batch-effect correction step of corpus
+    // mixing). Scale shape — no source-sized or corpus-sized row
+    // window anywhere: the within-source rank is per-(source, value)
+    // counts running-summed over the per-source VALUE domain (a
+    // |values|-bounded window) plus a tiebreak window bounded by one
+    // value's multiplicity; the global value-at-rank lookup is the
+    // value-span frame (lo/hi global rank per distinct value, again a
+    // |values|-bounded window) range-joined via the q127 binned
+    // point-in-interval equi-join — never a broadcast NLJ, never a
+    // corpus-wide row_number. The mapped index floor(pr·(N−1))+1 is
+    // one double multiply + floor on identical inputs (both engines);
+    // value-at-rank is tie-order independent, so the oracle may use
+    // its plain global row_number while Spark uses spans. A 1-doc
+    // source pins pr = 0.5 on both sides instead of dividing by zero.
+    GraftQuery(
+      "q314_quantile_normalize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .localCheckpoint(true) // scanned 4 ways below
+        val svc = docs.groupBy(col("source"), col("n_chars"))
+          .agg(count(lit(1)).as("c"))
+        val cumw = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val svcum = svc
+          .withColumn("cl", coalesce(sum(col("c")).over(cumw), lit(0L)))
+          .select(col("source"), col("n_chars"), col("cl"))
+        val ns = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+        val tiew = Window.partitionBy(col("source"), col("n_chars"))
+          .orderBy(col("doc_id"))
+        val nn = docs.agg(count(lit(1)).as("nn"))
+        val pr = docs.withColumn("tb", row_number().over(tiew))
+          .join(svcum, Seq("source", "n_chars"))
+          .join(broadcast(ns), "source")
+          .crossJoin(broadcast(nn))
+          .select(col("doc_id"), col("source"), col("n_chars"), col("nn"),
+            when(col("ns") > 1, (col("cl") + col("tb") - 1).cast("double")
+              / (col("ns") - 1).cast("double"))
+              .otherwise(lit(0.5)).as("pr"))
+          .select(col("doc_id"), col("source"), col("n_chars"), col("pr"),
+            (floor(col("pr") * (col("nn") - 1).cast("double")).cast("long")
+              + 1).as("gi"))
+        val gw = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        // unpartitioned window — over the bounded VALUE domain, not rows
+        val spans = docs.groupBy(col("n_chars").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("lo", coalesce(sum(col("c")).over(gw), lit(0L)) + 1)
+          .select(col("v"), col("lo"), (col("lo") + col("c") - 1).as("hi"))
+        graft.ops.RangeJoin
+          .pointInInterval(pr, col("gi"), spans, col("lo"), col("hi"), 256L)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            round(col("pr"), 6).as("src_pct"), col("v").as("qnorm"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH r AS (SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars, doc_id) AS rk,
+                     count(*) OVER (PARTITION BY source) AS ns
+                   FROM documents),
+              n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+              pr AS (SELECT doc_id, source, n_chars,
+                       CASE WHEN ns > 1 THEN
+                         CAST(rk - 1 AS DOUBLE) / CAST(ns - 1 AS DOUBLE)
+                       ELSE CAST(0.5 AS DOUBLE) END AS pr
+                     FROM r),
+              gi AS (SELECT doc_id, source, n_chars, pr,
+                       CAST(floor(pr * CAST(nn - 1 AS DOUBLE)) AS BIGINT)
+                         + 1 AS gi
+                     FROM pr CROSS JOIN n),
+              gv AS (SELECT n_chars AS v,
+                       row_number() OVER (ORDER BY n_chars, doc_id) AS grk
+                     FROM documents)
+              SELECT g.doc_id, g.source, g.n_chars,
+                     round(g.pr, 6) AS src_pct, gv.v AS qnorm
+              FROM gi g JOIN gv ON gv.grk = g.gi
+              ORDER BY doc_id"""))
   )
 }

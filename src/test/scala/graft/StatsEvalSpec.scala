@@ -117,4 +117,97 @@ class StatsEvalSpec extends SparkSpec {
         s"${r.getAs[String]("source")} lost most of its tokens")
     }
   }
+
+  test("q312 Bradley-Terry output is a ranked probability vector over " +
+    "a consistent win/game matrix") {
+    val rows = run("q312_bradley_terry").collect()
+    assert(rows.nonEmpty)
+    // strengths: positive, sum to 1 within 6dp rounding slack
+    val ps = rows.map(_.getAs[Double]("strength"))
+    assert(ps.forall(_ > 0.0))
+    assert(math.abs(ps.sum - 1.0) <= rows.length * 5e-7, s"sum ${ps.sum}")
+    // rnk is exactly the (strength DESC, event_type ASC) order
+    val expected = rows.sortBy(r =>
+        (-r.getAs[Double]("strength"), r.getAs[String]("event_type")))
+      .zipWithIndex.map { case (r, i) => r.getAs[String]("event_type") ->
+        (i + 1L) }.toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rnk") ==
+        expected(r.getAs[String]("event_type")))
+    }
+    // matrix consistency: wins <= games per item, and total wins ==
+    // total games / 2 (every game has exactly one winner)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("wins") <= r.getAs[Long]("games")))
+    val wsum = rows.map(_.getAs[Long]("wins")).sum
+    val gsum = rows.map(_.getAs[Long]("games")).sum
+    assert(gsum == 2 * wsum, s"games $gsum != 2 x wins $wsum")
+  }
+
+  test("q312 MM update on a two-item matrix recovers the closed form") {
+    // for two items the BT MLE is p_a/p_b = w_a/w_b exactly; replay the
+    // query's MM recurrence in plain Scala to pin the algorithm shape
+    val (wa, wb, games) = (7.0, 3.0, 10.0)
+    var (pa, pb) = (1.0, 1.0)
+    (1 to 25).foreach { _ =>
+      val (na, nb) = (wa / (games / (pa + pb)), wb / (games / (pa + pb)))
+      pa = na; pb = nb
+    }
+    assert(math.abs(pa / pb - wa / wb) < 1e-12,
+      s"two-item MM ${pa / pb} != ${wa / wb}")
+  }
+
+  test("q313 EG reweight is a monotone probability vector") {
+    val rows = run("q313_mixture_reweight").collect()
+    val w = rows.map(_.getAs[Double]("weight_new"))
+    val share = rows.map(_.getAs[Double]("token_share"))
+    assert(w.forall(_ > 0.0))
+    assert(math.abs(w.sum - 1.0) <= rows.length * 5e-7, s"sum ${w.sum}")
+    assert(math.abs(share.sum - 1.0) <= rows.length * 5e-7)
+    // exponentiated-gradient with uniform prior is monotone in loss:
+    // the highest-xent source must carry the highest new weight
+    val byLoss = rows.sortBy(_.getAs[Double]("xent_nats"))
+    assert(byLoss.last.getAs[Double]("weight_new") == w.max,
+      "max-loss source did not get max weight")
+    assert(byLoss.head.getAs[Double]("weight_new") == w.min,
+      "min-loss source did not get min weight")
+  }
+
+  test("q314 quantile normalization is monotone per source and hits " +
+    "the global extremes") {
+    val rows = run("q314_quantile_normalize").collect()
+    val globalVals = rows.map(_.getAs[Long]("n_chars")).sorted
+    rows.foreach { r =>
+      val p = r.getAs[Double]("src_pct")
+      assert(p >= 0.0 && p <= 1.0)
+      // qnorm must be an actual global value
+      assert(java.util.Arrays.binarySearch(globalVals.toArray,
+        r.getAs[Long]("qnorm")) >= 0)
+    }
+    // within a source, higher raw score never maps to a lower qnorm
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val ordered = rs.sortBy(r =>
+        (r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+      val qs = ordered.map(_.getAs[Long]("qnorm"))
+      assert(qs.zip(qs.tail).forall { case (a, b) => a <= b },
+        s"qnorm not monotone within $src")
+      // the source's top/bottom docs hit the global extremes (pr 0/1)
+      if (rs.length > 1) {
+        assert(qs.head == globalVals.head, s"$src bottom != global min")
+        assert(qs.last == globalVals.last, s"$src top != global max")
+      }
+    }
+  }
+
+  test("q311 l-diversity risk is monotone in the threshold") {
+    val rows = run("q311_l_diversity").collect().sortBy(_.getAs[Long]("lt"))
+    assert(rows.map(_.getAs[Long]("lt")).toSeq == Seq(2L, 3L, 5L))
+    val risk = rows.map(_.getAs[Long]("docs_at_risk"))
+    assert(risk.zip(risk.tail).forall { case (a, b) => a <= b },
+      s"docs_at_risk not monotone: ${risk.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_violating_classes") <=
+        r.getAs[Long]("n_classes"))
+    }
+  }
 }
