@@ -56,4 +56,51 @@ object RankEval {
         round(col("dcg") / idcg, 6).as("ndcg"),
         round(coalesce(lit(1.0) / col("first_hit"), lit(0.0)), 6).as("mrr"))
   }
+
+  /** Rank-biased overlap between two rankings (Webber et al. 2010,
+    * the truncated prefix-weight form): (1−p)·Σ_{d=1..k}
+    * p^(d−1)·|A_d ∩ B_d|/d, where A_d/B_d are the depth-d prefixes.
+    * Compares two RANKINGS directly — no relevance labels — so it
+    * answers "did the new ranker change what users see", top-weighted.
+    * `a`/`b`: (pk, rk) frames with gap-free ranks 1..k (build them
+    * with [[graft.ops.GroupTopK]] — never a corpus-domain window).
+    * Returns one row (n_common, agree_at_k, rbo, rbo_ub): `rbo` is
+    * the truncated partial sum (the lower envelope — every unseen
+    * depth assumed disjoint) and `rbo_ub` adds the residual weight
+    * p^k (every unseen depth assumed in full agreement), so the true
+    * untruncated RBO lies in [rbo, rbo_ub] — reporting the band keeps
+    * the truncation honest. Determinism: the overlap-at-depth counts
+    * are exact longs from a bounded k×overlap expansion; the weight
+    * series folds in depth order (p^(d−1) via power() — 1-ulp libm
+    * exposure under the 6dp round, the ln/exp precedent). Scale:
+    * everything after the (already tiny) rank frames is ≤ k² rows. */
+  def rbo(a: DataFrame, b: DataFrame, k: Int, p: Double = 0.9): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(p > 0.0 && p < 1.0, s"p must be in (0, 1), got $p")
+    val spark = a.sparkSession
+    val mx = a.select(col("pk"), col("rk").as("ra"))
+      .join(b.select(col("pk"), col("rk").as("rb")), "pk")
+      .select(greatest(col("ra"), col("rb")).as("mx"))
+      .localCheckpoint(true) // ≤ k rows
+    // x_d = |A_d ∩ B_d| per depth: a k×overlap bounded expansion
+    val xd = spark.range(1, k + 1).toDF("dd")
+      .join(broadcast(mx), col("mx") <= col("dd"), "left")
+      .groupBy(col("dd")).agg(count(col("mx")).as("x"))
+    xd.agg(array_sort(collect_list(struct(col("dd"), col("x")))).as("xs"))
+      .select(expr(
+        s"""aggregate(
+          |transform(xs, e -> power(cast($p as double),
+          |  cast(e.dd - 1 as double))
+          |  * (cast(e.x as double) / cast(e.dd as double))),
+          |cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
+        .as("sm"),
+        element_at(col("xs"), k).getField("x").as("xk"))
+      .crossJoin(broadcast(mx.agg(count(lit(1)).as("n_common"))))
+      .select(col("n_common"),
+        round(col("xk").cast("double") / lit(k.toDouble), 6)
+          .as("agree_at_k"),
+        round(lit(1.0 - p) * col("sm"), 6).as("rbo"),
+        round(lit(1.0 - p) * col("sm") + pow(lit(p), lit(k.toDouble)), 6)
+          .as("rbo_ub"))
+  }
 }

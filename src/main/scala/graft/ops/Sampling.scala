@@ -307,4 +307,67 @@ object Sampling {
         .select(lit(tag).as("origin"), col(keyCol).as("key"),
           col(tokenCol).cast("long").as("n_tokens"))
     }.reduce(_.unionByName(_))
+
+  /** One DoReMi-shaped exponentiated-gradient mixture-reweight step
+    * (Xie et al. 2023) from a per-(source, token) count state: each
+    * source's loss is the mean cross-entropy of its tokens under the
+    * corpus's OWN global unigram distribution, and the update is
+    * w'_s ∝ uniform·exp(loss_s) — upweight the sources the current
+    * distribution finds surprising. Counts are the SUFFICIENT
+    * statistic, so the same function is the read path of the batch
+    * query (q313) and the streaming monitor
+    * ([[graft.streaming.EventStreams.mixtureBatch]]): stream == batch
+    * holds exactly because nothing outside the counts enters.
+    *
+    * `counts`: a [[Drift.valueCounts]]-shaped frame (g = source,
+    * x = token, c) — exact longs, |sources|×|vocab|-bounded.
+    * Determinism: each per-source cross-entropy folds its (bounded-
+    * vocab) token terms in token order, and the normalizer Z folds the
+    * per-source terms in source order — one IEEE sequence on any
+    * engine (the q291 JSD convention). Returns per source:
+    * (source, n_tokens, token_share, xent_nats, weight_new). */
+  def mixtureReweightFromCounts(counts: DataFrame): DataFrame = {
+    val st = counts.select(col("g").as("source"), col("x").as("tk"),
+        col("c"))
+      .localCheckpoint(true) // |sources|x|vocab| rows; read 2 ways
+    val gcnt = st.groupBy(col("tk")).agg(sum(col("c")).as("ct"))
+    val tt = gcnt.agg(sum(col("ct")).as("tt"))
+    val per = st.join(gcnt, "tk").crossJoin(broadcast(tt))
+      .select(col("source"), col("tk"), col("c"),
+        (col("c").cast("double") *
+          -log(col("ct").cast("double") / col("tt").cast("double")))
+          .as("v"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("nt"),
+        array_sort(collect_list(struct(col("tk"), col("v")))).as("xs"))
+      .select(col("source"), col("nt"),
+        (expr("""aggregate(transform(xs, e -> e.v),
+                |cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
+          / col("nt").cast("double")).as("loss"))
+    per.agg(array_sort(collect_list(
+        struct(col("source"), col("nt"), col("loss")))).as("ss"))
+      .crossJoin(broadcast(tt))
+      .select(col("tt"), col("ss"),
+        expr("""aggregate(
+               |transform(ss, e -> exp(e.loss) / cast(size(ss) as double)),
+               |cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
+          .as("z"),
+        size(col("ss")).cast("double").as("ns"))
+      .select(explode(col("ss")).as("u"), col("tt"), col("z"), col("ns"))
+      .select(col("u.source").as("source"), col("u.nt").as("n_tokens"),
+        round(col("u.nt").cast("double") / col("tt").cast("double"), 6)
+          .as("token_share"),
+        round(col("u.loss"), 6).as("xent_nats"),
+        round((exp(col("u.loss")) / col("ns")) / col("z"), 6)
+          .as("weight_new"))
+  }
+
+  /** Document-frame front end of [[mixtureReweightFromCounts]]: one
+    * token-explode scan to the count state, then the shared read. */
+  def mixtureReweight(docs: DataFrame, source: Column,
+      text: Column): DataFrame =
+    mixtureReweightFromCounts(Drift.valueCounts(
+      docs.select(source.as("source"),
+        explode(Portable.tokens(text)).as("tk")),
+      col("source"), col("tk")))
 }

@@ -3833,50 +3833,9 @@ object MLQueries {
               .otherwise(greatest(col("et"), col("net"))).as("loser"))
           .groupBy(col("winner"), col("loser"))
           .agg(count(lit(1)).as("n"))
-          .localCheckpoint(true) // ≤ |types|² rows; read 3 ways below
-        val games = wins.select(col("winner").as("ga"),
-            col("loser").as("gb"), col("n"))
-          .unionByName(wins.select(col("loser").as("ga"),
-            col("winner").as("gb"), col("n")))
-          .groupBy(col("ga"), col("gb")).agg(sum(col("n")).as("g"))
-          .localCheckpoint(true) // directed pair matrix; read 2 ways
-        val per = games.groupBy(col("ga").as("item"))
-          .agg(sum(col("g")).as("games"))
-          .join(wins.groupBy(col("winner").as("item"))
-            .agg(sum(col("n")).as("wins")), Seq("item"), "left")
-          .na.fill(0L, Seq("wins"))
-          .localCheckpoint(true) // |types| rows; folded + joined below
-        val strengths = per
-          .agg(array_sort(collect_list(struct(col("item"),
-            col("wins").cast("double").as("w")))).as("st0"))
-          .crossJoin(games.agg(array_sort(collect_list(struct(
-            col("ga").as("a"), col("gb").as("b"),
-            col("g").cast("double").as("n")))).as("gm")))
-          .select(expr(
-            """aggregate(sequence(1, 25),
-              |transform(st0, e -> named_struct(
-              |  'item', e.item, 'w', e.w, 'p', cast(1.0 as double))),
-              |(st, i) -> transform(st, e -> named_struct(
-              |  'item', e.item, 'w', e.w,
-              |  'p', e.w / aggregate(
-              |    transform(filter(gm, g -> g.a = e.item),
-              |      g -> g.n / (e.p +
-              |        element_at(filter(st, x -> x.item = g.b), 1).p)),
-              |    cast(0.0 as double), (acc, x) -> acc + x))))"""
-              .stripMargin).as("st"))
-          .select(col("st"), expr(
-            """aggregate(transform(st, e -> e.p),
-              |cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
-            .as("z"))
-          .select(explode(col("st")).as("u"), col("z"))
-          .select(col("u.item").as("item"),
-            round(col("u.p") / col("z"), 6).as("strength"))
-        per.join(strengths, "item")
+        graft.ops.Preference.bradleyTerry(wins, iters = 25)
           .select(col("item").as("event_type"), col("wins"), col("games"),
-            col("strength"))
-          .withColumn("rnk", row_number().over(
-            Window.orderBy(col("strength").desc, col("event_type")))
-            .cast("long")) // |types| rows: the single-task window is bounded
+            col("strength"), col("rnk"))
           .orderBy(col("event_type"))
       },
       Some("""WITH RECURSIVE
@@ -3984,36 +3943,15 @@ object MLQueries {
           }
           .toDF("h", "pk", "rk")
           .localCheckpoint(true) // ≤ 2k rows; read 3 ways below
-        val a = top.filter(col("h") === 0)
-          .select(col("pk"), col("rk").as("ra"))
-        val b = top.filter(col("h") === 1)
-          .select(col("pk"), col("rk").as("rb"))
-        val mx = a.join(b, "pk")
-          .select(greatest(col("ra"), col("rb")).as("mx"))
-          .localCheckpoint(true) // ≤ k rows
-        // x_d = |A_d ∩ B_d| per depth: a k×overlap bounded expansion
-        val xd = s.range(1, RboK + 1).toDF("dd")
-          .join(broadcast(mx), col("mx") <= col("dd"), "left")
-          .groupBy(col("dd")).agg(count(col("mx")).as("x"))
-        val fold = xd
-          .agg(array_sort(collect_list(struct(col("dd"), col("x"))))
-            .as("xs"))
-          .select(expr(
-            """aggregate(
-              |transform(xs, e -> power(0.9, cast(e.dd - 1 as double))
-              |  * (cast(e.x as double) / cast(e.dd as double))),
-              |cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
-            .as("sm"),
-            element_at(col("xs"), RboK).getField("x").as("xk"))
+        val a = top.filter(col("h") === 0).select(col("pk"), col("rk"))
+        val b = top.filter(col("h") === 1).select(col("pk"), col("rk"))
         top.groupBy()
           .agg(sum(when(col("h") === 0, 1L).otherwise(0L)).as("n_a"),
             sum(when(col("h") === 1, 1L).otherwise(0L)).as("n_b"))
-          .crossJoin(broadcast(mx.agg(count(lit(1)).as("n_common"))))
-          .crossJoin(broadcast(fold))
+          .crossJoin(broadcast(
+            graft.ops.RankEval.rbo(a, b, k = RboK, p = 0.9)))
           .select(col("n_a"), col("n_b"), col("n_common"),
-            round(col("xk").cast("double") / lit(RboK.toDouble), 6)
-              .as("agree_at_k"),
-            round(lit(0.1) * col("sm"), 6).as("rbo"))
+            col("agree_at_k"), col("rbo"), col("rbo_ub"))
       },
       Some(s"""WITH cents AS (SELECT l_orderkey % 2 AS h, l_partkey AS pk,
                      CAST(sum(CAST(floor((l_extendedprice
@@ -4047,7 +3985,112 @@ object MLQueries {
               SELECT sz.n_a, sz.n_b, nc.n_common,
                      round(CAST(fold.xk AS DOUBLE)
                        / CAST($RboK AS DOUBLE), 6) AS agree_at_k,
-                     round(CAST(0.1 AS DOUBLE) * fold.sm, 6) AS rbo
-              FROM sz CROSS JOIN nc CROSS JOIN fold"""))
+                     round((CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+                       * fold.sm, 6) AS rbo,
+                     round((CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+                       * fold.sm
+                       + power(0.9, CAST($RboK AS DOUBLE)), 6) AS rbo_ub
+              FROM sz CROSS JOIN nc CROSS JOIN fold""")),
+
+    // ---- preference transitivity audit — the validity check q312's
+    // scalar strengths silently assume: in how many item triples do
+    // the pairwise MAJORITY directions form a cycle (i beats j beats
+    // k beats i — rock-paper-scissors, which NO strength vector can
+    // represent)? High cycle_rate means "fix the judgments, don't fit
+    // a leaderboard" — the annotation-QA gate a preference pipeline
+    // runs before reward modeling. Majority edges are strict (tied
+    // pairs drop; a triple counts only when all three pairs have a
+    // majority); a triple is cyclic iff its three directions are a
+    // rotation, tested as the two rotation patterns on the canonical
+    // i<j<k order. Everything is exact longs on |types|²-bounded
+    // frames; cycle_rate is one final division (null when no triple
+    // qualifies). Scale: same one lead-window scan as q312; the
+    // cycle scan never touches data-sized frames.
+    GraftQuery(
+      "q316_preference_cycles",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val nx = t(s, d, "events").filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type").as("et"), col("value"))
+          .withColumn("net", lead(col("et"), 1).over(w))
+          .withColumn("nv", lead(col("value"), 1).over(w))
+          .filter(col("net").isNotNull && col("et") =!= col("net"))
+        val wins = nx.select(
+            when(col("value") > col("nv"), col("et"))
+              .when(col("nv") > col("value"), col("net"))
+              .otherwise(least(col("et"), col("net"))).as("winner"),
+            when(col("value") > col("nv"), col("net"))
+              .when(col("nv") > col("value"), col("et"))
+              .otherwise(greatest(col("et"), col("net"))).as("loser"))
+          .groupBy(col("winner"), col("loser"))
+          .agg(count(lit(1)).as("n"))
+        graft.ops.Preference.cycleRate(wins)
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, ts, event_type AS et,
+                     value
+                   FROM events WHERE user_id IS NOT NULL),
+              nx AS (SELECT et, value,
+                       lead(et) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS net,
+                       lead(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS nv
+                     FROM ev),
+              wins AS (SELECT CASE WHEN value > nv THEN et
+                                   WHEN nv > value THEN net
+                                   ELSE least(et, net) END AS winner,
+                              CASE WHEN value > nv THEN net
+                                   WHEN nv > value THEN et
+                                   ELSE greatest(et, net) END AS loser,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM (SELECT * FROM nx
+                             WHERE net IS NOT NULL AND et <> net)
+                       GROUP BY 1, 2),
+              net AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS nab FROM (
+                        SELECT winner AS a, loser AS b, n FROM wins
+                        UNION ALL
+                        SELECT loser, winner, 0 FROM wins)
+                      GROUP BY 1, 2),
+              maj AS (SELECT x.a AS ma, x.b AS mb
+                      FROM net x JOIN net y ON x.a = y.b AND x.b = y.a
+                      WHERE x.nab > y.nab),
+              it AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS n_items
+                     FROM (SELECT ma AS i FROM maj
+                           UNION ALL SELECT mb FROM maj)),
+              me AS (SELECT CAST(count(*) AS BIGINT) AS n_majority_edges
+                     FROM maj),
+              ij AS (SELECT * FROM (
+                       SELECT ma AS i1, mb AS j1, true AS iwj FROM maj
+                       UNION ALL
+                       SELECT mb, ma, false FROM maj)
+                     WHERE i1 < j1),
+              jk AS (SELECT * FROM (
+                       SELECT ma AS j2, mb AS k2, true AS jwk FROM maj
+                       UNION ALL
+                       SELECT mb, ma, false FROM maj)
+                     WHERE j2 < k2),
+              ik AS (SELECT * FROM (
+                       SELECT ma AS i3, mb AS k3, true AS iwk FROM maj
+                       UNION ALL
+                       SELECT mb, ma, false FROM maj)
+                     WHERE i3 < k3),
+              tr AS (SELECT (iwj AND jwk AND NOT iwk)
+                            OR (NOT iwj AND NOT jwk AND iwk) AS cyc
+                     FROM ij
+                     JOIN jk ON j1 = j2
+                     JOIN ik ON i1 = i3 AND k2 = k3),
+              ag AS (SELECT CAST(count(*) AS BIGINT) AS n_triples,
+                            CAST(sum(CASE WHEN cyc THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_cycles
+                     FROM tr)
+              SELECT it.n_items, me.n_majority_edges, ag.n_triples,
+                     ag.n_cycles,
+                     CASE WHEN ag.n_triples > 0 THEN
+                       round(CAST(ag.n_cycles AS DOUBLE)
+                         / CAST(ag.n_triples AS DOUBLE), 6) END
+                       AS cycle_rate
+              FROM it CROSS JOIN me CROSS JOIN ag"""))
   )
 }

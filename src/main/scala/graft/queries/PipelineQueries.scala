@@ -2600,44 +2600,9 @@ object PipelineQueries {
     // bounded by the source and vocab domains.
     GraftQuery(
       "q313_mixture_reweight",
-      (s, d) => {
-        val st = t(s, d, "documents")
-          .select(col("source"),
-            explode(Portable.tokens(col("text"))).as("tk"))
-          .groupBy(col("source"), col("tk")).agg(count(lit(1)).as("c"))
-          .localCheckpoint(true) // |sources|x|vocab| rows; read 2 ways
-        val glob = st.groupBy(col("tk")).agg(sum(col("c")).as("ct"))
-        val tt = glob.agg(sum(col("ct")).as("tt"))
-        val per = st.join(glob, "tk").crossJoin(broadcast(tt))
-          .select(col("source"), col("tk"), col("c"),
-            (col("c").cast("double") *
-              -log(col("ct").cast("double") / col("tt").cast("double")))
-              .as("v"))
-          .groupBy(col("source"))
-          .agg(sum(col("c")).as("nt"),
-            array_sort(collect_list(struct(col("tk"), col("v")))).as("xs"))
-          .select(col("source"), col("nt"),
-            (expr("""aggregate(transform(xs, e -> e.v),
-                    |cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
-              / col("nt").cast("double")).as("loss"))
-        per.agg(array_sort(collect_list(
-            struct(col("source"), col("nt"), col("loss")))).as("ss"))
-          .crossJoin(broadcast(tt))
-          .select(col("tt"), col("ss"),
-            expr("""aggregate(
-                   |transform(ss, e -> exp(e.loss) / cast(size(ss) as double)),
-                   |cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
-              .as("z"),
-            size(col("ss")).cast("double").as("ns"))
-          .select(explode(col("ss")).as("u"), col("tt"), col("z"), col("ns"))
-          .select(col("u.source").as("source"), col("u.nt").as("n_tokens"),
-            round(col("u.nt").cast("double") / col("tt").cast("double"), 6)
-              .as("token_share"),
-            round(col("u.loss"), 6).as("xent_nats"),
-            round((exp(col("u.loss")) / col("ns")) / col("z"), 6)
-              .as("weight_new"))
-          .orderBy(col("source"))
-      },
+      (s, d) => graft.ops.Sampling.mixtureReweight(
+          t(s, d, "documents"), col("source"), col("text"))
+        .orderBy(col("source")),
       Some("""WITH tok AS (SELECT source,
                      unnest(string_split_regex(trim(text), '\s+')) AS tk
                    FROM documents),

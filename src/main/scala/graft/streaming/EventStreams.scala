@@ -435,6 +435,37 @@ object EventStreams {
       .map(st => graft.ops.WeightedQuantile.quantileFromCounts(
         st, lo, hi, bins, pBp))
 
+  /** foreachBatch body for a continuously-maintained corpus-mixture
+    * monitor — the stream face of
+    * [[graft.ops.Sampling.mixtureReweightFromCounts]] (batch query
+    * q313): each micro-batch of ingested documents folds its
+    * per-(source, token) counts into the persisted state (same
+    * versioned-dir discipline as [[ksDriftBatch]]); the DoReMi-style
+    * reweight then reads as a derived view of that one
+    * sufficient-statistic table — "which sources should the next
+    * mixture epoch upweight" as a standing gate over the ingest
+    * stream. Stream == batch holds EXACTLY (not approximately):
+    * counts are the read's sufficient statistic and integer merges
+    * are order-free. State is |sources|·|vocab|-bounded — the same
+    * bound the batch query documents; shingle/BPE-token the text
+    * upstream if the raw token domain is unbounded. */
+  def mixtureBatch(sourceCol: String, textCol: String, stateDir: String)
+      (batch: DataFrame, batchId: Long): Unit =
+    versionedFold(batch.sparkSession, stateDir, batchId) { prev =>
+      graft.ops.Drift.mergeCounts(
+        graft.ops.Drift.valueCounts(
+          batch.select(col(sourceCol).as("source"),
+            explode(graft.ops.Portable.tokens(col(textCol))).as("tk")),
+          col("source"), col("tk")) +: prev.toSeq)
+    }
+
+  /** Current mixture-reweight view of everything [[mixtureBatch]]
+    * accumulated; None before the first committed batch. */
+  def mixtureCurrent(spark: SparkSession,
+      stateDir: String): Option[DataFrame] =
+    incrementalViewState(spark, stateDir)
+      .map(graft.ops.Sampling.mixtureReweightFromCounts)
+
   /** foreachBatch body for a continuously-maintained CALIBRATION
     * monitor — the stream face of [[graft.ops.Calibration]]: each
     * micro-batch of scored rows (`probCol`, `labelCol`) folds its

@@ -1221,6 +1221,32 @@ class StreamingSpec extends SparkSpec {
       "TP must be non-increasing in threshold")
   }
 
+  test("mixtureBatch: accumulated token counts == one-shot mixture " +
+    "reweight (q313), exactly") {
+    // the corpus-mixture monitor in stream form: documents ingest in
+    // three micro-batches; the DoReMi reweight read off the
+    // accumulated (source, token) count state must equal the one-shot
+    // batch op BYTE-IDENTICALLY — the counts are the read's sufficient
+    // statistic (exact integer merges), and the read path is the same
+    // defined-order fold, so not even the doubles may differ
+    import org.apache.spark.sql.functions._
+    val stateDir = java.nio.file.Files.createTempDirectory("mix_state").toString
+    val docs = Tables(spark, sf, "documents")
+    val body = EventStreams.mixtureBatch("source", "text", stateDir) _
+    (0 to 2).foreach(i =>
+      body(docs.filter(pmod($"doc_id", lit(3)) === i), i.toLong))
+    val got = EventStreams.mixtureCurrent(spark, stateDir).get
+      .orderBy($"source")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    val want = graft.ops.Sampling.mixtureReweight(docs, $"source", $"text")
+      .orderBy($"source")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got.nonEmpty && got == want)
+    // the weights remain a probability vector after accumulation
+    val wsum = got.map(_._5).sum
+    assert(math.abs(wsum - 1.0) <= got.size * 5e-7, s"weights sum $wsum")
+  }
+
   test("survivalBatch: accumulated duration histogram == one-shot Kaplan-Meier") {
     // the survival monitor in stream form: subjects resolve in three
     // micro-batches; the curve derived from the accumulated (t, cnt, d)
