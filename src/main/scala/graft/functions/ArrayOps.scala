@@ -152,6 +152,10 @@ object GraftFunctions {
       "word_shingles", exprs => WordShingles(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow60", exprs => Winnow60(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "zorder2", exprs => ZOrder2(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Int]), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -140,6 +140,55 @@ object TextHashOps {
     while (j < 64) { if (v(j) > 0) fp |= (1L << j); j += 1 }
     fp
   }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003): the
+    * DISTINCT w-window minima of the per-position p60 k-gram hashes,
+    * first-occurrence order — the one-pass twin of
+    *   array_distinct(transform(sequence(1, greatest(nH - w + 1, 1)),
+    *     j -> array_min(slice(hs, j, w))))
+    * over hs = transform(sequence(1, greatest(len - k + 1, 1)),
+    *     i -> p60(substring(s, i, k))).
+    * The composed-HOF form is quadratic IN PRACTICE, not just
+    * interpreted: CollapseProject inlines the hs-building transform
+    * into the outer lambda, so every window slice re-evaluates the
+    * whole k-gram hash array — O(len²) md5 calls per document (the
+    * q318 probe measured 483s at sf0.01 vs ~2s for this form). Here:
+    * one O(len) hash pass, then a monotonic-deque sliding minimum
+    * (amortized O(1) per window). Tail windows clamp exactly like the
+    * oracle's list slice: for nH < w there is a single window over all
+    * nH hashes; otherwise every window is full width. */
+  def winnow60(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val nH = math.max(s.numChars() - (k - 1), 1)
+    val hs = new Array[Long](nH)
+    var i = 0
+    while (i < nH) { hs(i) = Portable60.hash60(s.substringSQL(i + 1, k)); i += 1 }
+    val nWin = math.max(nH - (w - 1), 1)
+    val out = new java.util.LinkedHashSet[java.lang.Long]
+    // deque of indices with increasing hash value; front = window min.
+    // Ties keep the EARLIER index (strict < when popping), matching
+    // array_min over the slice — the min VALUE is identical either way.
+    val dq = new Array[Int](nH)
+    var head = 0
+    var tail = 0 // exclusive
+    var j = 0
+    while (j < nH) {
+      while (tail > head && hs(dq(tail - 1)) > hs(j)) tail -= 1
+      dq(tail) = j
+      tail += 1
+      val winStart = j - (w - 1)
+      while (dq(head) < winStart) head += 1
+      // window ending at j corresponds to start index max(winStart, 0);
+      // emit once per start in 0..nWin-1 — i.e. whenever j >= w-1, plus
+      // the single clamped window when nH < w (emitted at j = nH-1)
+      if (j >= w - 1 || j == nH - 1) out.add(hs(dq(head)))
+      j += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var o = 0
+    while (it.hasNext) { arr(o) = it.next().longValue(); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
 }
 
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
@@ -162,6 +211,18 @@ case class RollingMin60(child: Expression) extends UnaryExpression {
     TextHashOps.rollingMin60(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.rollingMin60($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class Winnow60(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow60"
+  override def nullSafeEval(input: Any): Any =
+    TextHashOps.winnow60(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.winnow60($c, $k, $w)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

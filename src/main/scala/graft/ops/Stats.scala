@@ -109,4 +109,97 @@ object Stats {
             (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
           .as("auc"))
   }
+
+  /** Sign-flip (paired-permutation) test for H0: the per-unit integer
+    * difference `diff` is symmetric around 0. The q286 hash-replicate
+    * construction applied to the permutation null: replicate r flips
+    * each unit's sign by the parity of a 60-bit hash of (id, r), the
+    * replicate statistic is the plain signed SUM — commutative exact
+    * longs, so unlike a mean of doubles it is order-free across any
+    * partitioning — and the p-value is the standard add-one
+    * (1 + #{r : |S_r| >= |S_obs|}) / (1 + R). EVERY decision in the
+    * test (sign, comparison, count) is integer arithmetic; the single
+    * double division is the reported p. Complements [[auc]]/Welch
+    * (q281) with the assumption-free member of the testing family.
+    *
+    * Scale: the r× row inflation lives between the scan and the
+    * map-side partial aggregate (exchange carries `reps` rows per
+    * task); the final compare runs on one `reps`-row frame.
+    *
+    * `id` must be unique per unit; `diff` an exact-long difference. */
+  def signFlipTest(df: DataFrame, id: Column, diff: Column,
+      reps: Int = 256): DataFrame = {
+    require(reps >= 16, s"need at least 16 replicates, got $reps")
+    val base = df.select(id.cast("string").as("_id"), diff.as("d"))
+      .localCheckpoint(true) // one scan feeds both the obs and rep sums
+    val obs = base.agg(count(lit(1)).as("n_units"),
+      sum(col("d")).as("stat_obs"))
+    val h = Portable.p60(concat(col("_id"), lit(":"), col("r").cast("string")))
+    val repStats = base
+      .select(col("_id"), col("d"),
+        explode(sequence(lit(0), lit(reps - 1))).as("r"))
+      .withColumn("s", when(h % 2 === 0, col("d")).otherwise(-col("d")))
+      .groupBy(col("r"))
+      .agg(sum(col("s")).as("stat"))
+    repStats.crossJoin(broadcast(obs))
+      .agg(max(col("n_units")).as("n_units"),
+        max(col("stat_obs")).as("stat_obs"),
+        sum(when(abs(col("stat")) >= abs(col("stat_obs")), 1L)
+          .otherwise(0L)).as("n_extreme"),
+        count(lit(1)).as("n_reps"))
+      .select(col("n_units"), col("stat_obs"), col("n_extreme"),
+        col("n_reps"),
+        round((lit(1L) + col("n_extreme")).cast("double") /
+          (lit(1L) + col("n_reps")).cast("double"), 6).as("p_value"))
+  }
+
+  /** Theil–Sen robust trend over an AGGREGATED (x, y) frame: the
+    * median of all pairwise slopes (y_j−y_i)/(x_j−x_i), x_j > x_i,
+    * plus the matching median-residual intercept — the
+    * outlier-immune replacement for OLS on a drifting daily metric
+    * (one corrupted day moves OLS arbitrarily, moves Theil–Sen not at
+    * all until half the days are corrupt).
+    *
+    * Scale contract: callers aggregate to the BOUNDED x domain first
+    * (days, hours, versions — q98's bounded-domain convention), so the
+    * pair frame is |domain|² of a frame that fits one partition, never
+    * row-level pairs. Each slope is ONE division of exact longs —
+    * identical IEEE doubles on any engine — and the median is an
+    * order-statistic pick over the sorted slope list (even count
+    * averages the two middles: one add, one halving, both exact-ish
+    * IEEE ops replayed identically cross-engine).
+    *
+    * `x`, `y` must be exact longs; one row out:
+    * (n_points, n_pairs, slope, intercept), 6dp-rounded at the edge. */
+  def theilSen(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val d = df.select(x.as("x"), y.as("y")).localCheckpoint(true)
+    val a = d.select(col("x").as("xa"), col("y").as("ya"))
+    val b = d.select(col("x").as("xb"), col("y").as("yb"))
+    val slopes = a.join(b, col("xb") > col("xa"))
+      .select(((col("yb") - col("ya")).cast("double") /
+        (col("xb") - col("xa")).cast("double")).as("slope"))
+    val med = slopes
+      .agg(sort_array(collect_list(col("slope"))).as("sl"),
+        count(lit(1)).as("np"))
+      .select(col("np"),
+        when(col("np") % 2 === 1,
+          element_at(col("sl"), ((col("np") + 1) / 2).cast("int")))
+          .otherwise((element_at(col("sl"), (col("np") / 2).cast("int")) +
+            element_at(col("sl"), (col("np") / 2 + 1).cast("int"))) / 2d)
+          .as("sen"))
+    d.crossJoin(broadcast(med))
+      .select(col("np"), col("sen"),
+        (col("y").cast("double") - col("sen") * col("x").cast("double"))
+          .as("resid"))
+      .groupBy(col("np"), col("sen"))
+      .agg(sort_array(collect_list(col("resid"))).as("il"),
+        count(lit(1)).as("nd"))
+      .select(col("nd").as("n_points"), col("np").as("n_pairs"),
+        round(col("sen"), 6).as("slope"),
+        round(when(col("nd") % 2 === 1,
+          element_at(col("il"), ((col("nd") + 1) / 2).cast("int")))
+          .otherwise((element_at(col("il"), (col("nd") / 2).cast("int")) +
+            element_at(col("il"), (col("nd") / 2 + 1).cast("int"))) / 2d), 6)
+          .as("intercept"))
+  }
 }

@@ -526,4 +526,80 @@ object TextPipeline {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    * 2003 — the MOSS algorithm): the DISTINCT set of
+    * window-minimum k-gram hashes per document. Winnowing's guarantee
+    * — every shared substring of length >= k + w − 1 contributes at
+    * least one shared fingerprint — is what q33's single global-min
+    * fingerprint cannot give: it localizes overlap instead of
+    * summarizing the whole document, so partial plagiarism/quotation
+    * is caught, not just whole-document duplication.
+    *
+    * Everything is computed INSIDE one row — the codegen'd
+    * [[graft.functions.Winnow60]] expression (one O(len) hash pass +
+    * a monotonic-deque sliding minimum; rationale on
+    * TextHashOps.winnow60, including why the composed-HOF spelling is
+    * accidentally QUADRATIC after CollapseProject). Output (doc_id,
+    * fp) exploded at the edge — the document's density-reduced
+    * sketch, |fps| ≈ 2·len/(w+1). Hashes are the cross-engine p60, so
+    * the DuckDB oracle replays the exact fingerprint sets. */
+  def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 16, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k > 0 && w > 0, s"k=$k w=$w must be positive")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col(idCol).as("doc_id"),
+        Portable.normText(col(textCol)).as("nt"))
+      .select(col("doc_id"),
+        explode(expr(s"winnow60(nt, $k, $w)")).as("fp"))
+  }
+
+  /** Winnowing near-dup pairs: documents sharing fingerprints from
+    * [[winnowFingerprints]], scored by COVERAGE = shared /
+    * min(|fps_a|, |fps_b|) (the MOSS report metric — containment on
+    * the fingerprint sketch, so a short document quoted inside a long
+    * one still scores ~1.0 where Jaccard would dilute it).
+    *
+    * Scale shape: the pair generation is the LSH-style bucket
+    * equi-join on the fingerprint VALUE — pair volume is
+    * Σ_fp df(fp)², governed by fingerprint document-frequency, not
+    * corpus size — with the q59/q36 df-cap applied first (a
+    * fingerprint appearing in more than `maxDf` docs is boilerplate,
+    * carries no pair-discriminative signal, and is exactly the hot key
+    * that would quadratic the join; price the recall with the usual
+    * telemetry if it ever binds). The threshold decision is the exact
+    * integer cross-multiplication `shared · den >= num · minFps` —
+    * rounding never decides membership (the q161 convention); the
+    * reported coverage is 6dp-rounded at the edge. */
+  def winnowPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 16, w: Int = 8,
+      minCoverageNum: Int = 1, minCoverageDen: Int = 2,
+      maxDf: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(minCoverageNum > 0 && minCoverageDen > 0 && maxDf >= 2,
+      s"minCoverage=$minCoverageNum/$minCoverageDen maxDf=$maxDf")
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+      .localCheckpoint(true) // feeds sizes, df-cap and both join sides
+    val sizes = fps.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nf"))
+    val kept = fps.join(
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs") <= maxDf).select(col("fp")),
+      Seq("fp"), "left_semi")
+    val a = kept.select(col("doc_id").as("doc_a"), col("fp"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("fp"))
+    a.join(b, "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("nb")), "doc_b")
+      .filter(col("shared_fps") * minCoverageDen >=
+        least(col("na"), col("nb")) * minCoverageNum)
+      .select(col("doc_a"), col("doc_b"), col("shared_fps"),
+        round(col("shared_fps").cast("double") /
+          least(col("na"), col("nb")).cast("double"), 6).as("coverage"))
+  }
 }

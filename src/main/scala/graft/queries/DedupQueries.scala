@@ -1144,6 +1144,57 @@ object DedupQueries {
                ln AS (SELECT CAST(count(*) AS BIGINT) AS leaky_groups_naive FROM
                         (SELECT component FROM asg GROUP BY component
                          HAVING count(DISTINCT naive_split) > 1))
-               SELECT * FROM core, lg, ln"""))
+               SELECT * FROM core, lg, ln""")),
+
+    // ---- winnowing near-dup pairs (Schleimer/Wilkerson/Aiken 2003 —
+    // the MOSS fingerprinting algorithm; op rationale on
+    // TextPipeline.winnowFingerprints/winnowPairs). The family's
+    // LOCALIZED member: MinHash (q36) sketches whole-document Jaccard
+    // and misses a short document quoted inside a long one; winnowing
+    // guarantees any shared run of >= k+w-1 chars leaves a shared
+    // fingerprint, and the COVERAGE score (shared / min fingerprint
+    // count) is containment on the sketch, so partial-overlap dup
+    // pairs surface. k=16-char grams (~3 words of this corpus — 8-char
+    // grams of a 31-word vocabulary carry corpus-scale df and the
+    // purge empties the result at sf0.1, measured), w=8 windows,
+    // coverage >= 1/2 decided by exact integer cross-multiplication;
+    // fingerprints with df > 1000 are boilerplate-purged before
+    // pairing (the q36/q59 df-cap convention — at the validation SFs
+    // the cap binds nothing, probed max df 270 at sf0.1). Scale:
+    // fingerprinting is one codegen'd O(len) pass per row
+    // (functions.Winnow60 — no explode until the edge); pair volume
+    // is Σ_fp df², capped, on the fingerprint-value equi-join — the
+    // LSH bucket shape, not N².
+    GraftQuery(
+      "q318_winnow_pairs",
+      (s, d) => graft.ops.TextPipeline.winnowPairs(t(s, d, "documents"))
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH nd AS (SELECT doc_id,
+                      ${Portable.normTextSql("text")} AS nt FROM documents),
+               hs AS (SELECT doc_id,
+                        [${Portable.p60Sql("substring(nt, i, 16)")}
+                         FOR i IN range(1, greatest(length(nt) - 15, 1) + 1)] AS hs
+                      FROM nd),
+               fp AS (SELECT doc_id,
+                        unnest(list_distinct([list_min(hs[j:j+7])
+                          FOR j IN range(1, greatest(len(hs) - 7, 1) + 1)])) AS fp
+                      FROM hs),
+               nfp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+                       FROM fp GROUP BY 1),
+               df AS (SELECT fp, count(*) AS nd FROM fp GROUP BY 1),
+               kept AS (SELECT fp.doc_id, fp.fp FROM fp JOIN df USING (fp)
+                        WHERE df.nd <= 1000),
+               pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                CAST(count(*) AS BIGINT) AS shared_fps
+                         FROM kept a JOIN kept b
+                           ON a.fp = b.fp AND a.doc_id < b.doc_id
+                         GROUP BY 1, 2)
+               SELECT doc_a, doc_b, shared_fps,
+                      round(CAST(shared_fps AS DOUBLE)
+                          / CAST(least(na.nf, nb.nf) AS DOUBLE), 6) AS coverage
+               FROM pairs JOIN nfp na ON na.doc_id = doc_a
+                          JOIN nfp nb ON nb.doc_id = doc_b
+               WHERE shared_fps * 2 >= least(na.nf, nb.nf)
+               ORDER BY doc_a, doc_b"""))
   )
 }

@@ -4091,6 +4091,126 @@ object MLQueries {
                        round(CAST(ag.n_cycles AS DOUBLE)
                          / CAST(ag.n_triples AS DOUBLE), 6) END
                        AS cycle_rate
-              FROM it CROSS JOIN me CROSS JOIN ag"""))
+              FROM it CROSS JOIN me CROSS JOIN ag""")),
+
+    // ---- sign-flip permutation test (op rationale on
+    // Stats.signFlipTest): the ASSUMPTION-FREE member of the testing
+    // family — q281's Welch t leans on a normal approximation, q286's
+    // bootstrap on the plug-in principle; the permutation null needs
+    // only symmetry of the per-unit difference under H0. Question: do
+    // users spend differently on clicks vs views? Unit = user with
+    // both event types; d_u = click cents − view cents (exact longs —
+    // the SUM statistic stays commutative integer math, so the whole
+    // test is order-free: every sign, comparison and count is integer,
+    // the lone double is the reported p). 256 hash-seeded sign
+    // replicates in one scan, the q286 replicate convention. Scale:
+    // the 256× inflation collapses at the map-side partial agg; the
+    // final compare touches a 256-row frame.
+    GraftQuery(
+      "q319_sign_flip_test",
+      (s, d) => {
+        val u = t(s, d, "events")
+          .filter(col("user_id").isNotNull &&
+            col("event_type").isin("click", "view"))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("event_type") === "click",
+              floor(col("value") * 100).cast("long")).otherwise(0L))
+              .as("cc"),
+            sum(when(col("event_type") === "view",
+              floor(col("value") * 100).cast("long")).otherwise(0L))
+              .as("vc"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("ncl"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("nv"))
+          .filter(col("ncl") > 0 && col("nv") > 0)
+        graft.ops.Stats.signFlipTest(
+          u, col("user_id"), col("cc") - col("vc"))
+      },
+      Some(s"""WITH u AS (SELECT user_id,
+                      CAST(sum(CASE WHEN event_type = 'click'
+                           THEN CAST(floor(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS cc,
+                      CAST(sum(CASE WHEN event_type = 'view'
+                           THEN CAST(floor(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS vc,
+                      CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                           ELSE 0 END) AS BIGINT) AS ncl,
+                      CAST(sum(CASE WHEN event_type = 'view' THEN 1
+                           ELSE 0 END) AS BIGINT) AS nv
+                    FROM events
+                    WHERE user_id IS NOT NULL
+                      AND event_type IN ('click', 'view')
+                    GROUP BY 1),
+               dd AS (SELECT user_id, cc - vc AS d FROM u
+                      WHERE ncl > 0 AND nv > 0),
+               obs AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+                              CAST(sum(d) AS BIGINT) AS stat_obs FROM dd),
+               reps AS (SELECT r.r,
+                          CAST(sum(CASE WHEN ${Portable.p60Sql(
+                            "dd.user_id::VARCHAR || ':' || r.r::VARCHAR")} % 2 = 0
+                               THEN dd.d ELSE -dd.d END) AS BIGINT) AS stat
+                        FROM dd CROSS JOIN
+                          (SELECT unnest(range(0, 256)) AS r) r
+                        GROUP BY 1)
+               SELECT obs.n_units, obs.stat_obs,
+                      CAST(sum(CASE WHEN abs(reps.stat) >= abs(obs.stat_obs)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+                      CAST(count(*) AS BIGINT) AS n_reps,
+                      round(CAST(1 + sum(CASE WHEN abs(reps.stat) >=
+                             abs(obs.stat_obs) THEN 1 ELSE 0 END) AS DOUBLE)
+                          / CAST(1 + count(*) AS DOUBLE), 6) AS p_value
+               FROM reps CROSS JOIN obs GROUP BY 1, 2""")),
+
+    // ---- Theil–Sen robust daily-revenue trend (op rationale on
+    // Stats.theilSen): is purchase revenue drifting, measured so one
+    // flash-sale or outage day cannot fake or hide the answer — the
+    // median-of-pairwise-slopes estimator has a 29% breakdown point
+    // where q172's OLS family has 0%. x = epoch day, y = day's
+    // purchase cents (exact longs; days with no purchases contribute
+    // y = 0 rather than vanishing — a silent gap IS a revenue fact).
+    // Scale: the pairwise frame is |days|² of a pre-aggregated
+    // bounded-domain frame (the q98 convention), never row pairs; each
+    // slope is one exact-long division, the median an order-statistic
+    // pick replayed identically by both engines.
+    GraftQuery(
+      "q320_theil_sen",
+      (s, d) => graft.ops.Stats.theilSen(
+        t(s, d, "events")
+          .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).as("x"))
+          .agg(sum(when(col("event_type") === "purchase",
+            floor(col("value") * 100).cast("long")).otherwise(0L)).as("y")),
+        col("x").cast("long"), col("y")),
+      Some("""WITH d AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+                      CAST(ts AS DATE)) AS BIGINT) AS x,
+                      CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(floor(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+                    FROM events GROUP BY 1),
+              pr AS (SELECT CAST(b.y - a.y AS DOUBLE)
+                         / CAST(b.x - a.x AS DOUBLE) AS slope
+                     FROM d a JOIN d b ON b.x > a.x),
+              sl AS (SELECT list_sort(list(slope)) AS sl,
+                            CAST(count(*) AS BIGINT) AS np FROM pr),
+              med AS (SELECT np, CASE WHEN np % 2 = 1
+                          THEN sl[CAST((np + 1) // 2 AS INT)]
+                          ELSE (sl[CAST(np // 2 AS INT)] +
+                                sl[CAST(np // 2 + 1 AS INT)])
+                               / CAST(2.0 AS DOUBLE) END AS sen
+                      FROM sl),
+              ic AS (SELECT list_sort(list(CAST(d.y AS DOUBLE)
+                              - med.sen * CAST(d.x AS DOUBLE))) AS il,
+                            CAST(count(*) AS BIGINT) AS nd,
+                            max(med.sen) AS sen, max(med.np) AS np
+                     FROM d CROSS JOIN med)
+              SELECT nd AS n_points, np AS n_pairs,
+                     round(sen, 6) AS slope,
+                     round(CASE WHEN nd % 2 = 1
+                         THEN il[CAST((nd + 1) // 2 AS INT)]
+                         ELSE (il[CAST(nd // 2 AS INT)] +
+                               il[CAST(nd // 2 + 1 AS INT)])
+                              / CAST(2.0 AS DOUBLE) END, 6) AS intercept
+              FROM ic"""))
   )
 }

@@ -2723,6 +2723,94 @@ object PipelineQueries {
               SELECT g.doc_id, g.source, g.n_chars,
                      round(g.pr, 6) AS src_pct, gv.v AS qnorm
               FROM gi g JOIN gv ON gv.grk = g.gi
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // ---- t-closeness audit — the third leg of the privacy triad:
+    // q294 checks classes are big enough (k-anonymity), q311 that the
+    // sensitive attribute is varied enough (l-diversity); this checks
+    // it is varied THE RIGHT WAY — a class can hold all 33 sources
+    // (l = 33) yet be 99% one source, and the skew itself leaks. Per
+    // (lang, length-centile) class, distance-to-population is total
+    // variation ½·Σ_s|p_class(s) − p_corpus(s)| (the categorical
+    // instantiation of Machanavajjhala/Li's EMD — unordered sensitive
+    // attribute, uniform ground distance). Exactness: each |·| term is
+    // the cross-multiplied long |ncs·N − Ns·nc| (zero-count cells
+    // included via the class×source grid — the missing-source term
+    // Ns·nc is most of the distance for small classes), summed exact,
+    // ONE double division by 2·nc·N per class; threshold compares and
+    // risk tallies then run on identical IEEE doubles both engines.
+    // Scale: one partial-agg pass to |classes×sources| cells; the grid
+    // is |classes|×|sources| (broadcast the source margin), never a
+    // row-level join. Swept over t ∈ {0.2, 0.3, 0.5} from one class
+    // frame (the q294/q311 no-rescan convention).
+    GraftQuery(
+      "q317_t_closeness",
+      (s, d) => {
+        val cs = t(s, d, "documents")
+          .groupBy(col("lang"), expr("n_chars DIV 100").as("szb"),
+            col("source"))
+          .agg(count(lit(1)).as("ncs"))
+          .localCheckpoint(true) // |classes×sources| cells, read 3 ways
+        val c = cs.groupBy(col("lang"), col("szb"))
+          .agg(sum(col("ncs")).as("nc"))
+        val srcs = cs.groupBy(col("source")).agg(sum(col("ncs")).as("ns"))
+        val tot = srcs.agg(sum(col("ns")).as("n"))
+        val tv = c.crossJoin(broadcast(srcs)).crossJoin(broadcast(tot))
+          .join(cs, Seq("lang", "szb", "source"), "left")
+          .select(col("lang"), col("szb"), col("nc"), col("n"),
+            abs(coalesce(col("ncs"), lit(0L)) * col("n") -
+              col("ns") * col("nc")).as("term"))
+          .groupBy(col("lang"), col("szb"))
+          .agg(max(col("nc")).as("nc"), sum(col("term")).as("num"),
+            max(col("n")).as("n"))
+          .select(col("nc"), (col("num").cast("double") /
+            (lit(2L) * col("nc") * col("n")).cast("double")).as("tv"))
+        tv.select(col("nc"), col("tv"),
+            explode(array(lit(0.2), lit(0.3), lit(0.5))).as("tt"))
+          .groupBy(col("tt"))
+          .agg(count(lit(1)).as("n_classes"),
+            round(max(col("tv")), 6).as("max_tv"),
+            sum(when(col("tv") > col("tt"), 1L).otherwise(0L))
+              .as("n_violating"),
+            sum(when(col("tv") > col("tt"), col("nc")).otherwise(0L))
+              .as("docs_at_risk"),
+            round(sum(when(col("tv") > col("tt"), col("nc")).otherwise(0L))
+              .cast("double") / sum(col("nc")).cast("double"), 6)
+              .as("risk_share"))
+          .orderBy(col("tt"))
+      },
+      Some("""WITH cs AS (SELECT lang, n_chars // 100 AS szb, source,
+                     CAST(count(*) AS BIGINT) AS ncs
+                   FROM documents GROUP BY 1, 2, 3),
+              c AS (SELECT lang, szb, CAST(sum(ncs) AS BIGINT) AS nc
+                    FROM cs GROUP BY 1, 2),
+              s AS (SELECT source, CAST(sum(ncs) AS BIGINT) AS ns
+                    FROM cs GROUP BY 1),
+              tot AS (SELECT CAST(sum(ns) AS BIGINT) AS n FROM s),
+              tv AS (SELECT g.lang, g.szb, max(g.nc) AS nc, max(g.n) AS n,
+                            CAST(sum(abs(g.ncs * g.n - g.ns * g.nc))
+                              AS BIGINT) AS num
+                     FROM (SELECT c.lang, c.szb, c.nc, s.ns, tot.n,
+                                  COALESCE(cs.ncs, 0) AS ncs
+                           FROM c CROSS JOIN s CROSS JOIN tot
+                           LEFT JOIN cs ON cs.lang = c.lang
+                             AND cs.szb = c.szb AND cs.source = s.source) g
+                     GROUP BY 1, 2),
+              tvv AS (SELECT nc, CAST(num AS DOUBLE)
+                          / CAST(2 * nc * n AS DOUBLE) AS tv FROM tv),
+              sw AS (SELECT tvv.nc, tvv.tv, th.tt FROM tvv CROSS JOIN
+                       (SELECT unnest([CAST(0.2 AS DOUBLE),
+                                       CAST(0.3 AS DOUBLE),
+                                       CAST(0.5 AS DOUBLE)]) AS tt) th)
+              SELECT tt, CAST(count(*) AS BIGINT) AS n_classes,
+                     round(max(tv), 6) AS max_tv,
+                     CAST(sum(CASE WHEN tv > tt THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_violating,
+                     CAST(sum(CASE WHEN tv > tt THEN nc ELSE 0 END)
+                       AS BIGINT) AS docs_at_risk,
+                     round(CAST(sum(CASE WHEN tv > tt THEN nc ELSE 0 END)
+                         AS DOUBLE) / CAST(sum(nc) AS DOUBLE), 6)
+                       AS risk_share
+              FROM sw GROUP BY tt ORDER BY tt"""))
   )
 }
