@@ -1195,6 +1195,108 @@ object DedupQueries {
                FROM pairs JOIN nfp na ON na.doc_id = doc_a
                           JOIN nfp nb ON nb.doc_id = doc_b
                WHERE shared_fps * 2 >= least(na.nf, nb.nf)
-               ORDER BY doc_a, doc_b"""))
+               ORDER BY doc_a, doc_b""")),
+
+    // ---- Fellegi–Sunter probabilistic match weights (Fellegi &
+    // Sunter 1969; the scoring layer q153's blocked candidate
+    // generation stops short of): each candidate pair gets
+    // Σ_f [agree_f ? ln(m_f/u_f) : ln((1−m_f)/(1−u_f))] over fields
+    // INDEPENDENT of the block key. The u-probabilities (chance two
+    // RANDOM records agree on field f) are estimated from the data
+    // exactly — u_f = Σ_v n_v² / N², exact longs up to the one
+    // division — so the weights adapt to the corpus's own field
+    // selectivity; m-probabilities are declared priors (0.95 lang,
+    // 0.9 length-bucket). Block = the q33 rolling-min 8-gram
+    // fingerprint (codegen'd, one pass) with the standard block purge
+    // at 50 (the FuzzyJoin.maxBlock convention: a block everyone
+    // shares carries no signal and quadratic cost — at sf0.1 the
+    // purge is LOAD-BEARING, max block 315). The match decision
+    // (weight > 0) is taken on the raw double — identical IEEE
+    // arithmetic both engines (the q313 ln convention); the reported
+    // weight is 6dp-rounded. Scale: pair volume is Σ_blk c², purged;
+    // the u frame is |values| rows; everything else is the equi-join.
+    GraftQuery(
+      "q323_fs_match_weights",
+      (s, d) => {
+        val nd = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            expr("n_chars DIV 100").as("szb"),
+            Portable.normText(col("text")).as("nt"))
+          .withColumn("blk", expr("p60_rolling8_min(nt)"))
+          .drop("nt")
+          .localCheckpoint(true) // feeds u-estimates, purge and pairing
+        val ok = nd.groupBy(col("blk")).agg(count(lit(1)).as("c"))
+          .filter(col("c") <= 50).select(col("blk"))
+        val kb = nd.join(ok, Seq("blk"), "left_semi")
+        val n = nd.agg(count(lit(1)).as("n"))
+        val ul = nd.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * col("c")).as("s2l"))
+        val us = nd.groupBy(col("szb")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * col("c")).as("s2s"))
+        val u = ul.crossJoin(us).crossJoin(n)
+          .select(
+            (col("s2l").cast("double") / (col("n") * col("n")).cast("double"))
+              .as("u_lang"),
+            (col("s2s").cast("double") / (col("n") * col("n")).cast("double"))
+              .as("u_szb"))
+        val a = kb.select(col("doc_id").as("doc_a"), col("blk"),
+          col("lang").as("la"), col("szb").as("za"), col("source").as("ra"))
+        val b = kb.select(col("doc_id").as("doc_b"), col("blk"),
+          col("lang").as("lb"), col("szb").as("zb"), col("source").as("rb"))
+        a.join(b, "blk").filter(col("doc_a") < col("doc_b"))
+          .crossJoin(broadcast(u))
+          .select(col("doc_a"), col("doc_b"),
+            when(col("la") === col("lb"), 1L).otherwise(0L).as("agree_lang"),
+            when(col("za") === col("zb"), 1L).otherwise(0L).as("agree_szb"),
+            when(col("ra") =!= col("rb"), 1L).otherwise(0L).as("cross_source"),
+            (when(col("la") === col("lb"), log(lit(0.95) / col("u_lang")))
+              .otherwise(log(lit(0.05) / (lit(1d) - col("u_lang")))) +
+              when(col("za") === col("zb"), log(lit(0.9) / col("u_szb")))
+                .otherwise(log(lit(0.1) / (lit(1d) - col("u_szb")))))
+              .as("w"))
+          .filter(col("w") > 0d)
+          .select(col("doc_a"), col("doc_b"), col("agree_lang"),
+            col("agree_szb"), col("cross_source"),
+            round(col("w"), 6).as("weight"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH nd AS (SELECT doc_id, lang, source, n_chars // 100 AS szb,
+                      ${Portable.normTextSql("text")} AS nt FROM documents),
+               bk AS (SELECT doc_id, lang, source, szb,
+                        list_min([${Portable.p60Sql("substring(nt, i, 8)")}
+                          FOR i IN range(1, greatest(length(nt) - 7, 1) + 1)]) AS blk
+                      FROM nd),
+               ok AS (SELECT blk FROM
+                        (SELECT blk, count(*) AS c FROM bk GROUP BY 1)
+                      WHERE c <= 50),
+               kb AS (SELECT bk.* FROM bk JOIN ok USING (blk)),
+               n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd),
+               ul AS (SELECT CAST(sum(c * c) AS BIGINT) AS s2 FROM
+                        (SELECT CAST(count(*) AS BIGINT) AS c FROM nd
+                         GROUP BY lang)),
+               us AS (SELECT CAST(sum(c * c) AS BIGINT) AS s2 FROM
+                        (SELECT CAST(count(*) AS BIGINT) AS c FROM nd
+                         GROUP BY szb)),
+               u AS (SELECT CAST(ul.s2 AS DOUBLE) / CAST(n.n * n.n AS DOUBLE)
+                         AS u_lang,
+                            CAST(us.s2 AS DOUBLE) / CAST(n.n * n.n AS DOUBLE)
+                         AS u_szb
+                     FROM ul, us, n),
+               sc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             CAST(a.lang = b.lang AS BIGINT) AS agree_lang,
+                             CAST(a.szb = b.szb AS BIGINT) AS agree_szb,
+                             CAST(a.source <> b.source AS BIGINT) AS cross_source,
+                             CASE WHEN a.lang = b.lang
+                                  THEN ln(0.95 / u.u_lang)
+                                  ELSE ln(0.05 / (1 - u.u_lang)) END
+                           + CASE WHEN a.szb = b.szb
+                                  THEN ln(0.9 / u.u_szb)
+                                  ELSE ln(0.1 / (1 - u.u_szb)) END AS w
+                      FROM kb a JOIN kb b
+                        ON a.blk = b.blk AND a.doc_id < b.doc_id
+                      CROSS JOIN u)
+               SELECT doc_a, doc_b, agree_lang, agree_szb, cross_source,
+                      round(w, 6) AS weight
+               FROM sc WHERE w > 0 ORDER BY doc_a, doc_b"""))
   )
 }

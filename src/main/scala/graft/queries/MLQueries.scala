@@ -4211,6 +4211,108 @@ object MLQueries {
                          ELSE (il[CAST(nd // 2 AS INT)] +
                                il[CAST(nd // 2 + 1 AS INT)])
                               / CAST(2.0 AS DOUBLE) END, 6) AS intercept
-              FROM ic"""))
+              FROM ic""")),
+
+    // ---- Simpson's-paradox (amalgamation) audit — the experiment-
+    // analytics guard q288/q269/q270 assume away: a pooled rate
+    // difference can carry the OPPOSITE sign of every stratum when the
+    // strata are imbalanced across arms. Question: weekend vs weekday
+    // purchase share, stratified by 6-hour day-part. Per stratum and
+    // pooled, the SIGN is the exact-long cross-multiplication
+    // sign(sa·nb − sb·na) — rounding never decides a flip; a flip is
+    // sk·pk < 0 (integer product). The directly-standardized
+    // (stratum-size-weighted) difference is the de-confounded
+    // headline; its weighted sum folds in stratum order over the
+    // |strata|-bounded list (the q313 defined-order convention) so
+    // both engines replay one IEEE sequence. Non-vacuous across SFs by
+    // probe: sf0.001 pools +1 with 1 flipped stratum, sf0.01/sf0.1
+    // pool −1 with 0 — both branches fire. Scale: one partial-agg scan
+    // to |strata| rows; everything downstream is bounded by the
+    // 4-stratum domain.
+    GraftQuery(
+      "q321_simpson_audit",
+      (s, d) => {
+        val e = t(s, d, "events").select(
+          when(dayofweek(to_date(col("ts"))).isin(1, 7), 1L)
+            .otherwise(0L).as("grp"),
+          expr("hour(ts) DIV 6").as("stratum"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("succ"))
+        val st = e.groupBy(col("stratum"))
+          .agg(sum(when(col("grp") === 1, col("succ")).otherwise(0L)).as("sa"),
+            sum(when(col("grp") === 1, 1L).otherwise(0L)).as("na"),
+            sum(when(col("grp") === 0, col("succ")).otherwise(0L)).as("sb"),
+            sum(when(col("grp") === 0, 1L).otherwise(0L)).as("nb"))
+        val pool = st.agg(sum(col("sa")).as("psa"), sum(col("na")).as("pna"),
+          sum(col("sb")).as("psb"), sum(col("nb")).as("pnb"),
+          sum(col("na") + col("nb")).as("nn"))
+        st.crossJoin(broadcast(pool))
+          .select(col("stratum"), col("psa"), col("pna"), col("psb"),
+            col("pnb"),
+            when(col("sa") * col("nb") > col("sb") * col("na"), 1L)
+              .when(col("sa") * col("nb") < col("sb") * col("na"), -1L)
+              .otherwise(0L).as("sk"),
+            when(col("psa") * col("pnb") > col("psb") * col("pna"), 1L)
+              .when(col("psa") * col("pnb") < col("psb") * col("pna"), -1L)
+              .otherwise(0L).as("pk"),
+            ((col("na") + col("nb")).cast("double") / col("nn").cast("double") *
+              (col("sa").cast("double") / col("na").cast("double") -
+                col("sb").cast("double") / col("nb").cast("double"))).as("v"))
+          .agg(max(col("pk")).as("pooled_sign"),
+            count(lit(1)).as("n_strata"),
+            round(max(col("psa")).cast("double") / max(col("pna")).cast("double") -
+              max(col("psb")).cast("double") / max(col("pnb")).cast("double"), 6)
+              .as("pooled_diff"),
+            sort_array(collect_list(struct(col("stratum"), col("v").as("v"))))
+              .as("ts"),
+            sum(when(col("sk") * col("pk") < 0, 1L).otherwise(0L)).as("n_flips"),
+            sum(when(col("sk") === 0, 1L).otherwise(0L)).as("n_ties"))
+          .select(col("pooled_sign"), col("n_strata"), col("pooled_diff"),
+            expr("round(aggregate(ts, CAST(0.0 AS DOUBLE), (a, x) -> a + x.v), 6)")
+              .as("adjusted_diff"),
+            col("n_flips"), col("n_ties"))
+      },
+      Some("""WITH e AS (SELECT CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6)
+                     THEN 1 ELSE 0 END AS grp,
+                     hour(ts) // 6 AS stratum,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ
+                   FROM events),
+              st AS (SELECT stratum,
+                       CAST(sum(CASE WHEN grp = 1 THEN succ ELSE 0 END) AS BIGINT) AS sa,
+                       CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                       CAST(sum(CASE WHEN grp = 0 THEN succ ELSE 0 END) AS BIGINT) AS sb,
+                       CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+                     FROM e GROUP BY 1),
+              pool AS (SELECT CAST(sum(sa) AS BIGINT) AS psa,
+                              CAST(sum(na) AS BIGINT) AS pna,
+                              CAST(sum(sb) AS BIGINT) AS psb,
+                              CAST(sum(nb) AS BIGINT) AS pnb,
+                              CAST(sum(na + nb) AS BIGINT) AS nn FROM st),
+              sg AS (SELECT st.*, pool.psa, pool.pna, pool.psb, pool.pnb,
+                            pool.nn,
+                            CASE WHEN sa*nb > sb*na THEN 1
+                                 WHEN sa*nb < sb*na THEN -1 ELSE 0 END AS sk,
+                            CASE WHEN psa*pnb > psb*pna THEN 1
+                                 WHEN psa*pnb < psb*pna THEN -1 ELSE 0 END AS pk
+                     FROM st CROSS JOIN pool)
+              SELECT CAST(max(pk) AS BIGINT) AS pooled_sign,
+                     CAST(count(*) AS BIGINT) AS n_strata,
+                     round(CAST(max(psa) AS DOUBLE)/CAST(max(pna) AS DOUBLE)
+                         - CAST(max(psb) AS DOUBLE)/CAST(max(pnb) AS DOUBLE), 6)
+                       AS pooled_diff,
+                     round(list_reduce(
+                       list_transform(
+                         list(struct_pack(stratum := stratum,
+                             v := CAST(na + nb AS DOUBLE)/CAST(nn AS DOUBLE)
+                                * (CAST(sa AS DOUBLE)/CAST(na AS DOUBLE)
+                                   - CAST(sb AS DOUBLE)/CAST(nb AS DOUBLE)))
+                           ORDER BY stratum),
+                         x -> x.v),
+                       (a, x) -> a + x), 6) AS adjusted_diff,
+                     CAST(sum(CASE WHEN sk * pk < 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_flips,
+                     CAST(sum(CASE WHEN sk = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_ties
+              FROM sg"""))
   )
 }

@@ -958,7 +958,66 @@ object TextQueries {
                         (SELECT max(n) FROM o)) AS cap)
               SELECT lang, n AS n_tokens, b AS budget, cap,
                      least(n, cap) AS allocated
-              FROM o, cap ORDER BY lang"""))
+              FROM o, cap ORDER BY lang""")),
+
+    // ---- c-TF-IDF discriminative terms per source (Grootendorst's
+    // BERTopic class-TF-IDF, arXiv:2203.05794 §3.3, applied with
+    // source as the class): score(t, s) = tf_{t,s} · ln(1 + A/f_t)
+    // where f_t is the term's corpus frequency and A the mean tokens
+    // per class — WHAT each source contributes, where q154's per-lang
+    // Misra-Gries answers what is merely FREQUENT (a term every source
+    // shares scores near ln(1) regardless of count). Top-3 per source,
+    // raw-double ranking with term tiebreak (both engines rank
+    // identical IEEE doubles — exact-long counts, one division, one
+    // ln; the q313 convention), 6dp rounding on the REPORTED score
+    // only. Non-vacuous by probe: sources surface different term
+    // triples (batch/line/order vs table/part/customer). Scale: one
+    // token scan partial-aggregates to |sources|×|vocab| exact counts;
+    // the window runs over that bounded frame, never over rows.
+    GraftQuery(
+      "q322_ctfidf_source_terms",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = t(s, d, "documents")
+          .select(col("source"),
+            explode(Portable.tokens(lower(col("text")))).as("w"))
+          .groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true) // |sources×vocab| rows, read 3 ways
+        val ft = tf.groupBy(col("w")).agg(sum(col("n")).as("f"))
+        val a = tf.agg((sum(col("n")).cast("double") /
+          countDistinct(col("source")).cast("double")).as("a"))
+        val sc = tf.join(broadcast(ft), "w").crossJoin(broadcast(a))
+          .select(col("source"), col("w"), col("n"),
+            (col("n").cast("double") *
+              log(lit(1d) + col("a") / col("f").cast("double"))).as("score"))
+        sc.withColumn("rn", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("score").desc, col("w"))))
+          .filter(col("rn") <= 3)
+          .select(col("source"), col("w").as("term"), col("n"),
+            round(col("score"), 6).as("score"), col("rn").cast("long").as("rn"))
+          .orderBy(col("source"), col("rn"))
+      },
+      Some("""WITH tok AS (SELECT source,
+                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+                   FROM documents),
+              tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n
+                     FROM tok GROUP BY 1, 2),
+              ft AS (SELECT w, CAST(sum(n) AS BIGINT) AS f FROM tf GROUP BY 1),
+              a AS (SELECT CAST(sum(n) AS DOUBLE)
+                        / CAST(count(DISTINCT source) AS DOUBLE) AS a FROM tf),
+              sc AS (SELECT source, w, n,
+                       CAST(n AS DOUBLE) * ln(1 + a.a / CAST(f AS DOUBLE))
+                         AS score
+                     FROM tf JOIN ft USING (w) CROSS JOIN a),
+              rk AS (SELECT source, w, n, score,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY score DESC, w) AS rn
+                     FROM sc)
+              SELECT source, w AS term, n, round(score, 6) AS score,
+                     CAST(rn AS BIGINT) AS rn
+              FROM rk WHERE rn <= 3 ORDER BY source, rn"""))
   )
 
   /** Spark-SQL fragment of [[Portable.p60]] for use inside `expr` lambdas
