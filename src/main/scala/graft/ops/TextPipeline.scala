@@ -576,7 +576,7 @@ object TextPipeline {
   def winnowPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 16, w: Int = 8,
       minCoverageNum: Int = 1, minCoverageDen: Int = 2,
-      maxDf: Int = 1000): DataFrame = {
+      maxDf: Int = 200): DataFrame = {
     import org.apache.spark.sql.functions._
     require(minCoverageNum > 0 && minCoverageDen > 0 && maxDf >= 2,
       s"minCoverage=$minCoverageNum/$minCoverageDen maxDf=$maxDf")
@@ -601,5 +601,36 @@ object TextPipeline {
       .select(col("doc_a"), col("doc_b"), col("shared_fps"),
         round(col("shared_fps").cast("double") /
           least(col("na"), col("nb")).cast("double"), 6).as("coverage"))
+  }
+
+  /** What [[winnowPairs]]' df purge costs (the q101/q184/q277/q278
+    * telemetry convention): one row of fingerprint-type / posting /
+    * pair-volume counts split at `maxDf`, from the fingerprint
+    * document-frequency histogram alone — |fingerprints| input rows,
+    * integer arithmetic, no pair materialization. `n_pairs_kept` is
+    * the Σ df·(df−1)/2 the bucket join will actually pay;
+    * `n_pairs_purged` is what the cap saved — the number to watch as
+    * the corpus grows, since candidate volume at a fixed cap is what
+    * decides whether the operating point still holds (the q36
+    * corpus-proportional-candidates lesson). */
+  def winnowDfTelemetry(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 16, w: Int = 8,
+      maxDf: Int = 200): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val df = winnowFingerprints(docs, idCol, textCol, k, w)
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val pairs = expr("df * (df - 1) DIV 2")
+    df.agg(
+      count(lit(1)).as("n_fps"),
+      sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_fps_purged"),
+      max(col("df")).as("max_df"),
+      coalesce(max(when(col("df") <= maxDf, col("df"))), lit(0L))
+        .as("max_df_kept"),
+      sum(when(col("df") <= maxDf, col("df")).otherwise(0L))
+        .as("n_postings_kept"),
+      sum(when(col("df") > maxDf, col("df")).otherwise(0L))
+        .as("n_postings_purged"),
+      sum(when(col("df") <= maxDf, pairs).otherwise(0L)).as("n_pairs_kept"),
+      sum(when(col("df") > maxDf, pairs).otherwise(0L)).as("n_pairs_purged"))
   }
 }

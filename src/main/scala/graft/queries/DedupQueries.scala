@@ -1158,9 +1158,13 @@ object DedupQueries {
     // grams of a 31-word vocabulary carry corpus-scale df and the
     // purge empties the result at sf0.1, measured), w=8 windows,
     // coverage >= 1/2 decided by exact integer cross-multiplication;
-    // fingerprints with df > 1000 are boilerplate-purged before
-    // pairing (the q36/q59 df-cap convention — at the validation SFs
-    // the cap binds nothing, probed max df 270 at sf0.1). Scale:
+    // fingerprints with df > 200 are boilerplate-purged before
+    // pairing (the q36/q59 df-cap convention, sized by measurement:
+    // the 100x rehearsal's df histogram put 2.08e9 candidate pairs
+    // under a 1000 cap and 3.42e8 under 200, while the MATCH set is
+    // bit-identical to the uncapped point at every validation SF —
+    // probed 28/25/258 at caps 200, 1000 and none; q325 prices the
+    // purge as standing telemetry). Scale:
     // fingerprinting is one codegen'd O(len) pass per row
     // (functions.Winnow60 — no explode until the edge); pair volume
     // is Σ_fp df², capped, on the fingerprint-value equi-join — the
@@ -1183,7 +1187,7 @@ object DedupQueries {
                        FROM fp GROUP BY 1),
                df AS (SELECT fp, count(*) AS nd FROM fp GROUP BY 1),
                kept AS (SELECT fp.doc_id, fp.fp FROM fp JOIN df USING (fp)
-                        WHERE df.nd <= 1000),
+                        WHERE df.nd <= 200),
                pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                                 CAST(count(*) AS BIGINT) AS shared_fps
                          FROM kept a JOIN kept b
@@ -1297,6 +1301,127 @@ object DedupQueries {
                       CROSS JOIN u)
                SELECT doc_a, doc_b, agree_lang, agree_szb, cross_source,
                       round(w, 6) AS weight
-               FROM sc WHERE w > 0 ORDER BY doc_a, doc_b"""))
+               FROM sc WHERE w > 0 ORDER BY doc_a, doc_b""")),
+
+    // ---- dedup-method overlap audit: the portfolio telemetry for the
+    // two text-similarity geometries — whole-document trigram Jaccard
+    // (q35's operating point, >= 0.1) vs localized winnowing coverage
+    // (q318's, >= 1/2) — as one full-outer pair-set comparison. The
+    // methods measure DIFFERENT things (set overlap vs contiguous-run
+    // containment), so neither count is a recall bound on the other;
+    // what operations needs is the divergence VOLUME before swapping
+    // or stacking stages. Non-vacuous by probe: perfect agreement at
+    // sf0.001/sf0.01 (28/25 identical pairs), real divergence at
+    // sf0.1 (260 vs 258 with 4 Jaccard-only + 2 winnow-only — both
+    // disagreement branches fire). Scale: both sides are the
+    // postings-bounded equi-joins they are standalone; the audit adds
+    // one |pairs|-sized full-outer join on the pair key.
+    GraftQuery(
+      "q324_dedup_method_overlap",
+      (s, d) => {
+        val jp = Dedup.jaccardPairs(
+            Dedup.shingles(t(s, d, "documents"), maxShingleDf = MaxShingleDf),
+            minJaccard = 0.1)
+          .select(col("d1"), col("d2"), lit(1L).as("in_j"))
+        val wp = graft.ops.TextPipeline.winnowPairs(t(s, d, "documents"))
+          .select(col("doc_a").as("d1"), col("doc_b").as("d2"),
+            lit(1L).as("in_w"))
+        jp.join(wp, Seq("d1", "d2"), "full_outer")
+          .select(coalesce(col("in_j"), lit(0L)).as("in_j"),
+            coalesce(col("in_w"), lit(0L)).as("in_w"))
+          .agg(sum(col("in_j")).as("n_jaccard"),
+            sum(col("in_w")).as("n_winnow"),
+            sum(col("in_j") * col("in_w")).as("n_both"),
+            sum(col("in_j") * (lit(1L) - col("in_w"))).as("n_jaccard_only"),
+            sum((lit(1L) - col("in_j")) * col("in_w")).as("n_winnow_only"))
+      },
+      Some(s"""WITH $shinglesSql,
+               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                         GROUP BY 1, 2),
+               jp AS (SELECT d1, d2 FROM
+                        (SELECT d1, d2, c * 1.0 / (s1.n + s2.n - c) AS jaccard
+                         FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+                                    JOIN sizes s2 ON d2 = s2.doc_id)
+                      WHERE jaccard >= 0.1),
+               wnd AS (SELECT doc_id, ${Portable.normTextSql("text")} AS nt
+                       FROM documents),
+               whs AS (SELECT doc_id,
+                         [${Portable.p60Sql("substring(nt, i, 16)")}
+                          FOR i IN range(1, greatest(length(nt) - 15, 1) + 1)] AS hs
+                       FROM wnd),
+               wfp AS (SELECT doc_id,
+                         unnest(list_distinct([list_min(hs[j:j+7])
+                           FOR j IN range(1, greatest(len(hs) - 7, 1) + 1)])) AS fp
+                       FROM whs),
+               wnf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+                       FROM wfp GROUP BY 1),
+               wdf AS (SELECT fp, count(*) AS ndc FROM wfp GROUP BY 1),
+               wkp AS (SELECT wfp.doc_id, wfp.fp FROM wfp JOIN wdf USING (fp)
+                       WHERE wdf.ndc <= 200),
+               wpr AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                              CAST(count(*) AS BIGINT) AS shared
+                       FROM wkp a JOIN wkp b
+                         ON a.fp = b.fp AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
+               wp AS (SELECT d1, d2 FROM wpr
+                      JOIN wnf na ON na.doc_id = d1
+                      JOIN wnf nb ON nb.doc_id = d2
+                      WHERE shared * 2 >= least(na.nf, nb.nf)),
+               fj AS (SELECT CASE WHEN jp.d1 IS NOT NULL THEN 1 ELSE 0 END AS in_j,
+                             CASE WHEN wp.d1 IS NOT NULL THEN 1 ELSE 0 END AS in_w
+                      FROM jp FULL OUTER JOIN wp
+                        ON jp.d1 = wp.d1 AND jp.d2 = wp.d2)
+               SELECT CAST(sum(in_j) AS BIGINT) AS n_jaccard,
+                      CAST(sum(in_w) AS BIGINT) AS n_winnow,
+                      CAST(sum(in_j * in_w) AS BIGINT) AS n_both,
+                      CAST(sum(in_j * (1 - in_w)) AS BIGINT) AS n_jaccard_only,
+                      CAST(sum((1 - in_j) * in_w) AS BIGINT) AS n_winnow_only
+               FROM fj""")),
+
+    // ---- df-purge telemetry for q318's fingerprint cap (the
+    // q101/q184/q277/q278 convention: no silent cap — every bounded
+    // operating point ships the query that prices it). n_pairs_kept is
+    // the Σ df·(df−1)/2 the bucket join actually pays; n_pairs_purged
+    // is what the cap saved. The 200 cap purges types at sf0.1 (max
+    // df 270) with a bit-identical match set (probed against 1000 and
+    // uncapped); at the 100× rehearsal the kept-pair volume IS q318's
+    // cost driver (3.42e8 at 200 vs 2.08e9 at 1000), and this row is
+    // the number operations watches to decide when to tighten maxDf
+    // or raise k. One partial-agg pass to |fingerprints| rows.
+    GraftQuery(
+      "q325_winnow_df_telemetry",
+      (s, d) => graft.ops.TextPipeline.winnowDfTelemetry(
+        t(s, d, "documents")),
+      Some(s"""WITH wnd AS (SELECT doc_id,
+                      ${Portable.normTextSql("text")} AS nt FROM documents),
+               whs AS (SELECT doc_id,
+                         [${Portable.p60Sql("substring(nt, i, 16)")}
+                          FOR i IN range(1, greatest(length(nt) - 15, 1) + 1)] AS hs
+                       FROM wnd),
+               wfp AS (SELECT doc_id,
+                         unnest(list_distinct([list_min(hs[j:j+7])
+                           FOR j IN range(1, greatest(len(hs) - 7, 1) + 1)])) AS fp
+                       FROM whs),
+               d AS (SELECT fp, CAST(count(*) AS BIGINT) AS df
+                     FROM wfp GROUP BY 1)
+               SELECT CAST(count(*) AS BIGINT) AS n_fps,
+                      CAST(sum(CASE WHEN df > 200 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_fps_purged,
+                      CAST(max(df) AS BIGINT) AS max_df,
+                      CAST(coalesce(max(CASE WHEN df <= 200 THEN df END), 0)
+                        AS BIGINT) AS max_df_kept,
+                      CAST(sum(CASE WHEN df <= 200 THEN df ELSE 0 END)
+                        AS BIGINT) AS n_postings_kept,
+                      CAST(sum(CASE WHEN df > 200 THEN df ELSE 0 END)
+                        AS BIGINT) AS n_postings_purged,
+                      CAST(sum(CASE WHEN df <= 200
+                           THEN df * (df - 1) // 2 ELSE 0 END)
+                        AS BIGINT) AS n_pairs_kept,
+                      CAST(sum(CASE WHEN df > 200
+                           THEN df * (df - 1) // 2 ELSE 0 END)
+                        AS BIGINT) AS n_pairs_purged
+               FROM d"""))
   )
 }

@@ -4313,6 +4313,87 @@ object MLQueries {
                        AS BIGINT) AS n_flips,
                      CAST(sum(CASE WHEN sk = 0 THEN 1 ELSE 0 END)
                        AS BIGINT) AS n_ties
-              FROM sg"""))
+              FROM sg""")),
+
+    // ---- Cochran–Mantel–Haenszel pooled odds ratio — q321's audit
+    // says WHETHER strata and pool disagree; CMH is the textbook
+    // answer to "then what number do I report": the stratification-
+    // adjusted association Σ_k(a_k·d_k/n_k) / Σ_k(b_k·c_k/n_k), the
+    // fixed-effects pooling that weights each stratum by its
+    // information content instead of its arm imbalance. Same
+    // instantiation as q321 (weekend vs weekday purchase odds,
+    // day-part strata) so the two rows read together. Each stratum
+    // term is exact-long products with ONE division; the two sums fold
+    // in stratum order (q313 convention); pooled OR is a single
+    // division of exact long products. Degenerate cells guard to NULL
+    // on both engines (the q217 /0 discipline). Scale: one partial-agg
+    // scan to |strata| rows; all folds bounded by the 4-stratum domain.
+    GraftQuery(
+      "q326_cmh_odds_ratio",
+      (s, d) => {
+        val e = t(s, d, "events").select(
+          when(dayofweek(to_date(col("ts"))).isin(1, 7), 1L)
+            .otherwise(0L).as("grp"),
+          expr("hour(ts) DIV 6").as("stratum"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("succ"))
+        val st = e.groupBy(col("stratum"))
+          .agg(sum(when(col("grp") === 1, col("succ")).otherwise(0L)).as("a"),
+            sum(when(col("grp") === 1, lit(1L) - col("succ")).otherwise(0L)).as("b"),
+            sum(when(col("grp") === 0, col("succ")).otherwise(0L)).as("c"),
+            sum(when(col("grp") === 0, lit(1L) - col("succ")).otherwise(0L)).as("d"))
+        st.select(col("stratum"), col("a"), col("b"), col("c"), col("d"),
+            ((col("a") * col("d")).cast("double") /
+              (col("a") + col("b") + col("c") + col("d")).cast("double")).as("vn"),
+            ((col("b") * col("c")).cast("double") /
+              (col("a") + col("b") + col("c") + col("d")).cast("double")).as("vd"))
+          .agg(count(lit(1)).as("n_strata"),
+            sum(col("a")).as("pa"), sum(col("b")).as("pb"),
+            sum(col("c")).as("pc"), sum(col("d")).as("pd"),
+            sort_array(collect_list(struct(col("stratum"), col("vn").as("v"))))
+              .as("tn"),
+            sort_array(collect_list(struct(col("stratum"), col("vd").as("v"))))
+              .as("td"))
+          .select(col("n_strata"),
+            when(col("pb") * col("pc") > 0,
+              round((col("pa") * col("pd")).cast("double") /
+                (col("pb") * col("pc")).cast("double"), 6)).as("pooled_or"),
+            expr("""CASE WHEN aggregate(td, CAST(0.0 AS DOUBLE), (x, y) -> x + y.v) > 0
+                    THEN round(aggregate(tn, CAST(0.0 AS DOUBLE), (x, y) -> x + y.v)
+                             / aggregate(td, CAST(0.0 AS DOUBLE), (x, y) -> x + y.v), 6)
+                    END""").as("cmh_or"))
+      },
+      Some("""WITH e AS (SELECT CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6)
+                     THEN 1 ELSE 0 END AS grp,
+                     hour(ts) // 6 AS stratum,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ
+                   FROM events),
+              st AS (SELECT stratum,
+                       CAST(sum(CASE WHEN grp=1 THEN succ ELSE 0 END) AS BIGINT) AS a,
+                       CAST(sum(CASE WHEN grp=1 THEN 1-succ ELSE 0 END) AS BIGINT) AS b,
+                       CAST(sum(CASE WHEN grp=0 THEN succ ELSE 0 END) AS BIGINT) AS c,
+                       CAST(sum(CASE WHEN grp=0 THEN 1-succ ELSE 0 END) AS BIGINT) AS d
+                     FROM e GROUP BY 1),
+              f AS (SELECT
+                      list_reduce(list_transform(
+                        list(struct_pack(stratum := stratum,
+                           v := CAST(a*d AS DOUBLE)/CAST(a+b+c+d AS DOUBLE))
+                          ORDER BY stratum),
+                        x -> x.v), (acc, x) -> acc + x) AS num,
+                      list_reduce(list_transform(
+                        list(struct_pack(stratum := stratum,
+                           v := CAST(b*c AS DOUBLE)/CAST(a+b+c+d AS DOUBLE))
+                          ORDER BY stratum),
+                        x -> x.v), (acc, x) -> acc + x) AS den,
+                      CAST(count(*) AS BIGINT) AS n_strata,
+                      CAST(sum(a) AS BIGINT) AS pa, CAST(sum(b) AS BIGINT) AS pb,
+                      CAST(sum(c) AS BIGINT) AS pc, CAST(sum(d) AS BIGINT) AS pd
+                    FROM st)
+              SELECT n_strata,
+                     CASE WHEN pb * pc > 0 THEN
+                       round(CAST(pa*pd AS DOUBLE)/CAST(pb*pc AS DOUBLE), 6)
+                     END AS pooled_or,
+                     CASE WHEN den > 0 THEN round(num/den, 6) END AS cmh_or
+              FROM f"""))
   )
 }
