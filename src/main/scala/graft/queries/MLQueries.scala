@@ -4394,6 +4394,90 @@ object MLQueries {
                        round(CAST(pa*pd AS DOUBLE)/CAST(pb*pc AS DOUBLE), 6)
                      END AS pooled_or,
                      CASE WHEN den > 0 THEN round(num/den, 6) END AS cmh_or
-              FROM f"""))
+              FROM f""")),
+
+    // ---- Mann–Kendall trend test + Kendall τ-b — q320's classic
+    // partner (Theil–Sen estimates the slope, Mann–Kendall tests its
+    // EXISTENCE; together they are the standard nonparametric trend
+    // kit): S = Σ sign(y_j − y_i) over x_j > x_i is pure integer
+    // arithmetic, τ-b divides by the tie-corrected pair count
+    // (tie PAIRS counted exactly), and the z-score uses the
+    // tie-corrected variance [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18 with
+    // the ±1 continuity correction — every decision integer, the two
+    // doubles are final divisions through sqrt (correctly-rounded
+    // IEEE, bit-identical cross-engine). Zero-variance degenerates
+    // NULL the z (q217 discipline). Same bounded-day-domain pair
+    // frame as q320: aggregate first, pairs never touch rows.
+    GraftQuery(
+      "q327_mann_kendall",
+      (s, d) => {
+        val dd = t(s, d, "events")
+          .groupBy(datediff(to_date(col("ts")), lit("1970-01-01"))
+            .cast("long").as("x"))
+          .agg(sum(when(col("event_type") === "purchase",
+            floor(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+          .localCheckpoint(true) // |days| rows, read 3 ways below
+        val a = dd.select(col("x").as("xa"), col("y").as("ya"))
+        val b = dd.select(col("x").as("xb"), col("y").as("yb"))
+        val p = a.join(b, col("xb") > col("xa"))
+          .select(
+            when(col("yb") > col("ya"), 1L)
+              .when(col("yb") < col("ya"), -1L).otherwise(0L).as("sgn"),
+            when(col("yb") === col("ya"), 1L).otherwise(0L).as("tie"))
+          .agg(sum(col("sgn")).as("s_stat"), count(lit(1)).as("n_pairs"),
+            sum(col("tie")).as("n_tie_pairs"))
+        val tg = dd.groupBy(col("y")).agg(count(lit(1)).as("t"))
+          .filter(col("t") > 1)
+          .agg(coalesce(sum(col("t") * (col("t") - 1) *
+            (lit(2L) * col("t") + 5)), lit(0L)).as("tcorr"))
+        val n = dd.agg(count(lit(1)).as("n"))
+        p.crossJoin(broadcast(n)).crossJoin(broadcast(tg))
+          .select(col("n").as("n_points"), col("n_pairs"), col("s_stat"),
+            col("n_tie_pairs"),
+            round(col("s_stat").cast("double") /
+              sqrt(col("n_pairs").cast("double") *
+                (col("n_pairs") - col("n_tie_pairs")).cast("double")), 6)
+              .as("tau_b"),
+            when(col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5)
+                - col("tcorr") > 0,
+              round((col("s_stat").cast("double") -
+                when(col("s_stat") > 0, 1d)
+                  .when(col("s_stat") < 0, -1d).otherwise(0d)) /
+                sqrt((col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5)
+                  - col("tcorr")).cast("double") / 18d), 6))
+              .as("z_mk"))
+      },
+      Some("""WITH d AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+                      CAST(ts AS DATE)) AS BIGINT) AS x,
+                      CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(floor(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+                    FROM events GROUP BY 1),
+              p AS (SELECT CASE WHEN b.y > a.y THEN 1
+                                WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn,
+                           CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS tie
+                    FROM d a JOIN d b ON b.x > a.x),
+              s AS (SELECT CAST(sum(sgn) AS BIGINT) AS s_stat,
+                           CAST(count(*) AS BIGINT) AS n_pairs,
+                           CAST(sum(tie) AS BIGINT) AS n_tie_pairs FROM p),
+              tg AS (SELECT CAST(coalesce(sum(t*(t-1)*(2*t+5)), 0) AS BIGINT)
+                         AS tcorr FROM
+                       (SELECT CAST(count(*) AS BIGINT) AS t FROM d
+                        GROUP BY y) WHERE t > 1),
+              n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+              SELECT n.n AS n_points, s.n_pairs, s.s_stat, s.n_tie_pairs,
+                     round(CAST(s.s_stat AS DOUBLE) /
+                       sqrt(CAST(s.n_pairs AS DOUBLE)
+                            * CAST(s.n_pairs - s.n_tie_pairs AS DOUBLE)), 6)
+                       AS tau_b,
+                     CASE WHEN n.n * (n.n - 1) * (2 * n.n + 5) - tg.tcorr > 0
+                     THEN round((CAST(s.s_stat AS DOUBLE) -
+                            CASE WHEN s.s_stat > 0 THEN 1
+                                 WHEN s.s_stat < 0 THEN -1 ELSE 0 END)
+                          / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5)
+                                      - tg.tcorr AS DOUBLE)
+                                 / CAST(18.0 AS DOUBLE)), 6)
+                     END AS z_mk
+              FROM s CROSS JOIN n CROSS JOIN tg"""))
   )
 }
