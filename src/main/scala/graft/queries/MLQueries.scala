@@ -4478,6 +4478,86 @@ object MLQueries {
                                       - tg.tcorr AS DOUBLE)
                                  / CAST(18.0 AS DOUBLE)), 6)
                      END AS z_mk
-              FROM s CROSS JOIN n CROSS JOIN tg"""))
+              FROM s CROSS JOIN n CROSS JOIN tg""")),
+
+    // ---- Wald–Wolfowitz runs test on daily revenue MOVES — the
+    // randomness check the trend kit assumes away: q320/q327 ask "is
+    // there drift"; this asks "are the day-over-day up/down moves
+    // independent at all" (too FEW runs = momentum/regimes, too MANY =
+    // oscillation — either invalidates iid-style reasoning about the
+    // daily series, and the probe shows this corpus OSCILLATES,
+    // z ≈ +2.1/+1.3/+2.5 across SFs). Runs counted by integer
+    // sign-change flags over the bounded day frame (zero moves drop —
+    // the standard convention); E[R] and Var[R] are the exact-long
+    // closed forms with single divisions through sqrt; degenerate
+    // one-sided series NULL the z (q217 discipline). The lag windows
+    // are unpartitioned but run over the ~|days| domain, never rows —
+    // the q98 bounded-domain window convention.
+    GraftQuery(
+      "q328_runs_test",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byX = Window.orderBy(col("x"))
+        val dd = t(s, d, "events")
+          .groupBy(datediff(to_date(col("ts")), lit("1970-01-01"))
+            .cast("long").as("x"))
+          .agg(sum(when(col("event_type") === "purchase",
+            floor(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+        val sg = dd
+          .select(col("x"), (col("y") - lag(col("y"), 1).over(byX)).as("dy"))
+          .filter(col("dy").isNotNull && col("dy") =!= 0)
+          .select(col("x"), when(col("dy") > 0, 1L).otherwise(-1L).as("s"))
+        val agg = sg
+          .select(col("s"),
+            when(col("s") =!= lag(col("s"), 1).over(byX), 1L).otherwise(0L)
+              .as("brk"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("s") === 1, 1L).otherwise(0L)).as("n_up"),
+            sum(when(col("s") === -1, 1L).otherwise(0L)).as("n_dn"),
+            (lit(1L) + sum(col("brk"))).as("runs"))
+        agg.select(col("n"), col("n_up"), col("n_dn"), col("runs"),
+          round((lit(2L) * col("n_up") * col("n_dn")).cast("double") /
+            col("n").cast("double") + 1d, 6).as("e_runs"),
+          when(col("n") > 1 &&
+            lit(2L) * col("n_up") * col("n_dn") *
+              (lit(2L) * col("n_up") * col("n_dn") - col("n")) > 0,
+            round((col("runs").cast("double") -
+              ((lit(2L) * col("n_up") * col("n_dn")).cast("double") /
+                col("n").cast("double") + 1d)) /
+              sqrt((lit(2L) * col("n_up") * col("n_dn") *
+                (lit(2L) * col("n_up") * col("n_dn") - col("n"))).cast("double") /
+                (col("n") * col("n") * (col("n") - 1)).cast("double")), 6))
+            .as("z_runs"))
+      },
+      Some("""WITH d AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+                      CAST(ts AS DATE)) AS BIGINT) AS x,
+                      CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(floor(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+                    FROM events GROUP BY 1),
+              mv AS (SELECT x, y - lag(y) OVER (ORDER BY x) AS dy FROM d),
+              sg AS (SELECT x, CASE WHEN dy > 0 THEN 1 ELSE -1 END AS s
+                     FROM mv WHERE dy IS NOT NULL AND dy <> 0),
+              rn AS (SELECT s, CASE WHEN s <> lag(s) OVER (ORDER BY x)
+                            THEN 1 ELSE 0 END AS brk FROM sg),
+              agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_up,
+                        CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_dn,
+                        CAST(1 + sum(brk) AS BIGINT) AS runs FROM rn)
+              SELECT n, n_up, n_dn, runs,
+                     round(CAST(2 * n_up * n_dn AS DOUBLE)
+                         / CAST(n AS DOUBLE) + 1, 6) AS e_runs,
+                     CASE WHEN n > 1
+                          AND 2 * n_up * n_dn * (2 * n_up * n_dn - n) > 0
+                     THEN round((CAST(runs AS DOUBLE)
+                            - (CAST(2 * n_up * n_dn AS DOUBLE)
+                               / CAST(n AS DOUBLE) + 1))
+                          / sqrt(CAST(2 * n_up * n_dn
+                                      * (2 * n_up * n_dn - n) AS DOUBLE)
+                                 / CAST(n * n * (n - 1) AS DOUBLE)), 6)
+                     END AS z_runs
+              FROM agg"""))
   )
 }
