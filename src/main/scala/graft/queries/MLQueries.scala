@@ -4558,6 +4558,98 @@ object MLQueries {
                                       * (2 * n_up * n_dn - n) AS DOUBLE)
                                  / CAST(n * n * (n - 1) AS DOUBLE)), 6)
                      END AS z_runs
-              FROM agg"""))
+              FROM agg""")),
+
+    // ---- Kruskal–Wallis H across the four day-parts — the k-group
+    // member of the rank-test family (q287's Mann–Whitney is its
+    // k = 2 case; q281's Welch assumes normality, this doesn't): does
+    // purchase SPEND distribution differ by time of day. Midranks come
+    // from the same bounded-VALUE-domain prefix trick as q287/q98 —
+    // per-(value, group) counts, one running-sum window over DISTINCT
+    // cents values, 2·midrank = 2F + t + 1 kept exact-long so group
+    // rank sums are exact integers; the Σ(2R_g)²/n_g fold runs in
+    // group order (q313 convention) with the squares taken in double
+    // ((2R)² overflows a long past N ≈ 2¹⁵·⁵ but 2R itself is exact
+    // below 2⁵³ — the documented bound; the tie term N³−N holds exact
+    // to N < 2²¹). Tie-corrected H' = H / (1 − Σ(t³−t)/(N³−N)),
+    // NULL-guarded when all values tie. No per-row sort anywhere.
+    GraftQuery(
+      "q329_kruskal_wallis",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val p = t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(expr("hour(ts) DIV 6").as("g"),
+            floor(col("value") * 100).cast("long").as("v"))
+        val vc = p.groupBy(col("v"), col("g")).agg(count(lit(1)).as("c"))
+          .localCheckpoint(true) // |values×groups| rows, read 2 ways
+        val vt = vc.groupBy(col("v")).agg(sum(col("c")).as("t"))
+        val byV = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        // unpartitioned window — over the bounded VALUE domain, not rows
+        val cum = vt.select(col("v"), col("t"),
+          coalesce(sum(col("t")).over(byV), lit(0L)).as("f"))
+        val r2 = vc.join(cum, "v")
+          .groupBy(col("g"))
+          .agg(sum(col("c") * (lit(2L) * col("f") + col("t") + 1)).as("r2g"),
+            sum(col("c")).as("ng"))
+        val tie = vt.agg(sum(col("t") * col("t") * col("t") - col("t"))
+          .as("tsum"))
+        r2.agg(sum(col("ng")).as("n"), count(lit(1)).as("k"),
+            sort_array(collect_list(struct(col("g"),
+              (col("r2g").cast("double") * col("r2g").cast("double") /
+                col("ng").cast("double")).as("x")))).as("ts"))
+          .crossJoin(broadcast(tie))
+          .select(col("n").as("n_obs"), col("k").as("n_groups"),
+            col("tsum"),
+            (lit(3d) * expr(
+              "aggregate(ts, CAST(0.0 AS DOUBLE), (a, b) -> a + b.x)") /
+              (col("n").cast("double") * (col("n") + 1).cast("double")) -
+              lit(3d) * (col("n") + 1).cast("double")).as("h"))
+          .select(col("n_obs"), col("n_groups"), round(col("h"), 6)
+            .as("h_stat"),
+            when(col("n_obs") * col("n_obs") * col("n_obs") - col("n_obs")
+                > col("tsum"),
+              round(col("h") / (lit(1d) - col("tsum").cast("double") /
+                (col("n_obs") * col("n_obs") * col("n_obs") - col("n_obs"))
+                  .cast("double")), 6)).as("h_tie_corrected"))
+      },
+      Some("""WITH p AS (SELECT hour(ts) // 6 AS g,
+                     CAST(floor(value * 100) AS BIGINT) AS v
+                   FROM events WHERE event_type = 'purchase'),
+              vc AS (SELECT v, g, CAST(count(*) AS BIGINT) AS c
+                     FROM p GROUP BY 1, 2),
+              vt AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM vc GROUP BY 1),
+              cum AS (SELECT v, t, CAST(coalesce(sum(t) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS f
+                      FROM vt),
+              r2 AS (SELECT vc.g,
+                       CAST(sum(vc.c * (2 * cum.f + cum.t + 1)) AS BIGINT)
+                         AS r2g,
+                       CAST(sum(vc.c) AS BIGINT) AS ng
+                     FROM vc JOIN cum ON vc.v = cum.v GROUP BY 1),
+              nn AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+                            CAST(count(*) AS BIGINT) AS k FROM r2),
+              tie AS (SELECT CAST(sum(t*t*t - t) AS BIGINT) AS tsum FROM vt),
+              hh AS (SELECT nn.n, nn.k,
+                       list_reduce(list_transform(
+                         list(struct_pack(g := g,
+                             x := CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+                                / CAST(ng AS DOUBLE)) ORDER BY g),
+                         e -> e.x), (a, b) -> a + b) AS sr
+                     FROM r2 CROSS JOIN nn GROUP BY nn.n, nn.k),
+              hc AS (SELECT n, k,
+                       CAST(3.0 AS DOUBLE) * sr
+                         / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+                         - CAST(3.0 AS DOUBLE) * CAST(n + 1 AS DOUBLE) AS h,
+                       tie.tsum
+                     FROM hh CROSS JOIN tie)
+              SELECT n AS n_obs, k AS n_groups, round(h, 6) AS h_stat,
+                     CASE WHEN n*n*n - n > tsum THEN
+                       round(h / (1 - CAST(tsum AS DOUBLE)
+                                    / CAST(n*n*n - n AS DOUBLE)), 6)
+                     END AS h_tie_corrected
+              FROM hc"""))
   )
 }
