@@ -202,4 +202,33 @@ object Stats {
             element_at(col("il"), (col("nd") / 2 + 1).cast("int"))) / 2d), 6)
           .as("intercept"))
   }
+
+  /** Doubled within-block Friedman midranks over COMPLETE blocks only —
+    * the rank layer of the Friedman test (q332). Input contract: one
+    * row per (block, group) cell. Blocks missing any of the k observed
+    * groups are dropped (the standard repeated-measures requirement;
+    * k is inferred as the global distinct-group count). Ranks come
+    * from the within-block self-join — blocks are k rows, so the join
+    * is k²-per-block bounded, never row-sized — and are kept doubled
+    * (2r = 2·#less + #tied-incl-self + 1) so downstream rank sums and
+    * the tie-corrected statistic stay exact-long to the final
+    * division. Returns (blk, g, r2). The complete-block branch cannot
+    * fire on the driver fixtures (every week is complete at all SFs —
+    * probed), so StatsEvalSpec pins it on synthetic input instead. */
+  def friedmanRanks(df: DataFrame, block: Column, group: Column,
+      value: Column): DataFrame = {
+    val cells = df.select(block.as("blk"), group.as("g"), value.as("y"))
+    val k = cells.agg(count_distinct(col("g")).as("k"))
+    val full = cells.groupBy(col("blk")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(k)).filter(col("c") === col("k"))
+      .select(col("blk"))
+    val cb = cells.join(full, Seq("blk"), "left_semi")
+      .localCheckpoint(true) // |blocks×k| rows, read twice (self-join)
+    cb.as("a").join(cb.as("b"), col("a.blk") === col("b.blk"))
+      .groupBy(col("a.blk").as("blk"), col("a.g").as("g"))
+      .agg((lit(2L) *
+        sum(when(col("b.y") < col("a.y"), 1L).otherwise(0L)) +
+        sum(when(col("b.y") === col("a.y"), 1L).otherwise(0L)) +
+        lit(1L)).as("r2"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Portable}
+import graft.ops.{Dedup, Linkage, Portable}
 
 /** Near-duplicate detection over `documents` (SURVEY.md §7.4 "dedup"),
   * delegating to the parameterized operator library in
@@ -1219,51 +1219,16 @@ object DedupQueries {
     // arithmetic both engines (the q313 ln convention); the reported
     // weight is 6dp-rounded. Scale: pair volume is Σ_blk c², purged;
     // the u frame is |values| rows; everything else is the equi-join.
+    // Scoring lives in ops.Linkage.fsScoredPairs (r19), shared verbatim
+    // with the q330 assignment face — this query is its w > 0 report.
     GraftQuery(
       "q323_fs_match_weights",
-      (s, d) => {
-        val nd = t(s, d, "documents")
-          .select(col("doc_id"), col("lang"), col("source"),
-            expr("n_chars DIV 100").as("szb"),
-            Portable.normText(col("text")).as("nt"))
-          .withColumn("blk", expr("p60_rolling8_min(nt)"))
-          .drop("nt")
-          .localCheckpoint(true) // feeds u-estimates, purge and pairing
-        val ok = nd.groupBy(col("blk")).agg(count(lit(1)).as("c"))
-          .filter(col("c") <= 50).select(col("blk"))
-        val kb = nd.join(ok, Seq("blk"), "left_semi")
-        val n = nd.agg(count(lit(1)).as("n"))
-        val ul = nd.groupBy(col("lang")).agg(count(lit(1)).as("c"))
-          .agg(sum(col("c") * col("c")).as("s2l"))
-        val us = nd.groupBy(col("szb")).agg(count(lit(1)).as("c"))
-          .agg(sum(col("c") * col("c")).as("s2s"))
-        val u = ul.crossJoin(us).crossJoin(n)
-          .select(
-            (col("s2l").cast("double") / (col("n") * col("n")).cast("double"))
-              .as("u_lang"),
-            (col("s2s").cast("double") / (col("n") * col("n")).cast("double"))
-              .as("u_szb"))
-        val a = kb.select(col("doc_id").as("doc_a"), col("blk"),
-          col("lang").as("la"), col("szb").as("za"), col("source").as("ra"))
-        val b = kb.select(col("doc_id").as("doc_b"), col("blk"),
-          col("lang").as("lb"), col("szb").as("zb"), col("source").as("rb"))
-        a.join(b, "blk").filter(col("doc_a") < col("doc_b"))
-          .crossJoin(broadcast(u))
-          .select(col("doc_a"), col("doc_b"),
-            when(col("la") === col("lb"), 1L).otherwise(0L).as("agree_lang"),
-            when(col("za") === col("zb"), 1L).otherwise(0L).as("agree_szb"),
-            when(col("ra") =!= col("rb"), 1L).otherwise(0L).as("cross_source"),
-            (when(col("la") === col("lb"), log(lit(0.95) / col("u_lang")))
-              .otherwise(log(lit(0.05) / (lit(1d) - col("u_lang")))) +
-              when(col("za") === col("zb"), log(lit(0.9) / col("u_szb")))
-                .otherwise(log(lit(0.1) / (lit(1d) - col("u_szb")))))
-              .as("w"))
-          .filter(col("w") > 0d)
-          .select(col("doc_a"), col("doc_b"), col("agree_lang"),
-            col("agree_szb"), col("cross_source"),
-            round(col("w"), 6).as("weight"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) => Linkage.fsScoredPairs(t(s, d, "documents"))
+        .filter(col("w") > 0d)
+        .select(col("doc_a"), col("doc_b"), col("agree_lang"),
+          col("agree_szb"), col("cross_source"),
+          round(col("w"), 6).as("weight"))
+        .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""WITH nd AS (SELECT doc_id, lang, source, n_chars // 100 AS szb,
                       ${Portable.normTextSql("text")} AS nt FROM documents),
                bk AS (SELECT doc_id, lang, source, szb,
@@ -1422,6 +1387,78 @@ object DedupQueries {
                       CAST(sum(CASE WHEN df > 200
                            THEN df * (df - 1) // 2 ELSE 0 END)
                         AS BIGINT) AS n_pairs_purged
-               FROM d"""))
+               FROM d""")),
+
+    // ---- reciprocal-best one-to-one linkage assignment — the third
+    // stage of the ER pipeline (block q153 → score q323 → ASSIGN),
+    // which neither pair face delivers: q323's positive-weight pairs
+    // can link one record to many partners, but a dedup-merge (or a
+    // master-data join) needs each record resolved to at most ONE
+    // master. Each node names its argmax candidate by (w DESC,
+    // partner id ASC) — the id tiebreak is load-bearing because FS
+    // weights take one value per agreement pattern, so ties are the
+    // NORM — and a pair survives iff the choice is mutual
+    // (ops.Linkage.reciprocalBest). Non-vacuous by probe: the mutual
+    // filter drops real candidates at every SF (positive pairs →
+    // matches: 134→80 at sf0.001, 236→79 at sf0.01, 682→240 at sf0.1).
+    // Hungarian/auction assignment would maximize total weight but is
+    // sequential over the score matrix; reciprocal-best is the 1:1
+    // resolution that DISTRIBUTES — two map-side-combinable argmax
+    // aggregates (max of struct(w, −p), the q105 k=1 shape, no
+    // per-node sort window) and one |nodes|-row self-join. Scale:
+    // everything downstream of the purged block join is
+    // candidate-pair-sized.
+    GraftQuery(
+      "q330_reciprocal_linkage",
+      (s, d) => Linkage.reciprocalBest(
+          Linkage.fsScoredPairs(t(s, d, "documents")).filter(col("w") > 0d),
+          "doc_a", "doc_b", "w")
+        .select(col("doc_a"), col("doc_b"), round(col("w"), 6).as("weight"))
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH nd AS (SELECT doc_id, lang, source, n_chars // 100 AS szb,
+                      ${Portable.normTextSql("text")} AS nt FROM documents),
+               bk AS (SELECT doc_id, lang, source, szb,
+                        list_min([${Portable.p60Sql("substring(nt, i, 8)")}
+                          FOR i IN range(1, greatest(length(nt) - 7, 1) + 1)]) AS blk
+                      FROM nd),
+               ok AS (SELECT blk FROM
+                        (SELECT blk, count(*) AS c FROM bk GROUP BY 1)
+                      WHERE c <= 50),
+               kb AS (SELECT bk.* FROM bk JOIN ok USING (blk)),
+               n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd),
+               ul AS (SELECT CAST(sum(c * c) AS BIGINT) AS s2 FROM
+                        (SELECT CAST(count(*) AS BIGINT) AS c FROM nd
+                         GROUP BY lang)),
+               us AS (SELECT CAST(sum(c * c) AS BIGINT) AS s2 FROM
+                        (SELECT CAST(count(*) AS BIGINT) AS c FROM nd
+                         GROUP BY szb)),
+               u AS (SELECT CAST(ul.s2 AS DOUBLE) / CAST(n.n * n.n AS DOUBLE)
+                         AS u_lang,
+                            CAST(us.s2 AS DOUBLE) / CAST(n.n * n.n AS DOUBLE)
+                         AS u_szb
+                     FROM ul, us, n),
+               sc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             CASE WHEN a.lang = b.lang
+                                  THEN ln(0.95 / u.u_lang)
+                                  ELSE ln(0.05 / (1 - u.u_lang)) END
+                           + CASE WHEN a.szb = b.szb
+                                  THEN ln(0.9 / u.u_szb)
+                                  ELSE ln(0.1 / (1 - u.u_szb)) END AS w
+                      FROM kb a JOIN kb b
+                        ON a.blk = b.blk AND a.doc_id < b.doc_id
+                      CROSS JOIN u),
+               pos AS (SELECT doc_a, doc_b, w FROM sc WHERE w > 0),
+               sym AS (SELECT doc_a AS nid, doc_b AS p, w FROM pos
+                       UNION ALL
+                       SELECT doc_b AS nid, doc_a AS p, w FROM pos),
+               best AS (SELECT nid, p, w FROM
+                          (SELECT nid, p, w, row_number() OVER
+                             (PARTITION BY nid ORDER BY w DESC, p ASC) AS rn
+                           FROM sym)
+                        WHERE rn = 1)
+               SELECT x.nid AS doc_a, x.p AS doc_b, round(x.w, 6) AS weight
+               FROM best x JOIN best y ON x.p = y.nid AND y.p = x.nid
+                                      AND x.nid < x.p
+               ORDER BY doc_a, doc_b"""))
   )
 }

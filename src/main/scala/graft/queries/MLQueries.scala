@@ -4650,6 +4650,94 @@ object MLQueries {
                        round(h / (1 - CAST(tsum AS DOUBLE)
                                     / CAST(n*n*n - n AS DOUBLE)), 6)
                      END AS h_tie_corrected
-              FROM hc"""))
+              FROM hc""")),
+
+    // ---- Friedman test across day-parts BLOCKED by ISO week — the
+    // repeated-measures member of the rank family: q329 pools all days
+    // and so conflates "day-parts differ" with "weeks drift" (q327
+    // shows the daily series trends); Friedman ranks the four
+    // day-parts WITHIN each week, so week-level drift cancels and
+    // what remains is the within-week day-part effect. Blocks are
+    // date_trunc('week') Mondays (identical both engines); only
+    // COMPLETE blocks (all 4 day-parts present) enter, the standard
+    // requirement. Midranks come from the 4×4 within-block self-join
+    // (blocks are 4 rows — the bounded-frame twin of q327's day-pair
+    // join, never row-sized): 2r = 2·#less + #tied_incl_self + 1 kept
+    // exact-long, so the tie-corrected statistic
+    // χ² = (k−1)·Σ_j(2R_j − n(k+1))² / (Σ(2r)² − nk(k+1)²) is integer
+    // arithmetic to the single final division (×4 of the textbook
+    // form top and bottom); all-tied degeneracy NULLs it (q217
+    // discipline). The complete-block exclusion cannot fire on these
+    // fixtures (all 5 weeks complete at every SF — probed), so
+    // StatsEvalSpec pins that branch on synthetic input through
+    // ops.Stats.friedmanRanks, the shared rank layer. Scale: one
+    // corpus scan to |weeks×4| cells; everything after is bounded by
+    // the day domain.
+    GraftQuery(
+      "q332_friedman",
+      (s, d) => {
+        val cells = t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(date_trunc("week", col("ts"))).as("wk"),
+            expr("hour(ts) DIV 6").as("g"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("y"))
+        val r2 = graft.ops.Stats.friedmanRanks(
+          cells, col("wk"), col("g"), col("y"))
+        val agg = r2.agg(
+          count_distinct(col("blk")).as("n"),
+          sum(when(col("g") === 0, col("r2")).otherwise(0L)).as("s2_g0"),
+          sum(when(col("g") === 1, col("r2")).otherwise(0L)).as("s2_g1"),
+          sum(when(col("g") === 2, col("r2")).otherwise(0L)).as("s2_g2"),
+          sum(when(col("g") === 3, col("r2")).otherwise(0L)).as("s2_g3"),
+          sum(col("r2") * col("r2")).as("sumsq"))
+        agg.select(col("n").as("n_blocks"),
+          col("s2_g0"), col("s2_g1"), col("s2_g2"), col("s2_g3"),
+          when(col("sumsq") - col("n") * 100L > 0L,
+            round((lit(3L) *
+              ((col("s2_g0") - lit(5L) * col("n")) *
+                (col("s2_g0") - lit(5L) * col("n")) +
+               (col("s2_g1") - lit(5L) * col("n")) *
+                (col("s2_g1") - lit(5L) * col("n")) +
+               (col("s2_g2") - lit(5L) * col("n")) *
+                (col("s2_g2") - lit(5L) * col("n")) +
+               (col("s2_g3") - lit(5L) * col("n")) *
+                (col("s2_g3") - lit(5L) * col("n")))).cast("double") /
+              (col("sumsq") - col("n") * 100L).cast("double"), 6))
+            .as("chi2_f"))
+      },
+      Some("""WITH p AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+                     hour(ts) // 6 AS g,
+                     CAST(floor(value * 100) AS BIGINT) AS yv
+                   FROM events WHERE event_type = 'purchase'),
+              cells AS (SELECT wk, g, CAST(sum(yv) AS BIGINT) AS y
+                        FROM p GROUP BY 1, 2),
+              fw AS (SELECT wk FROM cells GROUP BY wk HAVING count(*) = 4),
+              cb AS (SELECT cells.* FROM cells JOIN fw USING (wk)),
+              r AS (SELECT a.wk, a.g,
+                      CAST(2 * sum(CASE WHEN b.y < a.y THEN 1 ELSE 0 END)
+                         + sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END)
+                         + 1 AS BIGINT) AS r2
+                    FROM cb a JOIN cb b ON a.wk = b.wk GROUP BY 1, 2),
+              agg AS (SELECT CAST(count(DISTINCT wk) AS BIGINT) AS n,
+                        CAST(sum(CASE WHEN g = 0 THEN r2 ELSE 0 END)
+                          AS BIGINT) AS s2_g0,
+                        CAST(sum(CASE WHEN g = 1 THEN r2 ELSE 0 END)
+                          AS BIGINT) AS s2_g1,
+                        CAST(sum(CASE WHEN g = 2 THEN r2 ELSE 0 END)
+                          AS BIGINT) AS s2_g2,
+                        CAST(sum(CASE WHEN g = 3 THEN r2 ELSE 0 END)
+                          AS BIGINT) AS s2_g3,
+                        CAST(sum(r2 * r2) AS BIGINT) AS sumsq
+                      FROM r)
+              SELECT n AS n_blocks, s2_g0, s2_g1, s2_g2, s2_g3,
+                     CASE WHEN sumsq - n * 100 > 0 THEN
+                       round(CAST(3 * ((s2_g0 - 5*n) * (s2_g0 - 5*n)
+                                     + (s2_g1 - 5*n) * (s2_g1 - 5*n)
+                                     + (s2_g2 - 5*n) * (s2_g2 - 5*n)
+                                     + (s2_g3 - 5*n) * (s2_g3 - 5*n))
+                               AS DOUBLE)
+                           / CAST(sumsq - n * 100 AS DOUBLE), 6)
+                     END AS chi2_f
+              FROM agg"""))
   )
 }

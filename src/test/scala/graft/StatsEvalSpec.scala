@@ -210,4 +210,56 @@ class StatsEvalSpec extends SparkSpec {
         r.getAs[Long]("n_classes"))
     }
   }
+
+  test("q332 Friedman == brute-force midranks over complete weeks") {
+    val cells = queries.Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(date_trunc("week", col("ts"))).as("wk"),
+        expr("hour(ts) DIV 6").as("g"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("y"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    val byWk = cells.groupBy(_._1).filter(_._2.length == 4)
+    val n = byWk.size.toLong
+    assert(n > 0)
+    // doubled midranks within each 4-cell block: 2r = 2·less + tied + 1
+    val r2 = byWk.values.flatMap { rows =>
+      rows.map { case (_, g, y) =>
+        (g, 2L * rows.count(_._3 < y) + rows.count(_._3 == y) + 1L)
+      }
+    }.toSeq
+    val s2 = (0L to 3L).map(j => r2.filter(_._1 == j).map(_._2).sum)
+    val sumsq = r2.map(t => t._2 * t._2).sum
+    val num = 3L * s2.map(s => (s - 5L * n) * (s - 5L * n)).sum
+    val den = sumsq - 100L * n
+    val row = run("q332_friedman").head()
+    assert(row.getAs[Long]("n_blocks") == n)
+    (0 to 3).foreach(j => assert(row.getAs[Long](s"s2_g$j") == s2(j)))
+    assert(den > 0)
+    val expect = BigDecimal(num.toDouble / den.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("chi2_f") == expect)
+  }
+
+  test("friedmanRanks drops incomplete blocks and midranks ties") {
+    // the complete-block exclusion can't fire on the fixtures (every
+    // week is complete at all SFs — probed), so pin it synthetically:
+    // block 30 is missing group 2 and must vanish entirely
+    import spark.implicits._
+    val cells = Seq(
+      (10L, 0L, 5L), (10L, 1L, 7L), (10L, 2L, 7L),   // tie at 7
+      (20L, 0L, 3L), (20L, 1L, 2L), (20L, 2L, 1L),
+      (30L, 0L, 9L), (30L, 1L, 8L)                    // incomplete
+    ).toDF("blk", "g", "y")
+    val got = ops.Stats
+      .friedmanRanks(cells, col("blk"), col("g"), col("y"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(!got.keys.exists(_._1 == 30L))
+    // block 10: ranks 1, 2.5, 2.5 -> doubled 2, 5, 5
+    assert(got((10L, 0L)) == 2L && got((10L, 1L)) == 5L &&
+      got((10L, 2L)) == 5L)
+    // block 20: ranks 3, 2, 1 -> doubled 6, 4, 2
+    assert(got((20L, 0L)) == 6L && got((20L, 1L)) == 4L &&
+      got((20L, 2L)) == 2L)
+  }
 }
