@@ -1459,6 +1459,125 @@ object DedupQueries {
                SELECT x.nid AS doc_a, x.p AS doc_b, round(x.w, 6) AS weight
                FROM best x JOIN best y ON x.p = y.nid AND y.p = x.nid
                                       AND x.nid < x.p
-               ORDER BY doc_a, doc_b"""))
+               ORDER BY doc_a, doc_b""")),
+
+    // ---- pair-counting quality of the LSH dup CLUSTERING against the
+    // exact J>=0.1 clustering — the metric layer q299's raw counts stop
+    // short of: precision/recall/F1 over co-clustered PAIRS, the
+    // standard clustering-agreement numbers (the pair-counting family
+    // of Rand). Pair counting (not B³) is deliberate: every quantity
+    // is Σ n·(n−1)/2 over cluster/cell SIZES — exact longs from three
+    // hash aggregates with single final divisions, where B³'s
+    // per-doc rational averages would need an order-sensitive float
+    // fold over an unbounded cell frame. Singletons (docs in neither
+    // pair set) label as themselves on both sides — label spaces
+    // cannot collide because component labels are member ids.
+    // Probe: P/R/F1 = 0.778/1.0/0.875 at sf0.001, 0.532/1.0/0.694 at
+    // sf0.01, 0.336/0.985/0.501 at sf0.1 — the band false-positive
+    // volume q299 counts (740 candidate vs 260 exact pairs at sf0.1)
+    // is HERE priced as transitive over-grouping: pair precision
+    // decays with scale while recall holds ≈1, the number that tells
+    // operations to tighten the band operating point before trusting
+    // LSH groups for destructive dedup. Scale: this is the AUDIT face — it contains
+    // q35's exact pair join verbatim (output-bound, ~715s at 100×,
+    // r18-adjudicated) plus both closures (the q299 cost class by
+    // construction); run it on an audit stratum or at audit cadence,
+    // the production grouping path stays q298 (42.3s on the same
+    // corpus).
+    GraftQuery(
+      "q333_dedup_pair_f1",
+      (s, d) => {
+        val sh = docShingles(s, d).cache()
+        val lsh = Dedup.connectedComponents(
+            Dedup.lshCandidates(Dedup.minhashSignatures(sh, K), BandRows))
+          .withColumnRenamed("component", "cl")
+        val ex = Dedup.connectedComponents(
+            Dedup.jaccardPairs(sh, minJaccard = 0.1)
+              .select(col("d1"), col("d2")))
+          .withColumnRenamed("component", "ce")
+        val lab = t(s, d, "documents").select(col("doc_id").as("id"))
+          .join(lsh, Seq("id"), "left")
+          .join(ex, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("cl"), col("id")).as("cl"),
+            coalesce(col("ce"), col("id")).as("ce"))
+          .localCheckpoint(true) // |docs| rows, read four ways
+        val pl = lab.groupBy(col("cl")).agg(count(lit(1)).as("n"))
+          .agg(sum(expr("(n * (n - 1)) DIV 2")).as("pairs_lsh"))
+        val pe = lab.groupBy(col("ce")).agg(count(lit(1)).as("n"))
+          .agg(sum(expr("(n * (n - 1)) DIV 2")).as("pairs_exact"))
+        val pb = lab.groupBy(col("cl"), col("ce")).agg(count(lit(1)).as("n"))
+          .agg(sum(expr("(n * (n - 1)) DIV 2")).as("pairs_both"))
+        lab.agg(count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(pl)).crossJoin(broadcast(pe))
+          .crossJoin(broadcast(pb))
+          .select(col("n_docs"), col("pairs_lsh"), col("pairs_exact"),
+            col("pairs_both"),
+            when(col("pairs_lsh") > 0,
+              round(col("pairs_both").cast("double") /
+                col("pairs_lsh").cast("double"), 6)).as("pair_precision"),
+            when(col("pairs_exact") > 0,
+              round(col("pairs_both").cast("double") /
+                col("pairs_exact").cast("double"), 6)).as("pair_recall"),
+            when(col("pairs_lsh") + col("pairs_exact") > 0,
+              round((lit(2L) * col("pairs_both")).cast("double") /
+                (col("pairs_lsh") + col("pairs_exact")).cast("double"), 6))
+              .as("pair_f1"))
+      },
+      Some(s"""WITH RECURSIVE $shinglesSql,
+               hx AS (SELECT doc_id, ${Portable.p60Sql("s")} % $P AS hx FROM sh),
+               sig AS (SELECT doc_id, i, min((CAST(2*i+3 AS BIGINT) * hx + CAST(5*i+7 AS BIGINT)) % $P) AS m
+                       FROM hx, range(0, $K) t(i) GROUP BY doc_id, i),
+               band AS (SELECT doc_id, CAST(i // $BandRows AS INTEGER) AS b,
+                               string_agg(CAST(m AS VARCHAR), ':' ORDER BY i) AS v
+                        FROM sig GROUP BY 1, 2),
+               cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                        FROM band a JOIN band b ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id),
+               edl AS (SELECT d1 AS a, d2 AS b FROM cand
+                       UNION ALL SELECT d2, d1 FROM cand),
+               rl(node, r) AS (
+                 SELECT DISTINCT a, a FROM edl
+                 UNION
+                 SELECT e.b, rl.r FROM rl JOIN edl e ON e.a = rl.node),
+               compl AS (SELECT node AS id, min(r) AS cl FROM rl GROUP BY node),
+               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                         GROUP BY 1, 2),
+               jpairs AS (SELECT d1, d2 FROM
+                           (SELECT d1, d2, round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+                            FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
+                         WHERE jaccard >= 0.1),
+               ede AS (SELECT d1 AS a, d2 AS b FROM jpairs
+                       UNION ALL SELECT d2, d1 FROM jpairs),
+               re(node, r) AS (
+                 SELECT DISTINCT a, a FROM ede
+                 UNION
+                 SELECT e.b, re.r FROM re JOIN ede e ON e.a = re.node),
+               compe AS (SELECT node AS id, min(r) AS ce FROM re GROUP BY node),
+               lab AS (SELECT d.doc_id AS id,
+                              coalesce(compl.cl, d.doc_id) AS cl,
+                              coalesce(compe.ce, d.doc_id) AS ce
+                       FROM documents d
+                       LEFT JOIN compl ON compl.id = d.doc_id
+                       LEFT JOIN compe ON compe.id = d.doc_id),
+               pl AS (SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS pairs_lsh
+                      FROM (SELECT count(*) AS n FROM lab GROUP BY cl)),
+               pe AS (SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS pairs_exact
+                      FROM (SELECT count(*) AS n FROM lab GROUP BY ce)),
+               pb AS (SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS pairs_both
+                      FROM (SELECT count(*) AS n FROM lab GROUP BY cl, ce)),
+               nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM lab)
+               SELECT nd.n_docs, pl.pairs_lsh, pe.pairs_exact, pb.pairs_both,
+                      CASE WHEN pairs_lsh > 0 THEN
+                        round(CAST(pairs_both AS DOUBLE)
+                            / CAST(pairs_lsh AS DOUBLE), 6) END AS pair_precision,
+                      CASE WHEN pairs_exact > 0 THEN
+                        round(CAST(pairs_both AS DOUBLE)
+                            / CAST(pairs_exact AS DOUBLE), 6) END AS pair_recall,
+                      CASE WHEN pairs_lsh + pairs_exact > 0 THEN
+                        round(CAST(2 * pairs_both AS DOUBLE)
+                            / CAST(pairs_lsh + pairs_exact AS DOUBLE), 6) END AS pair_f1
+               FROM nd, pl, pe, pb"""))
   )
 }

@@ -4738,6 +4738,154 @@ object MLQueries {
                                AS DOUBLE)
                            / CAST(sumsq - n * 100 AS DOUBLE), 6)
                      END AS chi2_f
-              FROM agg"""))
+              FROM agg""")),
+
+    // ---- Hill tail-index estimator over per-user activity — the
+    // order-statistics member of the heavy-tail kit (q264 fits Zipf by
+    // ln-ln regression over rank bins; Hill 1975 estimates the tail
+    // exponent from the top-k order statistics directly, and is what
+    // operations checks before trusting mean-based capacity planning
+    // on a power-law workload: α ≤ 2 means the variance is infinite
+    // and per-key caps (q66) are load-bearing, not cosmetic).
+    // H = (1/k)Σ_{i≤k} ln X(i) − ln X(k+1), α = 1/H, k a scale-free
+    // 1% of users (floor 10). NO row sort anywhere: the top-k order
+    // statistics come from the per-user-count HISTOGRAM (the q98/q287
+    // bounded-VALUE-domain prefix trick) — per-value take =
+    // clamp(k − cum_before, 0, f) handles rank-boundary ties exactly,
+    // X(k+1) is max{c : cum_incl ≥ k+1}, and the ln terms fold in
+    // ascending-value order (the q329 list convention — both engines
+    // replay the identical IEEE sequence). Degenerate flat tails
+    // (H ≤ 0) NULL α. Scale: one corpus scan to |users|, one
+    // aggregate to |distinct counts|; everything after is
+    // value-domain-bounded.
+    GraftQuery(
+      "q334_hill_tail",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hist = t(s, d, "events").filter(col("user_id").isNotNull)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+          .groupBy(col("c")).agg(count(lit(1)).as("f"))
+        val nk = hist.agg(sum(col("f")).as("n"))
+          .select(col("n"),
+            greatest(expr("n DIV 100"), lit(10L)).as("k"))
+        val byC = Window.orderBy(col("c").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        // unpartitioned window — over the bounded count-VALUE domain
+        val tk = hist
+          .select(col("c"), col("f"),
+            coalesce(sum(col("f")).over(byC), lit(0L)).as("before"))
+          .crossJoin(broadcast(nk))
+          .select(col("c"), col("f"), col("before"), col("n"), col("k"),
+            least(col("f"), greatest(col("k") - col("before"), lit(0L)))
+              .as("take"))
+          .localCheckpoint(true) // |values| rows, read three ways
+        val ls = tk.filter(col("take") > 0)
+          .agg(sort_array(collect_list(struct(col("c"),
+            (col("take").cast("double") * log(col("c").cast("double")))
+              .as("x")))).as("l"))
+          .select(expr(
+            "aggregate(l, cast(0.0 as double), (acc, e) -> acc + e.x)")
+            .as("lnsum"))
+        val xk = tk.filter(col("before") + col("f") >= col("k") + 1)
+          .agg(max(col("c")).as("x_k1"))
+        tk.agg(max(col("n")).as("n_users"), max(col("k")).as("k"))
+          .crossJoin(broadcast(ls)).crossJoin(broadcast(xk))
+          .select(col("n_users"), col("k"), col("x_k1"),
+            round(col("lnsum") / col("k").cast("double") -
+              log(col("x_k1").cast("double")), 6).as("hill_h"),
+            when(col("lnsum") / col("k").cast("double") -
+                log(col("x_k1").cast("double")) > 0d,
+              round(lit(1d) / (col("lnsum") / col("k").cast("double") -
+                log(col("x_k1").cast("double"))), 6)).as("tail_alpha"))
+      },
+      Some("""WITH uc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+                    FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+              hist AS (SELECT c, CAST(count(*) AS BIGINT) AS f
+                       FROM uc GROUP BY 1),
+              nk AS (SELECT CAST(sum(f) AS BIGINT) AS n,
+                            CAST(greatest(sum(f) // 100, 10) AS BIGINT) AS k
+                     FROM hist),
+              tk AS (SELECT c, f,
+                       CAST(coalesce(sum(f) OVER (ORDER BY c DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) AS before,
+                       n, k,
+                       CAST(least(f, greatest(k - coalesce(sum(f) OVER
+                         (ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0), 0)) AS BIGINT) AS take
+                     FROM hist CROSS JOIN nk),
+              ls AS (SELECT list_reduce(list_transform(
+                       list(struct_pack(c := c,
+                           x := CAST(take AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                         ORDER BY c), e -> e.x),
+                       (a, b) -> a + b) AS lnsum
+                     FROM tk WHERE take > 0),
+              xk AS (SELECT CAST(max(c) AS BIGINT) AS x_k1 FROM tk
+                     WHERE before + f >= k + 1)
+              SELECT nk.n AS n_users, nk.k, xk.x_k1,
+                     round(ls.lnsum / CAST(nk.k AS DOUBLE)
+                         - ln(CAST(xk.x_k1 AS DOUBLE)), 6) AS hill_h,
+                     CASE WHEN ls.lnsum / CAST(nk.k AS DOUBLE)
+                             - ln(CAST(xk.x_k1 AS DOUBLE)) > 0 THEN
+                       round(1.0 / (ls.lnsum / CAST(nk.k AS DOUBLE)
+                             - ln(CAST(xk.x_k1 AS DOUBLE))), 6)
+                     END AS tail_alpha
+              FROM nk, ls, xk""")),
+
+    // ---- UCB1 exploration allocation across day-part arms (Auer,
+    // Cesa-Bianchi & Fischer 2002) — the DECISION layer of the
+    // experimentation kit: q273 sizes a test, q289 audits peeking,
+    // q285/q288 read effects out; this answers "which arm gets the
+    // next exploration batch" as a standing batch gate. UCB1 is the
+    // bandit rule that fits this library's determinism contract —
+    // Thompson sampling needs posterior DRAWS (irreproducible
+    // cross-engine), UCB is a closed form of exact counts: reward =
+    // purchase share per arm (exact longs), bonus = sqrt(2 ln N / n).
+    // The choice is taken on the raw double (q323 convention; ties
+    // broken by arm id) and reported 6dp. Scale: one corpus scan to
+    // four (arm, n, successes) rows; everything after is |arms|-sized.
+    GraftQuery(
+      "q335_ucb_allocation",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val arms = t(s, d, "events")
+          .groupBy(expr("hour(ts) DIV 6").as("g"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("successes"))
+        val tot = arms.agg(sum(col("n")).as("nn"))
+        val scored = arms.crossJoin(broadcast(tot))
+          .select(col("g"), col("n"), col("successes"),
+            (col("successes").cast("double") / col("n").cast("double") +
+              sqrt(lit(2d) * log(col("nn").cast("double")) /
+                col("n").cast("double"))).as("u"))
+        scored
+          .select(col("g"), col("n"), col("successes"),
+            round(col("successes").cast("double") /
+              col("n").cast("double"), 6).as("mean_reward"),
+            round(col("u"), 6).as("ucb"),
+            when(row_number().over(
+              Window.orderBy(col("u").desc, col("g"))) === 1, 1L)
+              .otherwise(0L).as("chosen"))
+          .orderBy(col("g"))
+      },
+      Some("""WITH arms AS (SELECT hour(ts) // 6 AS g,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS successes
+                   FROM events GROUP BY 1),
+              tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM arms),
+              sc AS (SELECT g, n, successes,
+                       CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+                         + sqrt(2 * ln(CAST(nn AS DOUBLE))
+                                / CAST(n AS DOUBLE)) AS u
+                     FROM arms CROSS JOIN tot)
+              SELECT g, n, successes,
+                     round(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                       AS mean_reward,
+                     round(u, 6) AS ucb,
+                     CASE WHEN row_number() OVER (ORDER BY u DESC, g) = 1
+                          THEN 1 ELSE 0 END AS chosen
+              FROM sc ORDER BY g"""))
   )
 }

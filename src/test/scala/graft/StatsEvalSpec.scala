@@ -262,4 +262,34 @@ class StatsEvalSpec extends SparkSpec {
     assert(got((20L, 0L)) == 6L && got((20L, 1L)) == 4L &&
       got((20L, 2L)) == 2L)
   }
+
+  test("q334 Hill == brute-force top-k order statistics") {
+    // recompute from a literal sort of the per-user counts — the
+    // histogram prefix trick must reproduce the textbook definition
+    val counts = queries.Tables(spark, sf, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .collect().map(_.getAs[Long]("c")).sorted(Ordering[Long].reverse)
+    val n = counts.length.toLong
+    val k = math.max((n / 100L).toInt, 10)
+    assert(k + 1 <= counts.length)
+    val xk1 = counts(k) // 0-indexed: the (k+1)-th largest
+    // per-value take·ln(c) terms folded in ascending-value order,
+    // exactly the query's fold
+    val lnsum = counts.take(k).groupBy(identity).toSeq.sortBy(_._1)
+      .foldLeft(0.0) { case (acc, (c, xs)) =>
+        acc + xs.length.toDouble * math.log(c.toDouble) }
+    val h = lnsum / k.toDouble - math.log(xk1.toDouble)
+    val row = run("q334_hill_tail").head()
+    assert(row.getAs[Long]("n_users") == n)
+    assert(row.getAs[Long]("k") == k.toLong)
+    assert(row.getAs[Long]("x_k1") == xk1)
+    val got = row.getAs[Double]("hill_h")
+    assert(math.abs(got - BigDecimal(h).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-6)
+    if (h > 0)
+      assert(math.abs(row.getAs[Double]("tail_alpha") -
+        BigDecimal(1.0 / h).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-6)
+  }
 }
