@@ -231,4 +231,35 @@ object Stats {
         sum(when(col("b.y") === col("a.y"), 1L).otherwise(0L)) +
         lit(1L)).as("r2"))
   }
+
+  /** UCB1 scores and the allocation choice from per-arm pull/success
+    * counts (`g`, `n`, `successes`) — the read layer shared by the
+    * q335 batch face and the streaming bandit monitor
+    * (EventStreams.banditBatch): mean + √(2 ln N / n), choice on the
+    * raw double with arm-id tiebreak, reported 6dp. The counts are
+    * the rule's sufficient statistic, so the stream view equals the
+    * one-shot batch BYTE-identically (the mixtureBatch argument). */
+  def ucbFromCounts(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(sum(col("n")).as("nn"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("g"), col("n"), col("successes"),
+        (col("successes").cast("double") / col("n").cast("double") +
+          sqrt(lit(2d) * log(col("nn").cast("double")) /
+            col("n").cast("double"))).as("u"))
+      .select(col("g"), col("n"), col("successes"),
+        round(col("successes").cast("double") /
+          col("n").cast("double"), 6).as("mean_reward"),
+        round(col("u"), 6).as("ucb"),
+        when(row_number().over(
+          Window.orderBy(col("u").desc, col("g"))) === 1, 1L)
+          .otherwise(0L).as("chosen"))
+      .orderBy(col("g"))
+  }
+
+  /** Merge per-arm count states (exact-long sums on the bounded arm
+    * domain) — the fold step of the streaming bandit monitor. */
+  def mergeArmCounts(states: Seq[DataFrame]): DataFrame =
+    states.reduce(_.unionByName(_))
+      .groupBy(col("g"))
+      .agg(sum(col("n")).as("n"), sum(col("successes")).as("successes"))
 }

@@ -4844,31 +4844,17 @@ object MLQueries {
     // The choice is taken on the raw double (q323 convention; ties
     // broken by arm id) and reported 6dp. Scale: one corpus scan to
     // four (arm, n, successes) rows; everything after is |arms|-sized.
+    // The read layer is ops.Stats.ucbFromCounts, shared byte-identically
+    // with the streaming bandit monitor (EventStreams.banditBatch /
+    // ucbCurrent — the counts are the rule's sufficient statistic).
     GraftQuery(
       "q335_ucb_allocation",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val arms = t(s, d, "events")
+      (s, d) => graft.ops.Stats.ucbFromCounts(
+        t(s, d, "events")
           .groupBy(expr("hour(ts) DIV 6").as("g"))
           .agg(count(lit(1)).as("n"),
             sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-              .as("successes"))
-        val tot = arms.agg(sum(col("n")).as("nn"))
-        val scored = arms.crossJoin(broadcast(tot))
-          .select(col("g"), col("n"), col("successes"),
-            (col("successes").cast("double") / col("n").cast("double") +
-              sqrt(lit(2d) * log(col("nn").cast("double")) /
-                col("n").cast("double"))).as("u"))
-        scored
-          .select(col("g"), col("n"), col("successes"),
-            round(col("successes").cast("double") /
-              col("n").cast("double"), 6).as("mean_reward"),
-            round(col("u"), 6).as("ucb"),
-            when(row_number().over(
-              Window.orderBy(col("u").desc, col("g"))) === 1, 1L)
-              .otherwise(0L).as("chosen"))
-          .orderBy(col("g"))
-      },
+              .as("successes"))),
       Some("""WITH arms AS (SELECT hour(ts) // 6 AS g,
                      CAST(count(*) AS BIGINT) AS n,
                      CAST(sum(CASE WHEN event_type = 'purchase'

@@ -3321,6 +3321,158 @@ object RelationalQueries {
               SELECT n_days, round(sst, 6) AS sst, round(sse, 6) AS sse,
                      CASE WHEN sst > 0
                           THEN round(1.0 - sse / sst, 6) END AS dow_r2
-              FROM f"""))
+              FROM f""")),
+
+    // ---- supplier-nation market share inside one regional market per
+    // order year (TPC-H Q8's shape): who supplies the ASIA market and
+    // how the shares move year over year — q261 reads raw
+    // nation→nation flows for one year; this reads the SHARE pivot the
+    // planning meeting actually looks at. Revenue in exact floor-cents
+    // of the discounted price (both engines floor the identical IEEE
+    // product); share = nation cents / year cents, one division per
+    // output row. The 100 TB join shape: only nation/region (fixed
+    // domains) carry explicit broadcast hints — customer and supplier
+    // SCALE with the corpus, and pinning them is the r18 q36
+    // broadcast-abort hazard, so the gated customer list and the
+    // supplier→nation map reach the fact join unhinted (AQE broadcasts
+    // them while they fit and falls back to shuffle joins when they
+    // don't); lineitem⋈orders is the one unavoidable fact shuffle;
+    // year totals join back on the |years×nations| aggregate, never
+    // on rows.
+    GraftQuery(
+      "q336_market_share",
+      (s, d) => {
+        val market = t(s, d, "customer")
+          .join(broadcast(t(s, d, "region")
+            .filter(col("r_name") === "ASIA")
+            .join(t(s, d, "nation"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"))
+        val supN = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val rev = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+              100).cast("long").as("cents"))
+          .join(t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_custkey"),
+              year(col("o_orderdate")).as("o_year")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(market, col("o_custkey") === col("c_custkey"))
+          .join(supN, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("o_year"), col("supp_nation"))
+          .agg(sum(col("cents")).as("revenue_cents"))
+        val yr = rev.groupBy(col("o_year"))
+          .agg(sum(col("revenue_cents")).as("year_cents"))
+        rev.join(yr, Seq("o_year"))
+          .select(col("o_year").cast("long").as("o_year"),
+            col("supp_nation"), col("revenue_cents"),
+            round(col("revenue_cents").cast("double") /
+              col("year_cents").cast("double"), 6).as("share"))
+          .orderBy(col("o_year"), col("supp_nation"))
+      },
+      Some("""WITH rev AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     n2.n_name AS supp_nation,
+                     CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                         * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+                   FROM lineitem
+                   JOIN orders   ON l_orderkey = o_orderkey
+                   JOIN customer ON o_custkey = c_custkey
+                   JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                   JOIN region   ON n1.n_regionkey = r_regionkey
+                   JOIN supplier ON l_suppkey = s_suppkey
+                   JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                   WHERE r_name = 'ASIA'
+                   GROUP BY 1, 2),
+              yr AS (SELECT o_year, CAST(sum(revenue_cents) AS BIGINT)
+                         AS year_cents
+                     FROM rev GROUP BY 1)
+              SELECT rev.o_year, supp_nation, revenue_cents,
+                     round(CAST(revenue_cents AS DOUBLE)
+                         / CAST(year_cents AS DOUBLE), 6) AS share
+              FROM rev JOIN yr ON rev.o_year = yr.o_year
+              ORDER BY rev.o_year, supp_nation""")),
+
+    // ---- feature-leakage audit: how many FUTURE click rows a naive
+    // per-user feature join would feed each purchase label — the
+    // leakage VOLUME the split discipline (q229 temporal, q310
+    // group-aware) exists to prevent, measured instead of assumed. A
+    // training row (user, purchase at t) built with the user's
+    // whole-history click count silently includes clicks at ts ≥ t;
+    // the causal feature is the strictly-before prefix. Both counts
+    // come from ONE per-(user, ts) frame and one per-user running-sum
+    // window (the q75 shape — ts is grouped first, so the window
+    // orders a per-user DISTINCT-ts frame, deterministic and
+    // session-bounded), never a purchases×clicks pair join (that
+    // quadratic form is the oracle's job). Same-ts clicks count as
+    // leaked (they are not strictly before the label). All exact
+    // longs; the one double is the reported leak share. Non-vacuous by
+    // probe: 192/1818/18522 of 202/1981/20084 purchases leak at
+    // sf0.001/0.01/0.1 — roughly HALF of each naive feature's click
+    // mass is future (leak share 0.543/0.508/0.498), and 10/163/1562
+    // purchases are fully causal, so both branches fire.
+    GraftQuery(
+      "q337_feature_leakage",
+      (s, d) => {
+        val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val tot = Window.partitionBy(col("user_id"))
+        val pc = t(s, d, "events").filter(col("user_id").isNotNull)
+          .groupBy(col("user_id"), col("ts"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("c_clicks"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("p_cnt"))
+        pc.select(col("p_cnt"),
+            coalesce(sum(col("c_clicks")).over(byTs), lit(0L)).as("before"),
+            sum(col("c_clicks")).over(tot).as("total"))
+          .filter(col("p_cnt") > 0)
+          .agg(sum(col("p_cnt")).as("n_purchases"),
+            sum(when(col("total") > col("before"), col("p_cnt"))
+              .otherwise(0L)).as("n_leaky_purchases"),
+            sum(col("p_cnt") * (col("total") - col("before")))
+              .as("leaked_click_rows"),
+            sum(col("p_cnt") * col("before")).as("causal_click_rows"))
+          .select(col("n_purchases"), col("n_leaky_purchases"),
+            col("leaked_click_rows"), col("causal_click_rows"),
+            when(col("leaked_click_rows") + col("causal_click_rows") > 0,
+              round(col("leaked_click_rows").cast("double") /
+                (col("leaked_click_rows") + col("causal_click_rows"))
+                  .cast("double"), 6)).as("leak_share"))
+      },
+      Some("""WITH pc AS (SELECT user_id, ts,
+                     CAST(sum(CASE WHEN event_type = 'click'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS c_clicks,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
+                   FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+              w AS (SELECT p_cnt,
+                      CAST(coalesce(sum(c_clicks) OVER (PARTITION BY user_id
+                        ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS before,
+                      CAST(sum(c_clicks) OVER (PARTITION BY user_id)
+                        AS BIGINT) AS total
+                    FROM pc),
+              agg AS (SELECT CAST(sum(p_cnt) AS BIGINT) AS n_purchases,
+                        CAST(sum(CASE WHEN total > before THEN p_cnt
+                             ELSE 0 END) AS BIGINT) AS n_leaky_purchases,
+                        CAST(sum(p_cnt * (total - before)) AS BIGINT)
+                          AS leaked_click_rows,
+                        CAST(sum(p_cnt * before) AS BIGINT)
+                          AS causal_click_rows
+                      FROM w WHERE p_cnt > 0)
+              SELECT n_purchases, n_leaky_purchases, leaked_click_rows,
+                     causal_click_rows,
+                     CASE WHEN leaked_click_rows + causal_click_rows > 0
+                     THEN round(CAST(leaked_click_rows AS DOUBLE)
+                          / CAST(leaked_click_rows + causal_click_rows
+                                 AS DOUBLE), 6) END AS leak_share
+              FROM agg"""))
   )
 }

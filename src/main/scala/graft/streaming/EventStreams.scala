@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -465,6 +465,32 @@ object EventStreams {
       stateDir: String): Option[DataFrame] =
     incrementalViewState(spark, stateDir)
       .map(graft.ops.Sampling.mixtureReweightFromCounts)
+
+  /** foreachBatch body for a continuously-maintained BANDIT monitor —
+    * the stream face of q335's UCB1 allocation: each micro-batch folds
+    * its per-arm (pulls, successes) partials into the persisted state
+    * (versioned-dir discipline as [[mixtureBatch]]); the allocation
+    * choice then reads as a derived view of one |arms|-row state —
+    * "which arm gets the next exploration batch" as a standing gate
+    * over live traffic. The counts are UCB1's sufficient statistic
+    * (exact-long merges), so the stream view equals the one-shot batch
+    * computation BYTE-identically. */
+  def banditBatch(arm: Column, success: Column, stateDir: String)
+      (batch: DataFrame, batchId: Long): Unit =
+    versionedFold(batch.sparkSession, stateDir, batchId) { prev =>
+      graft.ops.Stats.mergeArmCounts(
+        batch.groupBy(arm.as("g"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(success, 1L).otherwise(0L)).as("successes"))
+          +: prev.toSeq)
+    }
+
+  /** Current UCB1 allocation view of everything [[banditBatch]]
+    * accumulated; None before the first committed batch. */
+  def ucbCurrent(spark: SparkSession,
+      stateDir: String): Option[DataFrame] =
+    incrementalViewState(spark, stateDir)
+      .map(graft.ops.Stats.ucbFromCounts)
 
   /** foreachBatch body for a continuously-maintained CALIBRATION
     * monitor — the stream face of [[graft.ops.Calibration]]: each

@@ -1247,6 +1247,31 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(wsum - 1.0) <= got.size * 5e-7, s"weights sum $wsum")
   }
 
+  test("banditBatch: accumulated arm counts == one-shot UCB allocation " +
+    "(q335), exactly") {
+    // the bandit monitor in stream form: events ingest in three
+    // micro-batches; the UCB1 allocation read off the accumulated
+    // per-arm (pulls, successes) state must equal the one-shot q335
+    // batch BYTE-identically — the counts are the rule's sufficient
+    // statistic (exact-long merges) and the read is the shared
+    // Stats.ucbFromCounts, so not even the doubles may differ
+    import org.apache.spark.sql.functions._
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("bandit_state").toString
+    val ev = Tables(spark, sf, "events")
+    val body = EventStreams.banditBatch(expr("hour(ts) DIV 6"),
+      $"event_type" === "purchase", stateDir) _
+    (0 to 2).foreach(i =>
+      body(ev.filter(pmod($"event_id", lit(3)) === i), i.toLong))
+    val got = EventStreams.ucbCurrent(spark, stateDir).get
+      .as[(Long, Long, Long, Double, Double, Long)].collect().toSeq
+    val want = SparkEntry.queries("q335_ucb_allocation")(spark, sf)
+      .as[(Long, Long, Long, Double, Double, Long)].collect().toSeq
+    assert(got.nonEmpty && got == want)
+    // exactly one chosen arm survives accumulation
+    assert(got.count(_._6 == 1L) == 1)
+  }
+
   test("survivalBatch: accumulated duration histogram == one-shot Kaplan-Meier") {
     // the survival monitor in stream form: subjects resolve in three
     // micro-batches; the curve derived from the accumulated (t, cnt, d)
