@@ -1017,6 +1017,142 @@ object EmbeddingQueries {
                         round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) AS cos_sim
                  FROM bk q JOIN bk x ON q.bucket = x.bucket
                    AND q.label = 0 AND x.label <> 0)
-              WHERE cos_sim >= 0.35 ORDER BY eval_id, train_id"""))
+              WHERE cos_sim >= 0.35 ORDER BY eval_id, train_id""")),
+
+    // ---- embedding-space anisotropy: the top covariance eigenvalue's
+    // share of total variance, with the dominant direction's loadings
+    // — the standard representation-collapse diagnostic (an isotropic
+    // space spreads variance across dims; a collapsed one funnels it
+    // into one rogue direction, which breaks cosine ranking and is
+    // what q164's per-dim marginals cannot see: they miss CROSS-dim
+    // structure entirely). Determinism contract: embeddings quantize
+    // to exact-long fixed-point (floor(x·1e6) — the q84 declared-
+    // quantization precedent), so the Gram matrix and dim sums are
+    // EXACT INTEGER sufficient statistics (exact while N·1e12 < 2⁶³,
+    // i.e. N < 9.2e6 vectors at |x| ≤ 1); the covariance, 20 power-
+    // iteration rounds (fixed uniform start, matvec/normalize folds
+    // all in ascending index order) and the Rayleigh quotient are then
+    // a fixed double program replayed identically by the oracle's
+    // recursive list-carrying CTE (the q312 vector-state form). Scale:
+    // the one corpus-sized pass is the Gram fan-out (N·d² products
+    // through a 2080-group map-side-combining aggregate); everything
+    // driver-side is d²-bounded (d ≤ 256 guarded) — the k-bounded-
+    // collect class, same as the k-means centroid pulls.
+    GraftQuery(
+      "q338_embedding_anisotropy",
+      (s, d) => {
+        import s.implicits._
+        val q = t(s, d, "embeddings")
+          .select(expr("transform(embedding, x -> " +
+            "cast(floor(cast(x as double) * 1000000.0) as bigint))").as("q"))
+          .localCheckpoint(true) // feeds count, dim sums and Gram cells
+        val sums = q.select(posexplode(col("q")).as(Seq("i", "qi")))
+          .groupBy(col("i")).agg(sum(col("qi")).as("sv"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val dim = sums.size
+        require(dim > 0 && dim <= 256,
+          s"driver-side eigen solve needs bounded dim, got $dim")
+        val n = q.count().toDouble
+        val gram = q
+          .select(posexplode(col("q")).as(Seq("i", "qi")), col("q").as("qv"))
+          .select(col("i"), col("qi"), posexplode(col("qv")).as(Seq("j", "qj")))
+          .filter(col("j") >= col("i"))
+          .groupBy(col("i"), col("j")).agg(sum(col("qi") * col("qj")).as("g"))
+          .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+        val sArr = Array.tabulate(dim)(i => sums(i).toDouble)
+        val c = Array.tabulate(dim, dim) { (i, j) =>
+          val (lo, hi) = (math.min(i, j), math.max(i, j))
+          (gram((lo, hi)).toDouble - sArr(lo) * sArr(hi) / n) / n
+        }
+        def matvec(v: Array[Double]): Array[Double] =
+          Array.tabulate(dim) { i =>
+            var acc = 0.0; var j = 0
+            while (j < dim) { acc += c(i)(j) * v(j); j += 1 }
+            acc
+          }
+        var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+        for (_ <- 1 to 20) {
+          val w = matvec(v)
+          var nrm2 = 0.0; var i = 0
+          while (i < dim) { nrm2 += w(i) * w(i); i += 1 }
+          val nrm = math.sqrt(nrm2)
+          v = w.map(_ / nrm)
+        }
+        val w = matvec(v)
+        var l1 = 0.0; var tr = 0.0
+        (0 until dim).foreach { i => l1 += v(i) * w(i); tr += c(i)(i) }
+        def r6(x: Double): Double = BigDecimal(x)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (0 until dim).map(i => (i.toLong, r6(v(i)), r6(l1), r6(tr),
+            if (tr > 0) Some(r6(l1 / tr)) else None))
+          .toDF("dim", "loading", "lambda1", "trace", "anisotropy")
+          .orderBy(col("dim"))
+      },
+      Some("""WITH RECURSIVE q AS (SELECT [CAST(floor(CAST(x AS DOUBLE)
+                       * 1000000.0) AS BIGINT) FOR x IN embedding] AS q
+                    FROM embeddings),
+              dm AS (SELECT len(q) AS dd FROM q LIMIT 1),
+              idx AS (SELECT unnest(range(0, (SELECT dd FROM dm))) AS i),
+              nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+              sv AS (SELECT idx.i, CAST(sum(q.q[idx.i + 1]) AS BIGINT) AS sv
+                     FROM q CROSS JOIN idx GROUP BY 1),
+              cells AS (SELECT a.i AS i, b.i AS j,
+                          CAST(sum(q.q[a.i + 1] * q.q[b.i + 1]) AS BIGINT)
+                            AS g
+                        FROM q CROSS JOIN idx a CROSS JOIN idx b
+                        WHERE b.i >= a.i GROUP BY 1, 2),
+              covu AS (SELECT c.i, c.j,
+                         (CAST(c.g AS DOUBLE)
+                          - CAST(si.sv AS DOUBLE) * CAST(sj.sv AS DOUBLE)
+                            / CAST(nn.n AS DOUBLE)) / CAST(nn.n AS DOUBLE)
+                           AS cv
+                       FROM cells c JOIN sv si ON si.i = c.i
+                            JOIN sv sj ON sj.i = c.j CROSS JOIN nn),
+              covf AS (SELECT i, j, cv FROM covu
+                       UNION ALL SELECT j, i, cv FROM covu WHERE i <> j),
+              cm AS (SELECT list(rl ORDER BY i) AS cm FROM
+                       (SELECT i, list(cv ORDER BY j) AS rl FROM covf
+                        GROUP BY i)),
+              v0 AS (SELECT list_transform(range(0, dd),
+                       x -> 1.0 / sqrt(CAST(dd AS DOUBLE))) AS v FROM dm),
+              pi(t, v) AS (
+                SELECT 0, v FROM v0
+                UNION ALL
+                SELECT t + 1, list_transform(w, x -> x / nrm) FROM (
+                  SELECT t, w,
+                         sqrt(list_reduce(list_transform(w, x -> x * x),
+                           (a, b) -> a + b)) AS nrm FROM (
+                    SELECT pi.t,
+                           list_transform(cm.cm, r -> list_reduce(
+                             list_transform(range(1, len(r) + 1),
+                               k -> r[k] * pi.v[k]),
+                             (a, b) -> a + b)) AS w
+                    FROM pi CROSS JOIN cm WHERE pi.t < 20))),
+              fin AS (SELECT v FROM pi WHERE t = 20),
+              wv AS (SELECT fin.v AS v,
+                       list_transform(cm.cm, r -> list_reduce(
+                         list_transform(range(1, len(r) + 1),
+                           k -> r[k] * fin.v[k]),
+                         (a, b) -> a + b)) AS w
+                     FROM fin CROSS JOIN cm),
+              met AS (SELECT list_reduce(
+                        list_transform(range(1, len(v) + 1),
+                          k -> v[k] * w[k]),
+                        (a, b) -> a + b) AS lambda1
+                      FROM wv),
+              trc AS (SELECT list_reduce(list_transform(
+                        list(struct_pack(i := i, x := cv) ORDER BY i),
+                        e -> e.x), (a, b) -> a + b) AS trace
+                      FROM covf WHERE i = j)
+              SELECT CAST(t.k - 1 AS BIGINT) AS dim,
+                     round(fin.v[t.k], 6) AS loading,
+                     round(met.lambda1, 6) AS lambda1,
+                     round(trc.trace, 6) AS trace,
+                     CASE WHEN trc.trace > 0
+                          THEN round(met.lambda1 / trc.trace, 6)
+                     END AS anisotropy
+              FROM fin CROSS JOIN met CROSS JOIN trc,
+                   unnest(range(1, len(fin.v) + 1)) AS t(k)
+              ORDER BY dim"""))
   )
 }

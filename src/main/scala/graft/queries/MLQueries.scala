@@ -4872,6 +4872,63 @@ object MLQueries {
                      round(u, 6) AS ucb,
                      CASE WHEN row_number() OVER (ORDER BY u DESC, g) = 1
                           THEN 1 ELSE 0 END AS chosen
-              FROM sc ORDER BY g"""))
+              FROM sc ORDER BY g""")),
+
+    // ---- degree assortativity of the co-engagement graph (Newman
+    // 2002) — the one-number mixing diagnostic the per-node family
+    // (q135 clustering, q144 cores, q228 hubs) doesn't give: do
+    // high-degree users co-engage with each other (r > 0, a core-
+    // periphery amplification risk for q134's PageRank weights) or
+    // with the long tail (r < 0, the usual consumer shape). Pearson
+    // correlation of endpoint degrees over edges, in the 4M·S1 − S2²
+    // integer form: S1 = Σxy, S2 = Σ(x+y), S3 = Σ(x²+y²) are exact
+    // longs over the capped edge frame, r = (4M·S1 − S2²)/(2M·S3 − S2²)
+    // one division (exact while M·S1 and S2² stay under 2⁶³ —
+    // M < ~10⁶ edges at cap-bounded degrees ~10³; the co-activity cap
+    // that bounds the edge build bounds this too). Degenerate
+    // (all-equal-degree) graphs NULL r. Scale: degrees are one
+    // map-side aggregate off the edge frame; the join-back is
+    // |edges|-sized; the statistic is one row.
+    GraftQuery(
+      "q339_degree_assortativity",
+      (s, d) => {
+        val e = coEdges(s, d).localCheckpoint(true) // degrees + join-back
+        val deg = e.select(col("u1").as("node"))
+          .union(e.select(col("u2").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        val ed = e
+          .join(deg.select(col("node").as("u1"), col("deg").as("x")), "u1")
+          .join(deg.select(col("node").as("u2"), col("deg").as("y")), "u2")
+        ed.agg(count(lit(1)).as("m"),
+            sum(col("x") * col("y")).as("s1"),
+            sum(col("x") + col("y")).as("s2"),
+            sum(col("x") * col("x") + col("y") * col("y")).as("s3"))
+          .select(col("m").as("n_edges"), col("s1"), col("s2"), col("s3"),
+            when(lit(2L) * col("m") * col("s3") - col("s2") * col("s2")
+                =!= 0L,
+              round((lit(4L) * col("m") * col("s1") -
+                col("s2") * col("s2")).cast("double") /
+                (lit(2L) * col("m") * col("s3") -
+                  col("s2") * col("s2")).cast("double"), 6))
+              .as("assortativity"))
+      },
+      Some(s"""WITH ${coEdgeSql()},
+              deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+                        (SELECT u1 AS node FROM e UNION ALL SELECT u2 FROM e)
+                      GROUP BY 1),
+              ed AS (SELECT dx.deg AS x, dy.deg AS y
+                     FROM e JOIN deg dx ON dx.node = e.u1
+                            JOIN deg dy ON dy.node = e.u2),
+              agg AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                        CAST(sum(x * y) AS BIGINT) AS s1,
+                        CAST(sum(x + y) AS BIGINT) AS s2,
+                        CAST(sum(x * x + y * y) AS BIGINT) AS s3
+                      FROM ed)
+              SELECT m AS n_edges, s1, s2, s3,
+                     CASE WHEN 2 * m * s3 - s2 * s2 <> 0 THEN
+                       round(CAST(4 * m * s1 - s2 * s2 AS DOUBLE)
+                           / CAST(2 * m * s3 - s2 * s2 AS DOUBLE), 6)
+                     END AS assortativity
+              FROM agg"""))
   )
 }
