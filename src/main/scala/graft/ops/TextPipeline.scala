@@ -73,6 +73,60 @@ object TextPipeline {
         .as("bm25"))
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval score (Zhai &
+    * Lafferty 2001) — the language-model ranker next to [[bm25]]:
+    * score(q, d) = Σ_{t∈q} ln((tf_{t,d} + μ·cf_t/T) / (dl_d + μ)).
+    * Unlike BM25, ABSENT query terms still contribute (the smoothed
+    * collection probability), so every document is scored — callers
+    * take a top-k, never the full ranking. Determinism contract: tf,
+    * cf, dl, T are exact longs; each term's contribution is one fixed
+    * double expression, and the per-doc sum folds in ascending TERM
+    * order (sort_array + aggregate — BM25's plain sum is only safe
+    * because its per-doc term sets are tiny; here the fold makes the
+    * order explicit). Returns (id, dl, ql) with `ql` the RAW double —
+    * rank on it, round only for reporting.
+    *
+    * Scale: lens is one scan; the tf frame is the query-term-filtered
+    * inverted index (postings-bounded); the per-doc grid is
+    * |docs|·|queryTerms| rows with the |queryTerms|-row stats frame
+    * broadcast. */
+  def queryLikelihood(docs: DataFrame, queryTerms: Seq[String],
+      mu: Double = 1000.0, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val toks = docs.select(col(idCol).as("id"),
+      graft.ops.Portable.tokens(col(textCol)).as("w"))
+    val lens = toks.select(col("id"), size(col("w")).cast("long").as("dl"))
+      .localCheckpoint(true) // feeds T, the grid and the output
+    val bigT = lens.agg(sum(col("dl")).as("t"))
+    val tf = toks
+      .select(col("id"), explode(col("w")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // postings-bounded; also folds into cf
+    // collection frequency is Σ_d tf — derived from the tf frame, no
+    // second tokenize pass; terms absent everywhere still enter at 0
+    val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val allTerms = docs.sparkSession
+      .createDataFrame(queryTerms.map(Tuple1(_))).toDF("term")
+    val stats = allTerms
+      .join(cf, Seq("term"), "left")
+      .select(col("term"), coalesce(col("cf"), lit(0L)).as("cf"))
+      .crossJoin(bigT)
+    lens.crossJoin(broadcast(stats))
+      .join(tf, Seq("id", "term"), "left")
+      .select(col("id"), col("dl"), col("term"),
+        log((coalesce(col("tf"), lit(0L)).cast("double") +
+          lit(mu) * col("cf").cast("double") / col("t").cast("double")) /
+          (col("dl").cast("double") + lit(mu))).as("contrib"))
+      .groupBy(col("id"), col("dl"))
+      .agg(sort_array(collect_list(struct(col("term"), col("contrib"))))
+        .as("cs"))
+      .select(col("id"), col("dl"),
+        expr("aggregate(cs, cast(0.0 as double), " +
+          "(acc, e) -> acc + e.contrib)").as("ql"))
+  }
+
   /** Context-window chunking: split each document's token stream into
     * fixed-size chunks with overlap (`stride` < `chunkSize` overlaps by
     * the difference) — the standard pre-tokenization step of LLM corpus

@@ -2811,6 +2811,184 @@ object PipelineQueries {
                      round(CAST(sum(CASE WHEN tv > tt THEN nc ELSE 0 END)
                          AS DOUBLE) / CAST(sum(nc) AS DOUBLE), 6)
                        AS risk_share
-              FROM sw GROUP BY tt ORDER BY tt"""))
+              FROM sw GROUP BY tt ORDER BY tt""")),
+
+    // ---- Dirichlet-smoothed query-likelihood retrieval (Zhai &
+    // Lafferty 2001) against q61's query bag — the LANGUAGE-MODEL
+    // ranker next to q61's BM25, and the family's second scorer so
+    // swapping retrieval stages is a measured decision (q341 prices
+    // the ranking shift): score = Σ_t ln((tf + μ·cf_t/T)/(dl + μ)),
+    // μ = 1000. Unlike BM25 every document is scored (absent terms
+    // contribute the smoothed collection probability), so the
+    // registered face is a top-20 — TakeOrderedAndProject on the RAW
+    // double with doc-id tiebreak (equal-length docs matching no term
+    // tie EXACTLY, so the tiebreak is load-bearing), never the full
+    // ranking. tf/cf/dl/T exact longs; per-doc contributions fold in
+    // ascending term order (ops.TextPipeline.queryLikelihood).
+    GraftQuery(
+      "q340_query_likelihood",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val top = TextPipeline.queryLikelihood(t(s, d, "documents"),
+            Seq("spark", "table", "hash"), mu = 1000.0)
+          .orderBy(col("ql").desc, col("id")).limit(20)
+          .localCheckpoint(true) // 20 rows, re-windowed for rank
+        top.select(
+            row_number().over(Window.orderBy(col("ql").desc, col("id")))
+              .cast("long").as("rank"),
+            col("id").as("doc_id"), round(col("ql"), 6).as("ql"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS w
+                   FROM documents),
+              lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl
+                       FROM toks),
+              tt AS (SELECT CAST(sum(dl) AS BIGINT) AS t FROM lens),
+              qt AS (SELECT unnest(['hash', 'spark', 'table']) AS term),
+              cfr AS (SELECT term, CAST(count(*) AS BIGINT) AS cf
+                      FROM (SELECT unnest(w) AS term FROM toks)
+                      WHERE term IN ('spark', 'table', 'hash') GROUP BY 1),
+              cf AS (SELECT qt.term,
+                       CAST(coalesce(cfr.cf, 0) AS BIGINT) AS cf
+                     FROM qt LEFT JOIN cfr USING (term)),
+              tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                     FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+                     WHERE term IN ('spark', 'table', 'hash')
+                     GROUP BY 1, 2),
+              grid AS (SELECT lens.doc_id, lens.dl, cf.term,
+                         ln((CAST(coalesce(tf.tf, 0) AS DOUBLE)
+                             + 1000.0 * CAST(cf.cf AS DOUBLE)
+                               / CAST(tt.t AS DOUBLE))
+                            / (CAST(lens.dl AS DOUBLE) + 1000.0)) AS contrib
+                       FROM lens CROSS JOIN cf CROSS JOIN tt
+                       LEFT JOIN tf ON tf.doc_id = lens.doc_id
+                                   AND tf.term = cf.term),
+              sc AS (SELECT doc_id, list_reduce(list_transform(
+                       list(struct_pack(term := term, c := contrib)
+                         ORDER BY term), e -> e.c), (a, b) -> a + b) AS ql
+                     FROM grid GROUP BY doc_id, dl),
+              top AS (SELECT doc_id, ql, row_number() OVER
+                        (ORDER BY ql DESC, doc_id) AS rnk FROM sc)
+              SELECT CAST(rnk AS BIGINT) AS rank, doc_id,
+                     round(ql, 6) AS ql
+              FROM top WHERE rnk <= 20 ORDER BY rank""")),
+
+    // ---- retrieval-portfolio telemetry: rank-biased overlap between
+    // the BM25 (q61) and query-likelihood (q340) top-20 on the same
+    // query bag — the q324 portfolio discipline applied to retrieval:
+    // before swapping or blending scorers, operations reads how much
+    // of what users SEE actually changes (RBO is top-weighted and
+    // needs no relevance labels; ops.RankEval.rbo, q315's machinery
+    // at k = 20). Both rankings cut on their documented keys (BM25's
+    // 6dp-rounded score, QL's raw double; doc-id tiebreaks) so the
+    // comparison is of the registered faces themselves. Scale: two
+    // TakeOrderedAndProject top-20s + the k-bounded RBO fold.
+    GraftQuery(
+      "q341_retrieval_rank_shift",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val bag = Seq("spark", "table", "hash")
+        val docs = t(s, d, "documents")
+        val bm = TextPipeline.bm25(docs, bag)
+          .orderBy(col("bm25").desc, col("id")).limit(20)
+          .localCheckpoint(true) // 20 rows, re-windowed for rank
+        val qlf = TextPipeline.queryLikelihood(docs, bag, mu = 1000.0)
+          .orderBy(col("ql").desc, col("id")).limit(20)
+          .localCheckpoint(true)
+        val a = bm.select(col("id").as("pk"),
+          row_number().over(Window.orderBy(col("bm25").desc, col("id")))
+            .cast("long").as("rk"))
+        val b = qlf.select(col("id").as("pk"),
+          row_number().over(Window.orderBy(col("ql").desc, col("id")))
+            .cast("long").as("rk"))
+        a.agg(count(lit(1)).as("n_a"))
+          .crossJoin(broadcast(b.agg(count(lit(1)).as("n_b"))))
+          .crossJoin(broadcast(
+            graft.ops.RankEval.rbo(a, b, k = 20, p = 0.9)))
+          .select(col("n_a"), col("n_b"), col("n_common"),
+            col("agree_at_k"), col("rbo"), col("rbo_ub"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS w
+                   FROM documents),
+              lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl
+                       FROM toks),
+              dlens AS (SELECT doc_id, CAST(dl AS DOUBLE) AS dl FROM lens),
+              stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                               avg(dl) AS avgdl FROM dlens),
+              btf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                      FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+                      WHERE term IN ('spark', 'table', 'hash')
+                      GROUP BY 1, 2),
+              bdf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                      FROM btf GROUP BY 1),
+              bsc AS (SELECT doc_id,
+                        round(sum(idf * tf * 2.2
+                          / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+                          AS bm25
+                      FROM (SELECT t.doc_id, t.tf,
+                              ln(1 + (n - df + 0.5) / (df + 0.5)) AS idf,
+                              dl, avgdl
+                            FROM btf t JOIN bdf USING (term)
+                            CROSS JOIN stats JOIN dlens USING (doc_id))
+                      GROUP BY doc_id),
+              ha AS (SELECT doc_id AS pk, row_number() OVER
+                       (ORDER BY bm25 DESC, doc_id) AS ra FROM bsc
+                     QUALIFY ra <= 20),
+              tt AS (SELECT CAST(sum(dl) AS BIGINT) AS t FROM lens),
+              qt AS (SELECT unnest(['hash', 'spark', 'table']) AS term),
+              cfr AS (SELECT term, CAST(count(*) AS BIGINT) AS cf
+                      FROM (SELECT unnest(w) AS term FROM toks)
+                      WHERE term IN ('spark', 'table', 'hash') GROUP BY 1),
+              cf AS (SELECT qt.term,
+                       CAST(coalesce(cfr.cf, 0) AS BIGINT) AS cf
+                     FROM qt LEFT JOIN cfr USING (term)),
+              qtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                      FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+                      WHERE term IN ('spark', 'table', 'hash')
+                      GROUP BY 1, 2),
+              grid AS (SELECT lens.doc_id, lens.dl, cf.term,
+                         ln((CAST(coalesce(qtf.tf, 0) AS DOUBLE)
+                             + 1000.0 * CAST(cf.cf AS DOUBLE)
+                               / CAST(tt.t AS DOUBLE))
+                            / (CAST(lens.dl AS DOUBLE) + 1000.0)) AS contrib
+                       FROM lens CROSS JOIN cf CROSS JOIN tt
+                       LEFT JOIN qtf ON qtf.doc_id = lens.doc_id
+                                    AND qtf.term = cf.term),
+              qsc AS (SELECT doc_id, list_reduce(list_transform(
+                        list(struct_pack(term := term, c := contrib)
+                          ORDER BY term), e -> e.c), (a, b) -> a + b) AS ql
+                      FROM grid GROUP BY doc_id, dl),
+              hb AS (SELECT doc_id AS pk, row_number() OVER
+                       (ORDER BY ql DESC, doc_id) AS rb FROM qsc
+                     QUALIFY rb <= 20),
+              mx AS (SELECT greatest(ra, rb) AS mx
+                     FROM ha JOIN hb USING (pk)),
+              xd AS (SELECT dd, CAST(count(mx) AS BIGINT) AS x
+                     FROM generate_series(1, 20) g(dd)
+                     LEFT JOIN mx ON mx <= dd GROUP BY dd),
+              fold AS (SELECT list_reduce(
+                         list_transform(
+                           list(struct_pack(dd := dd, x := x) ORDER BY dd),
+                           e -> power(0.9, CAST(e.dd - 1 AS DOUBLE))
+                             * (CAST(e.x AS DOUBLE) / CAST(e.dd AS DOUBLE))),
+                         (acc, t) -> acc + t) AS sm,
+                       max(CASE WHEN dd = 20 THEN x END) AS xk
+                       FROM xd),
+              sz AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ha)
+                         AS n_a,
+                            (SELECT CAST(count(*) AS BIGINT) FROM hb)
+                         AS n_b),
+              nc AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM mx)
+              SELECT sz.n_a, sz.n_b, nc.n_common,
+                     round(CAST(fold.xk AS DOUBLE)
+                       / CAST(20 AS DOUBLE), 6) AS agree_at_k,
+                     round((CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+                       * fold.sm, 6) AS rbo,
+                     round((CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+                       * fold.sm
+                       + power(0.9, CAST(20 AS DOUBLE)), 6) AS rbo_ub
+              FROM sz CROSS JOIN nc CROSS JOIN fold"""))
   )
 }
