@@ -1040,54 +1040,13 @@ object EmbeddingQueries {
     // collect class, same as the k-means centroid pulls.
     GraftQuery(
       "q338_embedding_anisotropy",
-      (s, d) => {
-        import s.implicits._
-        val q = t(s, d, "embeddings")
-          .select(expr("transform(embedding, x -> " +
-            "cast(floor(cast(x as double) * 1000000.0) as bigint))").as("q"))
-          .localCheckpoint(true) // feeds count, dim sums and Gram cells
-        val sums = q.select(posexplode(col("q")).as(Seq("i", "qi")))
-          .groupBy(col("i")).agg(sum(col("qi")).as("sv"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        val dim = sums.size
-        require(dim > 0 && dim <= 256,
-          s"driver-side eigen solve needs bounded dim, got $dim")
-        val n = q.count().toDouble
-        val gram = q
-          .select(posexplode(col("q")).as(Seq("i", "qi")), col("q").as("qv"))
-          .select(col("i"), col("qi"), posexplode(col("qv")).as(Seq("j", "qj")))
-          .filter(col("j") >= col("i"))
-          .groupBy(col("i"), col("j")).agg(sum(col("qi") * col("qj")).as("g"))
-          .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
-        val sArr = Array.tabulate(dim)(i => sums(i).toDouble)
-        val c = Array.tabulate(dim, dim) { (i, j) =>
-          val (lo, hi) = (math.min(i, j), math.max(i, j))
-          (gram((lo, hi)).toDouble - sArr(lo) * sArr(hi) / n) / n
-        }
-        def matvec(v: Array[Double]): Array[Double] =
-          Array.tabulate(dim) { i =>
-            var acc = 0.0; var j = 0
-            while (j < dim) { acc += c(i)(j) * v(j); j += 1 }
-            acc
-          }
-        var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
-        for (_ <- 1 to 20) {
-          val w = matvec(v)
-          var nrm2 = 0.0; var i = 0
-          while (i < dim) { nrm2 += w(i) * w(i); i += 1 }
-          val nrm = math.sqrt(nrm2)
-          v = w.map(_ / nrm)
-        }
-        val w = matvec(v)
-        var l1 = 0.0; var tr = 0.0
-        (0 until dim).foreach { i => l1 += v(i) * w(i); tr += c(i)(i) }
-        def r6(x: Double): Double = BigDecimal(x)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        (0 until dim).map(i => (i.toLong, r6(v(i)), r6(l1), r6(tr),
-            if (tr > 0) Some(r6(l1 / tr)) else None))
-          .toDF("dim", "loading", "lambda1", "trace", "anisotropy")
-          .orderBy(col("dim"))
-      },
+      // the Gram state + eigen read live in ops.Anisotropy (r19),
+      // shared byte-identically with the streaming collapse monitor
+      // (EventStreams.gramBatch / anisotropyCurrent — the integer
+      // state is the read's sufficient statistic)
+      (s, d) => graft.ops.Anisotropy.anisotropyFromState(
+        graft.ops.Anisotropy.gramState(
+          t(s, d, "embeddings"), col("embedding"))),
       Some("""WITH RECURSIVE q AS (SELECT [CAST(floor(CAST(x AS DOUBLE)
                        * 1000000.0) AS BIGINT) FOR x IN embedding] AS q
                     FROM embeddings),

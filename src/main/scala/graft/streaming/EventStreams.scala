@@ -492,6 +492,29 @@ object EventStreams {
     incrementalViewState(spark, stateDir)
       .map(graft.ops.Stats.ucbFromCounts)
 
+  /** foreachBatch body for a continuously-maintained EMBEDDING-
+    * COLLAPSE monitor — the stream face of q338's anisotropy: each
+    * micro-batch of embedding rows folds its exact-integer Gram/sum/
+    * count state (ops.Anisotropy.gramState, d²-bounded) into the
+    * persisted state under the versioned-dir discipline; the top-
+    * eigenvalue share then reads as a derived view — "is the embedding
+    * space collapsing as new vectors ingest" as a standing gate beside
+    * the q234 IVF drift gate. Integer state ⇒ the stream view equals
+    * the one-shot q338 batch BYTE-identically. */
+  def gramBatch(embCol: String, stateDir: String)
+      (batch: DataFrame, batchId: Long): Unit =
+    versionedFold(batch.sparkSession, stateDir, batchId) { prev =>
+      graft.ops.Anisotropy.mergeGramState(
+        graft.ops.Anisotropy.gramState(batch, col(embCol)) +: prev.toSeq)
+    }
+
+  /** Current anisotropy view of everything [[gramBatch]] accumulated;
+    * None before the first committed batch. */
+  def anisotropyCurrent(spark: SparkSession,
+      stateDir: String): Option[DataFrame] =
+    incrementalViewState(spark, stateDir)
+      .map(graft.ops.Anisotropy.anisotropyFromState)
+
   /** foreachBatch body for a continuously-maintained CALIBRATION
     * monitor — the stream face of [[graft.ops.Calibration]]: each
     * micro-batch of scored rows (`probCol`, `labelCol`) folds its

@@ -1272,6 +1272,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(_._6 == 1L) == 1)
   }
 
+  test("gramBatch: accumulated Gram state == one-shot anisotropy " +
+    "(q338), exactly") {
+    // the embedding-collapse monitor in stream form: vectors ingest in
+    // three micro-batches; the eigen read off the accumulated integer
+    // Gram/sum/count state must equal the one-shot q338 batch
+    // BYTE-identically — all 64 loadings included, because the state
+    // is exact longs and the read is the same fixed double program
+    import org.apache.spark.sql.functions._
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("gram_state").toString
+    val emb = Tables(spark, sf, "embeddings")
+    val body = EventStreams.gramBatch("embedding", stateDir) _
+    (0 to 2).foreach(i =>
+      body(emb.filter(pmod($"vec_id", lit(3)) === i), i.toLong))
+    val got = EventStreams.anisotropyCurrent(spark, stateDir).get
+      .as[(Long, Double, Double, Double, Option[Double])].collect().toSeq
+    val want = SparkEntry.queries("q338_embedding_anisotropy")(spark, sf)
+      .as[(Long, Double, Double, Double, Option[Double])].collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("survivalBatch: accumulated duration histogram == one-shot Kaplan-Meier") {
     // the survival monitor in stream form: subjects resolve in three
     // micro-batches; the curve derived from the accumulated (t, cnt, d)
