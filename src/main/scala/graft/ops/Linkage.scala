@@ -96,14 +96,25 @@ object Linkage {
     * self-join on the mutual condition. */
   def reciprocalBest(pairs: DataFrame, aCol: String, bCol: String,
       scoreCol: String): DataFrame = {
-    val sym = pairs.select(col(aCol).as("n"), col(bCol).as("p"),
+    // materialize the (potentially expensive — q330 feeds the whole
+    // blocked FS scoring in here) pair plan ONCE: a union-of-two-
+    // selects symmetrize re-evaluates it per branch and the best-
+    // frame self-join doubles that again (the connectedComponents
+    // lesson; the plan audit caught this shape running the pair join
+    // 4x). Explode duplicates each row map-side instead, and the
+    // |nodes|-sized best frame is checkpointed before its self-join.
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"),
         col(scoreCol).as("sc"))
-      .union(pairs.select(col(bCol).as("n"), col(aCol).as("p"),
-        col(scoreCol).as("sc")))
+      .localCheckpoint(true)
+    val sym = p.select(explode(array(
+        struct(col("a").as("n"), col("b").as("p"), col("sc")),
+        struct(col("b").as("n"), col("a").as("p"), col("sc")))).as("e"))
+      .select(col("e.n").as("n"), col("e.p").as("p"), col("e.sc").as("sc"))
     val best = sym
       .groupBy(col("n"))
       .agg(max(struct(col("sc"), negate(col("p")).as("np"))).as("m"))
       .select(col("n"), negate(col("m.np")).as("p"), col("m.sc").as("sc"))
+      .localCheckpoint(true) // |nodes| rows, read twice (self-join)
     best.as("x").join(best.as("y"),
         col("x.p") === col("y.n") && col("y.p") === col("x.n") &&
           col("x.n") < col("x.p"))
