@@ -121,12 +121,42 @@ object Anisotropy {
     val n = rows((-1, -1)).toDouble
     val sums = rows.collect { case ((i, -1), v) if i >= 0 => i -> v }
     val dim = sums.size
+    val sArr = Array.tabulate(dim)(i => sums(i).toDouble)
+    val (v, l1, tr) =
+      topEigen(dim, n, sArr, (lo, hi) => rows((lo, hi)))
+    (0 until dim).map(i => (i.toLong, r6(v(i)), r6(l1), r6(tr),
+        if (tr > 0) Some(r6(l1 / tr)) else None))
+      .toDF("dim", "loading", "lambda1", "trace", "anisotropy")
+      .orderBy(col("dim"))
+  }
+
+  /** (count, λ1, trace) from one [[GramAggregator]] buffer — the
+    * per-group read behind the by-label face (q342). */
+  def summaryFromBuffer(buf: Array[Long]): (Long, Double, Double) = {
+    require(buf.nonEmpty, "empty Gram buffer")
+    val dim = buf(0).toInt
+    val n = buf(1).toDouble
+    val sArr = Array.tabulate(dim)(i => buf(2 + i).toDouble)
+    def gram(lo: Int, hi: Int): Long =
+      buf(2 + dim + lo * (2 * dim - lo + 1) / 2 + (hi - lo))
+    val (_, l1, tr) = topEigen(dim, n, sArr, gram)
+    (buf(1), l1, tr)
+  }
+
+  private[graft] def r6(x: Double): Double = BigDecimal(x)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The fixed double program (identical IEEE sequence to the oracle's
+    * recursive-CTE replay): covariance from the exact integers, 20
+    * power-iteration rounds from the uniform start, Rayleigh quotient
+    * + trace — every fold in ascending index order. */
+  private def topEigen(dim: Int, n: Double, sArr: Array[Double],
+      gram: (Int, Int) => Long): (Array[Double], Double, Double) = {
     require(dim > 0 && dim <= 256,
       s"driver-side eigen solve needs bounded dim, got $dim")
-    val sArr = Array.tabulate(dim)(i => sums(i).toDouble)
     val c = Array.tabulate(dim, dim) { (i, j) =>
       val (lo, hi) = (math.min(i, j), math.max(i, j))
-      (rows((lo, hi)).toDouble - sArr(lo) * sArr(hi) / n) / n
+      (gram(lo, hi).toDouble - sArr(lo) * sArr(hi) / n) / n
     }
     def matvec(v: Array[Double]): Array[Double] =
       Array.tabulate(dim) { i =>
@@ -145,11 +175,6 @@ object Anisotropy {
     val w = matvec(v)
     var l1 = 0.0; var tr = 0.0
     (0 until dim).foreach { i => l1 += v(i) * w(i); tr += c(i)(i) }
-    def r6(x: Double): Double = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    (0 until dim).map(i => (i.toLong, r6(v(i)), r6(l1), r6(tr),
-        if (tr > 0) Some(r6(l1 / tr)) else None))
-      .toDF("dim", "loading", "lambda1", "trace", "anisotropy")
-      .orderBy(col("dim"))
+    (v, l1, tr)
   }
 }

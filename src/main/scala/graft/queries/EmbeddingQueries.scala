@@ -1112,6 +1112,118 @@ object EmbeddingQueries {
                      END AS anisotropy
               FROM fin CROSS JOIN met CROSS JOIN trc,
                    unnest(range(1, len(fin.v) + 1)) AS t(k)
-              ORDER BY dim"""))
+              ORDER BY dim""")),
+
+    // ---- q338 stratified by label: per-class anisotropy — WHICH
+    // population is collapsing, the question the pooled number hides
+    // (a healthy global space can hide one degenerate class, and
+    // class-conditional anisotropy is the standard probe for it).
+    // One typed groupByKey + GramAggregator pass builds a buffer per
+    // label (map-side combine, |labels| buffers exchanged), the eigen
+    // read (ops.Anisotropy.summaryFromBuffer — the same fixed double
+    // program) runs per label on the driver (|labels|·d²-bounded, the
+    // k-bounded-collect class), and the oracle threads the label
+    // through q338's recursive CTE — the vector-state replay now
+    // carrying (label, v) rows. Probe: per-label shares run 6.0–7.3%
+    // at sf0.001 and 3.4–3.8% at sf0.1 vs the pooled 2.8/2.0% —
+    // every class carries 2–3× the dominant-direction concentration
+    // the pooled read reports, the within-class structure the global
+    // number dilutes.
+    GraftQuery(
+      "q342_anisotropy_by_label",
+      (s, d) => {
+        import s.implicits._
+        val byL = t(s, d, "embeddings")
+          .select(col("label").cast("long").as("lbl"),
+            expr("transform(embedding, x -> " +
+              "cast(floor(cast(x as double) * 1000000.0) as bigint))")
+              .as("q"))
+          .as[(Long, Array[Long])]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(new graft.ops.Anisotropy.GramAggregator().toColumn.name("b"))
+          .collect() // |labels| buffers, the k-bounded-collect class
+        import graft.ops.Anisotropy.r6
+        byL.toSeq.sortBy(_._1).map { case (lbl, buf) =>
+          val (nVec, l1, tr) = graft.ops.Anisotropy.summaryFromBuffer(buf)
+          (lbl, nVec, r6(l1), r6(tr),
+            if (tr > 0) Some(r6(l1 / tr)) else None)
+        }.toDF("label", "n_vectors", "lambda1", "trace", "anisotropy")
+          .orderBy(col("label"))
+      },
+      Some("""WITH RECURSIVE q AS (SELECT label AS lbl,
+                      [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                       FOR x IN embedding] AS q
+                    FROM embeddings),
+              dm AS (SELECT len(q) AS dd FROM q LIMIT 1),
+              idx AS (SELECT unnest(range(0, (SELECT dd FROM dm))) AS i),
+              nn AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n
+                     FROM q GROUP BY 1),
+              sv AS (SELECT lbl, idx.i,
+                       CAST(sum(q.q[idx.i + 1]) AS BIGINT) AS sv
+                     FROM q CROSS JOIN idx GROUP BY 1, 2),
+              cells AS (SELECT lbl, a.i AS i, b.i AS j,
+                          CAST(sum(q.q[a.i + 1] * q.q[b.i + 1]) AS BIGINT)
+                            AS g
+                        FROM q CROSS JOIN idx a CROSS JOIN idx b
+                        WHERE b.i >= a.i GROUP BY 1, 2, 3),
+              covu AS (SELECT c.lbl, c.i, c.j,
+                         (CAST(c.g AS DOUBLE)
+                          - CAST(si.sv AS DOUBLE) * CAST(sj.sv AS DOUBLE)
+                            / CAST(nn.n AS DOUBLE)) / CAST(nn.n AS DOUBLE)
+                           AS cv
+                       FROM cells c
+                       JOIN sv si ON si.lbl = c.lbl AND si.i = c.i
+                       JOIN sv sj ON sj.lbl = c.lbl AND sj.i = c.j
+                       JOIN nn ON nn.lbl = c.lbl),
+              covf AS (SELECT lbl, i, j, cv FROM covu
+                       UNION ALL
+                       SELECT lbl, j, i, cv FROM covu WHERE i <> j),
+              cm AS (SELECT lbl, list(rl ORDER BY i) AS cm FROM
+                       (SELECT lbl, i, list(cv ORDER BY j) AS rl
+                        FROM covf GROUP BY lbl, i)
+                     GROUP BY lbl),
+              v0 AS (SELECT lbl, list_transform(range(0, dd),
+                       x -> 1.0 / sqrt(CAST(dd AS DOUBLE))) AS v
+                     FROM cm CROSS JOIN dm),
+              pi(t, lbl, v) AS (
+                SELECT 0, lbl, v FROM v0
+                UNION ALL
+                SELECT t + 1, lbl, list_transform(w, x -> x / nrm) FROM (
+                  SELECT t, lbl, w,
+                         sqrt(list_reduce(list_transform(w, x -> x * x),
+                           (a, b) -> a + b)) AS nrm FROM (
+                    SELECT pi.t, pi.lbl,
+                           list_transform(cm.cm, r -> list_reduce(
+                             list_transform(range(1, len(r) + 1),
+                               k -> r[k] * pi.v[k]),
+                             (a, b) -> a + b)) AS w
+                    FROM pi JOIN cm ON cm.lbl = pi.lbl
+                    WHERE pi.t < 20))),
+              fin AS (SELECT lbl, v FROM pi WHERE t = 20),
+              wv AS (SELECT fin.lbl, fin.v,
+                       list_transform(cm.cm, r -> list_reduce(
+                         list_transform(range(1, len(r) + 1),
+                           k -> r[k] * fin.v[k]),
+                         (a, b) -> a + b)) AS w
+                     FROM fin JOIN cm ON cm.lbl = fin.lbl),
+              met AS (SELECT lbl, list_reduce(
+                        list_transform(range(1, len(v) + 1),
+                          k -> v[k] * w[k]),
+                        (a, b) -> a + b) AS lambda1
+                      FROM wv),
+              trc AS (SELECT lbl, list_reduce(list_transform(
+                        list(struct_pack(i := i, x := cv) ORDER BY i),
+                        e -> e.x), (a, b) -> a + b) AS trace
+                      FROM covf WHERE i = j GROUP BY lbl)
+              SELECT CAST(nn.lbl AS BIGINT) AS label, nn.n AS n_vectors,
+                     round(met.lambda1, 6) AS lambda1,
+                     round(trc.trace, 6) AS trace,
+                     CASE WHEN trc.trace > 0
+                          THEN round(met.lambda1 / trc.trace, 6)
+                     END AS anisotropy
+              FROM nn JOIN met ON met.lbl = nn.lbl
+                      JOIN trc ON trc.lbl = nn.lbl
+              ORDER BY label"""))
   )
 }
