@@ -118,6 +118,12 @@ object Anisotropy {
     import spark.implicits._
     val rows = state.collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // Empty state (gramState of an empty frame, or a stream read
+    // before the first micro-batch) reads as an empty result, matching
+    // gramState's own empty-input handling — not a missing-key crash.
+    if (rows.isEmpty)
+      return Seq.empty[(Long, Double, Double, Double, Option[Double])]
+        .toDF("dim", "loading", "lambda1", "trace", "anisotropy")
     val n = rows((-1, -1)).toDouble
     val sums = rows.collect { case ((i, -1), v) if i >= 0 => i -> v }
     val dim = sums.size

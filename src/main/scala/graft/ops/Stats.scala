@@ -205,9 +205,15 @@ object Stats {
 
   /** Doubled within-block Friedman midranks over COMPLETE blocks only —
     * the rank layer of the Friedman test (q332). Input contract: one
-    * row per (block, group) cell. Blocks missing any of the k observed
-    * groups are dropped (the standard repeated-measures requirement;
-    * k is inferred as the global distinct-group count). Ranks come
+    * row per (block, group) cell. Blocks missing any of the k groups
+    * are dropped (the standard repeated-measures requirement). Callers
+    * whose downstream statistic hard-codes k (q332's 5n/100n/×3
+    * constants assume k=4) MUST pass it explicitly: with `k = Some(kk)`
+    * the completeness filter is `count == kk`, so a globally-absent
+    * group drops every block — matching an oracle's
+    * `HAVING count(*) = kk` — instead of silently ranking (k−1)-cell
+    * blocks against k-based constants. With `k = None` (exploratory
+    * use) it is inferred as the global distinct-group count. Ranks come
     * from the within-block self-join — blocks are k rows, so the join
     * is k²-per-block bounded, never row-sized — and are kept doubled
     * (2r = 2·#less + #tied-incl-self + 1) so downstream rank sums and
@@ -216,12 +222,15 @@ object Stats {
     * fire on the driver fixtures (every week is complete at all SFs —
     * probed), so StatsEvalSpec pins it on synthetic input instead. */
   def friedmanRanks(df: DataFrame, block: Column, group: Column,
-      value: Column): DataFrame = {
+      value: Column, k: Option[Int] = None): DataFrame = {
     val cells = df.select(block.as("blk"), group.as("g"), value.as("y"))
-    val k = cells.agg(count_distinct(col("g")).as("k"))
-    val full = cells.groupBy(col("blk")).agg(count(lit(1)).as("c"))
-      .crossJoin(broadcast(k)).filter(col("c") === col("k"))
-      .select(col("blk"))
+    val counts = cells.groupBy(col("blk")).agg(count(lit(1)).as("c"))
+    val full = (k match {
+      case Some(kk) => counts.filter(col("c") === lit(kk.toLong))
+      case None =>
+        val kd = cells.agg(count_distinct(col("g")).as("k"))
+        counts.crossJoin(broadcast(kd)).filter(col("c") === col("k"))
+    }).select(col("blk"))
     val cb = cells.join(full, Seq("blk"), "left_semi")
       .localCheckpoint(true) // |blocks×k| rows, read twice (self-join)
     cb.as("a").join(cb.as("b"), col("a.blk") === col("b.blk"))

@@ -76,9 +76,13 @@ object TextPipeline {
   /** Dirichlet-smoothed query-likelihood retrieval score (Zhai &
     * Lafferty 2001) — the language-model ranker next to [[bm25]]:
     * score(q, d) = Σ_{t∈q} ln((tf_{t,d} + μ·cf_t/T) / (dl_d + μ)).
-    * Unlike BM25, ABSENT query terms still contribute (the smoothed
-    * collection probability), so every document is scored — callers
-    * take a top-k, never the full ranking. Determinism contract: tf,
+    * Unlike BM25, a query term a DOC lacks still contributes (the
+    * smoothed collection probability cf_t/T), so every document is
+    * scored — callers take a top-k, never the full ranking. Terms
+    * absent from the WHOLE corpus (cf=0) are dropped before scoring:
+    * their contribution would be ln(0) = -Infinity for every doc,
+    * collapsing all scores to -Infinity and degenerating the top-k to
+    * an id sort (and engines disagree on ln(0)). Determinism contract: tf,
     * cf, dl, T are exact longs; each term's contribution is one fixed
     * double expression, and the per-doc sum folds in ascending TERM
     * order (sort_array + aggregate — BM25's plain sum is only safe
@@ -105,14 +109,14 @@ object TextPipeline {
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(true) // postings-bounded; also folds into cf
     // collection frequency is Σ_d tf — derived from the tf frame, no
-    // second tokenize pass; terms absent everywhere still enter at 0
+    // second tokenize pass. Terms absent from the WHOLE corpus are
+    // DROPPED (cf frame only contains present terms): a cf=0 term
+    // would contribute ln(0/(dl+mu)) = -Infinity to EVERY document,
+    // collapsing all scores and degenerating the top-k to an id sort
+    // — and engines disagree on ln(0). Present terms still contribute
+    // the smoothed collection probability for docs where tf=0.
     val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
-    val allTerms = docs.sparkSession
-      .createDataFrame(queryTerms.map(Tuple1(_))).toDF("term")
-    val stats = allTerms
-      .join(cf, Seq("term"), "left")
-      .select(col("term"), coalesce(col("cf"), lit(0L)).as("cf"))
-      .crossJoin(bigT)
+    val stats = cf.crossJoin(bigT)
     lens.crossJoin(broadcast(stats))
       .join(tf, Seq("id", "term"), "left")
       .select(col("id"), col("dl"), col("term"),

@@ -4681,8 +4681,12 @@ object MLQueries {
           .groupBy(to_date(date_trunc("week", col("ts"))).as("wk"),
             expr("hour(ts) DIV 6").as("g"))
           .agg(sum(floor(col("value") * 100).cast("long")).as("y"))
+        // k=4 passed EXPLICITLY: the statistic constants below (5n,
+        // 100n, ×3) assume k=4, and the oracle's HAVING count(*) = 4
+        // must agree with the rank layer's completeness filter even if
+        // a day-part were globally absent.
         val r2 = graft.ops.Stats.friedmanRanks(
-          cells, col("wk"), col("g"), col("y"))
+          cells, col("wk"), col("g"), col("y"), k = Some(4))
         val agg = r2.agg(
           count_distinct(col("blk")).as("n"),
           sum(when(col("g") === 0, col("r2")).otherwise(0L)).as("s2_g0"),

@@ -2845,13 +2845,12 @@ object PipelineQueries {
               lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl
                        FROM toks),
               tt AS (SELECT CAST(sum(dl) AS BIGINT) AS t FROM lens),
-              qt AS (SELECT unnest(['hash', 'spark', 'table']) AS term),
-              cfr AS (SELECT term, CAST(count(*) AS BIGINT) AS cf
-                      FROM (SELECT unnest(w) AS term FROM toks)
-                      WHERE term IN ('spark', 'table', 'hash') GROUP BY 1),
-              cf AS (SELECT qt.term,
-                       CAST(coalesce(cfr.cf, 0) AS BIGINT) AS cf
-                     FROM qt LEFT JOIN cfr USING (term)),
+              -- cf=0 (absent-everywhere) terms dropped, mirroring
+              -- ops.TextPipeline.queryLikelihood: ln(0) would collapse
+              -- every score and engines disagree on ln(0)
+              cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf
+                     FROM (SELECT unnest(w) AS term FROM toks)
+                     WHERE term IN ('spark', 'table', 'hash') GROUP BY 1),
               tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
                      FROM (SELECT doc_id, unnest(w) AS term FROM toks)
                      WHERE term IN ('spark', 'table', 'hash')
@@ -2937,13 +2936,12 @@ object PipelineQueries {
                        (ORDER BY bm25 DESC, doc_id) AS ra FROM bsc
                      QUALIFY ra <= 20),
               tt AS (SELECT CAST(sum(dl) AS BIGINT) AS t FROM lens),
-              qt AS (SELECT unnest(['hash', 'spark', 'table']) AS term),
-              cfr AS (SELECT term, CAST(count(*) AS BIGINT) AS cf
-                      FROM (SELECT unnest(w) AS term FROM toks)
-                      WHERE term IN ('spark', 'table', 'hash') GROUP BY 1),
-              cf AS (SELECT qt.term,
-                       CAST(coalesce(cfr.cf, 0) AS BIGINT) AS cf
-                     FROM qt LEFT JOIN cfr USING (term)),
+              -- cf=0 (absent-everywhere) terms dropped, mirroring
+              -- ops.TextPipeline.queryLikelihood: ln(0) would collapse
+              -- every score and engines disagree on ln(0)
+              cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf
+                     FROM (SELECT unnest(w) AS term FROM toks)
+                     WHERE term IN ('spark', 'table', 'hash') GROUP BY 1),
               qtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
                       FROM (SELECT doc_id, unnest(w) AS term FROM toks)
                       WHERE term IN ('spark', 'table', 'hash')

@@ -60,4 +60,22 @@ class AnisotropySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("ragged"))
   }
+
+  test("empty state reads as an empty result, not a missing-key crash") {
+    // gramState of an empty embeddings frame returns an empty state
+    // DF; the read layer must short-circuit (a stream's first read can
+    // land before any micro-batch) instead of throwing on rows((-1,-1))
+    val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("emb",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))
+    val state = ops.Anisotropy.gramState(empty, col("emb"))
+    assert(state.count() == 0L)
+    val read = ops.Anisotropy.anisotropyFromState(state)
+    assert(read.columns.toSeq ==
+      Seq("dim", "loading", "lambda1", "trace", "anisotropy"))
+    assert(read.count() == 0L)
+  }
 }

@@ -342,6 +342,30 @@ class OpsSpec extends SparkSpec {
     assert(r == r2)
   }
 
+  test("queryLikelihood: corpus-absent terms drop; present terms still smooth") {
+    // a cf=0 term would contribute ln(0) = -Infinity to EVERY doc,
+    // collapsing the ranking to an id sort — so absent-everywhere
+    // terms are dropped BEFORE scoring, and the score with the
+    // phantom term in the bag equals the score without it
+    import spark.implicits._
+    val docs = Seq((1L, "spark spark table"), (2L, "table chair"),
+      (3L, "chair chair chair")).toDF("doc_id", "text")
+    val withPhantom = TextPipeline
+      .queryLikelihood(docs, Seq("spark", "zzz_absent_term"), mu = 10.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val without = TextPipeline
+      .queryLikelihood(docs, Seq("spark"), mu = 10.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(withPhantom == without)
+    // every doc scored (docs 2 and 3 lack 'spark' but get the smoothed
+    // collection probability), all scores finite
+    assert(withPhantom.keySet == Set(1L, 2L, 3L))
+    assert(withPhantom.values.forall(v => !v.isInfinite && !v.isNaN))
+    // hand-check doc 2: ln((0 + 10*2/8)/(2+10)) — tf=0, cf(spark)=2, T=8
+    val expect = math.log((0.0 + 10.0 * 2.0 / 8.0) / (2.0 + 10.0))
+    assert(math.abs(withPhantom(2L) - expect) < 1e-12)
+  }
+
   test("StopWordsRemover drops stopwords, keeps content words") {
     val out = TextPipeline.tokensAndNGrams(Seq((1L, "the quick fox and the dog")).toDF("doc_id", "text"))
       .select($"toks_clean").as[Seq[String]].head()

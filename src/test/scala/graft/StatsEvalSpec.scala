@@ -263,6 +263,26 @@ class StatsEvalSpec extends SparkSpec {
       got((20L, 2L)) == 2L)
   }
 
+  test("friedmanRanks explicit k: globally-absent group drops ALL blocks") {
+    // q332's statistic constants hard-code k=4 and its oracle filters
+    // HAVING count(*) = 4 — if a group were globally absent, inferred-k
+    // would happily rank (k-1)-cell blocks while the oracle drops every
+    // block. Explicit k pins the completeness filter to the caller's
+    // constants: same input with k=Some(3) ranks both complete blocks,
+    // with k=Some(4) (group 3 globally absent) ranks none.
+    import spark.implicits._
+    val cells = Seq(
+      (10L, 0L, 5L), (10L, 1L, 7L), (10L, 2L, 6L),
+      (20L, 0L, 3L), (20L, 1L, 2L), (20L, 2L, 1L)
+    ).toDF("blk", "g", "y")
+    val k3 = ops.Stats
+      .friedmanRanks(cells, col("blk"), col("g"), col("y"), k = Some(3))
+    assert(k3.count() == 6L)
+    val k4 = ops.Stats
+      .friedmanRanks(cells, col("blk"), col("g"), col("y"), k = Some(4))
+    assert(k4.count() == 0L)
+  }
+
   test("q334 Hill == brute-force top-k order statistics") {
     // recompute from a literal sort of the per-user counts — the
     // histogram prefix trick must reproduce the textbook definition
