@@ -147,13 +147,18 @@ object Dedup {
     * per band, band value joined to a string (slice over the array, no
     * shuffle). Shared by the self-join candidates and the asymmetric
     * batch-vs-corpus form so the band encoding can never drift between
-    * them. */
+    * them. `bandK = Some(p)` bands only the first p signature
+    * positions (the sketch-width lever: sign wide for estimation, band
+    * a narrow prefix for recall — candidates stay IDENTICAL to a
+    * k=p run because the hash family is indexed, so widening the
+    * sketch never moves the candidate set). */
   private def bandedSigs(sigs: DataFrame, bandRows: Int,
-      keepSigs: Boolean): DataFrame = {
+      keepSigs: Boolean, bandK: Option[Int] = None): DataFrame = {
     val sigCols = if (keepSigs) Seq(col("sig")) else Nil
+    val len = bandK.map(p => s"least(size(sig), $p)").getOrElse("size(sig)")
     sigs
       .select(col("id") +: explode(expr(
-        s"""transform(sequence(0, (size(sig) + $bandRows - 1) DIV $bandRows - 1), b ->
+        s"""transform(sequence(0, ($len + $bandRows - 1) DIV $bandRows - 1), b ->
               struct(b AS b, array_join(transform(slice(sig, b * $bandRows + 1, $bandRows),
                                                   x -> CAST(x AS STRING)), ':') AS v))"""))
         .as("bv") +: sigCols: _*)
@@ -161,9 +166,9 @@ object Dedup {
   }
 
   def lshCandidates(sigs: DataFrame, bandRows: Int = 4,
-      keepSigs: Boolean = false): DataFrame = {
+      keepSigs: Boolean = false, bandK: Option[Int] = None): DataFrame = {
     val sigCols = if (keepSigs) Seq(col("sig")) else Nil
-    val banded = bandedSigs(sigs, bandRows, keepSigs)
+    val banded = bandedSigs(sigs, bandRows, keepSigs, bandK)
     val left = banded.select(
       col("id").as("d1") +: col("b") +: col("v") +:
         (if (keepSigs) Seq(col("sig").as("sig1")) else Nil): _*)

@@ -61,6 +61,7 @@ object DedupQueries {
   private val P = Portable.MinHashPrime // 2^31-1
   private val K = 16                    // minhash signature length
   private val BandRows = 4              // LSH: 4 bands x 4 rows
+  private val K64 = 64                  // wide sketch (q345 sensitivity)
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -1675,6 +1676,128 @@ object DedupQueries {
                       round(CAST(agree AS DOUBLE) / $K
                           - CAST(sum_inter AS DOUBLE)
                             / CAST(sum_union AS DOUBLE), 6) AS bias
+               FROM bk ORDER BY agree""")),
+
+    // ---- MinHash sketch-WIDTH sensitivity: q343's calibration curve
+    // re-measured with a k=64 signature over the IDENTICAL candidate
+    // set — the controlled experiment that prices the sketch-width
+    // lever. Design note: re-choosing bands×rows for k=64 (the naive
+    // companion) would move the S-curve threshold and so change WHICH
+    // pairs are candidates, conflating band selectivity with estimator
+    // width; instead the 64-hash signature is banded on its first 16
+    // positions only (lshCandidates bandK — the hash family is
+    // indexed, so positions 0..15 are bit-identical to q343's run and
+    // the candidate set cannot move), the bucket key stays q343's
+    // 16-hash agreement count, and the curves align row-for-row with
+    // est64 the ONLY new information. The expected (and measured)
+    // shape: est64 falls toward true J on the coincidental-minima
+    // buckets but cannot reach it — band conditioning pins the 16
+    // banded hashes, so the bias floor is (16/64)·(est16 − J) plus the
+    // unconditioned 48 hashes' honest estimate: quadrupling k buys
+    // ~4× bias dilution at ~4× signature cost (the pass is linear in
+    // k) and still does NOT make the sketch a thresholding surrogate —
+    // q36's verify-exact-J flow stays load-bearing at any affordable
+    // k. All arithmetic exact to single divisions: bucket sums are
+    // longs (Σagree64, Σ|A∩B|, Σ|A∪B|), each reported column one
+    // division of two exact values (micro-averages — per-pair
+    // mean-of-ratios over an unbounded pair frame is banned). Scale:
+    // q343's machinery with a 4×-wider signature aggregate; candidate
+    // and exact-J joins byte-identical to q343's.
+    GraftQuery(
+      "q345_minhash_k_sensitivity",
+      (s, d) => {
+        val sh = docShingles(s, d).cache()
+        val cand = Dedup.lshCandidates(
+            Dedup.minhashSignatures(sh, K64), BandRows,
+            keepSigs = true, bandK = Some(K))
+          .localCheckpoint(true) // corpus-derived: no broadcast hint (q36 rule)
+        val est = cand.select(col("d1"), col("d2"),
+          expr(s"size(filter(zip_with(slice(sig1, 1, $K), slice(sig2, 1, $K), (a, b) -> a = b), x -> x))")
+            .cast("long").as("agree"),
+          expr("size(filter(zip_with(sig1, sig2, (a, b) -> a = b), x -> x))")
+            .cast("long").as("agree64"))
+        val candDocs = cand.select(col("d1").as("id"))
+          .union(cand.select(col("d2").as("id"))).distinct()
+        val shC = sh.join(candDocs, "id").localCheckpoint(true)
+        val sizes = shC.groupBy(col("id")).agg(count(lit(1)).as("n"))
+        val inter = shC.select(col("id").as("d1"), col("s"))
+          .join(shC.select(col("id").as("d2"), col("s").as("s2")),
+            col("s") === col("s2") && col("d1") < col("d2"))
+          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+        est
+          .join(inter, Seq("d1", "d2"), "left").na.fill(0L, Seq("c"))
+          .join(sizes.select(col("id").as("d1"), col("n").as("n1")), "d1")
+          .join(sizes.select(col("id").as("d2"), col("n").as("n2")), "d2")
+          .groupBy(col("agree"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("agree64")).as("sum_a64"),
+            sum(col("c")).as("sum_inter"),
+            sum(col("n1") + col("n2") - col("c")).as("sum_union"))
+          .select(col("agree"), col("n_pairs"),
+            round(col("agree").cast("double") / K, 6).as("est16"),
+            round(col("sum_a64").cast("double") /
+              (col("n_pairs").cast("double") * K64), 6).as("est64_micro"),
+            round(col("sum_inter").cast("double") /
+              col("sum_union").cast("double"), 6).as("micro_jaccard"),
+            round(col("agree").cast("double") / K -
+              col("sum_inter").cast("double") /
+                col("sum_union").cast("double"), 6).as("bias16"),
+            round(col("sum_a64").cast("double") /
+              (col("n_pairs").cast("double") * K64) -
+              col("sum_inter").cast("double") /
+                col("sum_union").cast("double"), 6).as("bias64"))
+          .orderBy(col("agree"))
+      },
+      Some(s"""WITH $shinglesSql,
+               hx AS (SELECT doc_id, ${Portable.p60Sql("s")} % $P AS hx FROM sh),
+               sig AS (SELECT doc_id, i, min((CAST(2*i+3 AS BIGINT) * hx + CAST(5*i+7 AS BIGINT)) % $P) AS m
+                       FROM hx, range(0, $K64) t(i) GROUP BY doc_id, i),
+               band AS (SELECT doc_id, CAST(i // $BandRows AS INTEGER) AS b,
+                               string_agg(CAST(m AS VARCHAR), ':' ORDER BY i) AS v
+                        FROM sig WHERE i < $K GROUP BY 1, 2),
+               cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                        FROM band a JOIN band b ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id),
+               agr AS (SELECT c.d1, c.d2,
+                         CAST(sum(CASE WHEN sa.i < $K AND sa.m = sb.m
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS a16,
+                         CAST(sum(CASE WHEN sa.m = sb.m
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS a64
+                       FROM cand c JOIN sig sa ON sa.doc_id = c.d1
+                                   JOIN sig sb ON sb.doc_id = c.d2
+                                              AND sb.i = sa.i
+                       GROUP BY 1, 2),
+               sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                         FROM sh GROUP BY 1),
+               inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                           CAST(count(*) AS BIGINT) AS c
+                         FROM sh a JOIN sh b
+                           ON a.s = b.s AND a.doc_id < b.doc_id
+                         GROUP BY 1, 2),
+               pj AS (SELECT agr.a16, agr.a64,
+                        coalesce(inter.c, CAST(0 AS BIGINT)) AS c,
+                        s1.n AS n1, s2.n AS n2
+                      FROM agr LEFT JOIN inter
+                        ON inter.d1 = agr.d1 AND inter.d2 = agr.d2
+                      JOIN sizes s1 ON s1.doc_id = agr.d1
+                      JOIN sizes s2 ON s2.doc_id = agr.d2),
+               bk AS (SELECT a16 AS agree, CAST(count(*) AS BIGINT) AS n_pairs,
+                        CAST(sum(a64) AS BIGINT) AS sum_a64,
+                        CAST(sum(c) AS BIGINT) AS sum_inter,
+                        CAST(sum(n1 + n2 - c) AS BIGINT) AS sum_union
+                      FROM pj GROUP BY 1)
+               SELECT agree, n_pairs,
+                      round(CAST(agree AS DOUBLE) / $K, 6) AS est16,
+                      round(CAST(sum_a64 AS DOUBLE)
+                          / (CAST(n_pairs AS DOUBLE) * $K64), 6) AS est64_micro,
+                      round(CAST(sum_inter AS DOUBLE)
+                          / CAST(sum_union AS DOUBLE), 6) AS micro_jaccard,
+                      round(CAST(agree AS DOUBLE) / $K
+                          - CAST(sum_inter AS DOUBLE)
+                            / CAST(sum_union AS DOUBLE), 6) AS bias16,
+                      round(CAST(sum_a64 AS DOUBLE)
+                          / (CAST(n_pairs AS DOUBLE) * $K64)
+                          - CAST(sum_inter AS DOUBLE)
+                            / CAST(sum_union AS DOUBLE), 6) AS bias64
                FROM bk ORDER BY agree""")),
 
     // ---- per-source dup pressure: the share of each source's

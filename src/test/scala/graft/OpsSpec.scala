@@ -33,6 +33,34 @@ class OpsSpec extends SparkSpec {
     viaAgg.foreach { case (doc, sig) => assert(sig == viaGroup(doc), s"doc $doc") }
   }
 
+  test("lshCandidates bandK: prefix-banded wide sketch == narrow-sketch candidates") {
+    // the q345 design invariant: the hash family is indexed, so a
+    // k=64 signature banded on its first 16 positions must produce
+    // the EXACT candidate set of a k=16 run — widening the sketch for
+    // estimation can never move the candidates
+    val sh = Tables(spark, sf, "documents")
+      .select(col("doc_id").as("id"), Portable.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("id"),
+        explode(expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
+      .distinct().cache()
+    val narrow = graft.ops.Dedup
+      .lshCandidates(graft.ops.Dedup.minhashSignatures(sh, 16), 4)
+      .as[(Long, Long)].collect().toSet
+    val widePrefix = graft.ops.Dedup
+      .lshCandidates(graft.ops.Dedup.minhashSignatures(sh, 64), 4,
+        bandK = Some(16))
+      .as[(Long, Long)].collect().toSet
+    assert(narrow.nonEmpty)
+    assert(widePrefix == narrow)
+    // and full-width banding at k=64 is a DIFFERENT (16-band) run —
+    // the thing bandK exists to avoid conflating
+    val wideFull = graft.ops.Dedup
+      .lshCandidates(graft.ops.Dedup.minhashSignatures(sh, 64), 4)
+      .as[(Long, Long)].collect().toSet
+    assert(narrow.subsetOf(wideFull))
+  }
+
   test("approx_count_distinct stays within the configured 2% rsd (x5)") {
     val rows = SparkEntry.queries("q24_approx_distinct")(spark, sf)
       .as[(String, Long, Long)].collect()
