@@ -280,17 +280,28 @@ object Dedup {
     * (embedding chains at a loose threshold), not just dense clusters.
     * Every step is a distributed join/aggregate; the driver loop only
     * reads the converged flag.
+    *
+    * `roundPartitions` (or the [[Rounds.PartitionsKey]] session conf)
+    * sizes the per-round label exchange and the checkpointed state —
+    * the 1000× lever: ~128 MB per partition of round state. Default
+    * None = current behavior (`spark.sql.shuffle.partitions`). When
+    * set, the cached edge frame is also pre-partitioned on its join
+    * key, so the edge side of every round's join exchanges once at
+    * cache time instead of per round. Labels are exact longs — the
+    * result is identical under any partitioning.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      roundPartitions: Option[Int] = None): DataFrame = {
+    val rp = Rounds.resolve(pairs.sparkSession, roundPartitions)
     // symmetrize in ONE pass over `pairs`: the union-of-two-selects form
     // evaluates the (potentially expensive — q46/q83 feed the whole
     // inverted-index jaccard join in here) pair plan twice when the cache
     // below first materializes; explode duplicates each row map-side.
-    val edges = pairs
+    val edges = Rounds.shape(pairs
       .select(explode(array(
         struct(col("d1").as("a"), col("d2").as("b")),
         struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .select(col("e.a").as("a"), col("e.b").as("b")), col("b"), rp)
       .cache()
     // localCheckpoint (eager) after every round: an iterative frame's
     // logical plan otherwise nests all previous rounds — analysis cost
@@ -300,8 +311,8 @@ object Dedup {
     // checkpoints (one small label frame per round) are reclaimed by the
     // ContextCleaner once unreferenced; the within-round `stepped` frame
     // uses an ordinary cache and is dropped explicitly.
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("component", col("id"))
+    var labels = Rounds.shape(edges.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id")), col("id"), rp)
       .localCheckpoint()
     var converged = false
     var iter = 0
@@ -318,11 +329,12 @@ object Dedup {
       // labels only ever shrink, so the composed label is still a
       // reachable node and chains halve every round, turning O(diameter)
       // convergence into O(log diameter) on chain-shaped graphs
-      val next = stepped
+      val next = Rounds.shape(stepped
         .join(stepped.select(col("id").as("jid"), col("component").as("jcomp")),
           col("component") === col("jid"), "left")
         .select(col("id"), col("prev"),
-          least(col("component"), coalesce(col("jcomp"), col("component"))).as("component"))
+          least(col("component"), coalesce(col("jcomp"), col("component"))).as("component")),
+        col("id"), rp)
         .localCheckpoint()
       val changed = next.filter(col("component") < col("prev")).count()
       stepped.unpersist()

@@ -203,7 +203,8 @@ object Graph {
       // nesting by iteration k, the classic iterative-DataFrame trap
       // (checkpointEvery > 1 is only for graphs where a lazy round is
       // cheaper than a node-frame write)
-      if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint(eager = true)
+      if (i % checkpointEvery == 0)
+        ranks = Rounds.shape(ranks, col("node")).localCheckpoint(eager = true)
       i += 1
     }
     ranks
@@ -258,7 +259,8 @@ object Graph {
             (coalesce(col("in_sum"), lit(0.0)) + col("dsum") / n)).as("rank"))
       // materialize every iteration: consumed twice per round (the 2^k
       // recompute trap — see pageRank)
-      if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint(eager = true)
+      if (i % checkpointEvery == 0)
+        ranks = Rounds.shape(ranks, col("node")).localCheckpoint(eager = true)
       i += 1
     }
     ranks
@@ -316,7 +318,8 @@ object Graph {
             .as("rank"))
       // materialize every iteration: ranks is consumed twice per round
       // (the 2^k recompute trap — see pageRank)
-      if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint(eager = true)
+      if (i % checkpointEvery == 0)
+        ranks = Rounds.shape(ranks, col("node")).localCheckpoint(eager = true)
       i += 1
     }
     ranks
@@ -382,7 +385,8 @@ object Graph {
       labels = counts
         .groupBy(col("node"))
         .agg(mv(col("cnt"), col("label")).as("label"))
-      if (i % checkpointEvery == 0) labels = labels.localCheckpoint(eager = true)
+      if (i % checkpointEvery == 0)
+        labels = Rounds.shape(labels, col("node")).localCheckpoint(eager = true)
       i += 1
     }
     labels
@@ -398,9 +402,11 @@ object Graph {
     * appear (a graph is its edge set here); left-join the node universe
     * for singleton components, exactly as [[Dedup.canonical]] does. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25,
-      aCol: String = "u1", bCol: String = "u2"): DataFrame =
+      aCol: String = "u1", bCol: String = "u2",
+      roundPartitions: Option[Int] = None): DataFrame =
     Dedup.connectedComponents(
-        edges.select(col(aCol).as("d1"), col(bCol).as("d2")), maxIter)
+        edges.select(col(aCol).as("d1"), col(bCol).as("d2")), maxIter,
+        roundPartitions)
       .select(col("id").as("node"), col("component"))
 
   /** Modularity of a node partition (Newman & Girvan 2004 — the
@@ -514,9 +520,9 @@ object Graph {
       val prop = dist
         .join(adj, dist("node") === adj("src"))
         .select(col("dst").as("node"), col("seed"), (col("dist") + col("w")).as("dist"))
-      dist = dist.union(prop)
+      dist = Rounds.shape(dist.union(prop)
         .groupBy(col("node"), col("seed"))
-        .agg(min(col("dist")).as("dist"))
+        .agg(min(col("dist")).as("dist")), col("node"))
         .localCheckpoint(eager = true)
       h += 1
     }
@@ -586,11 +592,11 @@ object Graph {
         .join(adj, dist("node") === adj("src"))
         .select(col("dst").as("node"), col("seed"),
           (col("dist") + col("w")).as("dist"), col("src").as("pred"))
-      dist = dist.union(prop)
+      dist = Rounds.shape(dist.union(prop)
         .groupBy(col("node"), col("seed"))
         .agg(lexmin(col("dist"), col("pred")).as("dp"))
         .select(col("node"), col("seed"),
-          col("dp._1").as("dist"), col("dp._2").as("pred"))
+          col("dp._1").as("dist"), col("dp._2").as("pred")), col("node"))
         .localCheckpoint(eager = true)
       h += 1
     }
@@ -634,12 +640,14 @@ object Graph {
       var auth: DataFrame = null
       for (_ <- 1 to iters) {
         val rawA = e.join(hub, "u").groupBy(col("i")).agg(sum(col("h")).as("ra"))
-        auth = rawA.crossJoin(broadcast(rawA.agg(max(col("ra")).as("am"))))
-          .select(col("i"), round(col("ra") / col("am"), 6).as("a"))
+        auth = Rounds.shape(rawA
+          .crossJoin(broadcast(rawA.agg(max(col("ra")).as("am"))))
+          .select(col("i"), round(col("ra") / col("am"), 6).as("a")), col("i"))
           .localCheckpoint(eager = true)
         val rawH = e.join(auth, "i").groupBy(col("u")).agg(sum(col("a")).as("rh"))
-        hub = rawH.crossJoin(broadcast(rawH.agg(max(col("rh")).as("hm"))))
-          .select(col("u"), round(col("rh") / col("hm"), 6).as("h"))
+        hub = Rounds.shape(rawH
+          .crossJoin(broadcast(rawH.agg(max(col("rh")).as("hm"))))
+          .select(col("u"), round(col("rh") / col("hm"), 6).as("h")), col("u"))
           .localCheckpoint(eager = true)
       }
       (hub, auth)
@@ -685,10 +693,10 @@ object Graph {
       val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("degree"))
       val keep = deg.filter(col("degree") >= k).select(col("node"))
-      e = e
+      e = Rounds.shape(e
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .select(col("a"), col("b"))
+        .select(col("a"), col("b")), col("a"))
         // e is consumed twice next round (degree agg + both semi-joins
         // share it) — materialize to avoid the 2^k recompute nesting
         .localCheckpoint(eager = true)

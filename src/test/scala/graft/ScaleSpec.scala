@@ -646,6 +646,39 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("round-partitions knob: component rounds honor it, results identical") {
+    // the 1000x-pencil's knob #2 surfaced: sizing the per-round label
+    // exchange (~128 MB/partition of round state at scale). The knob
+    // must (a) actually shape the materialized round state, (b) leave
+    // the exact-long component labels bit-identical, (c) default to
+    // current behavior, (d) be settable session-wide via conf.
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (22L, 23L), (5L, 3L)).toDF("d1", "d2")
+    val default = ops.Dedup.connectedComponents(pairs)
+    val shaped = ops.Dedup.connectedComponents(pairs,
+      roundPartitions = Some(7))
+    // (a) the returned state is the last checkpointed round frame
+    assert(shaped.rdd.getNumPartitions == 7,
+      s"expected 7 round partitions, got ${shaped.rdd.getNumPartitions}")
+    assert(default.rdd.getNumPartitions != 7)
+    // (b) identical labels
+    val d = default.as[(Long, Long)].collect().toSet
+    assert(shaped.as[(Long, Long)].collect().toSet == d)
+    // (d) conf form reaches ops with no explicit argument
+    spark.conf.set(ops.Rounds.PartitionsKey, "5")
+    try {
+      val viaConf = ops.Dedup.connectedComponents(pairs)
+      assert(viaConf.rdd.getNumPartitions == 5)
+      assert(viaConf.as[(Long, Long)].collect().toSet == d)
+      // and the Graph iteratives' round state inherits it too
+      val bfs = ops.Graph.bfsDistances(
+        Seq((1L, 2L), (2L, 3L)).toDF("u1", "u2"), Seq(1L).toDF("seed"),
+        maxHops = 2)
+      assert(bfs.rdd.getNumPartitions == 5)
+    } finally spark.conf.unset(ops.Rounds.PartitionsKey)
+  }
+
   test("runtime bloom filter reaches the probe side of a selective shuffle join") {
     // at 100 TB the big-big join tool next to bucketing is the runtime
     // bloom filter: a selective dimension-side predicate is turned into
