@@ -167,6 +167,8 @@ object Dedup {
 
   def lshCandidates(sigs: DataFrame, bandRows: Int = 4,
       keepSigs: Boolean = false, bandK: Option[Int] = None): DataFrame = {
+    require(bandK.forall(_ >= bandRows),
+      s"bandK must cover at least one band (>= bandRows=$bandRows), got $bandK")
     val sigCols = if (keepSigs) Seq(col("sig")) else Nil
     val banded = bandedSigs(sigs, bandRows, keepSigs, bandK)
     val left = banded.select(

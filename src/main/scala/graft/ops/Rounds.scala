@@ -46,9 +46,13 @@ object Rounds {
     * else the session conf, else None (current behavior). */
   def resolve(spark: SparkSession,
       explicit: Option[Int] = None): Option[Int] =
-    explicit.orElse(
-        spark.conf.getOption(PartitionsKey).map(_.trim.toInt))
-      .filter(_ > 0)
+    explicit.orElse(spark.conf.getOption(PartitionsKey).map { v =>
+      try v.trim.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$PartitionsKey must be a positive int, got '$v'")
+      }
+    }).filter(_ > 0)
 
   /** Hash-repartition `df` on `key` iff the knob is active. */
   def shape(df: DataFrame, key: Column, n: Option[Int]): DataFrame =
