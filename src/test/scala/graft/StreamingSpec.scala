@@ -1293,6 +1293,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("gramBatch: an empty first micro-batch reads as empty, then recovers") {
+    // a monitor's first micro-batch can legitimately be empty (late
+    // watermark, filtered ingest); the current view must read as an
+    // empty frame — not crash on the missing count key — and a later
+    // non-empty batch must fold in as if the empty one never happened
+    import org.apache.spark.sql.functions._
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("gram_empty").toString
+    val emb = Tables(spark, sf, "embeddings")
+    val body = EventStreams.gramBatch("embedding", stateDir) _
+    body(emb.filter(lit(false)), 0L)
+    val afterEmpty = EventStreams.anisotropyCurrent(spark, stateDir).get
+    assert(afterEmpty.count() == 0L)
+    body(emb, 1L)
+    val got = EventStreams.anisotropyCurrent(spark, stateDir).get
+      .as[(Long, Double, Double, Double, Option[Double])].collect().toSeq
+    val want = SparkEntry.queries("q338_embedding_anisotropy")(spark, sf)
+      .as[(Long, Double, Double, Double, Option[Double])].collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("survivalBatch: accumulated duration histogram == one-shot Kaplan-Meier") {
     // the survival monitor in stream form: subjects resolve in three
     // micro-batches; the curve derived from the accumulated (t, cnt, d)
