@@ -299,11 +299,18 @@ object Dedup {
     // evaluates the (potentially expensive — q46/q83 feed the whole
     // inverted-index jaccard join in here) pair plan twice when the cache
     // below first materializes; explode duplicates each row map-side.
-    val edges = Rounds.shape(pairs
+    // The cache is ALWAYS pre-partitioned on the per-round join key (b)
+    // — with the knob set, at its width; otherwise at the session
+    // default — so every round's edges⋈labels join reads the cached
+    // layout instead of re-exchanging the edge side per round (guide
+    // §2.4: operations keyed the same way share one exchange).
+    val sym = pairs
       .select(explode(array(
         struct(col("d1").as("a"), col("d2").as("b")),
         struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b")), col("b"), rp)
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val edges = rp.map(p => sym.repartition(p, col("b")))
+      .getOrElse(sym.repartition(col("b")))
       .cache()
     // localCheckpoint (eager) after every round: an iterative frame's
     // logical plan otherwise nests all previous rounds — analysis cost

@@ -165,36 +165,46 @@ object Graph {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     // the iterative-access exception to the "bounded caches only"
-    // policy: every iteration re-reads edges and nodes, so they persist
-    // (Dataset cache = MEMORY_AND_DISK — spills, never OOMs); the
-    // production alternative for edges past cluster disk is a one-time
-    // checkpoint to parquet, same access pattern
+    // policy: every iteration re-reads edges and the node base, so they
+    // persist (Dataset cache = MEMORY_AND_DISK — spills, never OOMs);
+    // the production alternative for edges past cluster disk is a
+    // one-time checkpoint to parquet, same access pattern. The edge
+    // cache is pre-partitioned on its per-round join key (src), so the
+    // contribution join exchanges edges ONCE here instead of every
+    // round (guide §2.4: two operations keyed the same way share one
+    // exchange).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().cache()
+      .distinct().repartition(col("src")).cache()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
-    // the graph's node count — a scalar, needed in the teleport term
-    val n = nodes.count().toDouble
-    // node-sized and read TWICE per iteration (the dangling anti-join
-    // and the contribution join); without the cache each read re-runs
-    // the groupBy over the edge frame every round
+      .union(e.select(col("dst").as("node"))).distinct()
+    // out-degree is STATIC across iterations, so it is joined into the
+    // node base ONCE here — the loop below used to join ranks⋈outdeg
+    // twice per round (a dangling anti-join plus the contribution
+    // join); carrying `deg` (null = dangling) in the rank state turns
+    // the dangling mass into a joinless columnar aggregate over the
+    // SAME multiset of ranks and drops both per-round node-sized joins.
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
-      .cache()
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    val base = nodes.join(outdeg, nodes("node") === outdeg("src"), "left")
+      .select(col("node"), col("deg"))
+      .repartition(col("node")).cache()
+    // the graph's node count — a scalar, needed in the teleport term
+    val n = base.count().toDouble
+    var ranks = base.withColumn("rank", lit(1.0 / n))
     var i = 1
     while (i <= iters) {
-      // dangling mass: ranks of nodes with no out-edges (scalar agg)
-      val dangling = ranks.join(outdeg, ranks("node") === outdeg("src"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dsum"))
+      // dangling mass: ranks of nodes with no out-edges (scalar agg —
+      // no join: deg is carried in the state, null marks dangling)
+      val dangling = ranks
+        .agg(coalesce(sum(when(col("deg").isNull, col("rank"))), lit(0.0)).as("dsum"))
       // per-edge contribution rank(src)/deg(src), summed at the dst
-      val inbound = ranks.join(outdeg, ranks("node") === outdeg("src"))
-        .select(col("src"), (col("rank") / col("deg")).as("share"))
+      val inbound = ranks.filter(col("deg").isNotNull)
+        .select(col("node").as("src"), (col("rank") / col("deg")).as("share"))
         .join(e, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("share")).as("in_sum"))
-      ranks = nodes.join(inbound, Seq("node"), "left")
+      ranks = base.join(inbound, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("node"),
+        .select(col("node"), col("deg"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("in_sum"), lit(0.0)) + col("dsum") / n)).as("rank"))
       // materialize EVERY iteration by default: each round reads `ranks`
@@ -207,7 +217,7 @@ object Graph {
         ranks = Rounds.shape(ranks, col("node")).localCheckpoint(eager = true)
       i += 1
     }
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 
   /** Edge-weighted PageRank: contributions split ∝ edge weight instead
@@ -229,32 +239,38 @@ object Graph {
       checkpointEvery: Int = 1): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    // weight-summed edge frame, pre-partitioned on the per-round join
+    // key (src) so the contribution join exchanges edges once at cache
+    // time, not every round — same discipline as pageRank's edge cache
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).cast("double").as("w"))
       .filter(col("w") > 0) // also drops null weights
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-      .cache()
+      .repartition(col("src")).cache()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
-    val n = nodes.count().toDouble
-    // node-sized out-mass denominator, read twice per iteration (the
-    // dangling anti-join and the contribution join) — cached like
-    // pageRank's outdeg
-    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wout")).cache()
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // the out-mass denominator is STATIC — joined into the node base
+    // once (null wout = dangling) instead of twice per round (the
+    // anti-join + contribution join the unweighted form also dropped)
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val base = nodes.join(outw, nodes("node") === outw("src"), "left")
+      .select(col("node"), col("wout"))
+      .repartition(col("node")).cache()
+    val n = base.count().toDouble
+    var ranks = base.withColumn("rank", lit(1.0 / n))
     var i = 1
     while (i <= iters) {
-      val dangling = ranks.join(outw, ranks("node") === outw("src"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dsum"))
-      val inbound = ranks.join(outw, ranks("node") === outw("src"))
-        .select(col("src"), col("rank"), col("wout"))
+      val dangling = ranks
+        .agg(coalesce(sum(when(col("wout").isNull, col("rank"))), lit(0.0)).as("dsum"))
+      val inbound = ranks.filter(col("wout").isNotNull)
+        .select(col("node").as("src"), col("rank"), col("wout"))
         .join(e, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") * col("w") / col("wout")).as("in_sum"))
-      ranks = nodes.join(inbound, Seq("node"), "left")
+      ranks = base.join(inbound, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("node"),
+        .select(col("node"), col("wout"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("in_sum"), lit(0.0)) + col("dsum") / n)).as("rank"))
       // materialize every iteration: consumed twice per round (the 2^k
@@ -263,7 +279,7 @@ object Graph {
         ranks = Rounds.shape(ranks, col("node")).localCheckpoint(eager = true)
       i += 1
     }
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 
   /** Personalized PageRank: teleport mass goes to a SEED set instead of
@@ -285,34 +301,43 @@ object Graph {
       checkpointEvery: Int = 1): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    // edge cache pre-partitioned on the per-round join key, as in
+    // pageRank
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().cache()
+      .distinct().repartition(col("src")).cache()
     val sd = seeds.toDF("node").distinct()
+    // the node base carries BOTH static per-node columns: the teleport
+    // probability (1/k on seeds, 0 elsewhere) and the out-degree (null
+    // = dangling) — so the loop needs no per-round node-sized join
+    // beyond the final assembly (the same two-joins-per-round removal
+    // as pageRank)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .join(broadcast(sd.withColumn("is_seed", lit(true))), Seq("node"), "left")
       .cache()
     val k = nodes.filter(col("is_seed")).count().toDouble
     require(k > 0, "no seed appears in the graph")
-    // per-node teleport probability: 1/k on seeds, 0 elsewhere — a
-    // column on the cached node frame, not a per-iteration join
-    val withTele = nodes.select(col("node"),
-      when(col("is_seed"), lit(1.0 / k)).otherwise(lit(0.0)).as("tele"))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
-      .cache() // read twice per iteration, as in pageRank
-    var ranks = withTele.select(col("node"), col("tele").as("rank"))
+    val base = nodes
+      .join(outdeg, nodes("node") === outdeg("src"), "left")
+      .select(col("node"),
+        when(col("is_seed"), lit(1.0 / k)).otherwise(lit(0.0)).as("tele"),
+        col("deg"))
+      .repartition(col("node")).cache()
+    var ranks = base.select(col("node"), col("tele"), col("deg"),
+      col("tele").as("rank"))
     var i = 1
     while (i <= iters) {
-      val dangling = ranks.join(outdeg, ranks("node") === outdeg("src"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dsum"))
-      val inbound = ranks.join(outdeg, ranks("node") === outdeg("src"))
-        .select(col("src"), (col("rank") / col("deg")).as("share"))
+      val dangling = ranks
+        .agg(coalesce(sum(when(col("deg").isNull, col("rank"))), lit(0.0)).as("dsum"))
+      val inbound = ranks.filter(col("deg").isNotNull)
+        .select(col("node").as("src"), (col("rank") / col("deg")).as("share"))
         .join(e, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("share")).as("in_sum"))
-      ranks = withTele.join(inbound, Seq("node"), "left")
+      ranks = base.join(inbound, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("node"),
+        .select(col("node"), col("tele"), col("deg"),
           (lit(1.0 - damping) * col("tele") + lit(damping) *
             (coalesce(col("in_sum"), lit(0.0)) + col("dsum") * col("tele")))
             .as("rank"))
@@ -322,7 +347,7 @@ object Graph {
         ranks = Rounds.shape(ranks, col("node")).localCheckpoint(eager = true)
       i += 1
     }
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 
   /** Synchronous label propagation (community detection — the Raghavan
@@ -369,7 +394,11 @@ object Graph {
       .distinct()
     val und = e0.select(col("a").as("src"), col("b").as("dst"))
       .union(e0.select(col("b").as("src"), col("a").as("dst")))
-      .cache() // iterative-access exception, as in pageRank
+      // iterative-access exception, as in pageRank; pre-partitioned on
+      // the per-round join key (dst) so each round's und⋈labels join
+      // reads the cached layout instead of re-exchanging the edge side
+      .repartition(col("dst"))
+      .cache()
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     var i = 1
@@ -498,6 +527,10 @@ object Graph {
     val fwd = e0.select(col("a").as("src"), col("b").as("dst"), col("w"))
     (if (directed) fwd
      else fwd.union(e0.select(col("b").as("src"), col("a").as("dst"), col("w"))))
+      // pre-partitioned on the per-hop join key (src): the frontier
+      // join re-reads this cache every hop, so the adjacency exchanges
+      // once here instead of once per hop (guide §2.4)
+      .repartition(col("src"))
       .cache()
   }
 
@@ -742,7 +775,11 @@ object Graph {
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.ddeg").as("ddeg"))
       // persisted because the wedge self-join and the closure join both
       // read it (MEMORY_AND_DISK — spills); edge-sized, the same
-      // iterative-access exception as pageRank's edge cache
+      // iterative-access exception as pageRank's edge cache.
+      // Pre-partitioned on src: the wedge enumeration is a self-join on
+      // src, so BOTH sides read the cached layout and the join plans
+      // with no exchange at all (guide §2.4)
+      .repartition(col("src"))
       .cache()
     val wedges = or.as("uv").join(or.as("uw"),
         col("uv.src") === col("uw.src") &&

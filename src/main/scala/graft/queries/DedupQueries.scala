@@ -804,17 +804,38 @@ object DedupQueries {
       "q299_lsh_group_telemetry",
       (s, d) => {
         val sh = docShingles(s, d).cache()
-        // localCheckpoint (eager), not cache: each frame is re-read by a
-        // components loop AND the recall join/aggregates, and truthful
-        // AQE sizing is the q36 rule — no corpus-derived frame may rely
-        // on cached-stats broadcast planning.
-        val cand = Dedup.lshCandidates(
-            Dedup.minhashSignatures(sh, K), BandRows)
-          .localCheckpoint(true)
-        val exact = Dedup.jaccardPairs(sh, minJaccard = 0.1)
-          .select(col("d1"), col("d2")).localCheckpoint(true)
-        val lshComp = Dedup.connectedComponents(cand)
-        val exComp = Dedup.connectedComponents(exact)
+        // materialize the shared shingle frame BEFORE forking so the
+        // concurrent consumers hit the cache instead of racing to fill
+        // it (the q145 discipline)
+        sh.count()
+        // The LSH side (signatures → band join → components) and the
+        // exact side (inverted-index jaccard join → components) are
+        // INDEPENDENT given the cached shingles, and each is a
+        // driver-sequential chain of small jobs (the CC loop's
+        // per-round checkpoints and convergence counts). Build them on
+        // CONCURRENT driver threads so the scheduling waits overlap
+        // instead of summing — the measured q145 pattern (guide §2.6);
+        // per-side arithmetic is unchanged, all exact longs.
+        // localCheckpoint (eager), not cache, per side: each frame is
+        // re-read by a components loop AND the recall join/aggregates,
+        // and truthful AQE sizing is the q36 rule — no corpus-derived
+        // frame may rely on cached-stats broadcast planning.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val lshF = Future {
+          val cand = Dedup.lshCandidates(
+              Dedup.minhashSignatures(sh, K), BandRows)
+            .localCheckpoint(true)
+          (cand, Dedup.connectedComponents(cand))
+        }
+        val exF = Future {
+          val exact = Dedup.jaccardPairs(sh, minJaccard = 0.1)
+            .select(col("d1"), col("d2")).localCheckpoint(true)
+          (exact, Dedup.connectedComponents(exact))
+        }
+        val (cand, lshComp) = Await.result(lshF, Duration.Inf)
+        val (exact, exComp) = Await.result(exF, Duration.Inf)
         cand.agg(count(lit(1)).as("n_cand_pairs"))
           .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact_pairs"))))
           .crossJoin(broadcast(cand.join(exact, Seq("d1", "d2"))
@@ -1489,13 +1510,25 @@ object DedupQueries {
       "q333_dedup_pair_f1",
       (s, d) => {
         val sh = docShingles(s, d).cache()
-        val lsh = Dedup.connectedComponents(
+        // materialize before forking (the q145 discipline), then run
+        // the two independent clustering chains — LSH candidates →
+        // components and exact jaccard → components — on CONCURRENT
+        // driver threads so their driver-sequential CC-loop rounds
+        // overlap instead of summing (guide §2.6; exact-long
+        // arithmetic, per-side plans unchanged)
+        sh.count()
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val lshF = Future(Dedup.connectedComponents(
             Dedup.lshCandidates(Dedup.minhashSignatures(sh, K), BandRows))
-          .withColumnRenamed("component", "cl")
-        val ex = Dedup.connectedComponents(
+          .withColumnRenamed("component", "cl"))
+        val exF = Future(Dedup.connectedComponents(
             Dedup.jaccardPairs(sh, minJaccard = 0.1)
               .select(col("d1"), col("d2")))
-          .withColumnRenamed("component", "ce")
+          .withColumnRenamed("component", "ce"))
+        val lsh = Await.result(lshF, Duration.Inf)
+        val ex = Await.result(exF, Duration.Inf)
         val lab = t(s, d, "documents").select(col("doc_id").as("id"))
           .join(lsh, Seq("id"), "left")
           .join(ex, Seq("id"), "left")
