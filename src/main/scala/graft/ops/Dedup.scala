@@ -169,6 +169,13 @@ object Dedup {
       keepSigs: Boolean = false, bandK: Option[Int] = None): DataFrame = {
     require(bandK.forall(_ >= bandRows),
       s"bandK must cover at least one band (>= bandRows=$bandRows), got $bandK")
+    // a trailing PARTIAL band would slice a full bandRows elements and
+    // cross the prefix boundary, so candidates would NOT match a true
+    // k=bandK run — the documented invariant requires whole bands
+    // (r20 ADVICE)
+    require(bandK.forall(_ % bandRows == 0),
+      s"bandK must be a multiple of bandRows=$bandRows " +
+        s"(banding a partial prefix band breaks candidate-set identity), got $bandK")
     val sigCols = if (keepSigs) Seq(col("sig")) else Nil
     val banded = bandedSigs(sigs, bandRows, keepSigs, bandK)
     val left = banded.select(

@@ -43,16 +43,23 @@ object Rounds {
   val PartitionsKey = "spark.graft.round.partitions"
 
   /** The active round-partition count: an explicit argument wins,
-    * else the session conf, else None (current behavior). */
+    * else the session conf, else None (current behavior). Non-positive
+    * values throw, matching the non-numeric path — silence is reserved
+    * for the UNSET case only, so a typo'd `0` can't silently disable
+    * the knob (r20 ADVICE). */
   def resolve(spark: SparkSession,
-      explicit: Option[Int] = None): Option[Int] =
-    explicit.orElse(spark.conf.getOption(PartitionsKey).map { v =>
-      try v.trim.toInt
+      explicit: Option[Int] = None): Option[Int] = {
+    val v = explicit.orElse(spark.conf.getOption(PartitionsKey).map { s =>
+      try s.trim.toInt
       catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
-          s"$PartitionsKey must be a positive int, got '$v'")
+          s"$PartitionsKey must be a positive int, got '$s'")
       }
-    }).filter(_ > 0)
+    })
+    v.foreach(p => require(p > 0,
+      s"$PartitionsKey / roundPartitions must be a positive int, got $p"))
+    v
+  }
 
   /** Hash-repartition `df` on `key` iff the knob is active. */
   def shape(df: DataFrame, key: Column, n: Option[Int]): DataFrame =

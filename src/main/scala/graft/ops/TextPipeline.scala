@@ -93,7 +93,13 @@ object TextPipeline {
     * Scale: lens is one scan; the tf frame is the query-term-filtered
     * inverted index (postings-bounded); the per-doc grid is
     * |docs|·|queryTerms| rows with the |queryTerms|-row stats frame
-    * broadcast. */
+    * broadcast.
+    *
+    * Edge case (r20 ADVICE, documented contract): terms with corpus
+    * frequency 0 contribute nothing and are dropped from the grid; if
+    * EVERY query term is corpus-absent the stats frame is empty, the
+    * grid is empty, and the function returns 0 rows — "every document
+    * is scored" holds for queries with at least one in-corpus term. */
   def queryLikelihood(docs: DataFrame, queryTerms: Seq[String],
       mu: Double = 1000.0, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

@@ -18,6 +18,40 @@ import graft.ops.{Portable, Sampling, Similarity}
 object EmbeddingQueries {
   import Tables.{apply => t}
 
+  /** Both q263 triplet picks — (cos DESC, nid ASC) argmax over the
+    * positive (cos ≥ τ) and negative (cos < τ) branches — in ONE
+    * hash-aggregable pass: `max(CASE WHEN … THEN struct(cos, −nid))`
+    * plans SortAggregate (struct aggregation buffers aren't
+    * hash-supported — the q138 MajorityVote / LexMin2 lesson), which at
+    * scale sorts the full per-bucket candidate frame; this typed
+    * Aggregator keeps one (cos, nid) pair per branch and plans
+    * ObjectHashAggregate with map-side partial combine. Sentinel is
+    * cos = −2 (true cosines live in [−1, 1]), mapped back to the
+    * CASE-form's NULL by the caller's filter. */
+  private final class TripletPick extends org.apache.spark.sql.expressions.Aggregator[
+      (Double, Long, Boolean), ((Double, Long), (Double, Long)),
+      ((Double, Long), (Double, Long))] {
+    private def better(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      if (a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)) a else b
+    override def zero: ((Double, Long), (Double, Long)) =
+      ((-2.0, Long.MaxValue), (-2.0, Long.MaxValue))
+    override def reduce(b: ((Double, Long), (Double, Long)),
+        x: (Double, Long, Boolean)): ((Double, Long), (Double, Long)) =
+      if (x._3) (better(b._1, (x._1, x._2)), b._2)
+      else (b._1, better(b._2, (x._1, x._2)))
+    override def merge(a: ((Double, Long), (Double, Long)),
+        b: ((Double, Long), (Double, Long))): ((Double, Long), (Double, Long)) =
+      (better(a._1, b._1), better(a._2, b._2))
+    override def finish(b: ((Double, Long), (Double, Long)))
+        : ((Double, Long), (Double, Long)) = b
+    override def bufferEncoder
+        : org.apache.spark.sql.Encoder[((Double, Long), (Double, Long))] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder
+        : org.apache.spark.sql.Encoder[((Double, Long), (Double, Long))] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   private def vecs(s: SparkSession, d: String): DataFrame =
     Similarity.prepare(t(s, d, "embeddings"))
 
@@ -930,19 +964,20 @@ object EmbeddingQueries {
               .as("cos_sim"))
         // both picks in ONE aggregate pass over the candidate frame
         // (two filter+window branches would re-run the bucket
-        // self-join per side): max(struct(cos, −nid)) IS top-1 by
-        // (cos DESC, nid ASC) — the negated id makes the SMALLER
-        // neighbor win cosine ties, matching the window convention
+        // self-join per side), via the hash-aggregable [[TripletPick]]
+        // Aggregator — same (cos DESC, nid ASC) winner per branch the
+        // max(struct(cos, −nid)) form produced, but planning
+        // ObjectHashAggregate with map-side combine instead of the
+        // SortAggregate the struct buffer forced (r21: sort-per-group
+        // over the bucket-block candidate frame removed)
+        val pick = udaf(new TripletPick)
         cand.groupBy(col("qid"))
-          .agg(
-            max(when(col("cos_sim") >= 0.35,
-              struct(col("cos_sim"), (-col("nid")).as("mn")))).as("p"),
-            max(when(col("cos_sim") < 0.35,
-              struct(col("cos_sim"), (-col("nid")).as("mn")))).as("ng"))
-          .filter(col("p").isNotNull && col("ng").isNotNull)
-          .select(col("qid"), (-col("p.mn")).as("pos_id"),
-            col("p.cos_sim").as("pos_cos"),
-            (-col("ng.mn")).as("neg_id"), col("ng.cos_sim").as("neg_cos"))
+          .agg(pick(col("cos_sim"), col("nid"), col("cos_sim") >= 0.35).as("pn"))
+          // sentinel cos = −2 marks an empty branch (the CASE form's NULL)
+          .filter(col("pn._1._1") >= -1.0 && col("pn._2._1") >= -1.0)
+          .select(col("qid"), col("pn._1._2").as("pos_id"),
+            col("pn._1._1").as("pos_cos"),
+            col("pn._2._2").as("neg_id"), col("pn._2._1").as("neg_cos"))
           .orderBy(col("qid"))
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -3682,10 +3682,22 @@ object MLQueries {
             abs(col("n_chars").cast("double") - col("mu")).as("r"))
         val calR = res.filter(col("cal"))
         val nCal = calR.agg(count(lit(1)).as("n_cal"))
-        val rk = Window.orderBy(col("r"), col("doc_id"))
-        val qhat = calR.select(col("r"), row_number().over(rk).as("rn"))
+        // the conformal quantile via the bounded-domain histogram (the
+        // q98/q287 convention), NOT a row_number over the calibration
+        // ROWS: r = |n_chars − mu(lang)| takes at most |langs|·|lengths|
+        // distinct values, so the cumulative window runs over the value
+        // domain while the r20 form single-task-sorted the corpus-sized
+        // calibration frame. The k-th smallest (r, doc_id) row's r IS
+        // the smallest r whose cumulative count reaches k (the doc_id
+        // tiebreak never changes the selected r value) — same qhat,
+        // same output, pinned by the unchanged oracle.
+        val rk = Window.orderBy(col("r"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val qhat = calR.groupBy(col("r")).agg(count(lit(1)).as("c"))
+          .select(col("r"), sum(col("c")).over(rk).as("cum"))
           .crossJoin(broadcast(nCal))
-          .filter(col("rn") === expr("((n_cal + 1) * 9 + 9) DIV 10"))
+          .filter(col("cum") >= expr("((n_cal + 1) * 9 + 9) DIV 10"))
+          .orderBy(col("r")).limit(1)
           .select(col("n_cal"), col("r").as("qhat"))
         res.filter(!col("cal"))
           .crossJoin(broadcast(qhat))

@@ -742,11 +742,17 @@ object RelationalQueries {
     GraftQuery(
       "q48_cohort_retention",
       (s, d) => {
+        // min over the TIMESTAMP, formatted after: min(string) buffers an
+        // immutable string and falls back to SortAggregate; min(timestamp)
+        // plans HashAggregate with map-side combine. Identical values —
+        // 'yyyy-MM-dd' of week-truncated timestamps orders lexicographically
+        // exactly as the timestamps do.
         val ev = t(s, d, "events")
-          .select(col("user_id"), date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("wk"))
-        val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wkd"))
+        val cohort = ev.groupBy(col("user_id")).agg(min(col("wkd")).as("cohort_wkd"))
         ev.join(cohort, "user_id")
-          .select(col("cohort_wk"), col("wk"), col("user_id")).distinct()
+          .select(date_format(col("cohort_wkd"), "yyyy-MM-dd").as("cohort_wk"),
+            date_format(col("wkd"), "yyyy-MM-dd").as("wk"), col("user_id")).distinct()
           .groupBy(col("cohort_wk"), col("wk"))
           .agg(count(lit(1)).as("active_users"))
           .orderBy(col("cohort_wk"), col("wk"))

@@ -679,6 +679,39 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.unset(ops.Rounds.PartitionsKey)
   }
 
+  test("round-partitions knob: non-positive values throw, unset is silent (r20 ADVICE)") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L)).toDF("d1", "d2")
+    // explicit non-positive argument
+    intercept[IllegalArgumentException] {
+      ops.Dedup.connectedComponents(pairs, roundPartitions = Some(0))
+    }
+    // conf-set zero / negative: same error class as the non-numeric path
+    spark.conf.set(ops.Rounds.PartitionsKey, "0")
+    try intercept[IllegalArgumentException] {
+      ops.Rounds.resolve(spark)
+    } finally spark.conf.unset(ops.Rounds.PartitionsKey)
+    spark.conf.set(ops.Rounds.PartitionsKey, "-3")
+    try intercept[IllegalArgumentException] {
+      ops.Rounds.resolve(spark)
+    } finally spark.conf.unset(ops.Rounds.PartitionsKey)
+    // unset stays silent (None = session default behavior)
+    assert(ops.Rounds.resolve(spark).isEmpty)
+  }
+
+  test("lshCandidates bandK must be whole bands (r20 ADVICE: partial trailing band)") {
+    import spark.implicits._
+    val sigs = Seq((1L, Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)))
+      .toDF("id", "sig")
+    // 6 is >= bandRows but not a multiple: the trailing band would slice
+    // past the 6-position prefix and break candidate-set identity
+    intercept[IllegalArgumentException] {
+      ops.Dedup.lshCandidates(sigs, bandRows = 4, bandK = Some(6))
+    }
+    // whole-band prefix is accepted
+    ops.Dedup.lshCandidates(sigs, bandRows = 4, bandK = Some(4))
+  }
+
   test("runtime bloom filter reaches the probe side of a selective shuffle join") {
     // at 100 TB the big-big join tool next to bucketing is the runtime
     // bloom filter: a selective dimension-side predicate is turned into
