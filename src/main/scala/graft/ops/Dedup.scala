@@ -306,18 +306,24 @@ object Dedup {
     // evaluates the (potentially expensive — q46/q83 feed the whole
     // inverted-index jaccard join in here) pair plan twice when the cache
     // below first materializes; explode duplicates each row map-side.
-    // The cache is ALWAYS pre-partitioned on the per-round join key (b)
-    // — with the knob set, at its width; otherwise at the session
-    // default — so every round's edges⋈labels join reads the cached
-    // layout instead of re-exchanging the edge side per round (guide
-    // §2.4: operations keyed the same way share one exchange).
+    // With the knob set the cache is pre-partitioned on the per-round
+    // join key (b) at the knob's width, so every round's edges⋈labels
+    // join reads the cached layout instead of re-exchanging the edge
+    // side per round (guide §2.4) — the regime where labels are too big
+    // to broadcast. UNSET stays unpartitioned on purpose: an r21 A/B
+    // (isolated min-of-5, 9 CC queries at sf0.1) measured the
+    // unconditional default pre-partition at +7% locally — the cached
+    // fixed-width layout pins per-round joins to the session partition
+    // count where AQE would otherwise coalesce the tiny broadcast-side
+    // rounds, so the default keeps AQE's sizing and the knob owns the
+    // at-scale layout.
     val sym = pairs
       .select(explode(array(
         struct(col("d1").as("a"), col("d2").as("b")),
         struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
     val edges = rp.map(p => sym.repartition(p, col("b")))
-      .getOrElse(sym.repartition(col("b")))
+      .getOrElse(sym)
       .cache()
     // localCheckpoint (eager) after every round: an iterative frame's
     // logical plan otherwise nests all previous rounds — analysis cost

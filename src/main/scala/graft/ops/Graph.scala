@@ -397,6 +397,8 @@ object Graph {
       // iterative-access exception, as in pageRank; pre-partitioned on
       // the per-round join key (dst) so each round's und⋈labels join
       // reads the cached layout instead of re-exchanging the edge side
+      // (kept on an r21 A/B: 25.8s vs 27.0s without, 8 graph queries,
+      // isolated min-of-5 at sf0.1)
       .repartition(col("dst"))
       .cache()
     var labels = und.select(col("src").as("node")).distinct()
@@ -529,7 +531,8 @@ object Graph {
      else fwd.union(e0.select(col("b").as("src"), col("a").as("dst"), col("w"))))
       // pre-partitioned on the per-hop join key (src): the frontier
       // join re-reads this cache every hop, so the adjacency exchanges
-      // once here instead of once per hop (guide §2.4)
+      // once here instead of once per hop (guide §2.4; kept on the same
+      // r21 A/B as labelPropagation's und cache)
       .repartition(col("src"))
       .cache()
   }
