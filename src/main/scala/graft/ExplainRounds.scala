@@ -24,6 +24,18 @@ import org.apache.spark.sql.functions._
   *    hash-partitioned on the per-round join key b (r21) — the r21
   *    plan consumes the materialized layout where the r20 plan
   *    re-exchanges the edge side every round.
+  *  - `cc-round-r22` + `cc-changed-count-r21`: the r22 shape fuses the
+  *    convergence test into the checkpointed projection (the
+  *    accumulator-bearing marker UDF) and narrows the state to
+  *    (id, component); the separate `cc-changed-count-r21` plan is the
+  *    per-round count JOB that fusion removed.
+  *
+  * NOTE (r21 ADVICE): the round bodies below are manual transcriptions
+  * of `Graph.pageRank` / `Dedup.connectedComponents` round internals —
+  * if those operators change, keep these in sync or the printed
+  * "evidence" plans silently stop matching production code. The job
+  * COUNTS (as opposed to plan shapes) are probed against the real
+  * operators by [[graft.JobProbe]], which calls them directly.
   *
   * Usage: runMain graft.ExplainRounds [sfDir]
   */
@@ -136,6 +148,68 @@ object ExplainRounds {
       .localCheckpoint(true)
     ccRound(sym, "r20")
     ccRound(sym.repartition(col("b")), "r21")
+
+    // ---- r22: convergence count fused into the checkpoint job ----
+    locally {
+      val edges = sym.cache()
+      edges.count()
+      val labels = edges.select(col("a").as("id")).distinct()
+        .withColumn("component", col("id"))
+        .localCheckpoint(true)
+      val neighborMin = edges
+        .join(labels.select(col("id"), col("component")), col("b") === col("id"))
+        .groupBy(col("a")).agg(min(col("component")).as("nbr_min"))
+      val stepped = labels
+        .join(neighborMin, col("id") === col("a"), "left")
+        .select(col("id"), col("component").as("prev"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+      // the r21 shape materialized (id, prev, component) and then ran a
+      // SECOND job per round over the checkpointed state:
+      val nextR21 = stepped
+        .join(stepped.select(col("id").as("jid"), col("component").as("jcomp")),
+          col("component") === col("jid"), "left")
+        .select(col("id"), col("prev"),
+          least(col("component"), coalesce(col("jcomp"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      println("\n================= cc-changed-count-r21 =================")
+      nextR21.filter(col("component") < col("prev")).explain("formatted")
+      // the r22 shape: the marker UDF records label shrinkage as a side
+      // effect of the checkpoint materialization itself — no second job,
+      // and `prev` never enters the checkpointed state
+      val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
+      val mark = udf((c: java.lang.Long, p: java.lang.Long) => {
+        if (c != null && p != null && c.longValue < p.longValue) acc.add(1L)
+        c
+      }).asNondeterministic()
+      val nextR22 = stepped
+        .join(stepped.select(col("id").as("jid"), col("component").as("jcomp")),
+          col("component") === col("jid"), "left")
+        .select(col("id"),
+          mark(least(col("component"), coalesce(col("jcomp"), col("component"))),
+            col("prev")).as("component"))
+      println("\n================= cc-round-r22 =================")
+      nextR22.explain("formatted")
+      edges.unpersist()
+    }
+
+    // ---- r22: mergeComponents' seeded initialization (q304 folds) ----
+    // fold k's prior state used to enter ONLY as star edges, paying a
+    // full propagation round to collapse them; the r22 seed folds that
+    // collapse into the init pass itself (fixpoint unchanged — labels
+    // are min reachable ids under any valid start)
+    locally {
+      val prior = sym.select(col("a").as("id"), col("a").as("component")).distinct()
+        .localCheckpoint(true) // stand-in prior state frame, node-sized
+      val initUnseeded = sym.select(col("a").as("id")).distinct()
+        .withColumn("component", col("id"))
+      println("\n================= cc-init-unseeded-r21 =================")
+      initUnseeded.explain("formatted")
+      val initSeeded = sym.select(col("a").as("id")).distinct()
+        .join(prior.select(col("id"), col("component").as("seed_c")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("seed_c"), col("id")).as("component"))
+      println("\n================= cc-init-seeded-r22 =================")
+      initSeeded.explain("formatted")
+    }
 
     spark.stop()
   }

@@ -300,6 +300,24 @@ object Dedup {
     * result is identical under any partitioning.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      roundPartitions: Option[Int] = None): DataFrame =
+    connectedComponentsFrom(pairs, None, maxIter, roundPartitions)
+
+  /** [[connectedComponents]] with an optional SEED labeling: nodes
+    * present in `seed` (id, component) start from their seeded label
+    * instead of their own id. The fixpoint of min-label propagation is
+    * the same for any valid start — each node's final label is the
+    * minimum id REACHABLE in `pairs` — so seeding never changes the
+    * result; it removes rounds. Validity requirement (callers'): every
+    * seeded component must be a node connected to `id` within `pairs`
+    * and <= id — [[mergeComponents]]' prior state satisfies it by
+    * construction (the star edge id→component is itself in `pairs`, and
+    * labels are min-ids). The win is the incremental-fold shape: a
+    * fold's star edges collapse in the seeded initialization instead of
+    * consuming the first propagation round of every fold (r22, VERDICT
+    * item 1 — q304's three chained folds). */
+  private[graft] def connectedComponentsFrom(pairs: DataFrame,
+      seed: Option[DataFrame], maxIter: Int = 25,
       roundPartitions: Option[Int] = None): DataFrame = {
     val rp = Rounds.resolve(pairs.sparkSession, roundPartitions)
     // symmetrize in ONE pass over `pairs`: the union-of-two-selects form
@@ -333,12 +351,44 @@ object Dedup {
     // checkpoints (one small label frame per round) are reclaimed by the
     // ContextCleaner once unreferenced; the within-round `stepped` frame
     // uses an ordinary cache and is dropped explicitly.
-    var labels = Rounds.shape(edges.select(col("a").as("id")).distinct()
-      .withColumn("component", col("id")), col("id"), rp)
+    val initial = seed match {
+      case None =>
+        edges.select(col("a").as("id")).distinct()
+          .withColumn("component", col("id"))
+      case Some(st) =>
+        // seeded start: known nodes begin at their prior label (already
+        // the min of their prior class), new nodes at their own id —
+        // the star-collapse round every fold used to pay happens here,
+        // in the same single pass that builds the node set
+        edges.select(col("a").as("id")).distinct()
+          .join(st.select(col("id"), col("component").as("seed_c")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("seed_c"), col("id")).as("component"))
+    }
+    var labels = Rounds.shape(initial, col("id"), rp)
       .localCheckpoint()
+    val spark = pairs.sparkSession
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // convergence is detected DURING the checkpoint materialization:
+      // a side-effecting marker on the final projection records whether
+      // any label shrank this round, so the loop runs ONE job per round
+      // instead of two (the r21 scaling block showed the whole CC family
+      // driver-round-bound — 8v32 ratios 0.28-0.78 — and the count() job
+      // was a second full pass over the corpus-sized state per round).
+      // The decision only needs changed == 0 vs > 0, which accumulators
+      // answer reliably in every stage position: successful-task updates
+      // are never dropped, and retry double-counting can only inflate a
+      // positive count, never fabricate one. Dropping `prev` from the
+      // checkpointed state also narrows the per-round materialized
+      // frame from (id, prev, component) to (id, component).
+      val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
+      // nondeterministic so the optimizer never duplicates, reorders, or
+      // constant-folds the side effect (guide §4.4's duplication hazard)
+      val mark = udf((c: java.lang.Long, p: java.lang.Long) => {
+        if (c != null && p != null && c.longValue < p.longValue) acc.add(1L)
+        c
+      }).asNondeterministic()
       val neighborMin = edges
         .join(labels.select(col("id"), col("component")), col("b") === col("id"))
         .groupBy(col("a")).agg(min(col("component")).as("nbr_min"))
@@ -354,13 +404,13 @@ object Dedup {
       val next = Rounds.shape(stepped
         .join(stepped.select(col("id").as("jid"), col("component").as("jcomp")),
           col("component") === col("jid"), "left")
-        .select(col("id"), col("prev"),
-          least(col("component"), coalesce(col("jcomp"), col("component"))).as("component")),
+        .select(col("id"),
+          mark(least(col("component"), coalesce(col("jcomp"), col("component"))),
+            col("prev")).as("component")),
         col("id"), rp)
         .localCheckpoint()
-      val changed = next.filter(col("component") < col("prev")).count()
       stepped.unpersist()
-      if (changed == 0) converged = true else labels = next
+      if (acc.value == 0L) converged = true else labels = next
       iter += 1
     }
     edges.unpersist()
@@ -389,7 +439,11 @@ object Dedup {
       .map(p => p.select(col("id").as("d1"), col("component").as("d2"))
         .unionByName(np))
       .getOrElse(np)
-    connectedComponents(edges)
+    // prior labels double as the SEED labeling (valid by construction:
+    // each is a connected min-id under the star edges just added) — the
+    // fold's star-collapse round happens in the initialization instead
+    // of consuming propagation round 1 (r22)
+    connectedComponentsFrom(edges, prior)
   }
 
   /** One representative per near-dup component — what a production

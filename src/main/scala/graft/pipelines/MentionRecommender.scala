@@ -164,8 +164,16 @@ object MentionRecommender {
     * frame it was fitted on so callers can derive the query subsets. */
   private def fitModel(events: DataFrame, numBlocks: Int)
       : (org.apache.spark.ml.recommendation.ALSModel, DataFrame) = {
+    // materialized ONCE (r22): the fit consumes this frame and the
+    // caller's recommend-subset distinct re-reads it — left lazy, the
+    // subset recomputed the whole events scan + interaction aggregate a
+    // second time (a full corpus pass at scale). Eager localCheckpoint,
+    // not cache: truthful AQE sizing (the q36 rule) and same rows/
+    // partitioning as the plan it truncates, so the seeded fit is
+    // unchanged.
     val inter = interactions(events)
       .select(col("user_id").cast("int").as("user"), col("item"), col("y").cast("float"))
+      .localCheckpoint(true)
     val als = new ALS()
       .setRank(10).setSeed(0L).setMaxIter(5).setRegParam(0.1)
       .setImplicitPrefs(true).setAlpha(1.0)

@@ -834,7 +834,13 @@ object DedupQueries {
             .select(col("d1"), col("d2")).localCheckpoint(true)
           (exact, Dedup.connectedComponents(exact))
         }
-        val (cand, lshComp) = Await.result(lshF, Duration.Inf)
+        // await BOTH sides before propagating a failure: if lshF throws
+        // while exF is mid-loop, exF's CC jobs would keep running
+        // orphaned after the query has already failed (global-EC threads
+        // don't inherit any job group a harness set — r21 ADVICE)
+        val (cand, lshComp) =
+          try Await.result(lshF, Duration.Inf)
+          finally { Await.ready(exF, Duration.Inf): Unit }
         val (exact, exComp) = Await.result(exF, Duration.Inf)
         cand.agg(count(lit(1)).as("n_cand_pairs"))
           .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact_pairs"))))
@@ -1527,7 +1533,11 @@ object DedupQueries {
             Dedup.jaccardPairs(sh, minJaccard = 0.1)
               .select(col("d1"), col("d2")))
           .withColumnRenamed("component", "ce"))
-        val lsh = Await.result(lshF, Duration.Inf)
+        // await both before propagating a failure (bounds the orphaned-
+        // jobs leak — r21 ADVICE, same as q299)
+        val lsh =
+          try Await.result(lshF, Duration.Inf)
+          finally { Await.ready(exF, Duration.Inf): Unit }
         val ex = Await.result(exF, Duration.Inf)
         val lab = t(s, d, "documents").select(col("doc_id").as("id"))
           .join(lsh, Seq("id"), "left")

@@ -31,8 +31,21 @@ object EmbeddingQueries {
   private final class TripletPick extends org.apache.spark.sql.expressions.Aggregator[
       (Double, Long, Boolean), ((Double, Long), (Double, Long)),
       ((Double, Long), (Double, Long))] {
-    private def better(a: (Double, Long), b: (Double, Long)): (Double, Long) =
-      if (a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)) a else b
+    private def better(a: (Double, Long), b: (Double, Long)): (Double, Long) = {
+      // NaN orders GREATEST and ties to itself (Spark's double ordering,
+      // which the max(struct) form this Aggregator replaced used) — with
+      // bare Java comparisons NaN never wins, so a zero-norm NaN cosine
+      // would pick merge-order-dependently (r21 ADVICE). Plain IEEE
+      // comparisons stay for non-NaN values (keeps -0.0 == 0.0, unlike
+      // java.lang.Double.compare).
+      val aN = a._1.isNaN
+      val bN = b._1.isNaN
+      if (aN || bN) {
+        if (aN && bN) { if (a._2 < b._2) a else b }
+        else if (aN) a
+        else b
+      } else if (a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)) a else b
+    }
     override def zero: ((Double, Long), (Double, Long)) =
       ((-2.0, Long.MaxValue), (-2.0, Long.MaxValue))
     override def reduce(b: ((Double, Long), (Double, Long)),

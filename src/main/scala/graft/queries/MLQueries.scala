@@ -626,6 +626,12 @@ object MLQueries {
         // with nothing; the eager checkpoint materializes it inside the
         // overlap window instead (values unchanged)
         val triF = Future(graft.ops.Graph.triangleStats(edges).localCheckpoint(true))
+        // quiesce ALL chains before extracting any result: if one fails,
+        // the others' CC/PageRank loop jobs must not keep running
+        // orphaned after the query throws (the r21-ADVICE q299 exposure;
+        // Await.ready only waits, it doesn't throw the future's failure)
+        Seq(prF, lpaF, coreF, ccF, triF)
+          .foreach(f => Await.ready(f, Duration.Inf): Unit)
         val pr = Await.result(prF, Duration.Inf)
         val lpa = Await.result(lpaF, Duration.Inf)
         val lsz = lpa.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
