@@ -719,27 +719,53 @@ object Graph {
       aCol: String = "u1", bCol: String = "u2"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
-    var e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
-      .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct()
-      .localCheckpoint(eager = true)
+    val spark = edges.sparkSession
+    // Early exit once a peel drops nothing (r22): peeling is monotone —
+    // a round that removes no edge removes no node, so every later
+    // round is an identity and the registered fixed `maxRounds` (the
+    // determinism contract) only bounds the loop; the OUTPUT of exiting
+    // early is bit-identical (measured on q144's graph at sf0.1: the
+    // peel converges after round 1, so rounds 2-4 were pure no-op
+    // jobs). The edge count is read off each round's own checkpoint
+    // materialization through a counted marker column — no extra job,
+    // the CC-fuse machinery. The marker column sits ABOVE the
+    // Rounds.shape exchange so it always evaluates in the RESULT stage
+    // of the checkpoint job, where accumulator updates are exactly-once
+    // — an equality test is only trustworthy without retry inflation
+    // (unlike the CC loop's zero-vs-positive test, which is safe in any
+    // stage position). `_rc` is materialized in the checkpointed blocks
+    // (8 bytes/row) and never escapes: every consumer projects (a, b).
+    def counted(df: DataFrame): (DataFrame, org.apache.spark.util.LongAccumulator) = {
+      val acc = spark.sparkContext.longAccumulator("graft.kcore.edges")
+      val m = udf(() => { acc.add(1L); 1L }).asNondeterministic()
+      (df.withColumn("_rc", m()).localCheckpoint(eager = true), acc)
+    }
+    var (e, acc0) = counted(
+      edges.select(col(aCol).as("a"), col(bCol).as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct())
+    var prev = acc0.value
     var r = 1
-    while (r <= maxRounds) {
+    var converged = false
+    while (r <= maxRounds && !converged) {
       val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("degree"))
       val keep = deg.filter(col("degree") >= k).select(col("node"))
-      e = Rounds.shape(e
+      val (next, acc) = counted(Rounds.shape(e
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .select(col("a"), col("b")), col("a"))
-        // e is consumed twice next round (degree agg + both semi-joins
-        // share it) — materialize to avoid the 2^k recompute nesting
-        .localCheckpoint(eager = true)
+        .select(col("a"), col("b")), col("a")))
+      // e is consumed twice next round (degree agg + both semi-joins
+      // share it) — the eager checkpoint inside counted() avoids the
+      // 2^k recompute nesting
+      e = next
+      if (acc.value == prev) converged = true else prev = acc.value
       r += 1
     }
-    // degrees of the subgraph as left after exactly maxRounds peels —
-    // no trailing filter, so the oracle replays the identical rounds
+    // degrees of the subgraph as left after exactly maxRounds peels
+    // (early exit only skips identity rounds) — no trailing filter, so
+    // the oracle replays the identical rounds
     e.select(col("a").as("node")).union(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
   }
